@@ -1,0 +1,206 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact:            hash-groupBy (one shuffle on the content hash)
+- MinHash + LSH:    shingle -> minhash signature (vectorized numpy pandas
+                    UDF) -> band buckets -> bucket equi-join -> verified
+                    Jaccard — the candidate join is an equi-join on
+                    (band, bucket-hash), so it shuffles only colliding pairs,
+                    never the cross product.
+- SimHash:          64-bit fingerprint; near-dup pairs by Hamming <= r using
+                    block keys (pigeonhole: r+1 blocks, equality on one
+                    block) — again equi-join, not cross join.
+- n-gram Jaccard:   exact verification kernel shared by both.
+
+All signatures are computed Arrow-batched; pair generation is pure DataFrame
+algebra so Catalyst handles distribution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# splitmix64-derived hash family seeds (deterministic)
+_MINHASH_PERMS = 64
+_LSH_BANDS = 16  # 16 bands x 4 rows -> ~0.5 jaccard threshold knee
+_MERS = 61
+_MERSENNE = (1 << _MERS) - 1
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+_SEEDS = _splitmix64(np.arange(1, _MINHASH_PERMS + 1, dtype=np.uint64))
+_A = (_SEEDS | np.uint64(1)) & np.uint64(_MERSENNE)  # odd multipliers
+_B = _splitmix64(_SEEDS) & np.uint64(_MERSENNE)
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Hashes of character k-shingles (lowercased, whitespace-collapsed)."""
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        t = t.ljust(k)
+    b = t.encode("utf-8", "ignore")
+    n = len(b) - k + 1
+    arr = np.frombuffer(b, dtype=np.uint8)
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k).astype(np.uint64)
+    pw = np.uint64(257) ** np.arange(k, dtype=np.uint64)
+    return np.unique(_splitmix64(windows @ pw))
+
+
+def minhash_signature(text: str, k: int = 5) -> np.ndarray:
+    """64-perm MinHash signature via universal hashing (a*x+b mod p)."""
+    sh = _shingle_hashes(text, k)
+    # (perms, shingles) matrix min — vectorized
+    vals = (
+        (_A[:, None] * (sh[None, :] & np.uint64(_MERSENNE)) + _B[:, None]) % np.uint64(_MERSENNE)
+    )
+    return vals.min(axis=1)
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: minhash_signature(t).astype(np.int64).tolist())
+
+
+@pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        sh = _shingle_hashes(t)
+        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        counts = bits.sum(axis=0) * 2 - len(sh)
+        out[i] = int(((counts > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum().astype(np.int64))
+    return pd.Series(out)
+
+
+def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard — the verification kernel."""
+    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: md5(content) -> (hash, count, keeper id)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct content."""
+    w_hash = F.md5(F.col(text_col))
+    keep = (
+        df.groupBy(w_hash.alias("h")).agg(F.min(id_col).alias(id_col)).drop("h")
+    )
+    return df.join(keep, on=id_col, how="inner")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    bands: int = _LSH_BANDS,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding, Jaccard-verified.
+
+    Physical plan: signature projection (Arrow UDF) -> explode bands ->
+    groupBy-free self equi-join on (band, bucket) -> pair dedup -> exact
+    verification UDF on candidate pairs only.
+    """
+    rows_per_band = _MINHASH_PERMS // bands
+    sig = df.select(F.col(id_col), F.col(text_col), minhash_udf(F.col(text_col)).alias("sig"))
+    band_cols = F.array(
+        *[
+            F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)).cast("long").alias(f"b{i}")
+            for i in range(bands)
+        ]
+    )
+    banded = sig.withColumn("bands", band_cols).select(
+        id_col, text_col, F.posexplode("bands").alias("band", "bucket")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col(f"l.{text_col}").alias("text_a"),
+            F.col(f"r.{text_col}").alias("text_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            jac = np.array(
+                [ngram_jaccard(a, b) for a, b in zip(pdf["text_a"], pdf["text_b"])]
+            )
+            sub = pdf.loc[jac >= threshold, ["id_a", "id_b"]].copy()
+            sub["jaccard"] = np.round(jac[jac >= threshold], 6)
+            if len(sub):
+                yield sub
+
+    return cand.mapInPandas(verify, schema="id_a long, id_b long, jaccard double")
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance <= r on 64-bit SimHash.
+
+    Pigeonhole blocking: split the fingerprint into r+1 blocks; any pair
+    within distance r agrees on >= 1 block, so candidates come from equality
+    joins on block values — no cross join.
+    """
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sig = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
+    blocks = [
+        F.shiftrightunsigned(F.col("sim"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias(f"blk{i}")
+        for i in range(nblocks)
+    ]
+    sigb = sig.select(id_col, "sim", *blocks)
+    pairs = None
+    for i in range(nblocks):
+        l, r = sigb.alias("l"), sigb.alias("r")
+        p = l.join(
+            r,
+            (F.col(f"l.blk{i}") == F.col(f"r.blk{i}"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        ).select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

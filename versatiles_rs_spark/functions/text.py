@@ -1,0 +1,97 @@
+"""Text-analysis operators: quality metrics, language ID, token counting,
+document fingerprinting.
+
+Hot-path metrics are pure column expressions (JVM/codegen); language ID and
+fingerprints are Arrow-batched numpy kernels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType, StringType
+
+
+def with_quality_metrics(df: DataFrame, text: str = "text") -> DataFrame:
+    """Whitespace token count, char count, letter frequency — all built-in
+    string expressions so they stay inside WholeStageCodegen."""
+    t = F.col(text)
+    return (
+        df.withColumn("n_tokens", F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1)
+        .withColumn("n_chars2", F.length(t))
+        .withColumn("n_e", (F.length(t) - F.length(F.replace(t, F.lit("e"), F.lit("")))).cast("long"))
+    )
+
+
+def quality_score(df: DataFrame, text: str = "text") -> DataFrame:
+    """Composite quality score: length band + mean token length band +
+    alpha ratio — filterable column, no Python."""
+    t = F.col(text)
+    n_chars = F.length(t)
+    n_tokens = n_chars - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+    mean_tok = n_chars / n_tokens
+    alpha = F.length(F.regexp_replace(t, "[^a-zA-Z]", "")) / n_chars
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 100000), 1.0).otherwise(0.0)
+        + F.when((mean_tok >= 3) & (mean_tok <= 12), 1.0).otherwise(0.0)
+        + alpha
+    ) / 3.0
+    return df.withColumn("quality", F.round(score, 4))
+
+
+# deterministic tiny stopword profiles for n-gram/stopword language ID
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to ", " is "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " et ", " les ", " est "],
+    "es": [" el ", " la ", " los ", " que ", " es "],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+@pandas_udf(StringType())
+def langid_udf(texts: pd.Series) -> pd.Series:
+    """Marker-frequency language ID (n-gram heuristic). Vectorized per batch
+    via pandas str.count; deterministic tie-break by language code."""
+    padded = (" " + texts.str.lower() + " ").fillna("")
+    scores = {}
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        s = None
+        for m in markers:
+            c = padded.str.count(m if lang == "zh" else m.replace(" ", "\\s"))
+            s = c if s is None else s + c
+        scores[lang] = s
+    mat = pd.DataFrame(scores)
+    best = mat.idxmax(axis=1)
+    best[mat.max(axis=1) == 0] = "unknown"
+    return best
+
+
+def with_langid(df: DataFrame, text: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", langid_udf(F.col(text)))
+
+
+@pandas_udf(LongType())
+def fingerprint_udf(texts: pd.Series) -> pd.Series:
+    """Winnowing-style document fingerprint: min rolling hash over 8-byte
+    windows — stable under small edits elsewhere in the document."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        b = np.frombuffer((t or "").encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < 8:
+            b = np.pad(b, (0, 8 - len(b)))
+        windows = np.lib.stride_tricks.sliding_window_view(b, 8).astype(np.uint64)
+        pw = np.uint64(131) ** np.arange(8, dtype=np.uint64)
+        h = windows @ pw
+        # splitmix finalizer
+        h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        h = h ^ (h >> np.uint64(31))
+        out[i] = int(h.min().astype(np.int64))
+    return pd.Series(out)
+
+
+def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint_udf(F.col(text)))

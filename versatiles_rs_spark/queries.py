@@ -1,0 +1,670 @@
+"""Query registry: every implemented operator exposed as (spark_fn, oracle_sql).
+
+Each entry is a named query over the driver's parquet tables; the Spark side
+uses the engine's operators, the oracle side is equivalent ANSI SQL for DuckDB
+(tables pre-registered as views). Column names are aliased identically on both
+sides so the driver's order-insensitive value-hash compares cleanly.
+
+Queries with `oracle = None` are non-SQL-expressible (Hilbert ordering,
+MinHash-LSH banding, SimHash) and get the weaker rows-only check.
+
+Operator -> reference parity notes are in each function's docstring
+(SURVEY.md §2 inventory).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import udfs
+from .udfs import (
+    derived_lat_expr,
+    derived_lon_expr,
+    derived_lonlat_sql,
+    tile_xy_sql,
+    with_tile_columns,
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn):
+        REGISTRY[name] = Query(fn=fn, oracle=oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (the oracle side of the tile-math contract)
+# ---------------------------------------------------------------------------
+
+_EV_LON, _EV_LAT = derived_lonlat_sql("event_id")
+_EV_X8, _EV_Y8 = tile_xy_sql(_EV_LON, _EV_LAT, 8)
+_EV_X9, _EV_Y9 = tile_xy_sql(_EV_LON, _EV_LAT, 9)
+
+
+def _events_with_tiles(spark: SparkSession, sf_dir: str, zoom: int = 8) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    ev = ev.withColumn("lon", derived_lon_expr(F.col("event_id"))).withColumn(
+        "lat", derived_lat_expr(F.col("event_id"))
+    )
+    return with_tile_columns(ev, "lon", "lat", zoom=zoom)
+
+
+# ---------------------------------------------------------------------------
+# 1. tile assignment (core projection; reference: tile_coord.rs:64-80 applied
+#    by every read op; our scan->project->agg flagship)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tile_assign",
+    f"""
+    SELECT 8 AS z, {_EV_X8} AS x, {_EV_Y8} AS y,
+           count(*) AS n_points, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign web-mercator (z,x,y) at z=8 and aggregate per tile.
+
+    JVM-side column expressions only (no Python in the hot path);
+    parity: tile_coord.rs:64-80 + per-tile stats ≙ measure_tile_sizes
+    (/root/reference/versatiles/src/tools/dev_tools/measure_tile_sizes.rs:36).
+    """
+    df = _events_with_tiles(spark, sf_dir, 8)
+    return df.groupBy("z", "x", "y").agg(
+        F.count("*").alias("n_points"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+
+
+@register(
+    "pyramid_rollup",
+    f"""
+    WITH base AS (
+      SELECT {_EV_X8} AS x, {_EV_Y8} AS y, count(*) AS n FROM events GROUP BY 1, 2
+    )
+    SELECT 8 AS z, x, y, CAST(sum(n) AS BIGINT) AS n_points FROM base GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 6 AS z, CAST(floor(x / 4.0) AS BIGINT) AS x, CAST(floor(y / 4.0) AS BIGINT) AS y,
+           CAST(sum(n) AS BIGINT) AS n_points FROM base GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 4 AS z, CAST(floor(x / 16.0) AS BIGINT) AS x, CAST(floor(y / 16.0) AS BIGINT) AS y,
+           CAST(sum(n) AS BIGINT) AS n_points FROM base GROUP BY 1, 2, 3
+    """,
+)
+def q_pyramid_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadtree roll-up z8 -> z6 -> z4: parent tile (z-k, x>>k, y>>k).
+
+    Parity: raster overview's parent grouping
+    (/root/reference/versatiles_pipeline/src/operations/raster/raster_overview.rs:136-150,
+    parent coord tile_coord.rs:185-188) — here as counts, the raster mosaic
+    variant lives in operators/raster.py. Partial aggregation is map-side; the
+    z8 base is aggregated once and reused for all levels (one shuffle).
+    """
+    base = (
+        _events_with_tiles(spark, sf_dir, 8)
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n"))
+    )
+    levels = []
+    for dz in (0, 2, 4):
+        levels.append(
+            base.groupBy(
+                F.lit(8 - dz).cast("int").alias("z"),
+                F.shiftright(F.col("x"), dz).alias("x"),
+                F.shiftright(F.col("y"), dz).alias("y"),
+            ).agg(F.sum("n").alias("n_points"))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
+# GeoBBox (-60, -40, 60, 40) @ z9 -> [170,193,341,318]; constants produced by
+# tile_math.geo_bbox_to_tile_bbox (eps-inset rule golden-tested against
+# tile_bbox/constructors.rs:562-566 in tests/test_tile_math.py).
+_GEO_BOX = (-60.0, -40.0, 60.0, 40.0)
+_BBOX9 = (170, 193, 341, 318)
+
+
+@register(
+    "bbox_filter",
+    f"""
+    SELECT event_type, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+    FROM (
+      SELECT event_id, event_type, {_EV_X9} AS x, {_EV_Y9} AS y FROM events
+    )
+    WHERE x BETWEEN {_BBOX9[0]} AND {_BBOX9[2]} AND y BETWEEN {_BBOX9[1]} AND {_BBOX9[3]}
+    GROUP BY event_type
+    """,
+)
+def q_bbox_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoBBox filter compiled to a tile-range predicate at plan build time.
+
+    Parity: the `filter` operation intersects the geo bbox into tile space
+    before streaming (/root/reference/versatiles_pipeline/src/operations/general/filter.rs:36-62);
+    here Catalyst pushes the x/y range into the scan.
+    """
+    from .operators.filter import filter_geo_bbox
+
+    df = _events_with_tiles(spark, sf_dir, 9)
+    df = filter_geo_bbox(df, _GEO_BOX, zoom=9)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+@register(
+    "stacked_coalesce",
+    f"""
+    WITH s1 AS (
+      SELECT x, y, min(props) AS payload FROM (
+        SELECT {_EV_X8} AS x, {_EV_Y8} AS y, props, event_type FROM events
+      ) WHERE event_type = 'purchase' GROUP BY x, y
+    ), s2 AS (
+      SELECT x, y, CAST(count(*) AS VARCHAR) AS payload FROM (
+        SELECT {_EV_X8} AS x, {_EV_Y8} AS y FROM events
+      ) GROUP BY x, y
+    )
+    SELECT coalesce(s1.x, s2.x) AS x, coalesce(s1.y, s2.y) AS y,
+           coalesce(s1.payload, s2.payload) AS payload,
+           CASE WHEN s1.payload IS NOT NULL THEN 1 ELSE 2 END AS src
+    FROM s1 FULL OUTER JOIN s2 ON s1.x = s2.x AND s1.y = s2.y
+    """,
+)
+def q_stacked_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-non-empty overlay of two tile sources (winner-takes-first).
+
+    Parity: `from_stacked`
+    (/root/reference/versatiles_pipeline/src/operations/read/from_stacked.rs:1-16).
+    """
+    from .operators.stacked import stacked_first_non_empty
+
+    ev = _events_with_tiles(spark, sf_dir, 8)
+    s1 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("x", "y")
+        .agg(F.min("props").alias("payload"))
+    )
+    s2 = ev.groupBy("x", "y").agg(F.count("*").cast("string").alias("payload"))
+    return stacked_first_non_empty([s1, s2], keys=("x", "y"), payload="payload")
+
+
+@register(
+    "tile_stats",
+    f"""
+    WITH t AS (SELECT {_EV_X8} AS x, {_EV_Y8} AS y, length(props) AS sz FROM events)
+    SELECT 8 AS z, count(*) AS n_tiles, CAST(sum(sz) AS BIGINT) AS total_bytes,
+           min(sz) AS min_bytes, max(sz) AS max_bytes, round(avg(sz), 4) AS avg_bytes
+    FROM t
+    UNION ALL
+    SELECT 4 AS z, count(*) AS n_tiles, CAST(sum(sz) AS BIGINT) AS total_bytes,
+           min(sz) AS min_bytes, max(sz) AS max_bytes, round(avg(sz), 4) AS avg_bytes
+    FROM t
+    """,
+)
+def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zoom payload-size statistics.
+
+    Parity: probe's measure_tile_sizes + count_tiles
+    (/root/reference/versatiles/src/tools/dev_tools/measure_tile_sizes.rs:36,
+    tile_bbox_pyramid.rs:263-269).
+    """
+    ev = _events_with_tiles(spark, sf_dir, 8).withColumn("sz", F.length("props"))
+    parts = []
+    for z in (8, 4):
+        parts.append(
+            ev.groupBy(F.lit(z).cast("int").alias("z")).agg(
+                F.count("*").alias("n_tiles"),
+                F.sum("sz").alias("total_bytes"),
+                F.min("sz").alias("min_bytes"),
+                F.max("sz").alias("max_bytes"),
+                F.round(F.avg("sz"), 4).alias("avg_bytes"),
+            )
+        )
+    return parts[0].unionByName(parts[1])
+
+
+@register(
+    "flip_swap",
+    f"""
+    WITH t AS (SELECT {_EV_X8} AS x, {_EV_Y8} AS y FROM events)
+    SELECT 255 - y AS x, x AS y, count(*) AS n FROM t GROUP BY 1, 2
+    """,
+)
+def q_flip_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flip_y then swap_xy coordinate transform at z=8 (2^8-1 = 255).
+
+    Parity: converter flip/swap (tile_coord.rs:179-184,
+    /root/reference/versatiles_container/src/types/converter.rs:201-256).
+    """
+    from .operators.transform import flip_y_df, swap_xy_df
+
+    df = _events_with_tiles(spark, sf_dir, 8)
+    df = swap_xy_df(flip_y_df(df))
+    return df.groupBy("x", "y").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# 2. joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "property_join_inner",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           r.r_name AS region, c.c_acctbal AS acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE n.n_regionkey < 3
+    """,
+)
+def q_property_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast property join, remove_non_matching=true (inner).
+
+    Parity: vector_update_properties builds a driver-side hashmap and probes
+    per feature (/root/reference/versatiles_pipeline/src/operations/vector/
+    vector_update_properties.rs:50-137) — in Spark this is a broadcast hash
+    join; remove_non_matching=true ⇒ inner join.
+    """
+    from .operators.vector import update_properties
+
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 3)
+    region = load(spark, sf_dir, "region")
+    props = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    df = update_properties(
+        cust, props, left_key="c_nationkey", right_key="n_nationkey", remove_non_matching=True
+    )
+    return df.select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+
+
+@register(
+    "property_join_left",
+    """
+    SELECT c.c_custkey AS custkey, n.n_name AS nation
+    FROM customer c
+    LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 2) n
+      ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def q_property_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast property join, remove_non_matching=false (left outer
+    pass-through). Parity: vector_update_properties.rs:99-137."""
+    from .operators.vector import update_properties
+
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") < 2)
+    df = update_properties(
+        cust, nation, left_key="c_nationkey", right_key="n_nationkey", remove_non_matching=False
+    )
+    return df.select(F.col("c_custkey").alias("custkey"), F.col("n_name").alias("nation"))
+
+
+_NLON, _NLAT = derived_lonlat_sql("n_nationkey * 31 + 7")
+
+
+@register(
+    "pip_join_rect",
+    f"""
+    WITH zones AS (
+      SELECT n_name AS zone,
+             ({_NLON}) - 25.0 AS lon_min, ({_NLON}) + 25.0 AS lon_max,
+             ({_NLAT}) - 15.0 AS lat_min, ({_NLAT}) + 15.0 AS lat_max
+      FROM nation
+    ), pts AS (
+      SELECT event_id, {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+    )
+    SELECT z.zone AS zone, count(*) AS n_points,
+           min(p.event_id) AS min_id, max(p.event_id) AS max_id
+    FROM pts p JOIN zones z
+      ON p.lon >= z.lon_min AND p.lon < z.lon_max
+     AND p.lat >= z.lat_min AND p.lat < z.lat_max
+    GROUP BY z.zone
+    """,
+)
+def q_pip_join_rect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon join (rectangular zones) via broadcast range join.
+
+    The SQL-checkable slice of the PIP family: zones are axis-aligned boxes so
+    DuckDB can oracle it; arbitrary polygons (ray casting, holes) are covered
+    by joins/pip.py + pytest oracles. Half-open edges [min, max) mirror the
+    tile-boundary convention (tile_bbox/constructors.rs:230-233).
+    """
+    from .joins.pip import pip_join_rects
+
+    nation = load(spark, sf_dir, "nation")
+    key = F.col("n_nationkey") * 31 + 7
+    zones = nation.select(
+        F.col("n_name").alias("zone"),
+        (derived_lon_expr(key) - 25.0).alias("lon_min"),
+        (derived_lon_expr(key) + 25.0).alias("lon_max"),
+        (derived_lat_expr(key) - 15.0).alias("lat_min"),
+        (derived_lat_expr(key) + 15.0).alias("lat_max"),
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    joined = pip_join_rects(ev, zones)
+    return joined.groupBy("zone").agg(
+        F.count("*").alias("n_points"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+_QLON, _QLAT = derived_lonlat_sql("r_regionkey * 17 + 3")
+
+
+@register(
+    "knn_events",
+    f"""
+    WITH q AS (
+      SELECT r_regionkey AS query_id, {_QLON} AS qlon, {_QLAT} AS qlat FROM region
+    ), pts AS (
+      SELECT event_id, {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+    ), d AS (
+      SELECT q.query_id, p.event_id,
+             (p.lon - q.qlon) * (p.lon - q.qlon) + (p.lat - q.qlat) * (p.lat - q.qlat) AS dist,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY (p.lon - q.qlon) * (p.lon - q.qlon)
+                      + (p.lat - q.qlat) * (p.lat - q.qlat) ASC, p.event_id ASC
+             ) AS rank
+      FROM q CROSS JOIN pts p
+    )
+    SELECT query_id, rank, event_id FROM d WHERE rank <= 3
+    """,
+)
+def q_knn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbors (k=3) of each query point via broadcast + window.
+
+    Brute-force correctness baseline of the kNN family (SURVEY.md §2.4); the
+    cell-pruned k-ring variant lives in joins/knn.py and is verified against
+    this in pytest.
+    """
+    from .joins.knn import knn_bruteforce
+
+    region = load(spark, sf_dir, "region")
+    key = F.col("r_regionkey") * 17 + 3
+    queries = region.select(
+        F.col("r_regionkey").alias("query_id"),
+        derived_lon_expr(key).alias("qlon"),
+        derived_lat_expr(key).alias("qlat"),
+    )
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return knn_bruteforce(pts, queries, k=3, id_col="event_id")
+
+
+# ---------------------------------------------------------------------------
+# 3. dedup / text / similarity (training-data pipeline ops over documents)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep min doc_id per group."""
+    from .functions.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+           length(text) AS n_chars2,
+           CAST(length(text) - length(replace(text, 'e', '')) AS BIGINT) AS n_e
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality metrics: whitespace token count, char counts — all
+    JVM-side string expressions (no Python)."""
+    from .functions.text import with_quality_metrics
+
+    return with_quality_metrics(load(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_chars2", "n_e"
+    )
+
+
+@register(
+    "lang_stats",
+    """
+    SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (scan->hash agg with distinct)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "ann_cosine",
+    """
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
+    ), d AS (
+      SELECT q.query_id, e.vec_id,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC
+             ) AS rank
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, rank, vec_id AS neighbor_id FROM d WHERE rank <= 5
+    """,
+)
+def q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline over the embedding column.
+
+    Dot products via built-in higher-order functions (zip_with + aggregate) in
+    float64 — JVM-side, no Python. The LSH-bucketed scale path is
+    functions/ann.py::ann_lsh_topk, recall-tested in pytest.
+    """
+    from .functions.ann import ann_bruteforce_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_bruteforce_topk(emb, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# 4. relational coverage (scan/filter/agg/join/sort/limit end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — generic scan/filter/agg parity check."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # decimal sums: order-independent, so Spark and the oracle agree
+            # exactly regardless of partitioning
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority — multi-join + agg parity check."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. non-SQL-expressible operators (rows-only driver check; full oracles in
+#    pytest against pure-python recomputation)
+# ---------------------------------------------------------------------------
+
+
+@register("hilbert_order", None)
+def q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiles in strict Hilbert (PMTiles) order — top 100 ids.
+
+    Parity: PMTiles writer requires strictly-increasing tile_ids
+    (/root/reference/versatiles_container/src/container/pmtiles/writer.rs:103,201-206);
+    Hilbert encode tile_hilbert_index.rs:81-113. Pytest checks exact golden ids
+    + monotonicity per partition.
+    """
+    df = _events_with_tiles(spark, sf_dir, 8).groupBy("z", "x", "y").count()
+    df = udfs.with_hilbert(df)
+    return df.orderBy("hilbert").limit(100).select("hilbert", "z", "x", "y", "count")
+
+
+@register("minhash_lsh", None)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate candidate pairs over documents.
+
+    shingle -> minhash (vectorized numpy) -> band buckets -> self-join ->
+    verified Jaccard >= 0.5. Pytest cross-checks against exact pairwise
+    Jaccard at small scale.
+    """
+    from .functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id", threshold=0.5
+    )
+
+
+@register("simhash_dup", None)
+def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit fingerprints + near-dup pairs at Hamming distance <= 3."""
+    from .functions.dedup import simhash_pairs
+
+    return simhash_pairs(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id", max_hamming=3
+    )
+
+
+@register("doc_fingerprint", None)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints (winnowing-style min-sample)."""
+    from .functions.text import with_fingerprint
+
+    return with_fingerprint(load(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
