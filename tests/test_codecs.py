@@ -1,0 +1,98 @@
+"""Codec tests: PNG round-trip exactness, lossy PSNR bound, compression."""
+
+import numpy as np
+import pytest
+
+from versatiles_rs_spark import codecs
+from versatiles_rs_spark.fixtures import make_pixels
+
+
+def test_png_roundtrip_rgb():
+    img = make_pixels(7, 64)
+    blob = codecs.encode_png(img)
+    assert codecs.detect_format(blob) == "png"
+    out = codecs.decode_png(blob)
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_channels(channels):
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (32, 32, channels), dtype=np.uint8)
+    out = codecs.decode_png(codecs.encode_png(img))
+    assert (out == img).all()
+
+
+def test_png_decode_all_filters():
+    """Our encoder emits filter 0; synthesize rows with filters 1-4 and check
+    the decoder unfilters them (spec compliance)."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (5, 8, 3), dtype=np.uint8)
+    h, w, c = img.shape
+    # build filtered scanlines manually
+    raw = img.astype(np.int16)
+    lines = []
+    prev = np.zeros((w, c), np.int16)
+    for r, f in zip(range(h), [0, 1, 2, 3, 4]):
+        row = raw[r]
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - np.vstack([np.zeros((1, c), np.int16), row[:-1]])
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            left = np.vstack([np.zeros((1, c), np.int16), row[:-1]])
+            enc = row - ((left + prev) >> 1)
+        else:
+            left = np.vstack([np.zeros((1, c), np.int16), row[:-1]])
+            upleft = np.vstack([np.zeros((1, c), np.int16), prev[:-1]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            enc = row - pred
+        lines.append(bytes([f]) + (enc % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    blob = (
+        codecs.PNG_SIG
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + codecs._chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(blob)
+    assert (out == img).all()
+
+
+@pytest.mark.parametrize("fmt", ["jpg", "webp"])
+def test_lossy_psnr_bound(fmt):
+    """BASELINE.json invariant: decoded-pixel PSNR >= 40 dB for lossy."""
+    img = make_pixels(3, 64)
+    blob = codecs.encode_image(img, fmt, quality=85)
+    out = codecs.decode_image(blob)
+    assert codecs.psnr(img, out) >= 40.0
+
+
+def test_lossy_quality_monotonic():
+    img = make_pixels(11, 64)
+    p_hi = codecs.psnr(img, codecs.decode_image(codecs.encode_image(img, "jpg", quality=95)))
+    p_lo = codecs.psnr(img, codecs.decode_image(codecs.encode_image(img, "jpg", quality=20)))
+    assert p_hi > p_lo
+
+
+def test_gzip_roundtrip_deterministic():
+    data = b"versatiles" * 100
+    a = codecs.compress_blob(data, "gzip")
+    b = codecs.compress_blob(data, "gzip")
+    assert a == b  # mtime=0 -> reproducible
+    assert codecs.decompress_blob(a, "gzip") == data
+
+
+def test_brotli_gated():
+    if not codecs.HAS_BROTLI:
+        with pytest.raises(NotImplementedError):
+            codecs.compress_blob(b"x", "brotli")

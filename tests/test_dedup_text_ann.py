@@ -1,0 +1,152 @@
+"""Dedup / text / ANN operator tests against pure-python oracles."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard,
+    simhash_pairs,
+)
+
+
+def _docs_df(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog in the morning sun",
+        "pack my box with five dozen liquor jugs before the night falls",
+        "sphinx of black quartz judge my vow said the ancient mariner",
+        "how vexingly quick daft zebras jump over fences in the park",
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        rows.append((i, b))
+        i += 1
+        rows.append((i, b))  # exact duplicate
+        i += 1
+        rows.append((i, b.replace("the", "a")))  # near duplicate
+        i += 1
+        rows.append((i, " ".join(reversed(b.split()))))  # shuffled (lower jaccard on char-grams)
+        i += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])), rows
+
+
+def test_exact_dedup(spark):
+    df, rows = _docs_df(spark)
+    kept = exact_dedup(df).collect()
+    texts = [r.text for r in kept]
+    assert len(kept) == len(set(r[1] for r in rows))
+    assert len(texts) == len(set(texts))
+
+
+def test_minhash_estimates_jaccard():
+    a = "the quick brown fox jumps over the lazy dog in the morning sun"
+    b = a.replace("the", "a")
+    sa, sb = minhash_signature(a), minhash_signature(b)
+    est = (sa == sb).mean()
+    true = ngram_jaccard(a, b)
+    assert abs(est - true) < 0.25
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    df, rows = _docs_df(spark)
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    # oracle: exact jaccard over all pairs
+    want = set()
+    for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+        if ngram_jaccard(ta, tb) >= 0.5:
+            want.add((min(ia, ib), max(ia, ib)))
+    # every exact duplicate pair must be found (jaccard 1.0 -> all bands agree)
+    dup_pairs = {p for p in want if ngram_jaccard(rows[p[0]][1], rows[p[1]][1]) == 1.0}
+    assert dup_pairs <= pairs
+    # no false positives below threshold (verification step guarantees this)
+    assert pairs <= want
+
+
+def test_simhash_pairs(spark):
+    df, rows = _docs_df(spark)
+    got = simhash_pairs(df, max_hamming=3).collect()
+    by_pair = {(r.id_a, r.id_b): r.hamming for r in got}
+    # exact duplicates -> identical simhash -> hamming 0, always found
+    for i in range(0, len(rows), 4):
+        assert by_pair.get((i, i + 1)) == 0
+    # all reported pairs respect the bound
+    assert all(h <= 3 for h in by_pair.values())
+
+
+def test_ann_lsh_recall(spark):
+    from versatiles_rs_spark.functions.ann import ann_bruteforce_topk, ann_lsh_topk
+
+    rng = np.random.default_rng(5)
+    n, dim = 400, 16
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    brute = ann_bruteforce_topk(df, queries, k=10).collect()
+    # nbits sized so buckets hold ~n/16 vectors; multi-probe then covers
+    # enough candidates for high recall at k=10
+    lsh = ann_lsh_topk(df, queries, k=10, nbits=4, dim=dim).collect()
+    bsets = {}
+    for r in brute:
+        bsets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    lsets = {}
+    for r in lsh:
+        lsets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(bsets[q] & lsets.get(q, set())) / 10 for q in bsets]
+    assert sum(recalls) / len(recalls) >= 0.5  # multi-probe LSH recall floor
+
+
+def test_langid(spark):
+    from versatiles_rs_spark.functions.text import with_langid
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "the cat and the dog is of the house",
+                    "der Hund und die Katze ist das Tier",
+                    "le chat et la maison est les arbres",
+                ]
+            }
+        )
+    )
+    got = [r.lang_pred for r in with_langid(df).collect()]
+    assert got == ["en", "de", "fr"]
+
+
+def test_quality_score(spark):
+    from versatiles_rs_spark.functions.text import quality_score
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["good clean sentence with normal words here ok", "x"]})
+    )
+    rows = quality_score(df).collect()
+    assert rows[0].quality > rows[1].quality
+
+
+def test_fingerprint_stability(spark):
+    from versatiles_rs_spark.functions.text import with_fingerprint
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    "shared window content present in both documents here",
+                    "shared window content present in both documents here plus a tail",
+                ],
+            }
+        )
+    )
+    rows = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+    # min-sampled rolling hash: common prefix dominates -> likely equal
+    assert rows[1] == rows[2]

@@ -1,0 +1,158 @@
+"""Spatial join tests: PIP (broadcast + cell-partitioned) against a
+pure-python oracle, kNN cell-pruned against brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.fixtures import polygons_pdf
+from versatiles_rs_spark.joins.knn import knn_bruteforce, knn_cell_pruned
+from versatiles_rs_spark.joins.pip import (
+    pip_join_polygons_broadcast,
+    pip_join_polygons_partitioned,
+    pip_join_rects,
+    points_in_polygon,
+    points_in_polygon_multi,
+)
+
+
+def test_ray_casting_square():
+    ring = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    px = np.array([5.0, 15.0, -1.0, 9.99])
+    py = np.array([5.0, 5.0, 5.0, 9.99])
+    assert points_in_polygon(px, py, ring).tolist() == [True, False, False, True]
+
+
+def test_ray_casting_hole():
+    outer = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    hole = np.array([[4, 4], [6, 4], [6, 6], [4, 6], [4, 4]], dtype=float)
+    px = np.array([5.0, 2.0])
+    py = np.array([5.0, 2.0])
+    got = points_in_polygon_multi(px, py, [outer, hole])
+    assert got.tolist() == [False, True]  # center is inside the hole
+
+
+def test_ray_casting_lshape():
+    ring = np.array([[0, 0], [10, 0], [10, 5], [5, 5], [5, 10], [0, 10], [0, 0]], dtype=float)
+    px = np.array([7.0, 7.0, 2.0])
+    py = np.array([2.0, 7.0, 7.0])
+    assert points_in_polygon(px, py, ring).tolist() == [True, False, True]
+
+
+def _points_df(spark, n=2000, seed=42):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "pid": np.arange(n),
+            "lon": rng.uniform(-170, 170, n),
+            "lat": rng.uniform(-80, 80, n),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def _oracle_pip(pdf, polys):
+    hits = []
+    for _, r in polys.iterrows():
+        rings = [np.asarray(ring, float) for ring in r.rings]
+        m = points_in_polygon_multi(pdf.lon.to_numpy(), pdf.lat.to_numpy(), rings)
+        for pid in pdf.pid.to_numpy()[m]:
+            hits.append((int(pid), r.poly_id))
+    return sorted(hits)
+
+
+def test_pip_broadcast_matches_oracle(spark):
+    df, pdf = _points_df(spark)
+    polys = polygons_pdf(40)
+    poly_list = [
+        (r.poly_id, [np.asarray(ring, float) for ring in r.rings]) for _, r in polys.iterrows()
+    ]
+    got = pip_join_polygons_broadcast(df, poly_list, out="poly_id")
+    got_pairs = sorted((int(r.pid), r.poly_id) for r in got.collect())
+    assert got_pairs == _oracle_pip(pdf, polys)
+    assert len(got_pairs) > 50  # meaningful coverage
+
+
+def test_pip_partitioned_matches_broadcast(spark):
+    df, pdf = _points_df(spark)
+    polys = polygons_pdf(40)
+    polys_df = spark.createDataFrame(
+        polys, schema="poly_id string, rings array<array<array<double>>>, zone string"
+    )
+    got = pip_join_polygons_partitioned(df, polys_df, cell_zoom=4)
+    got_pairs = sorted((int(r.pid), r.poly_id) for r in got.collect())
+    assert got_pairs == _oracle_pip(pdf, polys)
+
+
+def test_pip_rects_half_open(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2], "lon": [0.0, 10.0], "lat": [5.0, 5.0]})
+    )
+    rects = spark.createDataFrame(
+        pd.DataFrame(
+            {"zone": ["a"], "lon_min": [0.0], "lon_max": [10.0], "lat_min": [0.0], "lat_max": [10.0]}
+        )
+    )
+    got = pip_join_rects(pts, rects).select("pid").collect()
+    assert [r.pid for r in got] == [1]  # max edge exclusive
+
+
+def test_knn_cell_pruned_matches_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": np.arange(3000),
+                "lon": rng.uniform(-170, 170, 3000),
+                "lat": rng.uniform(-80, 80, 3000),
+            }
+        )
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.arange(8),
+                "qlon": rng.uniform(-150, 150, 8),
+                "qlat": rng.uniform(-70, 70, 8),
+            }
+        )
+    )
+    brute = {(r.query_id, r.rank): r.event_id for r in knn_bruteforce(pts, qs, k=5).collect()}
+    # 3000 points over the globe -> z3 cells hold ~dozens; ring=1 is enough
+    cell = {
+        (r.query_id, r.rank): r.event_id
+        for r in knn_cell_pruned(pts, qs, k=5, cell_zoom=3, ring=1).collect()
+    }
+    assert cell == brute
+
+
+def test_update_properties_semantics(spark):
+    from versatiles_rs_spark.operators.vector import update_properties
+
+    feats = spark.createDataFrame(
+        pd.DataFrame({"fid": [1, 2, 3], "key": ["a", "b", "x"]})
+    )
+    props = spark.createDataFrame(pd.DataFrame({"pkey": ["a", "b"], "attr": [10, 20]}))
+    inner = update_properties(feats, props, "key", "pkey", remove_non_matching=True)
+    assert inner.count() == 2
+    left = update_properties(feats, props, "key", "pkey", remove_non_matching=False)
+    rows = {r.fid: r.attr for r in left.collect()}
+    assert rows == {1: 10, 2: 20, 3: None}
+
+
+def test_update_properties_map_merge(spark):
+    from versatiles_rs_spark.operators.vector import update_properties
+
+    feats = spark.createDataFrame(
+        [(1, "a", {"old": "1", "both": "L"})], "fid int, key string, props map<string,string>"
+    )
+    props = spark.createDataFrame(
+        [("a", {"new": "2", "both": "R"})], "pkey string, props map<string,string>"
+    )
+    merged = update_properties(feats, props, "key", "pkey", props_col="props").collect()[0]
+    assert merged.props == {"old": "1", "both": "R", "new": "2"}  # right wins on clash
+    replaced = update_properties(
+        feats, props, "key", "pkey", props_col="props", replace_properties=True
+    ).collect()[0]
+    assert replaced.props == {"new": "2", "both": "R"}

@@ -1,0 +1,159 @@
+"""Raster kernel golden tests (values transcribed from the reference) and
+Spark-level pyramid/overscale round trips."""
+
+import numpy as np
+import pytest
+
+from versatiles_rs_spark.codecs import decode_image, encode_image, psnr
+from versatiles_rs_spark.fixtures import make_pixels
+from versatiles_rs_spark.operators.raster import (
+    downscale2_kernel,
+    flatten_kernel,
+    levels_kernel,
+    mosaic4_kernel,
+    overscale_kernel,
+)
+
+
+@pytest.mark.parametrize(
+    "color_in,b,c,g,color_out",
+    [
+        # raster_levels.rs:110-123 golden table
+        ([102, 119], 0.0, 1.0, 1.0, [102, 119]),
+        ([102, 119, 136], 0.0, 1.0, 1.0, [102, 119, 136]),
+        ([102, 119, 136, 153], 0.0, 1.0, 1.0, [102, 119, 136, 153]),
+        ([102], 20.0, 1.1, 0.9, [129]),
+        ([102, 119], 20.0, 1.1, 0.9, [129, 119]),
+        ([102, 119, 136], 20.0, 1.1, 0.9, [129, 147, 165]),
+        ([102, 119, 136, 153], 20.0, 1.1, 0.9, [129, 147, 165, 153]),
+        ([51, 119, 170], 0.0, 1.0, 1.0, [51, 119, 170]),
+        ([51, 119, 170], -100.0, 1.0, 1.0, [0, 19, 70]),
+        ([51, 119, 170], 100.0, 1.0, 1.0, [151, 219, 255]),
+        ([51, 119, 170], 0.0, 0.5, 1.0, [89, 123, 149]),
+        ([51, 119, 170], 0.0, 2.0, 1.0, [0, 111, 213]),
+        ([51, 119, 170], 0.0, 1.0, 0.5, [114, 174, 208]),
+        ([51, 119, 170], 0.0, 1.0, 2.0, [10, 56, 113]),
+    ],
+)
+def test_levels_golden(color_in, b, c, g, color_out):
+    img = np.array([[color_in]], dtype=np.uint8)
+    out = levels_kernel(img, b, c, g)
+    assert out[0, 0].tolist() == color_out
+
+
+def test_flatten_endpoints():
+    # operation.rs:394-414: alpha=255 -> color verbatim; alpha=0 -> background
+    img = np.zeros((1, 2, 4), dtype=np.uint8)
+    img[0, 0] = [10, 20, 30, 255]
+    img[0, 1] = [10, 20, 30, 0]
+    out = flatten_kernel(img, (200, 100, 50))
+    assert out[0, 0].tolist() == [10, 20, 30]
+    assert out[0, 1].tolist() == [200, 100, 50]
+
+
+def test_flatten_integer_math():
+    # (p*a + c*(255-a) + 127) / 255 with a=128, p=100, c=0
+    img = np.array([[[100, 100, 100, 128]]], dtype=np.uint8)
+    out = flatten_kernel(img, (0, 0, 0))
+    assert out[0, 0, 0] == (100 * 128 + 0 + 127) // 255
+
+
+def test_downscale_box():
+    img = np.array(
+        [[[0], [10]], [[20], [30]]], dtype=np.uint8
+    )  # 2x2x1 -> mean 15
+    out = downscale2_kernel(img)
+    assert out.shape == (1, 1, 1)
+    assert out[0, 0, 0] == 15  # (0+10+20+30+2)//4
+
+
+def test_overscale_then_downscale_is_identityish():
+    img = make_pixels(5, 64)
+    child = overscale_kernel(img, 1, 0, 2)
+    assert child.shape == img.shape
+    # downscaling the upscaled child recovers the crop exactly (NN + box)
+    rec = downscale2_kernel(child)
+    assert (rec == img[0:32, 32:64]).all()
+
+
+def test_mosaic4():
+    kids = {q: make_pixels(i, 64) for i, q in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)])}
+    out = mosaic4_kernel(kids, 64)
+    assert out.shape == (64, 64, 3)
+    assert (out[:32, :32] == downscale2_kernel(kids[(0, 0)])).all()
+    assert (out[32:, 32:] == downscale2_kernel(kids[(1, 1)])).all()
+
+
+def test_mosaic_partial_children():
+    out = mosaic4_kernel({(0, 0): make_pixels(1, 64)}, 64)
+    assert (out[32:, :] == 0).all()  # missing quadrants transparent/zero
+
+
+# ---------------------------------------------------------------------------
+# Spark-level integration
+# ---------------------------------------------------------------------------
+
+
+def test_pyramid_rollup_spark(spark):
+    """Encode a 4x4 block of z=2 tiles and roll up to z=0; verify parent
+    pixels equal the independently-computed mosaic chain + PSNR bound."""
+    import pandas as pd
+
+    from versatiles_rs_spark.operators.raster import build_pyramid
+
+    rows = []
+    imgs = {}
+    for x in range(4):
+        for y in range(4):
+            img = make_pixels(x * 4 + y, 64)
+            imgs[(x, y)] = img
+            rows.append((2, x, y, encode_image(img, "png"), "png"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["z", "x", "y", "bytes", "fmt"]),
+        schema="z int, x long, y long, bytes binary, fmt string",
+    )
+    levels = build_pyramid(df, z_max=2, z_min=0, tile_size=64)
+    l1 = {(r.x, r.y): decode_image(bytes(r.bytes)) for r in levels[1].collect()}
+    assert set(l1) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    expect = mosaic4_kernel(
+        {(qx, qy): imgs[(qx, qy)] for qx in range(2) for qy in range(2)}, 64
+    )
+    assert (l1[(0, 0)] == expect).all()
+    l0 = levels[0].collect()
+    assert len(l0) == 1
+    root = decode_image(bytes(l0[0].bytes))
+    expect_root = mosaic4_kernel({(qx, qy): l1[(qx, qy)] for qx in range(2) for qy in range(2)}, 64)
+    assert psnr(root, expect_root) == float("inf")  # png -> exact
+
+
+def test_raster_levels_spark(spark):
+    import pandas as pd
+
+    from versatiles_rs_spark.operators.raster import raster_levels
+
+    img = make_pixels(9, 32)
+    df = spark.createDataFrame(
+        pd.DataFrame([(8, 0, 0, encode_image(img, "png"), "png")], columns=["z", "x", "y", "bytes", "fmt"]),
+        schema="z int, x long, y long, bytes binary, fmt string",
+    )
+    out = raster_levels(df, brightness=20.0, contrast=1.1, gamma=0.9).collect()[0]
+    got = decode_image(bytes(out.bytes))
+    assert (got == levels_kernel(img, 20.0, 1.1, 0.9)).all()
+
+
+def test_raster_overscale_spark(spark):
+    import pandas as pd
+
+    from versatiles_rs_spark.operators.raster import raster_overscale
+
+    img = make_pixels(3, 64)
+    df = spark.createDataFrame(
+        pd.DataFrame([(3, 2, 5, encode_image(img, "png"), "png")], columns=["z", "x", "y", "bytes", "fmt"]),
+        schema="z int, x long, y long, bytes binary, fmt string",
+    )
+    out = raster_overscale(df, from_zoom=3, to_zoom=4).collect()
+    assert len(out) == 4
+    coords = {(r.z, r.x, r.y) for r in out}
+    assert coords == {(4, 4, 10), (4, 5, 10), (4, 4, 11), (4, 5, 11)}
+    child = next(r for r in out if (r.x, r.y) == (5, 10))
+    assert (decode_image(bytes(child.bytes)) == overscale_kernel(img, 1, 0, 2)).all()

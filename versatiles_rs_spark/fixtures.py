@@ -1,0 +1,198 @@
+"""Deterministic synthetic fixtures (FIXTURES.md): images + polygons + props.
+
+The `images` table has exactly the BASELINE.json input_hint shape:
+(image_id string, bytes binary, w int, h int, fmt string, caption string,
+phash bigint). lat/lng are NOT stored — they derive from phash bit-slices
+(engine-side, vectorized), keeping the input table pure.
+
+Pixel pattern mirrors the reference's gradient fixtures
+(/root/reference/versatiles_pipeline/src/operations/raster/raster_overscale.rs:159-168):
+pixel[y][x] = [x+i, y+i, 255-x] mod 256.
+
+A designated hot cell receives ~20% of rows (i % 5 == 0) to exercise skew
+handling (salting / AQE skew join).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .codecs import encode_image
+
+IMAGES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType()),
+        StructField("bytes", BinaryType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("caption", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+_FMTS = ["png", "jpg", "webp"]
+_WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+# hot-cell skew fixture: i % 5 == 0 rows all land near this lon/lat
+HOT_LON, HOT_LAT = 13.4, 52.5
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def phash_for(i: np.ndarray) -> np.ndarray:
+    return splitmix64(i).astype(np.int64)
+
+
+def phash_to_lonlat(phash: np.ndarray, hot_mask: np.ndarray | None = None):
+    """phash bit-slices -> uniform lon in [-180, 180), lat in ±85.0511.
+
+    bits [0,26) -> lon, bits [26,52) -> lat (FIXTURES.md §1). Rows under
+    hot_mask get jittered coordinates inside the hot cell instead.
+    """
+    p = np.asarray(phash).astype(np.uint64)
+    lon = ((p & np.uint64((1 << 26) - 1)).astype(np.float64) / (1 << 26)) * 360.0 - 180.0
+    latf = (((p >> np.uint64(26)) & np.uint64((1 << 26) - 1)).astype(np.float64) / (1 << 26))
+    lat = latf * 170.10225755960318 - 85.05112877980159
+    if hot_mask is not None:
+        jit = (p >> np.uint64(52)).astype(np.float64) / (1 << 12)  # [0,1)
+        lon = np.where(hot_mask, HOT_LON + jit * 0.01, lon)
+        lat = np.where(hot_mask, HOT_LAT + jit * 0.01, lat)
+    return lon, lat
+
+
+def make_pixels(i: int, size: int = 64) -> np.ndarray:
+    y, x = np.mgrid[0:size, 0:size]
+    return np.stack([(x + i) % 256, (y + i) % 256, (255 - x) % 256], axis=-1).astype(np.uint8)
+
+
+def _caption(i: int) -> str:
+    return f"caption {i} " + " ".join(_WORDS[(i + j) % len(_WORDS)] for j in range(3))
+
+
+def images_pdf(n: int, size: int = 64, offset: int = 0) -> pd.DataFrame:
+    """Driver-side generation for unit tests (small n)."""
+    idx = np.arange(offset, offset + n, dtype=np.uint64)
+    ph = phash_for(idx)
+    rows = []
+    for i in idx:
+        i = int(i)
+        fmt = _FMTS[i % 3]
+        rows.append(
+            (
+                f"img{i:012d}",
+                encode_image(make_pixels(i, size), fmt),
+                size,
+                size,
+                fmt,
+                _caption(i),
+                int(ph[i - offset]),
+            )
+        )
+    return pd.DataFrame(rows, columns=[f.name for f in IMAGES_SCHEMA.fields])
+
+
+def images_df(spark: SparkSession, n: int, size: int = 64, partitions: int = 32) -> DataFrame:
+    """Distributed generation: spark.range -> mapInPandas (scales to any n;
+    no driver materialization — this is the from_debug analog,
+    /root/reference/versatiles_pipeline/src/operations/read/from_debug/mod.rs:31-120).
+    """
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if len(ids):
+                yield images_pdf(len(ids), size=size, offset=int(ids[0]))
+
+    base = spark.range(0, n, 1, partitions)
+    return base.mapInPandas(gen, schema=IMAGES_SCHEMA)
+
+
+def with_coords(df: DataFrame, zoom: int = 12, skew: bool = True) -> DataFrame:
+    """Attach derived lon/lat (+ optional hot-cell skew) and (z,x,y)."""
+    import pandas as pd  # noqa: F811
+
+    from .udfs import with_tile_columns
+
+    def derive(batches):
+        for pdf in batches:
+            ph = pdf["phash"].to_numpy()
+            i = pdf["image_id"].str.slice(3).astype(np.int64).to_numpy()
+            hot = (i % 5 == 0) if skew else None
+            lon, lat = phash_to_lonlat(ph, hot)
+            pdf = pdf.assign(lon=lon, lat=lat)
+            yield pdf
+
+    from .udfs import schema_with
+
+    schema = schema_with(df.schema, ("lon", "double"), ("lat", "double"))
+    out = df.mapInPandas(derive, schema=schema)
+    return with_tile_columns(out, "lon", "lat", zoom=zoom)
+
+
+def polygons_pdf(n: int = 100) -> pd.DataFrame:
+    """Deterministic polygon layer: boxes and L-shapes (holes for j%7==0).
+
+    Rings as nested lists [[ [lon,lat], ... ]]; first ring outer, rest holes
+    (even-odd). One polygon (j==0) exactly tile-aligned at z=9 to exercise
+    the eps edge rule (tile_bbox/constructors.rs:258-266).
+    """
+    from . import tile_math as tm
+
+    rows = []
+    for j in range(n):
+        h = int(splitmix64(np.array([j * 7919 + 13], dtype=np.uint64))[0])
+        cx = (h & 0xFFFF) / 0xFFFF * 300.0 - 150.0
+        cy = ((h >> 16) & 0xFFFF) / 0xFFFF * 120.0 - 60.0
+        w = 4.0 + (h >> 32 & 0xFF) / 16.0
+        ht = 3.0 + (h >> 40 & 0xFF) / 20.0
+        if j == 0:
+            # tile-aligned box: exact bounds of tiles [267..273]x[168..170] @ z9
+            wst, _, _, nth = tm.tile_to_geo_bbox(9, 267, 168)
+            _, sth, est, _ = tm.tile_to_geo_bbox(9, 273, 170)
+            outer = [[wst, sth], [est, sth], [est, nth], [wst, nth], [wst, sth]]
+            rings = [outer]
+        elif j % 3 == 0:
+            # L-shape
+            rings = [
+                [
+                    [cx, cy],
+                    [cx + w, cy],
+                    [cx + w, cy + ht / 2],
+                    [cx + w / 2, cy + ht / 2],
+                    [cx + w / 2, cy + ht],
+                    [cx, cy + ht],
+                    [cx, cy],
+                ]
+            ]
+        else:
+            outer = [[cx, cy], [cx + w, cy], [cx + w, cy + ht], [cx, cy + ht], [cx, cy]]
+            rings = [outer]
+            if j % 7 == 0:  # hole
+                hx, hy = cx + w / 4, cy + ht / 4
+                rings.append(
+                    [[hx, hy], [hx + w / 4, hy], [hx + w / 4, hy + ht / 4], [hx, hy + ht / 4], [hx, hy]]
+                )
+        rows.append((f"poly{j:06d}", rings, f"zone{j % 10}"))
+    return pd.DataFrame(rows, columns=["poly_id", "rings", "zone"])
+
+
+def polygons_df(spark: SparkSession, n: int = 100) -> DataFrame:
+    schema = "poly_id string, rings array<array<array<double>>>, zone string"
+    return spark.createDataFrame(polygons_pdf(n), schema=schema)

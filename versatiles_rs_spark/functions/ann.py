@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -67,7 +68,6 @@ def ann_lsh_topk(
     The scale path: the vectors side shuffles once on the bucket id; queries
     explode to nbits+1 probe buckets — a standard multi-probe LSH layout.
     """
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType
 

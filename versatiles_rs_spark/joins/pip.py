@@ -67,6 +67,12 @@ def points_in_polygon_multi(px, py, rings: list[np.ndarray]) -> np.ndarray:
     return inside
 
 
+def to_rings(value) -> list[np.ndarray]:
+    """Deep-convert an Arrow array<array<array<double>>> cell (nested object
+    ndarrays, possibly ragged across rings) to a list of (N,2) float arrays."""
+    return [np.array([list(p) for p in ring], dtype=np.float64) for ring in value]
+
+
 def _rings_bbox(rings: list[np.ndarray]) -> tuple[float, float, float, float]:
     allpts = np.vstack(rings)
     return (
@@ -94,8 +100,10 @@ def pip_join_polygons_broadcast(
     """
     import pandas as pd
 
+    from ..udfs import schema_with
+
     prepped = [(pid, rings, _rings_bbox(rings)) for pid, rings in polygons]
-    schema = points.schema.add(out, "string")
+    schema = schema_with(points.schema, (out, "string"))
 
     def probe(batches):
         for pdf in batches:
@@ -152,7 +160,7 @@ def pip_join_polygons_partitioned(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                rings = [np.asarray(ring, np.float64) for ring in r[rings_col]]
+                rings = to_rings(r[rings_col])
                 for cx, cy in polygon_cover_cells(rings, cell_zoom):
                     rows.append((r[poly_id], cx, cy, r[rings_col]))
             yield pd.DataFrame(rows, columns=[poly_id, "cx", "cy", rings_col])
@@ -166,8 +174,10 @@ def pip_join_polygons_partitioned(
     )
     cand = pts.join(poly_cells, on=["cx", "cy"])
 
+    from ..udfs import schema_with
+
     out_fields = [f for f in points.schema.fields]
-    schema = points.schema.add(poly_id, "string")
+    schema = schema_with(points.schema, (poly_id, "string"))
 
     def exact(batches):
         point_cols = [f.name for f in out_fields]
@@ -179,7 +189,7 @@ def pip_join_polygons_partitioned(
             keep = np.zeros(len(pdf), dtype=bool)
             # group rows by polygon to vectorize over points
             for pid, grp in pdf.groupby(poly_id, sort=False):
-                rings = [np.asarray(ring, np.float64) for ring in grp[rings_col].iloc[0]]
+                rings = to_rings(grp[rings_col].iloc[0])
                 gi = grp.index.to_numpy()
                 pos = pdf.index.get_indexer(gi)
                 keep[pos] = points_in_polygon_multi(px[pos], py[pos], rings)

@@ -1,0 +1,286 @@
+"""Raster payload operators: levels, flatten, format re-encode, overscale,
+and the pyramid overview roll-up.
+
+All kernels are numpy over decoded uint8 arrays, applied Arrow-batched
+(mapInPandas / applyInPandas) — the engine's columnar counterpart of the
+reference's per-tile Rust ops.
+
+Parity sources (/root/reference/):
+- levels math + goldens: versatiles_pipeline/src/operations/raster/raster_levels.rs:61-73,118-123
+- flatten integer blend: versatiles_image/src/traits/operation.rs:128-151
+- per-zoom quality re-encode: .../raster/raster_format.rs:115-165
+- overscale crop+upscale: .../raster/raster_overscale.rs:104-123
+- overview 2x2 mosaic + box downscale: .../raster/raster_overview.rs:35-172,
+  operation.rs:114-125
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..codecs import decode_image, encode_image
+from . import register_operator
+
+
+def levels_kernel(img: np.ndarray, brightness: float, contrast: float, gamma: float) -> np.ndarray:
+    """v' = clamp(round((((v-127.5)*c/255 + 0.5 + b/255))^gamma * 255)).
+
+    Applies to color channels only; alpha passes through (LumaA/RGBA keep
+    their last channel — raster_levels.rs golden cases :110-116).
+    """
+    # all-f32 arithmetic + round-half-away-from-zero to match the Rust kernel
+    # bit-for-bit (raster_levels.rs computes in f32 and uses f32::round)
+    c = np.float32(contrast) / np.float32(255.0)
+    b = np.float32(brightness) / np.float32(255.0)
+    out = img.astype(np.float32).copy()
+    nch = img.shape[2]
+    color_ch = nch - 1 if nch in (2, 4) else nch
+    v = (out[..., :color_ch] - np.float32(127.5)) * c + np.float32(0.5) + b
+    with np.errstate(invalid="ignore"):
+        v = np.power(np.maximum(v, np.float32(0.0)), np.float32(gamma), dtype=np.float32)
+        v = v * np.float32(255.0)
+    out[..., :color_ch] = v
+    out = np.clip(out, 0, 255)
+    return np.floor(out + np.float32(0.5)).astype(np.uint8)
+
+
+def flatten_kernel(img: np.ndarray, color: tuple[int, int, int]) -> np.ndarray:
+    """Alpha-composite RGBA onto an opaque background color with the
+    reference's integer math (p*a + c*(255-a) + 127) / 255
+    (operation.rs:128-151); opaque pixels copied verbatim."""
+    if img.shape[2] != 4:
+        return img
+    a = img[..., 3:4].astype(np.uint16)
+    b = 255 - a
+    c = np.array(color, dtype=np.uint16)
+    rgb = ((img[..., :3].astype(np.uint16) * a) + c * b + 127) // 255
+    return rgb.astype(np.uint8)
+
+
+def downscale2_kernel(img: np.ndarray) -> np.ndarray:
+    """Box-filter 2x downscale (operation.rs:114-125, FilterType::Box):
+    mean of each 2x2 block, round-half-up like the integer pipeline."""
+    h, w, ch = img.shape
+    blocks = img.reshape(h // 2, 2, w // 2, 2, ch).astype(np.uint16)
+    return ((blocks.sum(axis=(1, 3)) + 2) // 4).astype(np.uint8)
+
+
+def overscale_kernel(parent: np.ndarray, dx: int, dy: int, scale: int) -> np.ndarray:
+    """Child tile from parent: crop quadrant (dx, dy) of 1/scale size and
+    nearest-neighbor upscale back to tile size (raster_overscale.rs:104-123)."""
+    h, w, _ = parent.shape
+    cw, ch_ = w // scale, h // scale
+    crop = parent[dy * ch_ : (dy + 1) * ch_, dx * cw : (dx + 1) * cw]
+    return np.repeat(np.repeat(crop, scale, axis=0), scale, axis=1)
+
+
+def mosaic4_kernel(children: dict[tuple[int, int], np.ndarray], tile_size: int) -> np.ndarray:
+    """Parent tile from up to 4 children: each child box-downscaled 2x and
+    placed in its quadrant (raster_overview.rs:136-166); missing children
+    leave transparent/zero quadrants."""
+    sample = next(iter(children.values()))
+    ch = sample.shape[2]
+    half = tile_size // 2
+    out = np.zeros((tile_size, tile_size, ch), dtype=np.uint8)
+    for (qx, qy), img in children.items():
+        out[qy * half : (qy + 1) * half, qx * half : (qx + 1) * half] = downscale2_kernel(img)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DataFrame operators
+# ---------------------------------------------------------------------------
+
+
+def _map_payload(df: DataFrame, fn, payload: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """Apply decoded-pixel kernel fn(img, row) -> img per tile, re-encoding in
+    the row's own format. Arrow-batched; decode once per stage
+    (lazy-decode parity: tile.rs:58-65)."""
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for blob, fmt in zip(pdf[payload], pdf[fmt_col]):
+                img = decode_image(bytes(blob))
+                img = fn(img)
+                out.append(encode_image(img, fmt))
+            pdf = pdf.copy()
+            pdf[payload] = pd.Series(out, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+@register_operator("raster_levels")
+def raster_levels(
+    df: DataFrame, brightness: float = 0.0, contrast: float = 255.0, gamma: float = 1.0, **kw
+) -> DataFrame:
+    return _map_payload(df, lambda img: levels_kernel(img, brightness, contrast, gamma), **kw)
+
+
+@register_operator("raster_flatten")
+def raster_flatten(df: DataFrame, color=(255, 255, 255), **kw) -> DataFrame:
+    return _map_payload(df, lambda img: flatten_kernel(img, color), **kw)
+
+
+def parse_quality_table(spec: str | int) -> dict:
+    """Per-zoom quality spec "0-9:90,10-14:80" or a single int
+    (raster_format.rs:115-133 parses the same shape from VPL args)."""
+    if isinstance(spec, int):
+        return {"default": spec}
+    table = {"default": 85}
+    for part in str(spec).split(","):
+        rng, q = part.split(":")
+        if "-" in rng:
+            lo, hi = rng.split("-")
+            for z in range(int(lo), int(hi) + 1):
+                table[z] = int(q)
+        else:
+            table[int(rng)] = int(q)
+    return table
+
+
+@register_operator("raster_format")
+def raster_format(
+    df: DataFrame,
+    target_fmt: str = "png",
+    quality: str | int = 85,
+    payload: str = "bytes",
+    fmt_col: str = "fmt",
+    z_col: str = "z",
+) -> DataFrame:
+    """Re-encode payload into target format with per-zoom quality
+    (raster_format.rs:155-165)."""
+    table = parse_quality_table(quality)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for blob, z in zip(pdf[payload], pdf[z_col]):
+                img = decode_image(bytes(blob))
+                q = table.get(int(z), table["default"])
+                out.append(encode_image(img, target_fmt, quality=q))
+            pdf = pdf.copy()
+            pdf[payload] = pd.Series(out, index=pdf.index)
+            pdf[fmt_col] = target_fmt
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+@register_operator("raster_overscale")
+def raster_overscale(
+    df: DataFrame, from_zoom: int, to_zoom: int, payload: str = "bytes", fmt_col: str = "fmt"
+) -> DataFrame:
+    """Synthesize zoom `to_zoom` tiles by upscaling crops of their `from_zoom`
+    ancestors (raster_overscale.rs:104-123). Explodes each parent into its
+    4^dz descendants — pure DataFrame explode + per-row numpy crop."""
+    dz = to_zoom - from_zoom
+    assert dz >= 1
+    scale = 1 << dz
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dy in range(scale)
+            for dx in range(scale)
+        ]
+    )
+    exploded = (
+        df.withColumn("o", F.explode(offsets))
+        .withColumn("cz", F.lit(to_zoom).cast("int"))
+        .withColumn("cx", F.col("x") * scale + F.col("o.dx"))
+        .withColumn("cy", F.col("y") * scale + F.col("o.dy"))
+    )
+
+    cols = [c for c in df.columns if c not in ("z", "x", "y")]
+    out_schema = (
+        "z int, x long, y long, "
+        + ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name in cols)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            imgs = []
+            for blob, fmt, dx, dy in zip(
+                pdf[payload], pdf[fmt_col], pdf["o"].map(lambda o: o["dx"]), pdf["o"].map(lambda o: o["dy"])
+            ):
+                img = decode_image(bytes(blob))
+                imgs.append(encode_image(overscale_kernel(img, int(dx), int(dy), scale), fmt))
+            out = pdf[["cz", "cx", "cy"] + [c for c in cols if c != payload]].rename(
+                columns={"cz": "z", "cx": "x", "cy": "y"}
+            )
+            out[payload] = imgs
+            yield out[["z", "x", "y"] + cols]
+
+    return exploded.mapInPandas(run, schema=out_schema)
+
+
+def build_overview_level(
+    df: DataFrame, tile_size: int, payload: str = "bytes", fmt: str = "png"
+) -> DataFrame:
+    """One pyramid roll-up step: tiles at level z -> parents at z-1.
+
+    groupBy(parent) gathers <=4 children; the grouped-map kernel downscales
+    each 2x and mosaics quadrants (raster_overview.rs:114-172). The shuffle
+    key (z-1, x>>1, y>>1) is computed JVM-side; partial data (missing
+    children) produces transparent quadrants like the reference's cache
+    rebuild path.
+    """
+    parentd = (
+        df.withColumn("pz", (F.col("z") - 1).cast("int"))
+        .withColumn("px", F.shiftright("x", 1))
+        .withColumn("py", F.shiftright("y", 1))
+        .withColumn("qx", (F.col("x") % 2).cast("int"))
+        .withColumn("qy", (F.col("y") % 2).cast("int"))
+    )
+    out_schema = f"z int, x long, y long, {payload} binary, fmt string, n_children int"
+
+    def mosaic(pdf: pd.DataFrame) -> pd.DataFrame:
+        children = {
+            (int(r.qx), int(r.qy)): decode_image(bytes(r.child_bytes))
+            for r in pdf.itertuples()
+        }
+        img = mosaic4_kernel(children, tile_size)
+        return pd.DataFrame(
+            {
+                "z": [int(pdf["pz"].iloc[0])],
+                "x": [int(pdf["px"].iloc[0])],
+                "y": [int(pdf["py"].iloc[0])],
+                payload: [encode_image(img, fmt)],
+                "fmt": [fmt],
+                "n_children": [len(pdf)],
+            }
+        )
+
+    sel = parentd.select(
+        "pz", "px", "py", "qx", "qy", F.col(payload).alias("child_bytes")
+    )
+    return sel.groupBy("pz", "px", "py").applyInPandas(mosaic, schema=out_schema)
+
+
+def build_pyramid(
+    df: DataFrame,
+    z_max: int,
+    z_min: int = 0,
+    tile_size: int = 64,
+    payload: str = "bytes",
+    fmt: str = "png",
+    checkpoint_fn=None,
+) -> dict[int, DataFrame]:
+    """Full overview pyramid z_max -> z_min, one level per iteration
+    (driver-side loop like the reference's DepthFirst descent,
+    raster_overview.rs:35-172). `checkpoint_fn(level, df) -> DataFrame` lets
+    the caller commit each level (the resume checkpoint required by the
+    north rule — see sinks.checkpoint.LevelCheckpointer)."""
+    levels = {z_max: df}
+    cur = df
+    for z in range(z_max - 1, z_min - 1, -1):
+        cur = build_overview_level(cur, tile_size, payload=payload, fmt=fmt).drop("n_children")
+        if checkpoint_fn is not None:
+            cur = checkpoint_fn(z, cur)
+        levels[z] = cur
+    return levels

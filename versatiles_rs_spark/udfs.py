@@ -168,3 +168,14 @@ def tile_xy_sql(lon_sql: str, lat_sql: str, zoom: int) -> tuple[str, str]:
         f"{zf} - 1.0), 0.0)) AS BIGINT)"
     )
     return x, y
+
+
+def schema_with(schema, *cols):
+    """Copy of a StructType with extra (name, type) fields appended —
+    StructType.add mutates in place, which corrupts a DataFrame's cached
+    schema, so never call .add on df.schema."""
+    from pyspark.sql.types import StructType, StructField, _parse_datatype_string
+    fields = list(schema.fields)
+    for name, dt in cols:
+        fields.append(StructField(name, _parse_datatype_string(dt)))
+    return StructType(fields)
