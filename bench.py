@@ -1,0 +1,89 @@
+"""Per-round bench harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and the flagship image pipeline (north-rule
+metric: tiles encoded + PIP-joined rows/sec), then prints ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "flagship": {...}}
+
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+tools/bench_scaling.py -> BENCH.md; this file stays fast for per-round runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tile_assign",
+    "pyramid_rollup",
+    "bbox_filter",
+    "stacked_coalesce",
+    "flip_swap",
+    "hilbert_order",
+    "property_join_inner",
+    "pip_join_rect",
+    "knn_events",
+    "dedup_exact",
+    "minhash_lsh",
+    "simhash_dup",
+    "ann_cosine",
+    "tpch_q1",
+    "tpch_q3",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_flagship = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_N", "40000"))
+
+    from versatiles_rs_spark import queries as q
+    from versatiles_rs_spark.pipeline import run_flagship
+    from versatiles_rs_spark.session import get_spark
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+
+    # warm the JVM/Python-worker pools so per-query numbers measure the
+    # queries, not session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = q.REGISTRY[name].fn
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    fm = run_flagship(spark, n_images=n_flagship)
+    print(f"# flagship: {fm}", file=sys.stderr)
+
+    total = round(sum(timings.values()) + fm["sec"], 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    result = {
+        "metric": "headline queries + flagship tiles-encoded+PIP-join wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "flagship": fm,
+        "cpus": int(cpus),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

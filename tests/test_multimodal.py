@@ -1,0 +1,93 @@
+"""Multimodal plumbing: schemas, batch shapes, real kernels, stub gates."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark import fixtures
+from versatiles_rs_spark.codecs import decode_image, encode_image
+from versatiles_rs_spark.multimodal import (
+    audio_features,
+    decode_audio,
+    image_features,
+    image_resize,
+    resize_kernel,
+    sample_frames,
+    with_media_meta,
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    return fixtures.images_df(spark, 40, size=16, partitions=2)
+
+
+def test_media_meta_schema(spark, images):
+    df = with_media_meta(images)
+    row = df.select("media.*").first()
+    assert row.media_type == "image" and row.width == 16 and row.sample_rate is None
+
+
+def test_resize_kernel_exact():
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    up = resize_kernel(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    assert (up[::2, ::2] == img).all()  # nearest-neighbor grid
+    down = resize_kernel(up, 4, 4)
+    assert (down == img).all()
+
+
+def test_image_resize_distributed(spark, images):
+    out = image_resize(images, 8, 8)
+    rows = out.collect()
+    assert all(r.w == 8 and r.h == 8 for r in rows)
+    assert all(decode_image(bytes(r.bytes)).shape == (8, 8, 3) for r in rows[:5])
+
+
+def test_image_features(spark, images):
+    out = image_features(images).select("image_id", "mean_rgb", "std_rgb", "ahash")
+    rows = out.collect()
+    assert len(rows) == 40
+    for r in rows[:5]:
+        assert len(r.mean_rgb) == 3 and all(0 <= m <= 255 for m in r.mean_rgb)
+    # deterministic: same image id -> same ahash across runs
+    again = image_features(images).select("image_id", "ahash").collect()
+    assert {r.image_id: r.ahash for r in rows} == {r.image_id: r.ahash for r in again}
+
+
+def test_audio_pcm_features(spark):
+    sr = 16000
+    t = np.arange(sr, dtype=np.float32) / sr
+    sine = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    rows = [("a1", sine.tobytes(), "pcm16"), ("a2", np.zeros(sr // 2, np.int16).tobytes(), "pcm16")]
+    df = spark.createDataFrame(rows, "clip_id string, audio binary, codec string")
+    out = {r.clip_id: r for r in audio_features(df, sample_rate=sr).collect()}
+    assert abs(out["a1"].duration_s - 1.0) < 1e-9
+    assert abs(out["a1"].rms - (20000 / 32768) / np.sqrt(2)) < 0.01
+    assert out["a2"].rms == 0.0
+
+
+def test_audio_compressed_decode_is_stubbed():
+    with pytest.raises(NotImplementedError, match="audio codec"):
+        decode_audio(b"\x00\x01", "opus")
+
+
+def test_video_frame_sampling(spark):
+    fw = fh = 16
+    frames = [np.full((fh, fw, 3), i, np.uint8) for i in range(25)]
+    blob = b"".join(f.tobytes() for f in frames)
+    df = spark.createDataFrame(
+        [("v1", blob, "rawframes")], "clip_id string, video binary, codec string"
+    )
+    out = sample_frames(df, every_n=10, frame_w=fw, frame_h=fh).collect()
+    assert [r.frame_idx for r in sorted(out, key=lambda r: r.frame_idx)] == [0, 10, 20]
+    img = decode_image(bytes(sorted(out, key=lambda r: r.frame_idx)[1].bytes))
+    assert (img == 10).all()
+
+
+def test_video_container_demux_is_stubbed(spark):
+    df = spark.createDataFrame(
+        [("v1", b"\x00", "mp4")], "clip_id string, video binary, codec string"
+    )
+    with pytest.raises(Exception, match="video codec"):
+        sample_frames(df).collect()

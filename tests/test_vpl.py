@@ -1,0 +1,108 @@
+"""VPL parser + planner tests (parser grammar parity:
+/root/reference/versatiles_pipeline/src/vpl/parser.rs:18-120)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.plans.vpl import (
+    VPLParseError,
+    build_pipeline,
+    parse_vpl,
+    run_vpl,
+)
+
+
+class TestParser:
+    def test_single_op(self):
+        p = parse_vpl('from_container filename="world.versatiles"')
+        assert len(p.nodes) == 1
+        assert p.nodes[0].name == "from_container"
+        assert p.nodes[0].params == {"filename": "world.versatiles"}
+
+    def test_pipe_chain(self):
+        p = parse_vpl("from_debug | filter_zoom min=5 max=9 | raster_levels gamma=2.0")
+        assert [n.name for n in p.nodes] == ["from_debug", "filter_zoom", "raster_levels"]
+        assert p.nodes[1].params == {"min": 5, "max": 9}
+        assert p.nodes[2].params == {"gamma": 2.0}
+
+    def test_nested_sources(self):
+        p = parse_vpl(
+            'from_stacked [ from_debug n=10, from_debug n=20 | filter_zoom min=1 ] | flip_y'
+        )
+        head = p.nodes[0]
+        assert head.name == "from_stacked"
+        assert len(head.children) == 2
+        assert head.children[1].nodes[1].name == "filter_zoom"
+        assert p.nodes[1].name == "flip_y"
+
+    def test_value_types(self):
+        p = parse_vpl('from_debug a="s" b=3 c=2.5 d=true e=false f=word')
+        prm = p.nodes[0].params
+        assert prm == {"a": "s", "b": 3, "c": 2.5, "d": True, "e": False, "f": "word"}
+
+    def test_escaped_string(self):
+        p = parse_vpl('from_debug msg="a \\"quoted\\" word"')
+        assert p.nodes[0].params["msg"] == 'a "quoted" word'
+
+    def test_comments_and_whitespace(self):
+        p = parse_vpl("""
+            # a pipeline
+            from_debug n=4   # inline comment
+              | filter_zoom min=0
+        """)
+        assert [n.name for n in p.nodes] == ["from_debug", "filter_zoom"]
+
+    def test_must_start_with_read(self):
+        with pytest.raises(VPLParseError, match="read op"):
+            parse_vpl("filter_zoom min=1")
+
+    def test_unterminated_string(self):
+        with pytest.raises(VPLParseError, match="unterminated"):
+            parse_vpl('from_debug a="oops')
+
+    def test_trailing_garbage(self):
+        with pytest.raises(VPLParseError, match="trailing"):
+            parse_vpl("from_debug ] what")
+
+    def test_missing_equals(self):
+        with pytest.raises(VPLParseError, match="expected '='"):
+            parse_vpl("from_debug foo bar")
+
+
+class TestPlanner:
+    def test_debug_source_runs(self, spark):
+        df = run_vpl(spark, 'from_debug n=32 zoom=3 format="png"')
+        rows = df.select("z", "x", "y").distinct().collect()
+        assert all(r.z == 3 and 0 <= r.x < 8 and 0 <= r.y < 8 for r in rows)
+        assert df.count() == 32
+
+    def test_transform_chain(self, spark):
+        df = run_vpl(spark, "from_debug n=32 zoom=3 | filter_zoom min=3 max=3 | flip_y")
+        assert df.count() == 32
+        plain = run_vpl(spark, "from_debug n=32 zoom=3")
+        a = sorted((r.x, r.y) for r in df.select("x", "y").collect())
+        b = sorted((r.x, 7 - r.y) for r in plain.select("x", "y").collect())
+        assert a == b
+
+    def test_zoom_filter_drops_everything(self, spark):
+        df = run_vpl(spark, "from_debug n=16 zoom=3 | filter_zoom min=9")
+        assert df.count() == 0
+
+    def test_stacked_sources(self, spark):
+        # two debug sources at the same zoom: first-non-empty keeps src=1 rows
+        df = run_vpl(
+            spark,
+            "from_stacked [ from_debug n=16 zoom=2, from_debug n=16 zoom=2 ]",
+        )
+        assert df.filter(F.col("src") != 1).count() == 0
+        assert 0 < df.count() <= 16
+
+    def test_unknown_ops_rejected(self, spark):
+        with pytest.raises(VPLParseError, match="unknown read"):
+            run_vpl(spark, "from_mars")
+        with pytest.raises(VPLParseError, match="unknown transform"):
+            run_vpl(spark, "from_debug | teleport")
+
+    def test_bbox_filter_requires_zoom(self, spark):
+        with pytest.raises(VPLParseError, match="zoom"):
+            run_vpl(spark, "from_debug | filter_bbox x_min=0 x_max=10 y_min=0 y_max=10")

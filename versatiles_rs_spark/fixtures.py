@@ -146,6 +146,74 @@ def with_coords(df: DataFrame, zoom: int = 12, skew: bool = True) -> DataFrame:
     return with_tile_columns(out, "lon", "lat", zoom=zoom)
 
 
+def images_with_tiles_df(
+    spark: SparkSession,
+    n: int,
+    size: int = 64,
+    zoom: int = 12,
+    partitions: int = 64,
+    skew: bool = True,
+    target_fmt: str = "png",
+    quality_table: dict | None = None,
+) -> DataFrame:
+    """Fused single-pass pipeline stage: generate images, derive lon/lat from
+    phash, assign (z,x,y), re-encode into the tile format, compute the Hilbert
+    tile_id — all in ONE mapInPandas so image payloads cross the JVM<->Python
+    Arrow boundary exactly once (the chained-operator version round-trips the
+    payload per stage and is ~4x slower; see BENCH.md).
+
+    At 100 TB this is the pattern that matters: payload-touching kernels are
+    fused per-partition, and everything downstream (joins, aggs) runs on slim
+    JVM-side columns.
+    """
+    from . import tile_math as tm
+
+    qt = quality_table or {"default": 85}
+    schema = (
+        "image_id string, w int, h int, fmt string, caption string, phash bigint, "
+        "lon double, lat double, z int, x long, y long, hilbert long, bytes binary"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            if not len(ids):
+                continue
+            out = images_pdf(len(ids), size=size, offset=int(ids[0]))
+            i = np.arange(int(ids[0]), int(ids[0]) + len(ids), dtype=np.int64)
+            hot = (i % 5 == 0) if skew else None
+            lon, lat = phash_to_lonlat(out["phash"].to_numpy(), hot)
+            x, y = tm.lonlat_to_tile(lon, lat, zoom)
+            z = np.full(len(i), zoom, dtype=np.int64)
+            hil = tm.hilbert_index(z, x, y)
+            q = qt.get(zoom, qt["default"])
+            from .codecs import decode_image, encode_image
+
+            blobs = [
+                encode_image(decode_image(bytes(b)), target_fmt, quality=q)
+                for b in out["bytes"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "image_id": out["image_id"],
+                    "w": out["w"],
+                    "h": out["h"],
+                    "fmt": target_fmt,
+                    "caption": out["caption"],
+                    "phash": out["phash"],
+                    "lon": lon,
+                    "lat": lat,
+                    "z": z.astype(np.int32),
+                    "x": x,
+                    "y": y,
+                    "hilbert": hil,
+                    "bytes": blobs,
+                }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=schema)
+
+
 def polygons_pdf(n: int = 100) -> pd.DataFrame:
     """Deterministic polygon layer: boxes and L-shapes (holes for j%7==0).
 

@@ -1,0 +1,192 @@
+"""Multimodal payload plumbing: image / audio / video as opaque binary
+columns with typed metadata, processed by Arrow-batched kernels.
+
+Design (project brief): media libraries (libjpeg, ffmpeg, ...) are NOT in
+this container, so the *decode* steps are deterministic stand-ins or
+clearly-marked stubs — but everything Spark-side is real and tested: schemas,
+partitioning, mapInPandas batch shapes, metadata propagation.
+
+- images: the engine PNG codec is real (codecs.py); resize is a real numpy
+  kernel over decoded pixels.
+- audio: payload modeled as int16 PCM bytes; loudness/duration kernels are
+  real numpy; a compressed-codec decode raises NotImplementedError.
+- video: payload modeled as a concatenation of fixed-size "frames";
+  frame-sampling slices deterministically; a real-container demux raises
+  NotImplementedError.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .codecs import decode_image, encode_image
+
+MEDIA_META_SCHEMA = (
+    "media_type string, codec string, width int, height int, "
+    "sample_rate int, n_channels int, n_frames int"
+)
+
+
+def with_media_meta(df: DataFrame, payload: str = "bytes", fmt_col: str = "fmt") -> DataFrame:
+    """Attach a typed metadata struct for a media payload column — the
+    schema every multimodal operator agrees on."""
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.col(fmt_col).alias("codec"),
+            F.col("w").alias("width"),
+            F.col("h").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_channels"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# images
+# ---------------------------------------------------------------------------
+
+
+def resize_kernel(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (real kernel; the reference's resize filters
+    live in versatiles_image/src/traits/operation.rs:107-125)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+def image_resize(df: DataFrame, out_w: int, out_h: int, payload: str = "bytes") -> DataFrame:
+    """Decode -> resize -> re-encode, Arrow-batched; w/h metadata updated."""
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload]:
+                img = resize_kernel(decode_image(bytes(blob)), out_w, out_h)
+                out.append(encode_image(img, "png"))
+            pdf = pdf.copy()
+            pdf[payload] = pd.Series(out, index=pdf.index)
+            if "w" in pdf:
+                pdf["w"] = np.int32(out_w)
+            if "h" in pdf:
+                pdf["h"] = np.int32(out_h)
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def image_features(df: DataFrame, payload: str = "bytes") -> DataFrame:
+    """Per-image feature extraction: mean/std per channel + 8x8 average-pool
+    perceptual hash — real numpy over decoded pixels ("average color" parity,
+    operation.rs:101-104)."""
+    from .udfs import schema_with
+
+    schema = schema_with(
+        df.schema, ("mean_rgb", "array<double>"), ("std_rgb", "array<double>"), ("ahash", "bigint")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            means, stds, hashes = [], [], []
+            for blob in pdf[payload]:
+                img = decode_image(bytes(blob)).astype(np.float64)
+                means.append([float(m) for m in img.mean(axis=(0, 1))[:3]])
+                stds.append([float(s) for s in img.std(axis=(0, 1))[:3]])
+                g = img[..., :3].mean(axis=2)
+                small = resize_kernel(g[:, :, None], 8, 8)[:, :, 0]
+                bits = (small > small.mean()).flatten()
+                hashes.append(int(np.int64(bits @ (1 << np.arange(64, dtype=np.uint64)).astype(np.int64))))
+            pdf = pdf.copy()
+            pdf["mean_rgb"], pdf["std_rgb"], pdf["ahash"] = means, stds, hashes
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# audio (PCM stand-in; compressed decode stubbed)
+# ---------------------------------------------------------------------------
+
+
+def decode_audio(blob: bytes, codec: str) -> np.ndarray:
+    """PCM16 payloads decode for real; compressed codecs are a stub — the
+    container has no audio libs (project brief: STUB decode, keep the Spark
+    plumbing real)."""
+    if codec == "pcm16":
+        return np.frombuffer(blob, dtype=np.int16).astype(np.float32) / 32768.0
+    raise NotImplementedError(
+        f"audio codec {codec!r}: no decoder in this environment — plug "
+        "soundfile/ffmpeg here in production"
+    )
+
+
+def audio_features(
+    df: DataFrame, payload: str = "audio", codec_col: str = "codec", sample_rate: int = 16000
+) -> DataFrame:
+    """Duration / RMS loudness / zero-crossing-rate per clip (real numpy)."""
+    from .udfs import schema_with
+
+    schema = schema_with(
+        df.schema, ("duration_s", "double"), ("rms", "double"), ("zcr", "double")
+    )
+
+    def run(batches):
+        for pdf in batches:
+            dur, rms, zcr = [], [], []
+            for blob, codec in zip(pdf[payload], pdf[codec_col]):
+                x = decode_audio(bytes(blob), codec)
+                dur.append(len(x) / sample_rate)
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                zcr.append(float(np.mean(np.abs(np.diff(np.signbit(x))))) if len(x) > 1 else 0.0)
+            pdf = pdf.copy()
+            pdf["duration_s"], pdf["rms"], pdf["zcr"] = dur, rms, zcr
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# video (frame-concatenation stand-in; real demux stubbed)
+# ---------------------------------------------------------------------------
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    payload: str = "video",
+    codec_col: str = "codec",
+    frame_w: int = 16,
+    frame_h: int = 16,
+) -> DataFrame:
+    """Explode every Nth frame of each clip into image rows
+    (clip_id, frame_idx, bytes). 'rawframes' = concatenated frame_w*frame_h*3
+    buffers decodes for real; container formats are stubbed."""
+    frame_sz = frame_w * frame_h * 3
+    out_schema = "clip_id string, frame_idx int, bytes binary"
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for cid, blob, codec in zip(pdf["clip_id"], pdf[payload], pdf[codec_col]):
+                if codec != "rawframes":
+                    raise NotImplementedError(
+                        f"video codec {codec!r}: no demuxer in this environment — "
+                        "plug pyav/ffmpeg here in production"
+                    )
+                buf = bytes(blob)
+                n = len(buf) // frame_sz
+                for i in range(0, n, every_n):
+                    frame = np.frombuffer(
+                        buf[i * frame_sz : (i + 1) * frame_sz], dtype=np.uint8
+                    ).reshape(frame_h, frame_w, 3)
+                    rows.append((cid, i, encode_image(frame, "png")))
+            yield pd.DataFrame(rows, columns=["clip_id", "frame_idx", "bytes"])
+
+    return df.mapInPandas(run, schema=out_schema)

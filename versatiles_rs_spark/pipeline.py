@@ -1,0 +1,96 @@
+"""Flagship end-to-end pipeline: the north-rule headline job.
+
+BASELINE.json metric: "tiles encoded + PIP-joined rows/sec on 10^12-image
+Iceberg table (SF-scaled sample), with throughput scaling efficiency >=0.8
+from N to 4N executors".
+
+Stages (all DataFrame-native, Arrow-batched Python only for pixel work):
+
+1. generate/read `images` (input_hint shape) — at scale this is an Iceberg
+   scan; here the deterministic distributed generator (fixtures.images_df).
+2. derive lon/lat from phash bit-slices (vectorized), assign (z,x,y) at a
+   fixed zoom via JVM column expressions (tile_coord.rs:64-80 semantics).
+3. encode tiles: re-encode each image payload into the target tile format
+   with per-zoom quality (raster_format.rs:115-165 semantics) and attach the
+   Hilbert tile_id (PMTiles order, tile_hilbert_index.rs:81-113).
+4. PIP-join the records against a polygon layer (cell-partitioned equi-join
+   + exact ray-cast; broadcast path for small layers).
+5. aggregate per (zone, z, x, y) — the materialized result.
+
+Scale notes (SURVEY.md §4): one shuffle (the cell equi-join); tile/cell keys
+are plain columns so partition pruning works; hot-cell skew handled by AQE
+skew-join (session.py) + optional salting; Arrow batch size bounded.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import fixtures
+from .joins.pip import pip_join_polygons_partitioned
+from .operators.raster import parse_quality_table
+
+
+def flagship(
+    spark: SparkSession,
+    n_images: int = 20000,
+    zoom: int = 12,
+    n_polygons: int = 200,
+    img_size: int = 64,
+    partitions: int | None = None,
+    target_fmt: str = "png",
+    quality: str | int = "0-9:90,10-14:80",
+) -> DataFrame:
+    """Build (lazily) the flagship DataFrame; caller triggers execution.
+
+    Physical plan shape (the one we want at 100 TB):
+    - ONE fused Python stage does all payload work (generate/decode/encode +
+      coordinate derivation + Hilbert id) — payload bytes cross the Arrow
+      boundary exactly once.
+    - payload size is projected to `nbytes` JVM-side and the binary column is
+      dropped BEFORE the join, so the PIP shuffle moves ~50-byte rows, not
+      ~10 KB rows (200x less shuffle IO).
+    - the PIP join itself is a cell-keyed equi-join (shuffle hash, AQE skew
+      handling) followed by an Arrow-batched exact ray-cast.
+    """
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    qt = parse_quality_table(quality)
+    encoded = fixtures.images_with_tiles_df(
+        spark,
+        n_images,
+        size=img_size,
+        zoom=zoom,
+        partitions=parts,
+        skew=True,
+        target_fmt=target_fmt,
+        quality_table=qt,
+    )
+    slim = encoded.select(
+        "image_id", "lon", "lat", "z", "x", "y", "hilbert",
+        F.length("bytes").alias("nbytes"),
+    )
+    polys = fixtures.polygons_df(spark, n_polygons)
+    joined = pip_join_polygons_partitioned(slim, polys, cell_zoom=6)
+    return joined.groupBy("poly_id", "z", "x", "y").agg(
+        F.count("*").alias("n_images"),
+        F.sum("nbytes").alias("tile_bytes"),
+        F.min("hilbert").alias("min_tile_id"),
+    )
+
+
+def run_flagship(spark: SparkSession, n_images: int = 20000, **kw) -> dict:
+    """Execute the flagship job and return throughput metrics."""
+    t0 = time.time()
+    out = flagship(spark, n_images=n_images, **kw)
+    joined_rows = out.agg(F.sum("n_images")).collect()[0][0] or 0
+    elapsed = time.time() - t0
+    processed = n_images + int(joined_rows)  # tiles encoded + PIP-joined rows
+    return {
+        "n_images": n_images,
+        "pip_rows": int(joined_rows),
+        "sec": round(elapsed, 2),
+        "rows_per_sec": round(processed / elapsed, 1),
+    }

@@ -1,0 +1,290 @@
+"""VPL (VersaTiles Pipeline Language) parser + planner.
+
+Grammar (reference: /root/reference/versatiles_pipeline/src/vpl/parser.rs:18-120,
+syntax docs versatiles_pipeline/README.md:13-38):
+
+    pipeline := operation ("|" operation)*
+    operation := NAME (NAME "=" value)* [ "[" pipeline ("," pipeline)* "]" ]
+    value := quoted string | bare token (number/bool/word)
+
+A pipeline is a head read op ("from_*") followed by transform ops; read ops
+that combine sources carry child pipelines in brackets. Our planner
+(`build_pipeline`) folds the node list into a DataFrame: head nodes come from
+SOURCE_FACTORIES, transforms from TRANSFORM_FACTORIES — the Spark counterpart
+of PipelineFactory::build_pipeline (factory.rs:146-157). Catalyst then does
+the optimization the reference pre-computes by hand (bbox/zoom pushdown).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class VPLNode:
+    name: str
+    params: dict = field(default_factory=dict)
+    children: list["VPLPipeline"] = field(default_factory=list)
+
+
+@dataclass
+class VPLPipeline:
+    nodes: list[VPLNode]
+
+
+class VPLParseError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.s = text
+        self.i = 0
+
+    def error(self, msg: str) -> VPLParseError:
+        line = self.s[: self.i].count("\n") + 1
+        return VPLParseError(f"{msg} at line {line} (offset {self.i})")
+
+    def ws(self):
+        while self.i < len(self.s):
+            c = self.s[self.i]
+            if c in " \t\r\n":
+                self.i += 1
+            elif c == "#":  # comment to end of line
+                while self.i < len(self.s) and self.s[self.i] != "\n":
+                    self.i += 1
+            else:
+                break
+
+    def peek(self) -> str:
+        return self.s[self.i] if self.i < len(self.s) else ""
+
+    def ident(self) -> str:
+        start = self.i
+        while self.i < len(self.s) and (self.s[self.i].isalnum() or self.s[self.i] in "_-."):
+            self.i += 1
+        if self.i == start:
+            raise self.error(f"expected identifier, found {self.peek()!r}")
+        return self.s[start : self.i]
+
+    def value(self):
+        if self.peek() == '"':
+            self.i += 1
+            out = []
+            while True:
+                if self.i >= len(self.s):
+                    raise self.error("unterminated string")
+                c = self.s[self.i]
+                self.i += 1
+                if c == "\\":
+                    out.append(self.s[self.i])
+                    self.i += 1
+                elif c == '"':
+                    break
+                else:
+                    out.append(c)
+            return "".join(out)
+        raw = self.ident()
+        low = raw.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        try:
+            return int(raw)
+        except ValueError:
+            pass
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
+
+    def operation(self) -> VPLNode:
+        self.ws()
+        node = VPLNode(self.ident())
+        while True:
+            self.ws()
+            c = self.peek()
+            if c == "[":
+                self.i += 1
+                while True:
+                    node.children.append(self.pipeline(stop={",", "]"}))
+                    self.ws()
+                    if self.peek() == ",":
+                        self.i += 1
+                        continue
+                    if self.peek() == "]":
+                        self.i += 1
+                        break
+                    raise self.error("expected ',' or ']' in source list")
+                continue
+            if not c or c in "|,]":
+                return node
+            # parameter
+            key = self.ident()
+            self.ws()
+            if self.peek() != "=":
+                raise self.error(f"expected '=' after parameter {key!r}")
+            self.i += 1
+            self.ws()
+            node.params[key] = self.value()
+
+    def pipeline(self, stop: set[str] = frozenset()) -> VPLPipeline:
+        nodes = [self.operation()]
+        while True:
+            self.ws()
+            if self.peek() == "|":
+                self.i += 1
+                nodes.append(self.operation())
+            else:
+                break
+        return VPLPipeline(nodes)
+
+
+def parse_vpl(text: str) -> VPLPipeline:
+    p = _Parser(text)
+    pipe = p.pipeline()
+    p.ws()
+    if p.i < len(p.s):
+        raise p.error(f"trailing input {p.s[p.i:p.i+20]!r}")
+    if not pipe.nodes[0].name.startswith("from_"):
+        raise VPLParseError(f"pipeline must start with a read op, got {pipe.nodes[0].name!r}")
+    return pipe
+
+
+# ---------------------------------------------------------------------------
+# planner: VPL tree -> DataFrame
+# ---------------------------------------------------------------------------
+
+SOURCE_FACTORIES: dict = {}
+TRANSFORM_FACTORIES: dict = {}
+
+
+def source(name: str):
+    def deco(fn):
+        SOURCE_FACTORIES[name] = fn
+        return fn
+
+    return deco
+
+
+def transform(name: str):
+    def deco(fn):
+        TRANSFORM_FACTORIES[name] = fn
+        return fn
+
+    return deco
+
+
+def build_pipeline(spark: SparkSession, pipe: VPLPipeline) -> DataFrame:
+    """Fold head + transforms into a DataFrame (factory.rs:146-157)."""
+    head, *tail = pipe.nodes
+    if head.name not in SOURCE_FACTORIES:
+        raise VPLParseError(f"unknown read operation {head.name!r}")
+    children = [build_pipeline(spark, c) for c in head.children]
+    df = SOURCE_FACTORIES[head.name](spark, children=children, **head.params)
+    for node in tail:
+        if node.name not in TRANSFORM_FACTORIES:
+            raise VPLParseError(f"unknown transform operation {node.name!r}")
+        if node.children:
+            raise VPLParseError(f"transform {node.name!r} cannot take source lists")
+        df = TRANSFORM_FACTORIES[node.name](df, **node.params)
+    return df
+
+
+def run_vpl(spark: SparkSession, text: str) -> DataFrame:
+    return build_pipeline(spark, parse_vpl(text))
+
+
+# ---------------------------------------------------------------------------
+# built-in factories (registered against the engine's operators)
+# ---------------------------------------------------------------------------
+
+
+@source("from_debug")
+def _from_debug(spark, children=(), format: str = "png", n: int = 256, zoom: int = 4, **kw):
+    """Deterministic debug tile source (from_debug/mod.rs:31-120): synthetic
+    images + derived tile coords — the test-fixture factory."""
+    from .. import fixtures
+
+    df = fixtures.images_with_tiles_df(
+        spark, int(n), size=int(kw.get("tile_size", 16)), zoom=int(zoom),
+        partitions=4, skew=False, target_fmt=format,
+    )
+    return df
+
+
+@source("from_parquet")
+def _from_parquet(spark, children=(), filename: str = "", **kw):
+    """Scan an existing tile table (our from_container analog)."""
+    return spark.read.parquet(filename)
+
+
+@source("from_stacked")
+def _from_stacked(spark, children=(), **kw):
+    from ..operators.stacked import stacked_first_non_empty
+
+    return stacked_first_non_empty(list(children), payload=kw.get("payload", "bytes"))
+
+
+@source("from_stacked_raster")
+def _from_stacked_raster(spark, children=(), format: str = "png", **kw):
+    from ..operators.stacked import stacked_raster_blend
+
+    return stacked_raster_blend(
+        list(children), fmt=format, tile_size=int(kw.get("tile_size", 16))
+    )
+
+
+@transform("filter_zoom")
+def _filter_zoom(df, min: int = 0, max: int = 31, **kw):
+    from ..operators.filter import filter_zoom
+
+    return filter_zoom(df, level_min=int(min), level_max=int(max))
+
+
+@transform("filter_bbox")
+def _filter_bbox(df, x_min=-180.0, y_min=-85.0, x_max=180.0, y_max=85.0, zoom=None, **kw):
+    from ..operators.filter import filter_geo_bbox
+
+    if zoom is None:
+        raise VPLParseError("filter_bbox requires zoom=<z> (tile-range compilation level)")
+    return filter_geo_bbox(
+        df, (float(x_min), float(y_min), float(x_max), float(y_max)), zoom=int(zoom)
+    )
+
+
+@transform("raster_levels")
+def _raster_levels(df, brightness=0.0, contrast=255.0, gamma=1.0, **kw):
+    from ..operators.raster import raster_levels
+
+    return raster_levels(df, brightness=float(brightness), contrast=float(contrast), gamma=float(gamma))
+
+
+@transform("raster_flatten")
+def _raster_flatten(df, color="255,255,255", **kw):
+    from ..operators.raster import raster_flatten
+
+    c = tuple(int(v) for v in str(color).split(",")) if isinstance(color, str) else (255, 255, 255)
+    return raster_flatten(df, color=c)
+
+
+@transform("raster_format")
+def _raster_format(df, format: str = "png", quality="85", **kw):
+    from ..operators.raster import raster_format
+
+    return raster_format(df, target_fmt=format, quality=quality)
+
+
+@transform("flip_y")
+def _flip_y(df, **kw):
+    from ..operators.transform import flip_y_df
+
+    return flip_y_df(df)
+
+
+@transform("swap_xy")
+def _swap_xy(df, **kw):
+    from ..operators.transform import swap_xy_df
+
+    return swap_xy_df(df)

@@ -662,6 +662,219 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(load(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
 
 
+# ---------------------------------------------------------------------------
+# 6. extended coverage: text quality/tokens, embedding near-dup, tile metadata
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_score",
+    """
+    SELECT doc_id,
+           round((
+             (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + (CASE WHEN length(text) * 1.0 / (length(text) - length(replace(text, ' ', '')) + 1)
+                      BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+             + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+           ) / 3.0, 4) AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score (length band + mean-token-length band
+    + alpha ratio) — pure column expressions, WholeStageCodegen."""
+    from .functions.text import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents")).select("doc_id", "quality")
+
+
+@register(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+           len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: word tokens + punctuation tokens via regexp
+    (JVM regexp_count — no Python)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[A-Za-z0-9]+")).cast("long").alias("n_words"),
+        F.regexp_count("text", F.lit("[^A-Za-z0-9 ]")).cast("long").alias("n_punct"),
+    )
+
+
+@register(
+    "embed_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b
+      ON a.vec_id < b.vec_id
+     AND list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45).
+
+    Cosine via built-in zip_with/aggregate in float64 — JVM-side; the id<id
+    self-join halves the pair space. The LSH-bucketed variant (ann_lsh_topk)
+    is the scale path, recall-tested in pytest.
+    """
+    from .functions.ann import cosine_expr
+
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return pairs.filter(cosine_expr(F.col("va"), F.col("vb")) >= 0.45).select("id_a", "id_b")
+
+
+@register(
+    "tilejson_meta",
+    f"""
+    WITH t AS (SELECT {_EV_X8} AS x, {_EV_Y8} AS y FROM events)
+    SELECT 8 AS z, min(x) AS x_min, min(y) AS y_min, max(x) AS x_max, max(y) AS y_max,
+           count(DISTINCT (x, y)) AS n_tiles
+    FROM t
+    """,
+)
+def q_tilejson_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-zoom coverage metadata — the TileJSON bounds/zoom computation
+    (probe analog; tilejson/lib.rs:51, bbox algebra tile_bbox/mutate.rs:138)."""
+    df = _events_with_tiles(spark, sf_dir, 8)
+    return df.groupBy("z").agg(
+        F.min("x").alias("x_min"),
+        F.min("y").alias("y_min"),
+        F.max("x").alias("x_max"),
+        F.max("y").alias("y_max"),
+        F.countDistinct("x", "y").alias("n_tiles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. more non-SQL-expressible operators (rows-only; pytest carries the oracle)
+# ---------------------------------------------------------------------------
+
+
+@register("knn_kring", None)
+def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-pruned k-ring kNN (scale path) — pytest verifies equality with
+    knn_bruteforce; driver checks rows. Ring sized for k=3 at cell_zoom=3."""
+    from .joins.knn import knn_cell_pruned
+
+    region = load(spark, sf_dir, "region")
+    key = F.col("r_regionkey") * 17 + 3
+    queries_df = region.select(
+        F.col("r_regionkey").alias("query_id"),
+        derived_lon_expr(key).alias("qlon"),
+        derived_lat_expr(key).alias("qlat"),
+    )
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return knn_cell_pruned(pts, queries_df, k=3, cell_zoom=3, ring=1, id_col="event_id")
+
+
+@register("pip_polygons", None)
+def q_pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-polygon PIP join (holes, L-shapes, tile-aligned edges) via
+    the cell-partitioned strategy; per-zone counts. Pytest verifies against a
+    pure-python ray-casting oracle."""
+    from .fixtures import polygons_df
+    from .joins.pip import pip_join_polygons_partitioned
+
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    polys = polygons_df(spark, 60)
+    joined = pip_join_polygons_partitioned(pts, polys, cell_zoom=5)
+    return joined.groupBy("poly_id").agg(
+        F.count("*").alias("n_points"), F.min("event_id").alias("min_id")
+    )
+
+
+@register("lang_id", None)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram/marker heuristic — predicted language distribution
+    (rows-only; pytest checks accuracy against the `lang` column)."""
+    from .functions.text import with_langid
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        with_langid(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register("ann_lsh", None)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-k (multi-probe random hyperplanes) — the scale
+    path; recall vs brute force asserted in pytest."""
+    from .functions.ann import ann_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_lsh_topk(emb, queries_df, k=5, nbits=8, dim=64)
+
+
+@register("raster_pyramid", None)
+def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster overview pyramid z4 -> z2 over deterministic synthetic tiles:
+    per-level tile counts + payload bytes (mosaic + box-downscale kernels,
+    raster_overview.rs semantics; pixel-exact goldens in pytest)."""
+    from . import fixtures
+    from .operators.raster import build_pyramid
+
+    base = (
+        fixtures.images_with_tiles_df(spark, 512, size=16, zoom=4, partitions=8, skew=False)
+        .groupBy("z", "x", "y")
+        .agg(F.min("bytes").alias("bytes"))
+        .withColumn("fmt", F.lit("png"))
+    )
+    levels = build_pyramid(base, z_max=4, z_min=2, tile_size=16)
+    stats = [
+        df.groupBy("z").agg(
+            F.count("*").alias("n_tiles"), F.sum(F.length("bytes")).alias("total_bytes")
+        )
+        for df in levels.values()
+    ]
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+@register("vpl_pipeline", None)
+def q_vpl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end VPL plan: parse -> build -> execute
+    (vpl/parser.rs + factory.rs parity; deterministic debug source)."""
+    from .plans.vpl import run_vpl
+
+    df = run_vpl(
+        spark,
+        'from_debug n=256 zoom=4 format="png" '
+        "| filter_zoom min=4 max=4 | flip_y | raster_levels gamma=1.5",
+    )
+    return df.groupBy("z").agg(
+        F.count("*").alias("n_tiles"),
+        F.min("x").alias("x_min"),
+        F.max("y").alias("y_max"),
+        F.sum(F.length("bytes")).alias("total_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
