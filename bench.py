@@ -42,7 +42,7 @@ HEADLINE = [
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_flagship = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_N", "40000"))
+    n_flagship = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_N", "100000"))
 
     from versatiles_rs_spark import queries as q
     from versatiles_rs_spark.pipeline import run_flagship

@@ -257,6 +257,9 @@ def polygons_pdf(n: int = 100) -> pd.DataFrame:
                 rings.append(
                     [[hx, hy], [hx + w / 4, hy], [hx + w / 4, hy + ht / 4], [hx, hy + ht / 4], [hx, hy]]
                 )
+        # pure-python floats: plain (non-Arrow) createDataFrame rejects
+        # numpy scalars inside nested arrays
+        rings = [[[float(p[0]), float(p[1])] for p in ring] for ring in rings]
         rows.append((f"poly{j:06d}", rings, f"zone{j % 10}"))
     return pd.DataFrame(rows, columns=["poly_id", "rings", "zone"])
 

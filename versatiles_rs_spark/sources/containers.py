@@ -79,6 +79,15 @@ def read_tile_table(spark: SparkSession, path: str, bbox=None, zoom_range=None) 
     return df
 
 
+def get_tile(df: DataFrame, z: int, x: int, y: int):
+    """Point lookup — the `serve` analog (/root/reference/versatiles/src/server/
+    routes.rs:14-22 -> reader.get_tile). On a z/block-partitioned or
+    Hilbert-sorted table the (z,x,y) predicate prunes to one file/row-group;
+    returns the Row or None."""
+    hits = df.filter((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y)).limit(1).collect()
+    return hits[0] if hits else None
+
+
 def tilejson_for(df: DataFrame) -> dict:
     """TileJSON-3.0-style metadata for a tile relation (tilejson/lib.rs:51):
     zoom bounds + geographic bounds derived from the per-zoom tile bboxes."""
