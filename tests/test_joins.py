@@ -156,3 +156,33 @@ def test_update_properties_map_merge(spark):
         feats, props, "key", "pkey", props_col="props", replace_properties=True
     ).collect()[0]
     assert replaced.props == {"new": "2", "both": "R"}
+
+
+def test_pip_partitioned_shuffle_path_matches(spark):
+    """Large-layer path: with broadcast disabled the cell equi-join becomes a
+    shuffle join (the 50k-polygon scale shape) — results must be identical
+    and the plan must actually shuffle."""
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.joins.pip import pip_join_polygons_partitioned
+    from versatiles_rs_spark.udfs import derived_lat_expr, derived_lon_expr
+
+    pts = spark.range(0, 2000).select(
+        F.col("id").alias("event_id"),
+        derived_lon_expr(F.col("id")).alias("lon"),
+        derived_lat_expr(F.col("id")).alias("lat"),
+    )
+    polys = fixtures.polygons_df(spark, 80)
+    base = pip_join_polygons_partitioned(pts, polys, cell_zoom=5)
+    expected = sorted((r.event_id, r.poly_id) for r in base.collect())
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffled = pip_join_polygons_partitioned(pts, polys, cell_zoom=5)
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        got = sorted((r.event_id, r.poly_id) for r in shuffled.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == expected and len(got) > 0

