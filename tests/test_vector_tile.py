@@ -1,0 +1,130 @@
+"""Vector tile codec: MVT 2.1 spec golden command streams, round-trips,
+Spark builders (per-tile grouping, layer filter, merge)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.vector_tile import (
+    LINESTRING,
+    POINT,
+    POLYGON,
+    decode_geometry,
+    decode_vector_tile,
+    encode_geometry,
+    encode_vector_tile,
+    filter_layers_payload,
+    merge_vector_payloads,
+    points_to_vector_tiles,
+)
+
+
+class TestGeometryCommands:
+    def test_point_golden_mvt_spec(self):
+        """MVT 2.1 spec §4.3.5.1: point (25,17) -> [9, 50, 34]."""
+        assert encode_geometry([[(25, 17)]], POINT) == [9, 50, 34]
+
+    def test_multipoint_golden_mvt_spec(self):
+        """Spec: points (5,7),(3,2) -> [17, 10, 14, 3, 9]."""
+        assert encode_geometry([[(5, 7)], [(3, 2)]], POINT) == [17, 10, 14, 3, 9]
+
+    def test_linestring_golden_mvt_spec(self):
+        """Spec: line (2,2)->(2,10)->(10,10) -> [9, 4, 4, 18, 0, 16, 16, 0]."""
+        assert encode_geometry([[(2, 2), (2, 10), (10, 10)]], LINESTRING) == [
+            9, 4, 4, 18, 0, 16, 16, 0,
+        ]
+
+    def test_polygon_golden_mvt_spec(self):
+        """Spec: ring (3,6)->(8,12)->(20,34) closed ->
+        [9, 6, 12, 18, 10, 12, 24, 44, 15]."""
+        ring = [(3, 6), (8, 12), (20, 34), (3, 6)]
+        assert encode_geometry([ring], POLYGON) == [9, 6, 12, 18, 10, 12, 24, 44, 15]
+
+    @pytest.mark.parametrize(
+        "gtype,parts",
+        [
+            (POINT, [[(0, 0)], [(-5, 3)], [(100, -200)]]),
+            (LINESTRING, [[(2, 2), (2, 10), (10, 10)], [(1, 1), (3, 5)]]),
+            (POLYGON, [[(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]]),
+        ],
+    )
+    def test_roundtrip(self, gtype, parts):
+        dec = decode_geometry(encode_geometry(parts, gtype), gtype)
+        assert dec == [list(p) for p in parts]
+
+
+class TestContainer:
+    def test_tile_roundtrip(self):
+        layers = [
+            {
+                "name": "roads",
+                "extent": 4096,
+                "features": [
+                    {"id": 7, "type": LINESTRING, "geometry": [[(0, 0), (5, 5)]],
+                     "props": {"class": "primary"}},
+                ],
+            },
+            {
+                "name": "pois",
+                "extent": 4096,
+                "features": [
+                    {"id": 1, "type": POINT, "geometry": [[(25, 17)]], "props": {}},
+                ],
+            },
+        ]
+        back = decode_vector_tile(encode_vector_tile(layers))
+        assert [l["name"] for l in back] == ["roads", "pois"]
+        assert back[0]["features"][0]["props"] == {"class": "primary"}
+        assert back[1]["features"][0]["geometry"] == [[(25, 17)]]
+
+    def test_deterministic_bytes(self):
+        layers = [{"name": "a", "extent": 4096, "features": [
+            {"id": 1, "type": POINT, "geometry": [[(1, 2)]], "props": {"b": "2", "a": "1"}}]}]
+        assert encode_vector_tile(layers) == encode_vector_tile(layers)
+
+    def test_bad_magic(self):
+        with pytest.raises(ValueError, match="VTV1"):
+            decode_vector_tile(b"nope")
+
+
+class TestSparkBuilders:
+    @pytest.fixture(scope="class")
+    def points(self, spark):
+        from versatiles_rs_spark.udfs import derived_lat_expr, derived_lon_expr
+
+        return spark.range(0, 400).select(
+            F.col("id").alias("feature_id"),
+            derived_lon_expr(F.col("id")).alias("lon"),
+            derived_lat_expr(F.col("id")).alias("lat"),
+            F.create_map(F.lit("n"), F.col("id").cast("string")).alias("props"),
+        )
+
+    def test_points_to_tiles(self, spark, points):
+        tiles = points_to_vector_tiles(points, zoom=3).cache()
+        assert tiles.agg(F.sum("n_features")).first()[0] == 400
+        row = tiles.orderBy(F.desc("n_features")).first()
+        layers = decode_vector_tile(bytes(row.bytes))
+        assert layers[0]["name"] == "points"
+        assert len(layers[0]["features"]) == row.n_features
+        # local coords within extent
+        for f in layers[0]["features"]:
+            (x, y) = f["geometry"][0][0]
+            assert 0 <= x < 4096 and 0 <= y < 4096
+            assert f["props"]["n"] == str(f["id"])
+
+    def test_filter_layers_payload(self, spark, points):
+        tiles = points_to_vector_tiles(points, zoom=3)
+        kept = filter_layers_payload(tiles, ["points"])
+        dropped = filter_layers_payload(tiles, ["points"], invert=True)
+        k = decode_vector_tile(bytes(kept.first().bytes))
+        d = decode_vector_tile(bytes(dropped.first().bytes))
+        assert [l["name"] for l in k] == ["points"] and d == []
+
+    def test_merge_vector_payloads(self, spark, points):
+        a = points_to_vector_tiles(points.filter(F.col("feature_id") < 200), zoom=3)
+        b = points_to_vector_tiles(points.filter(F.col("feature_id") >= 200), zoom=3)
+        merged = merge_vector_payloads([a, b]).cache()
+        total = 0
+        for r in merged.collect():
+            for layer in decode_vector_tile(bytes(r.bytes)):
+                total += len(layer["features"])
+        assert total == 400

@@ -106,3 +106,41 @@ class TestPlanner:
     def test_bbox_filter_requires_zoom(self, spark):
         with pytest.raises(VPLParseError, match="zoom"):
             run_vpl(spark, "from_debug | filter_bbox x_min=0 x_max=10 y_min=0 y_max=10")
+
+
+class TestNewFactories:
+    def test_from_overlayed_alias(self, spark):
+        df = run_vpl(spark, "from_overlayed [ from_debug n=16 zoom=2, from_debug n=16 zoom=2 ]")
+        assert df.filter(F.col("src") != 1).count() == 0
+
+    def test_merged_vector_source(self, spark):
+        from versatiles_rs_spark.vector_tile import decode_vector_tile
+
+        df = run_vpl(
+            spark,
+            "from_merged_vector [ from_mvt_debug n=20 zoom=2, from_mvt_debug n=20 zoom=2 ]",
+        )
+        total = sum(
+            len(layer["features"])
+            for r in df.collect()
+            for layer in decode_vector_tile(bytes(r.bytes))
+        )
+        assert total == 40
+
+    def test_vector_filter_layers_transform(self, spark):
+        from versatiles_rs_spark.vector_tile import decode_vector_tile
+
+        df = run_vpl(spark, 'from_mvt_debug n=10 zoom=1 | vector_filter_layers names="nope"')
+        for r in df.collect():
+            assert decode_vector_tile(bytes(r.bytes)) == []
+
+    def test_from_directory_source(self, spark, tmp_path):
+        from versatiles_rs_spark.sinks.writers import export_directory_tree
+
+        base = run_vpl(spark, "from_debug n=24 zoom=3").groupBy("z", "x", "y").agg(
+            F.min("bytes").alias("bytes")
+        ).withColumn("fmt", F.lit("png"))
+        root = str(tmp_path / "vpl_tree")
+        export_directory_tree(base, root)
+        df = run_vpl(spark, f'from_directory path="{root}"')
+        assert df.count() == base.count()

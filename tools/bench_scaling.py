@@ -29,9 +29,17 @@ from versatiles_rs_spark.pipeline import run_flagship
 
 cores = {cores}
 n = {n}
+# fair comparison: each level gets the SAME waves-per-core (4x cores input
+# partitions, shuffle partitions = cores) — the per-cluster tuning a real
+# deployment applies via maxPartitionBytes. Fixed absolute partition counts
+# would penalize the small config with per-task overhead and inflate the
+# efficiency number.
 spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=cores)
-run_flagship(spark, n_images=max(20000, n // 4))   # warm-up
-best = min((run_flagship(spark, n_images=n) for _ in range(2)), key=lambda m: m["sec"])
+run_flagship(spark, n_images=max(20000, n // 4), partitions=cores * 4)   # warm-up
+best = min(
+    (run_flagship(spark, n_images=n, partitions=cores * 4) for _ in range(3)),
+    key=lambda m: m["sec"],
+)
 spark.stop()
 print("RESULT " + json.dumps(best))
 """

@@ -56,7 +56,10 @@ def flagship(
     - the PIP join itself is a cell-keyed equi-join (shuffle hash, AQE skew
       handling) followed by an Arrow-batched exact ray-cast.
     """
-    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    # 4 waves of ~n/(4*cores)-row tasks: measured sweet spot (64→128 parts at
+    # 640k/32 cores cut wall time 28% — better balance, same per-task Arrow
+    # batching); at 100 TB the equivalent knob is maxPartitionBytes
+    parts = partitions or spark.sparkContext.defaultParallelism * 4
     qt = parse_quality_table(quality)
     encoded = fixtures.images_with_tiles_df(
         spark,

@@ -236,6 +236,42 @@ def _from_stacked_raster(spark, children=(), format: str = "png", **kw):
     )
 
 
+# reference alias (versatiles_pipeline/README.md "from_overlayed")
+SOURCE_FACTORIES["from_overlayed"] = _from_stacked
+
+
+@source("from_mvt_debug")
+def _from_mvt_debug(spark, children=(), n: int = 64, zoom: int = 2, **kw):
+    """Vector-payload debug source — the from_debug format="mvt" analog
+    (from_debug/vector.rs:17): synthetic points grouped into MVT-style tiles."""
+    from pyspark.sql import functions as F
+
+    from ..udfs import derived_lat_expr, derived_lon_expr
+    from ..vector_tile import points_to_vector_tiles
+
+    pts = spark.range(0, int(n)).select(
+        F.col("id").alias("feature_id"),
+        derived_lon_expr(F.col("id")).alias("lon"),
+        derived_lat_expr(F.col("id")).alias("lat"),
+        F.create_map(F.lit("i"), F.col("id").cast("string")).alias("props"),
+    )
+    return points_to_vector_tiles(pts, zoom=int(zoom))
+
+
+@source("from_merged_vector")
+def _from_merged_vector(spark, children=(), **kw):
+    from ..vector_tile import merge_vector_payloads
+
+    return merge_vector_payloads(list(children))
+
+
+@source("from_directory")
+def _from_directory(spark, children=(), path: str = "", **kw):
+    from ..sources.containers import read_directory_tree
+
+    return read_directory_tree(spark, path)
+
+
 @transform("filter_zoom")
 def _filter_zoom(df, min: int = 0, max: int = 31, **kw):
     from ..operators.filter import filter_zoom
@@ -288,3 +324,10 @@ def _swap_xy(df, **kw):
     from ..operators.transform import swap_xy_df
 
     return swap_xy_df(df)
+
+
+@transform("vector_filter_layers")
+def _vector_filter_layers(df, names: str = "", invert=False, **kw):
+    from ..vector_tile import filter_layers_payload
+
+    return filter_layers_payload(df, str(names).split(","), invert=bool(invert))

@@ -875,6 +875,32 @@ def q_vpl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EV_X5, _EV_Y5 = tile_xy_sql(_EV_LON, _EV_LAT, 5)
+
+
+@register(
+    "mvt_tiles",
+    f"""
+    SELECT 5 AS z, {_EV_X5} AS x, {_EV_Y5} AS y, count(*) AS n_features
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build MVT-style vector tiles from point features at z=5; the oracle
+    checks the per-tile feature grouping, pytest checks the command-stream
+    payload bytes (MVT 2.1 spec goldens in test_vector_tile.py)."""
+    from .vector_tile import points_to_vector_tiles
+
+    pts = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("feature_id"),
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+        F.create_map(F.lit("type"), F.col("event_type")).alias("props"),
+    )
+    tiles = points_to_vector_tiles(pts, zoom=5)
+    return tiles.select("z", "x", "y", "n_features")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

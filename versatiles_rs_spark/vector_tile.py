@@ -1,0 +1,312 @@
+"""Vector tile payload codec + Spark builders.
+
+Parity target: the reference's MVT machinery
+(/root/reference/versatiles_geometry/src/vector_tile/tile.rs:41,67,
+layer.rs:74,127,285-296 — protobuf encode/decode, command-integer geometry).
+
+Wire geometry here IS the public Mapbox Vector Tile 2.1 scheme: command
+integers (MoveTo=1, LineTo=2, ClosePath=7; cmd = (id & 0x7) | (count << 3))
+over zigzag-encoded deltas in tile-local integer coordinates — golden values
+from the spec are unit-tested. Only the outer framing differs: a simple
+length-prefixed container ("VTV1") instead of protobuf, since no protobuf
+lib ships in this environment (swap the framing for `mapbox-vector-tile` in
+production; the geometry bytes are identical).
+
+Feature model (geometry.rs:25 / GeoValue value.rs:24-36 as strings):
+  layer = {"name": str, "extent": int, "features": [feature]}
+  feature = {"id": int, "type": 1|2|3, "geometry": [part|ring: [(x, y)]],
+             "props": {str: str}}
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+MAGIC = b"VTV1"
+MOVE_TO, LINE_TO, CLOSE_PATH = 1, 2, 7
+POINT, LINESTRING, POLYGON = 1, 2, 3
+
+
+def zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 31) if v >= 0 else ((v << 1) ^ -1) & 0xFFFFFFFF | 1
+
+
+def zigzag_np(a: np.ndarray) -> np.ndarray:
+    a = a.astype(np.int64)
+    return ((a << 1) ^ (a >> 63)).astype(np.uint64)
+
+
+def unzigzag_np(a: np.ndarray) -> np.ndarray:
+    a = a.astype(np.uint64)
+    return ((a >> np.uint64(1)).astype(np.int64)) ^ -(a & np.uint64(1)).astype(np.int64)
+
+
+def encode_geometry(parts: list, gtype: int) -> list[int]:
+    """Geometry command stream (MVT 2.1 §4.3): cursor-relative zigzag deltas.
+
+    Points: one MoveTo with count=n. Lines: MoveTo(1) + LineTo(n-1) per part.
+    Polygons: MoveTo(1) + LineTo(n-1) + ClosePath per ring (closing vertex
+    omitted, per spec).
+    """
+    out: list[int] = []
+    cx = cy = 0
+    if gtype == POINT:
+        pts = [p for part in parts for p in part]
+        out.append((MOVE_TO & 0x7) | (len(pts) << 3))
+        for x, y in pts:
+            out.append(int(zigzag_np(np.array([x - cx]))[0]))
+            out.append(int(zigzag_np(np.array([y - cy]))[0]))
+            cx, cy = x, y
+        return out
+    for part in parts:
+        ring = list(part)
+        if gtype == POLYGON and len(ring) > 1 and ring[0] == ring[-1]:
+            ring = ring[:-1]  # spec: closing vertex not encoded
+        (x0, y0), rest = ring[0], ring[1:]
+        out.append((MOVE_TO & 0x7) | (1 << 3))
+        out.append(int(zigzag_np(np.array([x0 - cx]))[0]))
+        out.append(int(zigzag_np(np.array([y0 - cy]))[0]))
+        cx, cy = x0, y0
+        out.append((LINE_TO & 0x7) | (len(rest) << 3))
+        for x, y in rest:
+            out.append(int(zigzag_np(np.array([x - cx]))[0]))
+            out.append(int(zigzag_np(np.array([y - cy]))[0]))
+            cx, cy = x, y
+        if gtype == POLYGON:
+            out.append((CLOSE_PATH & 0x7) | (1 << 3))
+    return out
+
+
+def decode_geometry(cmds: list[int], gtype: int) -> list:
+    parts: list = []
+    cur: list = []
+    cx = cy = 0
+    i = 0
+    while i < len(cmds):
+        cmd_int = cmds[i]
+        cmd, count = cmd_int & 0x7, cmd_int >> 3
+        i += 1
+        if cmd == MOVE_TO:
+            for _ in range(count):
+                dx = int(unzigzag_np(np.array([cmds[i]]))[0])
+                dy = int(unzigzag_np(np.array([cmds[i + 1]]))[0])
+                i += 2
+                cx, cy = cx + dx, cy + dy
+                if gtype == POINT:
+                    parts.append([(cx, cy)])
+                else:
+                    if cur:
+                        parts.append(cur)
+                    cur = [(cx, cy)]
+        elif cmd == LINE_TO:
+            for _ in range(count):
+                dx = int(unzigzag_np(np.array([cmds[i]]))[0])
+                dy = int(unzigzag_np(np.array([cmds[i + 1]]))[0])
+                i += 2
+                cx, cy = cx + dx, cy + dy
+                cur.append((cx, cy))
+        elif cmd == CLOSE_PATH:
+            for _ in range(count):
+                if cur:
+                    cur.append(cur[0])  # re-close
+                    parts.append(cur)
+                    cur = []
+        else:
+            raise ValueError(f"bad command {cmd}")
+    if cur:
+        parts.append(cur)
+    return parts
+
+
+# ---------------------------------------------------------------------------
+# container framing (length-prefixed; protobuf-free)
+# ---------------------------------------------------------------------------
+
+
+def _w_bytes(b: bytes) -> bytes:
+    return struct.pack(">I", len(b)) + b
+
+
+def _w_str(s: str) -> bytes:
+    return _w_bytes(s.encode("utf-8"))
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.i = 0
+
+    def bytes_(self) -> bytes:
+        (n,) = struct.unpack_from(">I", self.buf, self.i)
+        self.i += 4
+        out = self.buf[self.i : self.i + n]
+        self.i += n
+        return out
+
+    def str_(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+    def u32(self) -> int:
+        (v,) = struct.unpack_from(">I", self.buf, self.i)
+        self.i += 4
+        return v
+
+    def u64(self) -> int:
+        (v,) = struct.unpack_from(">Q", self.buf, self.i)
+        self.i += 8
+        return v
+
+
+def encode_vector_tile(layers: list[dict]) -> bytes:
+    out = [MAGIC, struct.pack(">I", len(layers))]
+    for layer in layers:
+        out.append(_w_str(layer["name"]))
+        out.append(struct.pack(">I", layer.get("extent", 4096)))
+        feats = layer["features"]
+        out.append(struct.pack(">I", len(feats)))
+        for f in feats:
+            out.append(struct.pack(">QB", int(f.get("id", 0)), int(f["type"])))
+            cmds = encode_geometry(f["geometry"], f["type"])
+            out.append(struct.pack(">I", len(cmds)))
+            out.append(np.asarray(cmds, dtype=">u4").tobytes())
+            props = f.get("props", {})
+            out.append(struct.pack(">I", len(props)))
+            for k in sorted(props):
+                out.append(_w_str(k))
+                out.append(_w_str(str(props[k])))
+    return b"".join(out)
+
+
+def decode_vector_tile(blob: bytes) -> list[dict]:
+    if blob[:4] != MAGIC:
+        raise ValueError("not a VTV1 vector tile")
+    r = _Reader(blob)
+    r.i = 4
+    layers = []
+    for _ in range(r.u32()):
+        name = r.str_()
+        extent = r.u32()
+        feats = []
+        for _ in range(r.u32()):
+            fid, ftype = struct.unpack_from(">QB", r.buf, r.i)
+            r.i += 9
+            ncmd = r.u32()
+            cmds = np.frombuffer(r.buf[r.i : r.i + 4 * ncmd], dtype=">u4").tolist()
+            r.i += 4 * ncmd
+            geom = decode_geometry(cmds, ftype)
+            props = {}
+            for _ in range(r.u32()):
+                k = r.str_()
+                props[k] = r.str_()
+            feats.append({"id": fid, "type": ftype, "geometry": geom, "props": props})
+        layers.append({"name": name, "extent": extent, "features": feats})
+    return layers
+
+
+# ---------------------------------------------------------------------------
+# Spark builders / payload operators
+# ---------------------------------------------------------------------------
+
+
+def points_to_vector_tiles(points, zoom: int, layer: str = "points", extent: int = 4096):
+    """Group point features into per-tile MVT-style payloads.
+
+    points: DataFrame(feature_id long, lon double, lat double, props
+    map<string,string>). One shuffle on (z,x,y); the grouped kernel converts
+    to tile-local integer coords and encodes the command stream.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .udfs import tile_x_frac_expr, tile_y_frac_expr, with_tile_columns
+
+    df = with_tile_columns(points, "lon", "lat", zoom=zoom)
+    df = df.withColumn(
+        "lx",
+        ((tile_x_frac_expr(F.col("lon"), F.lit(zoom)) - F.col("x")) * extent).cast("int"),
+    ).withColumn(
+        "ly",
+        ((tile_y_frac_expr(F.col("lat"), F.lit(zoom)) - F.col("y")) * extent).cast("int"),
+    )
+    out_schema = "z int, x long, y long, bytes binary, n_features int"
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("feature_id")
+        feats = [
+            {
+                "id": int(r.feature_id),
+                "type": POINT,
+                "geometry": [[(int(r.lx), int(r.ly))]],
+                "props": dict(r.props) if r.props is not None else {},
+            }
+            for r in pdf.itertuples()
+        ]
+        blob = encode_vector_tile([{"name": layer, "extent": extent, "features": feats}])
+        return pd.DataFrame(
+            {
+                "z": [int(pdf["z"].iloc[0])],
+                "x": [int(pdf["x"].iloc[0])],
+                "y": [int(pdf["y"].iloc[0])],
+                "bytes": [blob],
+                "n_features": [len(feats)],
+            }
+        )
+
+    return df.groupBy("z", "x", "y").applyInPandas(build, schema=out_schema)
+
+
+def filter_layers_payload(df, names: list[str], invert: bool = False, payload: str = "bytes"):
+    """vector_filter_layers on BINARY payloads (vector_filter_layers.rs:32-54):
+    decode -> keep/drop named layers -> re-encode, Arrow-batched."""
+    import pandas as pd
+
+    keep = (lambda n: n not in names) if invert else (lambda n: n in names)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload]:
+                layers = decode_vector_tile(bytes(blob))
+                out.append(encode_vector_tile([l for l in layers if keep(l["name"])]))
+            pdf = pdf.copy()
+            pdf[payload] = pd.Series(out, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def merge_vector_payloads(sources: list, keys=("z", "x", "y"), payload: str = "bytes"):
+    """from_merged_vector on binary payloads: per coordinate, concatenate the
+    features of same-named layers across sources (from_merged_vector.rs:57-69)."""
+    import functools
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+    tagged = [
+        s.select(*keys, payload).withColumn("src", F.lit(i + 1)) for i, s in enumerate(sources)
+    ]
+    u = functools.reduce(lambda a, b: a.unionByName(b), tagged)
+    out_schema = ", ".join(f"{k} long" for k in keys) + f", {payload} binary"
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged: dict[str, dict] = {}
+        for _, row in pdf.sort_values("src").iterrows():
+            for layer in decode_vector_tile(bytes(row[payload])):
+                if layer["name"] in merged:
+                    merged[layer["name"]]["features"].extend(layer["features"])
+                else:
+                    merged[layer["name"]] = {
+                        "name": layer["name"],
+                        "extent": layer["extent"],
+                        "features": list(layer["features"]),
+                    }
+        blob = encode_vector_tile(list(merged.values()))
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row[payload] = [blob]
+        return pd.DataFrame(row)
+
+    return u.groupBy(*keys).applyInPandas(merge, schema=out_schema)
