@@ -209,7 +209,9 @@ def simhash_pairs(
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sig = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim"))
+    # materialize once: the nblocks x 2-sided self-joins would otherwise
+    # re-run the Arrow UDF 2*(r+1) times (same fix as minhash_lsh_pairs)
+    sig = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim")).cache()
     blocks = [
         F.shiftrightunsigned(F.col("sim"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias(f"blk{i}")
         for i in range(nblocks)
