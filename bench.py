@@ -27,13 +27,22 @@ HEADLINE = [
     "stacked_coalesce",
     "flip_swap",
     "hilbert_order",
+    "tilejson_meta",
     "property_join_inner",
     "pip_join_rect",
+    "pip_polygons",
     "knn_events",
+    "knn_kring",
     "dedup_exact",
     "minhash_lsh",
     "simhash_dup",
     "ann_cosine",
+    "embed_neardup",
+    "quality_score",
+    "token_count",
+    "mvt_tiles",
+    "raster_pyramid",
+    "vpl_pipeline",
     "tpch_q1",
     "tpch_q3",
 ]

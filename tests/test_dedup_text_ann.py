@@ -150,3 +150,25 @@ def test_fingerprint_stability(spark):
     rows = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
     # min-sampled rolling hash: common prefix dominates -> likely equal
     assert rows[1] == rows[2]
+
+
+def test_cosine_pairs_blocked_matches_expression_path(spark, sf_dir):
+    """Block-GEMM similarity join == per-pair expression cosine (same pairs),
+    including across-block and within-block pairs."""
+    from versatiles_rs_spark.functions.ann import cosine_expr, cosine_pairs_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    expr_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= 0.4)
+        .collect()
+    )
+    # block_size smaller than N so cross-block pairs are exercised
+    gemm_pairs = sorted(
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_blocked(emb, threshold=0.4, block_size=128).collect()
+    )
+    assert gemm_pairs == expr_pairs and len(gemm_pairs) > 0

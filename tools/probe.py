@@ -1,0 +1,52 @@
+"""`versatiles probe` analog: inspect a tile table.
+
+Prints TileJSON-style metadata + per-zoom size statistics (the probe
+`measure_tile_sizes` dev tool, /root/reference/versatiles/src/tools/
+dev_tools/measure_tile_sizes.rs:36).
+
+    python tools/probe.py /path/to/tile_table_or_levels_dir
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    path = sys.argv[1]
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.session import get_spark
+    from versatiles_rs_spark.sources.containers import tilejson_for
+
+    spark = get_spark(app_name="probe", master="local[8]", shuffle_partitions=8)
+    df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    payload = "bytes" if "bytes" in df.columns else None
+    tj = tilejson_for(df)
+    sizes = None
+    if payload:
+        sizes = [
+            r.asDict()
+            for r in (
+                df.groupBy("z")
+                .agg(
+                    F.count("*").alias("n_tiles"),
+                    F.sum(F.length(payload)).alias("total_bytes"),
+                    F.min(F.length(payload)).alias("min_bytes"),
+                    F.max(F.length(payload)).alias("max_bytes"),
+                    F.round(F.avg(F.length(payload)), 1).alias("avg_bytes"),
+                )
+                .orderBy("z")
+                .collect()
+            )
+        ]
+    print(json.dumps({"tilejson": tj, "size_stats": sizes}, indent=2, default=int))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
