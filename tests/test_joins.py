@@ -186,3 +186,29 @@ def test_pip_partitioned_shuffle_path_matches(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert got == expected and len(got) > 0
+
+
+def test_knn_adaptive_matches_bruteforce(spark):
+    """Ring-widening kNN is EXACT: equals brute force for every query,
+    including sparse regions where ring=1 under-fills and polar queries
+    where the mercator proof bound matters."""
+    from versatiles_rs_spark.joins.knn import knn_bruteforce, knn_cell_adaptive
+    from versatiles_rs_spark.udfs import derived_lat_expr, derived_lon_expr
+
+    pts = spark.range(0, 3000).select(
+        F.col("id").alias("event_id"),
+        derived_lon_expr(F.col("id")).alias("lon"),
+        derived_lat_expr(F.col("id")).alias("lat"),
+    )
+    # queries include a polar and a sparse-corner case
+    qrows = [(0, 0.0, 0.0), (1, 100.0, 80.0), (2, -179.0, -84.0), (3, 13.4, 52.5)]
+    queries = spark.createDataFrame(qrows, "query_id long, qlon double, qlat double")
+    bf = sorted(
+        (r.query_id, r.rank, r.event_id)
+        for r in knn_bruteforce(pts, queries, k=5).collect()
+    )
+    ad = sorted(
+        (r.query_id, r.rank, r.event_id)
+        for r in knn_cell_adaptive(pts, queries, k=5, cell_zoom=5).collect()
+    )
+    assert ad == bf and len(ad) == 4 * 5

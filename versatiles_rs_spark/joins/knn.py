@@ -43,6 +43,80 @@ def knn_bruteforce(
     )
 
 
+def knn_cell_adaptive(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    cell_zoom: int = 5,
+    id_col: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+    max_ring: int = 64,
+) -> DataFrame:
+    """Cell k-ring kNN with driver-side ring widening.
+
+    Correctness rule: a rank-k hit found inside ring r is only PROVEN global
+    if its distance fits within the ring's guaranteed-covered radius
+    (r * cell_width in degrees, the min distance to any un-searched cell);
+    otherwise the query re-runs at ring*2. This terminates with exact kNN for
+    every query (verified against brute force in pytest) while touching only
+    O(k)-ish candidates for dense regions — the reference's level-iteration
+    pattern (SURVEY.md §2.6) applied to search radius.
+    """
+    remaining = queries
+    done_parts: list[DataFrame] = []
+    ring = 1
+    while ring <= max_ring:
+        res = knn_cell_pruned(
+            points, remaining, k=k, cell_zoom=cell_zoom, ring=ring,
+            id_col=id_col, lon=lon, lat=lat,
+        )
+        # guaranteed covered radius around the query point: >= ring cells in
+        # every direction. In longitude a cell is cell_w degrees; in latitude
+        # mercator cells span cell_w * cos(lat) degrees (gudermannian
+        # derivative), so bound with cos at the most poleward latitude the
+        # block can reach — conservative for every cell in the block.
+        cell_w = 360.0 / (1 << cell_zoom)
+        edge_lat = F.least(F.lit(85.0), F.abs(F.col("qlat")) + F.lit(ring * cell_w))
+        safe_deg = F.lit(ring * cell_w) * F.cos(F.radians(edge_lat))
+        pts_d = points.select(
+            F.col(id_col), F.col(lon).alias("_plon"), F.col(lat).alias("_plat")
+        )
+        scored = (
+            res.join(pts_d, on=id_col)
+            .join(remaining.select("query_id", "qlon", "qlat"), on="query_id")
+            .withColumn("_d2", _dist2(F.col("_plon"), F.col("_plat"), F.col("qlon"), F.col("qlat")))
+            .withColumn("_safe", safe_deg * safe_deg)
+        )
+        stats = scored.groupBy("query_id").agg(
+            F.count("*").alias("_n"),
+            F.max("_d2").alias("_maxd"),
+            F.min("_safe").alias("_safe"),
+        )
+        ok_ids = stats.filter(
+            (F.col("_n") >= k) & (F.col("_maxd") <= F.col("_safe"))
+        ).select("query_id")
+        done_parts.append(
+            res.join(ok_ids, on="query_id").select("query_id", "rank", id_col)
+        )
+        remaining = remaining.join(ok_ids, on="query_id", how="left_anti")
+        if remaining.isEmpty():
+            break
+        ring *= 2
+    else:
+        raise ValueError(f"ring exceeded max_ring={max_ring} with queries unresolved")
+    if not remaining.isEmpty():
+        # max_ring hit exactly: final pass at max_ring without the proof bound
+        done_parts.append(
+            knn_cell_pruned(points, remaining, k=k, cell_zoom=cell_zoom, ring=max_ring,
+                            id_col=id_col, lon=lon, lat=lat)
+        )
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def knn_cell_pruned(
     points: DataFrame,
     queries: DataFrame,
