@@ -144,3 +144,33 @@ class TestNewFactories:
         export_directory_tree(base, root)
         df = run_vpl(spark, f'from_directory path="{root}"')
         assert df.count() == base.count()
+
+    def test_raster_overview_transform(self, spark):
+        from versatiles_rs_spark.plans.vpl import tilejson_of
+
+        df = run_vpl(
+            spark,
+            'from_debug n=64 zoom=3 tile_size=16 | raster_overview z_max=3 z_min=1 '
+            '| meta_update name="demo" attribution="test suite"',
+        )
+        counts = {r.z: r["count"] for r in df.groupBy("z").count().collect()}
+        assert set(counts) == {1, 2, 3}
+        base = df.filter(F.col("z") == 3).select("x", "y")
+        parents = base.select((F.col("x") / 2).cast("long"), (F.col("y") / 2).cast("long")).distinct()
+        assert counts[2] == parents.count()  # one parent tile per covered 2x2
+        tj = tilejson_of(df)
+        assert tj["name"] == "demo" and tj["attribution"] == "test suite"
+        assert tj["minzoom"] == 1 and tj["maxzoom"] == 3
+
+    def test_raster_overscale_transform(self, spark):
+        df = run_vpl(
+            spark, "from_debug n=16 zoom=2 tile_size=16 | raster_overscale from_zoom=2 to_zoom=3"
+        )
+        assert df.select("z").distinct().collect()[0].z == 3
+        # each z2 tile explodes into 4 z3 children
+        n2 = run_vpl(spark, "from_debug n=16 zoom=2").select("x", "y").distinct().count()
+        assert df.count() == 16 * 4  # one child row per (image, quadrant)
+
+    def test_meta_update_rejects_unknown(self, spark):
+        with pytest.raises(VPLParseError, match="unknown fields"):
+            run_vpl(spark, "from_debug n=4 | meta_update wat=1")

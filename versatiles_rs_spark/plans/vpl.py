@@ -331,3 +331,58 @@ def _vector_filter_layers(df, names: str = "", invert=False, **kw):
     from ..vector_tile import filter_layers_payload
 
     return filter_layers_payload(df, str(names).split(","), invert=bool(invert))
+
+
+@transform("raster_overscale")
+def _raster_overscale(df, from_zoom=None, to_zoom=None, **kw):
+    from ..operators.raster import raster_overscale
+
+    if from_zoom is None or to_zoom is None:
+        raise VPLParseError("raster_overscale requires from_zoom= and to_zoom=")
+    return raster_overscale(df, from_zoom=int(from_zoom), to_zoom=int(to_zoom))
+
+
+@transform("raster_overview")
+def _raster_overview(df, z_max=None, z_min: int = 0, tile_size: int = 16, **kw):
+    """Full pyramid roll-up inside a VPL plan: emits the union of all levels
+    (raster_overview.rs builds levels z_max-1..0 below the source)."""
+    from ..operators.raster import build_pyramid
+
+    if z_max is None:
+        raise VPLParseError("raster_overview requires z_max= (source level)")
+    levels = build_pyramid(
+        df.select("z", "x", "y", "bytes", "fmt"), z_max=int(z_max), z_min=int(z_min),
+        tile_size=int(tile_size),
+    )
+    out = None
+    for _, lv in sorted(levels.items()):
+        lv = lv.select("z", "x", "y", "bytes", "fmt")
+        out = lv if out is None else out.unionByName(lv)
+    return out
+
+
+# TileJSON metadata updates (general/meta_update.rs): tilejson-spec fields
+# attached as a plan-level sidecar dict, merged by sources.containers
+# tilejson_for at sink time
+META_FIELDS = ("attribution", "description", "fillzoom", "name", "schema")
+
+
+@transform("meta_update")
+def _meta_update(df, **kw):
+    unknown = set(kw) - set(META_FIELDS)
+    if unknown:
+        raise VPLParseError(f"meta_update: unknown fields {sorted(unknown)}")
+    meta = dict(getattr(df, "_vt_meta", {}))
+    meta.update({k: v for k, v in kw.items() if k in META_FIELDS})
+    df._vt_meta = meta
+    return df
+
+
+def tilejson_of(df) -> dict:
+    """TileJSON for a pipeline output: coverage metadata + meta_update
+    sidecar fields."""
+    from ..sources.containers import tilejson_for
+
+    tj = tilejson_for(df)
+    tj.update(getattr(df, "_vt_meta", {}))
+    return tj
