@@ -128,3 +128,66 @@ class TestSparkBuilders:
             for layer in decode_vector_tile(bytes(r.bytes)):
                 total += len(layer["features"])
         assert total == 400
+
+
+class TestPayloadPropertyOps:
+    @pytest.fixture(scope="class")
+    def tiles(self, spark):
+        from versatiles_rs_spark.udfs import derived_lat_expr, derived_lon_expr
+
+        pts = spark.range(0, 100).select(
+            F.col("id").alias("feature_id"),
+            derived_lon_expr(F.col("id")).alias("lon"),
+            derived_lat_expr(F.col("id")).alias("lat"),
+            F.create_map(
+                F.lit("city_id"), (F.col("id") % 3).cast("string"),
+                F.lit("kind"), F.lit("poi"),
+            ).alias("props"),
+        )
+        return points_to_vector_tiles(pts, zoom=2)
+
+    def test_filter_properties_drop(self, spark, tiles):
+        from versatiles_rs_spark.vector_tile import filter_properties_payload
+
+        out = filter_properties_payload(tiles, r"points/kind")
+        for r in out.collect():
+            for layer in decode_vector_tile(bytes(r.bytes)):
+                for f in layer["features"]:
+                    assert "kind" not in f["props"] and "city_id" in f["props"]
+
+    def test_filter_properties_invert_keeps_only_matches(self, spark, tiles):
+        from versatiles_rs_spark.vector_tile import filter_properties_payload
+
+        out = filter_properties_payload(tiles, r"points/kind", invert=True)
+        for r in out.collect():
+            for layer in decode_vector_tile(bytes(r.bytes)):
+                for f in layer["features"]:
+                    assert set(f["props"]) == {"kind"}
+
+    def test_update_properties_merge_and_inner(self, spark, tiles):
+        """The berlin.vpl cities.csv join shape: city_id -> population."""
+        from versatiles_rs_spark.vector_tile import update_properties_payload
+
+        props = {"0": {"population": "1000"}, "1": {"population": "2000"}}
+        merged = update_properties_payload(tiles, props, id_field="city_id")
+        n_all = n_pop = 0
+        for r in merged.collect():
+            for layer in decode_vector_tile(bytes(r.bytes)):
+                for f in layer["features"]:
+                    n_all += 1
+                    if "population" in f["props"]:
+                        n_pop += 1
+                        assert f["props"]["kind"] == "poi"  # merge keeps old keys
+        assert n_all == 100 and n_pop == 67  # ids with id%3 in (0,1)
+
+        inner = update_properties_payload(
+            tiles, props, id_field="city_id", remove_non_matching=True,
+            replace_properties=True,
+        )
+        n_in = 0
+        for r in inner.collect():
+            for layer in decode_vector_tile(bytes(r.bytes)):
+                for f in layer["features"]:
+                    n_in += 1
+                    assert set(f["props"]) == {"population"}  # replaced
+        assert n_in == 67

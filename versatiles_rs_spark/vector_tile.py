@@ -277,6 +277,85 @@ def filter_layers_payload(df, names: list[str], invert: bool = False, payload: s
     return df.mapInPandas(run, schema=df.schema)
 
 
+def filter_properties_payload(
+    df, pattern: str, invert: bool = False, payload: str = "bytes"
+):
+    """vector_filter_properties on BINARY payloads
+    (vector_filter_properties.rs:35-63): drop feature properties whose
+    "layer/key" path matches the regex (invert=True keeps only matches)."""
+    import re
+
+    import pandas as pd
+
+    rx = re.compile(pattern)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload]:
+                layers = decode_vector_tile(bytes(blob))
+                for layer in layers:
+                    for f in layer["features"]:
+                        f["props"] = {
+                            k: v
+                            for k, v in f["props"].items()
+                            if bool(rx.search(f"{layer['name']}/{k}")) == invert
+                        }
+                out.append(encode_vector_tile(layers))
+            pdf = pdf.copy()
+            pdf[payload] = pd.Series(out, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def update_properties_payload(
+    df,
+    props_map: dict,
+    id_field: str,
+    remove_non_matching: bool = False,
+    replace_properties: bool = False,
+    payload: str = "bytes",
+):
+    """vector_update_properties on BINARY payloads
+    (vector_update_properties.rs:50-137): each feature's `id_field` property
+    probes a broadcast property map; matches merge (or replace) the feature's
+    properties; remove_non_matching drops unmatched features.
+
+    props_map: {id_value(str): {key: value}} — shipped in the task closure
+    (the reference's driver-side HashMap pattern); for big property tables use
+    the relational operators/vector.py::update_properties instead.
+    """
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload]:
+                layers = decode_vector_tile(bytes(blob))
+                for layer in layers:
+                    feats = []
+                    for f in layer["features"]:
+                        key = f["props"].get(id_field)
+                        new = props_map.get(key)
+                        if new is None:
+                            if not remove_non_matching:
+                                feats.append(f)
+                            continue
+                        if replace_properties:
+                            f["props"] = {str(k): str(v) for k, v in new.items()}
+                        else:
+                            f["props"] = {**f["props"], **{str(k): str(v) for k, v in new.items()}}
+                        feats.append(f)
+                    layer["features"] = feats
+                out.append(encode_vector_tile(layers))
+            pdf = pdf.copy()
+            pdf[payload] = pd.Series(out, index=pdf.index)
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
 def merge_vector_payloads(sources: list, keys=("z", "x", "y"), payload: str = "bytes"):
     """from_merged_vector on binary payloads: per coordinate, concatenate the
     features of same-named layers across sources (from_merged_vector.rs:57-69)."""
