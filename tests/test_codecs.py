@@ -96,3 +96,43 @@ def test_brotli_gated():
     if not codecs.HAS_BROTLI:
         with pytest.raises(NotImplementedError):
             codecs.compress_blob(b"x", "brotli")
+
+
+class TestDEM:
+    def test_mapbox_roundtrip_precision(self):
+        import numpy as np
+
+        from versatiles_rs_spark.codecs import decode_dem, encode_dem
+
+        h = np.array([[-10000.0, 0.0, 8848.9], [-432.6, 1234.5, 6000.0]])
+        back = decode_dem(encode_dem(h, "mapbox"), "mapbox")
+        assert np.abs(back - h).max() <= 0.05  # 0.1m quantization
+
+    def test_terrarium_roundtrip_precision(self):
+        import numpy as np
+
+        from versatiles_rs_spark.codecs import decode_dem, encode_dem
+
+        h = np.array([[-11000.0, 0.0, 8848.9], [-432.6, 1234.5, 6000.0]])
+        back = decode_dem(encode_dem(h, "terrarium"), "terrarium")
+        assert np.abs(back - h).max() <= 1.0 / 256 + 1e-9
+
+    def test_known_values(self):
+        import numpy as np
+
+        from versatiles_rs_spark.codecs import decode_dem
+
+        # mapbox: all-zero RGB = -10000m; terrarium: (128, 0, 0) = 0m
+        assert decode_dem(np.zeros((1, 1, 3), np.uint8), "mapbox")[0, 0] == -10000.0
+        t = np.array([[[128, 0, 0]]], dtype=np.uint8)
+        assert decode_dem(t, "terrarium")[0, 0] == 0.0
+
+    def test_unknown_schema_rejected(self):
+        import numpy as np
+
+        import pytest as _pytest
+
+        from versatiles_rs_spark.codecs import encode_dem
+
+        with _pytest.raises(ValueError, match="unknown DEM"):
+            encode_dem(np.zeros((1, 1)), "wat")

@@ -173,6 +173,45 @@ def decode_image(blob: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# DEM elevation encodings (TileSchema RasterDEM{Mapbox,Terrarium},
+# tile_schema.rs:31-50) — public formulas:
+#   mapbox:    h = (R*65536 + G*256 + B) * 0.1 - 10000
+#   terrarium: h = (R*256 + G + B/256) - 32768
+# ---------------------------------------------------------------------------
+
+
+def encode_dem(heights: np.ndarray, schema: str = "mapbox") -> np.ndarray:
+    """Elevations (H, W) float -> RGB uint8 (H, W, 3)."""
+    h = np.asarray(heights, dtype=np.float64)
+    if schema == "mapbox":
+        v = np.clip(np.round((h + 10000.0) / 0.1), 0, 2**24 - 1).astype(np.uint32)
+        r = (v >> 16) & 0xFF
+        g = (v >> 8) & 0xFF
+        b = v & 0xFF
+    elif schema == "terrarium":
+        v = np.clip(h + 32768.0, 0, 2**16 - 1 + 255 / 256)
+        whole = np.floor(v)
+        r = (whole.astype(np.uint32) >> 8) & 0xFF
+        g = whole.astype(np.uint32) & 0xFF
+        b = np.round((v - whole) * 256).astype(np.uint32) & 0xFF
+    else:
+        raise ValueError(f"unknown DEM schema {schema}")
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def decode_dem(rgb: np.ndarray, schema: str = "mapbox") -> np.ndarray:
+    """RGB uint8 (H, W, 3) -> elevations (H, W) float64."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    if schema == "mapbox":
+        return (r * 65536.0 + g * 256.0 + b) * 0.1 - 10000.0
+    if schema == "terrarium":
+        return (r * 256.0 + g + b / 256.0) - 32768.0
+    raise ValueError(f"unknown DEM schema {schema}")
+
+
+# ---------------------------------------------------------------------------
 # blob compression (compression/functions.rs:141-200)
 # ---------------------------------------------------------------------------
 
