@@ -191,3 +191,53 @@ class TestPayloadPropertyOps:
                     n_in += 1
                     assert set(f["props"]) == {"population"}  # replaced
         assert n_in == 67
+
+
+class TestGeometryProperties:
+    """Hypothesis: codec round-trips over arbitrary integer geometry."""
+
+    def test_random_geometry_roundtrips(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        coord = st.tuples(
+            st.integers(min_value=-100000, max_value=100000),
+            st.integers(min_value=-100000, max_value=100000),
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            gtype=st.sampled_from([POINT, LINESTRING]),
+            parts=st.lists(st.lists(coord, min_size=1, max_size=12), min_size=1, max_size=4),
+        )
+        def check(gtype, parts):
+            if gtype == LINESTRING:
+                parts = [p for p in parts if len(p) >= 2] or [[(0, 0), (1, 1)]]
+            dec = decode_geometry(encode_geometry(parts, gtype), gtype)
+            if gtype == POINT:
+                flat = [(p,) for part in parts for p in part]
+                assert [tuple(d) for d in dec] == [list(f) for f in flat] or dec == [
+                    [p] for part in parts for p in part
+                ]
+            else:
+                assert dec == [list(p) for p in parts]
+
+        check()
+
+    def test_random_polygons_roundtrip(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        coord = st.tuples(
+            st.integers(min_value=-50000, max_value=50000),
+            st.integers(min_value=-50000, max_value=50000),
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(rings=st.lists(st.lists(coord, min_size=3, max_size=10), min_size=1, max_size=3))
+        def check(rings):
+            closed = [r + [r[0]] for r in rings]
+            dec = decode_geometry(encode_geometry(closed, POLYGON), POLYGON)
+            assert dec == [list(r) for r in closed]
+
+        check()

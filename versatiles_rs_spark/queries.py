@@ -899,6 +899,27 @@ def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select("z", "x", "y", "n_features")
 
 
+@register("raster_ingest", None)
+def q_raster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Georeferenced-raster -> tile pyramid cut (from_gdal_raster substitute,
+    operation.rs semantics: warp to mercator, tiles per zoom). Deterministic
+    in-memory gradient dataset; warp-pixel oracle in test_raster_source.py."""
+    import numpy as np
+
+    from .sources.raster import GeoRaster, raster_to_tiles
+
+    y, x = np.mgrid[0:128, 0:256]
+    data = np.stack([(x // 2) % 256, y % 256, np.full_like(x, 200)], axis=-1).astype(np.uint8)
+    raster = GeoRaster(data, (0.0, 40.0, 20.0, 60.0))
+    tiles = raster_to_tiles(spark, raster, 4, 6, tile_size=16)
+    return tiles.groupBy("z").agg(
+        F.count("*").alias("n_tiles"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.sum(F.length("bytes")).alias("total_bytes"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
