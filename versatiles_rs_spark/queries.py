@@ -920,6 +920,74 @@ def q_raster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("mvt_filter_chain", None)
+def q_mvt_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary vector-tile transform chain: build MVT tiles -> property-join
+    (broadcast map probe) -> drop a property by regex -> per-tile feature
+    stats. Exercises the payload-level vector op family end-to-end
+    (vector_update_properties.rs + vector_filter_properties.rs semantics)."""
+    from .vector_tile import (
+        decode_vector_tile,
+        filter_properties_payload,
+        points_to_vector_tiles,
+        update_properties_payload,
+    )
+
+    pts = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("feature_id"),
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+        F.create_map(
+            F.lit("etype"), F.col("event_type"),
+            F.lit("uid"), (F.col("user_id") % 10).cast("string"),
+        ).alias("props"),
+    )
+    tiles = points_to_vector_tiles(pts, zoom=4)
+    props = {str(i): {"segment": f"seg{i % 3}"} for i in range(10)}
+    joined = update_properties_payload(tiles, props, id_field="uid")
+    cleaned = filter_properties_payload(joined, r"points/etype")
+
+    import pandas as pd
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                n_feat = n_seg = 0
+                for layer in decode_vector_tile(bytes(r.bytes)):
+                    for f in layer["features"]:
+                        n_feat += 1
+                        n_seg += "segment" in f["props"]
+                        assert "etype" not in f["props"]
+                rows.append((r.z, r.x, r.y, n_feat, n_seg))
+            yield pd.DataFrame(rows, columns=["z", "x", "y", "n_features", "n_segmented"])
+
+    return cleaned.mapInPandas(
+        stats, schema="z int, x long, y long, n_features int, n_segmented int"
+    )
+
+
+@register("knn_adaptive", None)
+def q_knn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN via ring-widening cell search (mercator covered-radius
+    proof); equals knn_events' brute force — verified in pytest."""
+    from .joins.knn import knn_cell_adaptive
+
+    region = load(spark, sf_dir, "region")
+    key = F.col("r_regionkey") * 17 + 3
+    queries_df = region.select(
+        F.col("r_regionkey").alias("query_id"),
+        derived_lon_expr(key).alias("qlon"),
+        derived_lat_expr(key).alias("qlat"),
+    )
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return knn_cell_adaptive(pts, queries_df, k=3, cell_zoom=4, id_col="event_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
