@@ -136,3 +136,28 @@ class TestDEM:
 
         with _pytest.raises(ValueError, match="unknown DEM"):
             encode_dem(np.zeros((1, 1)), "wat")
+
+
+class TestContentNegotiation:
+    def test_keep_current_codec_when_accepted(self):
+        from versatiles_rs_spark.codecs import compress_blob, optimize_compression
+
+        gz = compress_blob(b"payload", "gzip")
+        out, codec = optimize_compression(gz, "gzip", {"gzip", "br"})
+        assert out == gz and codec == "gzip"
+
+    def test_recompress_when_not_accepted(self):
+        from versatiles_rs_spark.codecs import compress_blob, decompress_blob, optimize_compression
+
+        gz = compress_blob(b"data" * 100, "gzip")
+        out, codec = optimize_compression(gz, "gzip", {"identity"})
+        assert codec == "none" and out == b"data" * 100
+        # identity -> gzip when client prefers it
+        out2, codec2 = optimize_compression(b"data" * 100, "none", {"gzip"})
+        assert codec2 == "gzip" and decompress_blob(out2, "gzip") == b"data" * 100
+
+    def test_identity_always_acceptable(self):
+        from versatiles_rs_spark.codecs import optimize_compression
+
+        out, codec = optimize_compression(b"x", "none", set())
+        assert codec == "none" and out == b"x"

@@ -248,6 +248,28 @@ def decompress_blob(data: bytes, codec: str) -> bytes:
     raise ValueError(f"unknown codec {codec}")
 
 
+def optimize_compression(blob: bytes, codec: str, accepted: set[str]) -> tuple[bytes, str]:
+    """Serve-path content negotiation (server/encoding.rs:48-54 +
+    compression/functions.rs:55): keep the payload's current codec when the
+    client accepts it; otherwise recompress minimally (prefer gzip over
+    identity when allowed — the reference's preference order with brotli
+    unavailable here)."""
+    accepted = {a.lower() for a in accepted} | {"identity"}
+    best = "none"
+    for target in ("br", "gzip"):  # preference order (encoding.rs)
+        if target in accepted and (target != "br" or HAS_BROTLI):
+            best = "brotli" if target == "br" else target
+            break
+    cur = "none" if codec in (None, "none") else codec
+    cur_ok = cur == "none" or cur in accepted or (cur == "brotli" and "br" in accepted)
+    if cur_ok and cur == best:
+        return blob, cur
+    raw = decompress_blob(blob, cur)
+    if best == "none":
+        return raw, "none"
+    return compress_blob(raw, best), best
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     """Peak signal-to-noise ratio (dB) — the per-row invariant metric
     (BASELINE.json: decoded-pixel PSNR >= 40 dB for lossy)."""
