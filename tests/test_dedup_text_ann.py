@@ -172,3 +172,15 @@ def test_cosine_pairs_blocked_matches_expression_path(spark, sf_dir):
         for r in cosine_pairs_blocked(emb, threshold=0.4, block_size=128).collect()
     )
     assert gemm_pairs == expr_pairs and len(gemm_pairs) > 0
+
+
+def test_ann_gemm_matches_bruteforce(spark, sf_dir):
+    from versatiles_rs_spark.functions.ann import ann_bruteforce_topk, ann_gemm_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    bf = sorted((r.query_id, r.rank, r.neighbor_id) for r in ann_bruteforce_topk(emb, q, k=7).collect())
+    gm = sorted((r.query_id, r.rank, r.neighbor_id) for r in ann_gemm_topk(emb, q, k=7).collect())
+    assert gm == bf and len(gm) == 20 * 7

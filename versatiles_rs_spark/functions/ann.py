@@ -119,6 +119,67 @@ def cosine_pairs_blocked(
     return cand.mapInPandas(gemm, schema="id_a long, id_b long")
 
 
+def ann_gemm_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT cosine top-k via per-partition GEMM — the preferred scale path
+    when the corpus lacks strong cluster structure (measured here: LSH recall
+    <=0.5 on the test embeddings even at 16 buckets, BENCH.md).
+
+    Plan: queries are closed over as one normalized matrix (broadcast-scale);
+    each vector partition computes its query-similarity submatrix with one
+    BLAS matmul and emits only its local top-k per query; a final window
+    keeps the global top-k. Shuffle volume: n_partitions * |Q| * k rows.
+    Matches ann_bruteforce_topk exactly (same tie-break: id ascending).
+    """
+    import pandas as pd
+
+    qrows = queries.select("query_id", "qv").collect()
+    qids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    qm = np.vstack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    qm /= np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+            sim = m @ qm.T  # (n, Q)
+            out_q, out_id, out_s = [], [], []
+            for j in range(sim.shape[1]):
+                col = sim[:, j].copy()
+                col[ids == qids[j]] = -np.inf  # exclude self
+                take = min(k, len(ids))
+                # exact local top-k with id-ascending tie-break
+                order = np.lexsort((ids, -col))[:take]
+                out_q.append(np.full(take, qids[j], dtype=np.int64))
+                out_id.append(ids[order])
+                out_s.append(col[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_id),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    local = vectors.mapInPandas(
+        local_topk, schema="query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nbits, dim))

@@ -988,6 +988,20 @@ def q_knn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_cell_adaptive(pts, queries_df, k=3, cell_zoom=4, id_col="event_id")
 
 
+@register("ann_gemm", REGISTRY["ann_cosine"].oracle)
+def q_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GEMM top-k ANN — same oracle as ann_cosine (results identical);
+    the scale path when LSH buckets have weak separation (BENCH.md recall
+    measurements)."""
+    from .functions.ann import ann_gemm_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_gemm_topk(emb, queries_df, k=5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
