@@ -1002,6 +1002,28 @@ def q_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_gemm_topk(emb, queries_df, k=5)
 
 
+@register("tile_outline", None)
+def q_tile_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outline polygons of the z=5 tile coverage (TileOutline union analog,
+    tile_outline/mod.rs:60-66 — edge-chaining union, no shapely). Emits one
+    row per ring: orientation-signed tile area + vertex count."""
+    from .outline import ring_signed_area, tile_outline_rings
+
+    tiles = (
+        _events_with_tiles(spark, sf_dir, 5).select("x", "y").distinct().collect()
+    )
+    rings = tile_outline_rings([r.x for r in tiles], [r.y for r in tiles])
+    rows = [
+        (i, len(ring) - 1, float(ring_signed_area(ring)), min(ring))
+        for i, ring in enumerate(
+            sorted(rings, key=lambda r: (ring_signed_area(r), min(r)))
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "ring_id int, n_vertices int, area double, min_corner struct<x:long,y:long>"
+    ).select("ring_id", "n_vertices", "area", F.col("min_corner.x").alias("cx"), F.col("min_corner.y").alias("cy"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
