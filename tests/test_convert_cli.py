@@ -1,0 +1,63 @@
+"""convert CLI: vpl source -> filtered/flipped -> each layout; round-trips."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_convert(*argv):
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "convert.py"), *argv, "--master", "local[4]"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    return json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][0])
+
+
+@pytest.mark.slow
+def test_convert_vpl_to_hilbert_and_dir(spark, tmp_path):
+    vpl = tmp_path / "pipe.vpl"
+    vpl.write_text('from_debug n=80 zoom=4 format="png" | filter_zoom min=4 max=4 | flip_y\n')
+    out1 = str(tmp_path / "tiles_hilbert")
+    m1 = run_convert(str(vpl), out1, "--layout", "hilbert", "--dedup")
+    assert m1["minzoom"] == m1["maxzoom"] == 4 and m1["n_tiles"] > 0
+
+    # the written table is in verified Hilbert order
+    from versatiles_rs_spark.sinks.writers import verify_hilbert_monotonic
+
+    assert verify_hilbert_monotonic(spark, out1)
+
+    # parquet -> directory tree -> read back round trip
+    out2 = str(tmp_path / "tiles_dir")
+    m2 = run_convert(out1, out2, "--layout", "dir")
+    assert m2["n_tiles"] == m1["n_tiles"]
+    from versatiles_rs_spark.sources.containers import read_directory_tree
+
+    back = read_directory_tree(spark, out2)
+    assert back.count() == m1["n_tiles"]
+
+
+@pytest.mark.slow
+def test_convert_bbox_prunes(tmp_path):
+    vpl = tmp_path / "pipe.vpl"
+    vpl.write_text("from_debug n=200 zoom=5\n")
+    full = run_convert(str(vpl), str(tmp_path / "full"), "--layout", "block", "--dedup")
+    pruned = run_convert(
+        str(vpl),
+        str(tmp_path / "pruned"),
+        "--layout",
+        "block",
+        "--bbox=-90,-45,90,45",
+        "--bbox-zoom",
+        "5",
+        "--dedup",
+    )
+    assert 0 < pruned["n_tiles"] < full["n_tiles"]
