@@ -61,3 +61,20 @@ def test_convert_bbox_prunes(tmp_path):
         "--dedup",
     )
     assert 0 < pruned["n_tiles"] < full["n_tiles"]
+
+
+@pytest.mark.slow
+def test_convert_mbtiles_roundtrip(spark, tmp_path):
+    """vpl -> .mbtiles -> parquet: the reference's berlin.mbtiles flow."""
+    vpl = tmp_path / "p.vpl"
+    vpl.write_text("from_debug n=40 zoom=3\n")
+    mb = str(tmp_path / "t.mbtiles")
+    m1 = run_convert(str(vpl), mb, "--dedup")
+    pq = str(tmp_path / "back")
+    m2 = run_convert(mb, pq, "--layout", "hilbert")
+    assert m2["n_tiles"] == m1["n_tiles"] > 0
+    from versatiles_rs_spark.sources.mbtiles import read_mbtiles
+
+    a = {(r.z, r.x, r.y): bytes(r.bytes) for r in read_mbtiles(spark, mb).collect()}
+    b = {(r.z, r.x, r.y): bytes(r.bytes) for r in spark.read.parquet(pq).select("z","x","y","bytes").collect()}
+    assert a == b

@@ -66,6 +66,10 @@ def main(argv=None):
 
         with open(args.src) as f:
             df = run_vpl(spark, f.read())
+    elif args.src.endswith(".mbtiles"):
+        from versatiles_rs_spark.sources.mbtiles import read_mbtiles
+
+        df = read_mbtiles(spark, args.src)
     elif os.path.isdir(args.src) and not any(
         name.endswith(".parquet") for name in os.listdir(args.src)
     ):
@@ -94,7 +98,12 @@ def main(argv=None):
         )
         df = df.groupBy("z", "x", "y").agg(F.min("bytes").alias("bytes"), *fmt_col)
 
-    if args.layout == "hilbert":
+    if args.dst.endswith(".mbtiles"):
+        from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+        write_mbtiles(df, args.dst)
+        out_df = df
+    elif args.layout == "hilbert":
         write_hilbert_sorted(df, args.dst)
         out_df = spark.read.parquet(args.dst)
     elif args.layout == "block":
