@@ -1,0 +1,114 @@
+"""PMTiles v3 container: header layout, varint directories, round-trips,
+leaf-directory splitting, invariants."""
+
+import gzip
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark import fixtures
+from versatiles_rs_spark.sources.pmtiles import (
+    HEADER_LEN,
+    deserialize_entries,
+    read_pmtiles,
+    read_pmtiles_header,
+    read_pmtiles_metadata,
+    serialize_entries,
+    write_pmtiles,
+)
+
+
+class TestDirectorySerialization:
+    def test_roundtrip(self):
+        entries = [(3, 0, 100, 1), (13, 100, 50, 1), (999, 150, 7, 1), (10**12, 157, 1, 1)]
+        assert deserialize_entries(serialize_entries(entries)) == entries
+
+    def test_contiguous_offsets_encode_as_zero(self):
+        entries = [(1, 0, 10, 1), (2, 10, 20, 1), (3, 30, 5, 1)]
+        buf = serialize_entries(entries)
+        # decode agrees even though contiguous offsets are stored as 0
+        assert deserialize_entries(buf) == entries
+
+    def test_non_contiguous_offsets(self):
+        entries = [(1, 0, 10, 1), (2, 50, 20, 1)]
+        assert deserialize_entries(serialize_entries(entries)) == entries
+
+
+@pytest.fixture(scope="module")
+def tiles(spark):
+    df = fixtures.images_with_tiles_df(spark, 300, size=16, zoom=4, partitions=4, skew=False)
+    return df.groupBy("z", "x", "y").agg(F.min("bytes").alias("bytes")).cache()
+
+
+def test_header_layout(spark, tiles, tmp_path):
+    path = str(tmp_path / "t.pmtiles")
+    n = write_pmtiles(tiles, path, metadata={"name": "fixture"}, tile_type="png")
+    assert n == tiles.count()
+    raw = open(path, "rb").read()
+    assert raw[:7] == b"PMTiles" and raw[7] == 3
+    h = read_pmtiles_header(path)
+    assert h["clustered"] and h["tile_type"] == "png"
+    assert h["min_zoom"] == h["max_zoom"] == 4
+    assert h["addressed_tiles"] == n
+    assert h["metadata"][0] == 16384  # root dir fits the 16 KiB prologue
+    assert h["root_dir"][0] == HEADER_LEN and h["root_dir"][1] <= 16384 - HEADER_LEN
+    assert read_pmtiles_metadata(path) == {"name": "fixture"}
+
+
+def test_roundtrip_bytes_and_coords(spark, tiles, tmp_path):
+    path = str(tmp_path / "rt.pmtiles")
+    write_pmtiles(tiles, path)
+    back = read_pmtiles(spark, path)
+    a = {(r.z, r.x, r.y): bytes(r.bytes) for r in tiles.collect()}
+    b = {(r.z, r.x, r.y): bytes(r.bytes) for r in back.collect()}
+    assert a == b
+
+
+def test_tile_data_is_hilbert_clustered(spark, tiles, tmp_path):
+    """Payload byte ranges must be contiguous in strictly increasing Hilbert
+    order (the reference writer's core invariant)."""
+    path = str(tmp_path / "cl.pmtiles")
+    write_pmtiles(tiles, path)
+    h = read_pmtiles_header(path)
+    raw = open(path, "rb").read()
+    entries = deserialize_entries(
+        gzip.decompress(raw[h["root_dir"][0] : h["root_dir"][0] + h["root_dir"][1]])
+    )
+    ids = [e[0] for e in entries]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    for prev, cur in zip(entries, entries[1:]):
+        assert cur[1] == prev[1] + prev[2]  # contiguous data
+
+
+def test_duplicate_coordinates_rejected(spark, tiles, tmp_path):
+    dup = tiles.unionByName(tiles.limit(1))
+    with pytest.raises(ValueError, match="duplicate tile id"):
+        write_pmtiles(dup, str(tmp_path / "dup.pmtiles"))
+
+
+def test_leaf_directory_split(spark, tmp_path):
+    """Enough entries to overflow the 16 KiB root: directories split into
+    leaves (run_length=0 pointers) and still round-trip."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    z = 10
+    for x in range(200):
+        for y in range(150):
+            # high-entropy payload sizes keep the varint directory
+            # incompressible so the root genuinely overflows 16 KiB
+            ln = 1 + int(rng.integers(0, 300))
+            rows.append((z, x, y, bytes([x % 251, y % 251]) * ln))
+    df = spark.createDataFrame(rows, "z int, x long, y long, bytes binary")
+    path = str(tmp_path / "leaves.pmtiles")
+    n = write_pmtiles(df, path)
+    assert n == len(rows)
+    h = read_pmtiles_header(path)
+    assert h["leaf_dirs"][1] > 0  # leaves actually used
+    back = read_pmtiles(spark, path)
+    assert back.count() == len(rows)
+    expect = {(r[1], r[2]): r[3] for r in rows}
+    one = back.filter((F.col("x") == 57) & (F.col("y") == 33)).first()
+    assert bytes(one.bytes) == expect[(57, 33)]

@@ -70,6 +70,10 @@ def main(argv=None):
         from versatiles_rs_spark.sources.mbtiles import read_mbtiles
 
         df = read_mbtiles(spark, args.src)
+    elif args.src.endswith(".pmtiles"):
+        from versatiles_rs_spark.sources.pmtiles import read_pmtiles
+
+        df = read_pmtiles(spark, args.src)
     elif os.path.isdir(args.src) and not any(
         name.endswith(".parquet") for name in os.listdir(args.src)
     ):
@@ -102,6 +106,11 @@ def main(argv=None):
         from versatiles_rs_spark.sources.mbtiles import write_mbtiles
 
         write_mbtiles(df, args.dst)
+        out_df = df
+    elif args.dst.endswith(".pmtiles"):
+        from versatiles_rs_spark.sources.pmtiles import write_pmtiles
+
+        write_pmtiles(df, args.dst, tile_type=args.format or "png")
         out_df = df
     elif args.layout == "hilbert":
         write_hilbert_sorted(df, args.dst)

@@ -1,0 +1,277 @@
+"""PMTiles v3 container support (real format, stdlib only).
+
+Parity: /root/reference/versatiles_container/src/container/pmtiles/
+(writer.rs + types/header_v3.rs + types/entries_v3.rs) and the public
+PMTiles v3 spec:
+
+- 127-byte little-endian header: "PMTiles"+version(3), 8 u64 byte-ranges
+  (root dir, metadata, leaf dirs, tile data), 3 u64 counts, clustered flag,
+  internal/tile compression enums (1=none 2=gzip), tile type enum
+  (1=mvt 2=png 3=jpeg 4=webp), zoom bounds, e7-scaled bbox/center.
+- varint directories: entry count, tile-id deltas, run lengths, lengths,
+  offsets (0 = contiguous with previous, else offset+1). run_length=0 marks
+  a leaf-directory pointer.
+- root directory must fit in 16384-127 bytes (gzip'd); overflow splits into
+  leaf directories appended after the tile data.
+- tile ids are the Hilbert index the engine already computes
+  (tile_math.hilbert_index — golden-tested against the reference).
+
+Single-file edge format: export pulls the (already Hilbert-sorted) tiles
+through the driver like the mbtiles writer; the strict-increasing-id
+invariant of the reference writer (writer.rs:201-206) is asserted here too.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+HEADER_LEN = 127
+ROOT_SPACE = 16384 - HEADER_LEN
+_COMPRESSION = {"none": 1, "gzip": 2, "brotli": 3}
+_TILE_TYPE = {"unknown": 0, "mvt": 1, "png": 2, "jpg": 3, "jpeg": 3, "webp": 4, "avif": 5}
+_TYPE_NAME = {v: k for k, v in _TILE_TYPE.items() if k != "jpeg"}
+
+
+def _write_varint(out: bytearray, v: int) -> None:
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = v = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, pos
+        shift += 7
+
+
+def serialize_entries(entries: list[tuple[int, int, int, int]]) -> bytes:
+    """entries: (tile_id, offset, length, run_length) — entries_v3.rs:262-299."""
+    out = bytearray()
+    _write_varint(out, len(entries))
+    last = 0
+    for tid, _, _, _ in entries:
+        _write_varint(out, tid - last)
+        last = tid
+    for _, _, _, rl in entries:
+        _write_varint(out, rl)
+    for _, _, ln, _ in entries:
+        _write_varint(out, ln)
+    for i, (_, off, ln, _) in enumerate(entries):
+        if i > 0 and off == entries[i - 1][1] + entries[i - 1][2]:
+            _write_varint(out, 0)
+        else:
+            _write_varint(out, off + 1)
+    return bytes(out)
+
+
+def deserialize_entries(buf: bytes) -> list[tuple[int, int, int, int]]:
+    n, pos = _read_varint(buf, 0)
+    ids, rls, lens, offs = [], [], [], []
+    last = 0
+    for _ in range(n):
+        d, pos = _read_varint(buf, pos)
+        last += d
+        ids.append(last)
+    for _ in range(n):
+        v, pos = _read_varint(buf, pos)
+        rls.append(v)
+    for _ in range(n):
+        v, pos = _read_varint(buf, pos)
+        lens.append(v)
+    for i in range(n):
+        v, pos = _read_varint(buf, pos)
+        if v == 0:
+            offs.append(offs[i - 1] + lens[i - 1])
+        else:
+            offs.append(v - 1)
+    return list(zip(ids, offs, lens, rls))
+
+
+def _build_directories(entries) -> tuple[bytes, bytes]:
+    """root_bytes (gzip), leaves_bytes — entries_v3.rs::as_directory."""
+    root = gzip.compress(serialize_entries(entries), 6, mtime=0)
+    if len(root) <= ROOT_SPACE:
+        return root, b""
+    leaf_size = 4096
+    while True:
+        leaves = bytearray()
+        root_entries = []
+        for i in range(0, len(entries), leaf_size):
+            chunk = entries[i : i + leaf_size]
+            ser = gzip.compress(serialize_entries(chunk), 6, mtime=0)
+            root_entries.append((chunk[0][0], len(leaves), len(ser), 0))  # rl=0 -> leaf
+            leaves.extend(ser)
+        root = gzip.compress(serialize_entries(root_entries), 6, mtime=0)
+        if len(root) <= ROOT_SPACE:
+            return root, bytes(leaves)
+        leaf_size *= 2
+
+
+def write_pmtiles(
+    df: DataFrame,
+    path: str,
+    metadata: dict | None = None,
+    payload: str = "bytes",
+    tile_type: str = "png",
+) -> int:
+    """Export a tile DataFrame as a PMTiles v3 archive. Returns tiles written."""
+    from .. import tile_math as tm
+    import numpy as np
+
+    rows = df.select("z", "x", "y", payload).collect()
+    keyed = []
+    for r in rows:
+        tid = int(
+            tm.hilbert_index(
+                np.array([r.z], dtype=np.int64),
+                np.array([r.x], dtype=np.int64),
+                np.array([r.y], dtype=np.int64),
+            )[0]
+        )
+        keyed.append((tid, int(r.z), int(r.x), int(r.y), bytes(r[3])))
+    keyed.sort(key=lambda t: t[0])
+    for a, b in zip(keyed, keyed[1:]):  # strict-increasing ids (writer.rs:201-206)
+        if a[0] >= b[0]:
+            raise ValueError(f"duplicate tile id {b[0]} — one payload per (z,x,y) required")
+
+    meta_blob = gzip.compress(
+        json.dumps(metadata or {"name": "spark-tiles"}).encode(), 6, mtime=0
+    )
+    entries = []
+    tile_blob = bytearray()
+    for tid, _, _, _, payload_bytes in keyed:
+        entries.append((tid, len(tile_blob), len(payload_bytes), 1))
+        tile_blob.extend(payload_bytes)
+    root_bytes, leaves_bytes = _build_directories(entries)
+
+    metadata_off = 16384
+    tile_data_off = metadata_off + len(meta_blob)
+    leaf_off = tile_data_off + len(tile_blob)
+
+    zs = [k[1] for k in keyed]
+    lons, lats = [], []
+    for _, z, x, y, _ in keyed:
+        w, s, e, n = tm.tile_to_geo_bbox(z, np.array([x]), np.array([y]))
+        lons += [float(w[0]), float(e[0])]
+        lats += [float(s[0]), float(n[0])]
+    min_lon, max_lon = (min(lons), max(lons)) if lons else (0.0, 0.0)
+    min_lat, max_lat = (min(lats), max(lats)) if lats else (0.0, 0.0)
+
+    header = bytearray()
+    header += b"PMTiles" + bytes([3])
+    for off, ln in (
+        (HEADER_LEN, len(root_bytes)),
+        (metadata_off, len(meta_blob)),
+        (leaf_off, len(leaves_bytes)),
+        (tile_data_off, len(tile_blob)),
+    ):
+        header += struct.pack("<QQ", off, ln)
+    header += struct.pack("<QQQ", len(entries), len(entries), len(entries))
+    header += bytes(
+        [
+            1,  # clustered (ids written in increasing order, contiguous data)
+            _COMPRESSION["gzip"],  # internal compression
+            _COMPRESSION["none"],  # tile compression (payloads stored raw)
+            _TILE_TYPE.get(tile_type, 0),
+            min(zs) if zs else 0,
+            max(zs) if zs else 0,
+        ]
+    )
+    header += struct.pack(
+        "<iiii",
+        int(min_lon * 1e7),
+        int(min_lat * 1e7),
+        int(max_lon * 1e7),
+        int(max_lat * 1e7),
+    )
+    header += bytes([min(zs) if zs else 0])
+    header += struct.pack(
+        "<ii", int((min_lon + max_lon) * 5e6), int((min_lat + max_lat) * 5e6)
+    )
+    assert len(header) == HEADER_LEN, len(header)
+
+    with open(path, "wb") as f:
+        f.write(header)
+        f.write(root_bytes)
+        f.write(b"\x00" * (16384 - HEADER_LEN - len(root_bytes)))
+        f.write(meta_blob)
+        f.write(tile_blob)
+        f.write(leaves_bytes)
+    return len(entries)
+
+
+def read_pmtiles_header(path: str) -> dict:
+    with open(path, "rb") as f:
+        buf = f.read(HEADER_LEN)
+    if buf[:7] != b"PMTiles" or buf[7] != 3:
+        raise ValueError("not a PMTiles v3 archive")
+    vals = struct.unpack_from("<8Q3Q", buf, 8)
+    pos = 8 + 11 * 8
+    clustered, internal_c, tile_c, tile_t, min_z, max_z = buf[pos : pos + 6]
+    pos += 6
+    bbox = struct.unpack_from("<iiii", buf, pos)
+    return {
+        "root_dir": (vals[0], vals[1]),
+        "metadata": (vals[2], vals[3]),
+        "leaf_dirs": (vals[4], vals[5]),
+        "tile_data": (vals[6], vals[7]),
+        "addressed_tiles": vals[8],
+        "clustered": bool(clustered),
+        "internal_compression": internal_c,
+        "tile_compression": tile_c,
+        "tile_type": _TYPE_NAME.get(tile_t, "unknown"),
+        "min_zoom": min_z,
+        "max_zoom": max_z,
+        "bounds_e7": bbox,
+    }
+
+
+def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a PMTiles archive back into an XYZ tile DataFrame (root + leaf
+    directories, Hilbert id decode)."""
+    from .. import tile_math as tm
+    import numpy as np
+
+    h = read_pmtiles_header(path)
+    with open(path, "rb") as f:
+        data = f.read()
+
+    def dir_at(rng):
+        off, ln = rng
+        return deserialize_entries(gzip.decompress(data[off : off + ln]))
+
+    entries = []
+    for e in dir_at(h["root_dir"]):
+        tid, off, ln, rl = e
+        if rl == 0:  # leaf pointer
+            loff = h["leaf_dirs"][0] + off
+            entries.extend(deserialize_entries(gzip.decompress(data[loff : loff + ln])))
+        else:
+            entries.append(e)
+    t0 = h["tile_data"][0]
+    rows = []
+    for tid, off, ln, rl in entries:
+        z, x, y = tm.hilbert_decode(np.array([tid], dtype=np.int64))
+        rows.append((int(z[0]), int(x[0]), int(y[0]), data[t0 + off : t0 + off + ln]))
+    return spark.createDataFrame(rows, "z int, x long, y long, bytes binary")
+
+
+def read_pmtiles_metadata(path: str) -> dict:
+    h = read_pmtiles_header(path)
+    with open(path, "rb") as f:
+        f.seek(h["metadata"][0])
+        return json.loads(gzip.decompress(f.read(h["metadata"][1])))
