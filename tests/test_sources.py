@@ -89,3 +89,33 @@ def test_tilejson_metadata(spark, tiles):
     assert -180 <= w < e <= 180 and -90 <= s < n <= 90
     lvl = tj["levels"][4]
     assert lvl["n_tiles"] == tiles.count()
+
+
+def test_tar_roundtrip(spark, tiles, tmp_path):
+    from versatiles_rs_spark.sources.tar import read_tar, write_tar
+
+    path = str(tmp_path / "tiles.tar")
+    n = write_tar(tiles, path)
+    assert n == tiles.count()
+    back = read_tar(spark, path)
+    a = {(r.z, r.x, r.y): bytes(r.bytes) for r in tiles.collect()}
+    b = {(r.z, r.x, r.y): bytes(r.bytes) for r in back.collect()}
+    assert a == b
+
+
+def test_tar_deterministic_and_skips_junk(spark, tiles, tmp_path):
+    import tarfile as tfmod
+
+    from versatiles_rs_spark.sources.tar import read_tar, write_tar
+
+    p1, p2 = str(tmp_path / "a.tar"), str(tmp_path / "b.tar")
+    write_tar(tiles.orderBy("z", "x", "y"), p1)
+    write_tar(tiles.orderBy("z", "x", "y"), p2)
+    assert open(p1, "rb").read() == open(p2, "rb").read()  # mtime=0, same order
+    with tfmod.open(p1, "a") as tf:
+        info = tfmod.TarInfo("metadata.json")
+        info.size = 2
+        import io as _io
+
+        tf.addfile(info, _io.BytesIO(b"{}"))
+    assert read_tar(spark, p1).count() == tiles.count()

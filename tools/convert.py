@@ -74,6 +74,10 @@ def main(argv=None):
         from versatiles_rs_spark.sources.pmtiles import read_pmtiles
 
         df = read_pmtiles(spark, args.src)
+    elif args.src.endswith(".tar"):
+        from versatiles_rs_spark.sources.tar import read_tar
+
+        df = read_tar(spark, args.src)
     elif os.path.isdir(args.src) and not any(
         name.endswith(".parquet") for name in os.listdir(args.src)
     ):
@@ -111,6 +115,11 @@ def main(argv=None):
         from versatiles_rs_spark.sources.pmtiles import write_pmtiles
 
         write_pmtiles(df, args.dst, tile_type=args.format or "png")
+        out_df = df
+    elif args.dst.endswith(".tar"):
+        from versatiles_rs_spark.sources.tar import write_tar
+
+        write_tar(df, args.dst)
         out_df = df
     elif args.layout == "hilbert":
         write_hilbert_sorted(df, args.dst)
