@@ -58,3 +58,30 @@ def test_salted_blend_order_matters_and_is_respected(spark):
             bytes(blend_images_per_tile(df, "image_id", n_salts=n_salts).first().bytes)
         )
         assert (out[..., :3] == 10).all()
+
+
+def test_stacked_raster_blend_translucent(spark):
+    """stacked_raster_blend must match the premultiplied blend_kernel on
+    semi-transparent lower layers (ADVICE r1: the old straight-alpha integer
+    fold pulled color from fully transparent pixels)."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.codecs import decode_image, encode_image
+    from versatiles_rs_spark.operators.stacked import blend_kernel, stacked_raster_blend
+
+    rng = np.random.default_rng(7)
+    top = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    top[..., 3] = 128  # semi-transparent upper layer
+    low = rng.integers(0, 256, (8, 8, 4), dtype=np.uint8)
+    low[..., 3] = 64  # semi-transparent lower layer w/ transparent pixels
+    low[0:4, 0:4, 3] = 0  # fully transparent region: must contribute NOTHING
+    mk = lambda img: spark.createDataFrame(
+        pd.DataFrame({"z": [3], "x": [1], "y": [2], "bytes": [encode_image(img, "png")]}),
+        schema="z long, x long, y long, bytes binary",
+    )
+    out = stacked_raster_blend([mk(top), mk(low)]).collect()
+    assert len(out) == 1 and out[0].n_blended == 2
+    got = decode_image(bytes(out[0].bytes))
+    want = blend_kernel([top, low])
+    assert np.array_equal(got, want)

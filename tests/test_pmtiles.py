@@ -112,3 +112,49 @@ def test_leaf_directory_split(spark, tmp_path):
     expect = {(r[1], r[2]): r[3] for r in rows}
     one = back.filter((F.col("x") == 57) & (F.col("y") == 33)).first()
     assert bytes(one.bytes) == expect[(57, 33)]
+
+
+def test_read_pmtiles_run_length_entries(spark, tmp_path):
+    """A spec-compliant external archive may address rl consecutive Hilbert
+    ids with ONE entry; reader must expand the run (ADVICE r1)."""
+    import gzip
+    import struct
+
+    import pandas as pd
+
+    from versatiles_rs_spark import tile_math as tm
+    from versatiles_rs_spark.sources.pmtiles import (
+        read_pmtiles,
+        serialize_entries,
+        write_pmtiles,
+    )
+
+    blob = b"\x89PNG-run-length-payload"
+    # three hilbert-consecutive tiles at z=2 sharing one payload
+    import numpy as np
+
+    tids = [5, 6, 7]
+    zs, xs, ys = tm.hilbert_decode(np.array(tids, dtype=np.int64))
+    pdf = pd.DataFrame({"z": zs, "x": xs, "y": ys, "bytes": [blob] * 3})
+    df = spark.createDataFrame(pdf, schema="z int, x long, y long, bytes binary")
+    p = str(tmp_path / "rl.pmtiles")
+    write_pmtiles(df, p)
+
+    raw = open(p, "rb").read()
+    vals = struct.unpack_from("<8Q", raw, 8)
+    (r_off, r_len), (m_off, m_len), (l_off, l_len), (t_off, t_len) = (
+        (vals[0], vals[1]), (vals[2], vals[3]), (vals[4], vals[5]), (vals[6], vals[7])
+    )
+    # rebuild: single rl=3 entry, tile data holds ONE copy of the payload
+    new_root = gzip.compress(serialize_entries([(tids[0], 0, len(blob), 3)]), mtime=0)
+    meta = raw[m_off : m_off + m_len]
+    leaf = raw[l_off : l_off + l_len]
+    hdr = bytearray(raw[:127])
+    nr = 127
+    nm, nl, nt = nr + len(new_root), nr + len(new_root) + len(meta), nr + len(new_root) + len(meta) + len(leaf)
+    struct.pack_into("<8Q", hdr, 8, nr, len(new_root), nm, len(meta), nl, len(leaf), nt, len(blob))
+    open(p, "wb").write(bytes(hdr) + new_root + meta + leaf + blob)
+
+    got = sorted((r.z, r.x, r.y, bytes(r.bytes)) for r in read_pmtiles(spark, p).collect())
+    want = sorted((int(z), int(x), int(y), blob) for z, x, y in zip(zs, xs, ys))
+    assert got == want

@@ -174,3 +174,16 @@ class TestNewFactories:
     def test_meta_update_rejects_unknown(self, spark):
         with pytest.raises(VPLParseError, match="unknown fields"):
             run_vpl(spark, "from_debug n=4 | meta_update wat=1")
+
+
+def test_meta_update_survives_downstream_transforms(spark):
+    """meta_update followed by another transform must keep the TileJSON
+    sidecar (ADVICE r1: it was attribute-dropped by the next transform)."""
+    from versatiles_rs_spark.plans.vpl import run_vpl, tilejson_of
+
+    df = run_vpl(
+        spark,
+        'from_debug format=png zoom=3 | meta_update attribution="test-attr" | filter_zoom min=1 max=3',
+    )
+    tj = tilejson_of(df)
+    assert tj.get("attribution") == "test-attr"

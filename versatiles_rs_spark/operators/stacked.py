@@ -72,28 +72,10 @@ def stacked_raster_blend(
     out_schema = ", ".join(f"{k} long" for k in keys) + f", {payload} binary, n_blended int"
 
     def blend(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
         pdf = pdf.sort_values("src")
-        acc = None
-        n = 0
-        for raw in pdf[payload]:
-            img = decode_image(bytes(raw))
-            if img.shape[2] == 3:  # no alpha -> opaque
-                a = np.full(img.shape[:2] + (1,), 255, np.uint8)
-                img = np.concatenate([img, a], axis=2)
-            if acc is None:
-                acc = img.astype(np.uint16)
-            else:
-                # source-over: acc over img (acc is the upper layer stack)
-                aa = acc[..., 3:4]
-                inv = 255 - aa
-                acc[..., :3] = (acc[..., :3] * aa + img[..., :3].astype(np.uint16) * inv + 127) // 255
-                acc[..., 3:4] = aa + (img[..., 3:4].astype(np.uint16) * inv + 127) // 255
-            n += 1
-            if int(acc[..., 3].min()) == 255:  # opaque short-circuit (:68-70)
-                break
-        blob = encode_image(acc.astype(np.uint8), fmt)
+        imgs = (decode_image(bytes(b)) for b in pdf[payload])
+        out, n = blend_kernel(imgs, return_n=True)
+        blob = encode_image(out, fmt)
         row = {k: [pdf[k].iloc[0]] for k in keys}
         row[payload] = [blob]
         row["n_blended"] = [n]
@@ -102,9 +84,10 @@ def stacked_raster_blend(
     return u.groupBy(*keys).applyInPandas(blend, schema=out_schema)
 
 
-def blend_kernel(images: list) -> "object":
+def blend_kernel(images: list, return_n: bool = False) -> "object":
     """Source-over fold of decoded RGBA arrays, first = top; returns the
-    composited RGBA array (opaque short-circuit inside the loop).
+    composited RGBA array (opaque short-circuit inside the loop), or
+    (array, n_consumed) when return_n is set.
 
     Compositing runs in PREMULTIPLIED-alpha float space — source-over is
     exactly associative there, which is what makes the two-phase salted
@@ -114,7 +97,9 @@ def blend_kernel(images: list) -> "object":
     import numpy as np
 
     acc_c = acc_a = None  # premultiplied color, alpha in [0,1]
+    n = 0
     for img in images:
+        n += 1
         if img.shape[2] == 3:
             a = np.full(img.shape[:2] + (1,), 255, np.uint8)
             img = np.concatenate([img, a], axis=2)
@@ -130,7 +115,8 @@ def blend_kernel(images: list) -> "object":
             break
     straight = np.where(acc_a > 0, acc_c / np.maximum(acc_a, 1e-12), 0.0)
     out = np.concatenate([straight, acc_a], axis=2)
-    return np.clip(np.round(out * 255.0), 0, 255).astype("uint8")
+    out = np.clip(np.round(out * 255.0), 0, 255).astype("uint8")
+    return (out, n) if return_n else out
 
 
 def blend_images_per_tile(

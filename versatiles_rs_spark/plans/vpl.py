@@ -188,7 +188,12 @@ def build_pipeline(spark: SparkSession, pipe: VPLPipeline) -> DataFrame:
             raise VPLParseError(f"unknown transform operation {node.name!r}")
         if node.children:
             raise VPLParseError(f"transform {node.name!r} cannot take source lists")
+        prev = df
         df = TRANSFORM_FACTORIES[node.name](df, **node.params)
+        # Thread the TileJSON sidecar through: transforms return NEW DataFrame
+        # objects, which would silently drop meta_update's attribute.
+        if df is not prev and hasattr(prev, "_vt_meta") and not hasattr(df, "_vt_meta"):
+            df._vt_meta = prev._vt_meta
     return df
 
 

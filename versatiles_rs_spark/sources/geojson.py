@@ -64,33 +64,42 @@ def _point_rows(feat: dict, default_id: str):
 
 
 def read_ndgeojson_polygons(spark: SparkSession, path: str) -> DataFrame:
-    """NDJSON (one Feature per line) -> polygon relation, fully distributed."""
-    lines = spark.read.text(path)
+    """NDJSON (one Feature per line) -> polygon relation, fully distributed.
+
+    Fallback ids for id-less features use monotonically_increasing_id (globally
+    unique: partition id << 33 | row offset) — batch-local offsets would
+    collide across partitions and corrupt feature_id-keyed joins.
+    """
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).withColumn("_gid", F.monotonically_increasing_id())
 
     def parse(batches):
         for pdf in batches:
             rows = []
-            for off, line in enumerate(pdf["value"]):
+            for gid, line in zip(pdf["_gid"], pdf["value"]):
                 line = line.strip()
                 if not line:
                     continue
-                rows.extend(_poly_rows(json.loads(line), f"f{off}"))
+                rows.extend(_poly_rows(json.loads(line), f"f{gid}"))
             yield pd.DataFrame(rows, columns=["feature_id", "rings", "props"])
 
     return lines.mapInPandas(parse, schema=POLY_SCHEMA)
 
 
 def read_ndgeojson_points(spark: SparkSession, path: str) -> DataFrame:
-    lines = spark.read.text(path)
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path).withColumn("_gid", F.monotonically_increasing_id())
 
     def parse(batches):
         for pdf in batches:
             rows = []
-            for off, line in enumerate(pdf["value"]):
+            for gid, line in zip(pdf["_gid"], pdf["value"]):
                 line = line.strip()
                 if not line:
                     continue
-                rows.extend(_point_rows(json.loads(line), f"f{off}"))
+                rows.extend(_point_rows(json.loads(line), f"f{gid}"))
             yield pd.DataFrame(rows, columns=["feature_id", "lon", "lat", "props"])
 
     return lines.mapInPandas(parse, schema=POINT_SCHEMA)

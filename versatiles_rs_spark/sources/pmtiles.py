@@ -265,8 +265,11 @@ def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
     t0 = h["tile_data"][0]
     rows = []
     for tid, off, ln, rl in entries:
-        z, x, y = tm.hilbert_decode(np.array([tid], dtype=np.int64))
-        rows.append((int(z[0]), int(x[0]), int(y[0]), data[t0 + off : t0 + off + ln]))
+        # run_length > 1: spec-compliant archives address rl consecutive
+        # Hilbert tile ids at the same offset/length (pmtiles spec §directories)
+        for t in range(tid, tid + max(int(rl), 1)):
+            z, x, y = tm.hilbert_decode(np.array([t], dtype=np.int64))
+            rows.append((int(z[0]), int(x[0]), int(y[0]), data[t0 + off : t0 + off + ln]))
     return spark.createDataFrame(rows, "z int, x long, y long, bytes binary")
 
 
