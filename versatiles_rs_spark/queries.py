@@ -615,14 +615,43 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("hilbert_order", None)
+@register(
+    "hilbert_order",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT 8 AS z, {_EV_X8} AS x, {_EV_Y8} AS y, count(*) AS "count"
+      FROM events GROUP BY 1, 2, 3
+    ), h AS (
+      -- unrolled-by-recursion xy->d Hilbert walk (tile_hilbert_index.rs:81-113):
+      -- z=8 level offset (4^8-1)/3 = 21845; 8 steps s = 128 .. 1
+      SELECT x, y, "count", x AS hx, y AS hy,
+             CAST(128 AS BIGINT) AS s, CAST(21845 AS BIGINT) AS d
+      FROM t
+      UNION ALL
+      SELECT x, y, "count",
+             CASE WHEN (hy & s) = 0
+                  THEN CASE WHEN (hx & s) > 0 THEN s - 1 - hy ELSE hy END
+                  ELSE hx END,
+             CASE WHEN (hy & s) = 0
+                  THEN CASE WHEN (hx & s) > 0 THEN s - 1 - hx ELSE hx END
+                  ELSE hy END,
+             s // 2,
+             d + s * s * xor(3 * (CASE WHEN (hx & s) > 0 THEN 1 ELSE 0 END),
+                             CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END)
+      FROM h WHERE s >= 1
+    )
+    SELECT d AS hilbert, 8 AS z, x, y, "count"
+    FROM h WHERE s = 0 ORDER BY hilbert LIMIT 100
+    """,
+)
 def q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiles in strict Hilbert (PMTiles) order — top 100 ids.
 
     Parity: PMTiles writer requires strictly-increasing tile_ids
     (/root/reference/versatiles_container/src/container/pmtiles/writer.rs:103,201-206);
     Hilbert encode tile_hilbert_index.rs:81-113. Pytest checks exact golden ids
-    + monotonicity per partition.
+    + monotonicity per partition; the DuckDB oracle replays the per-bit
+    rotate/reflect walk as a recursive CTE.
     """
     df = _events_with_tiles(spark, sf_dir, 8).groupBy("z", "x", "y").count()
     df = udfs.with_hilbert(df)
@@ -759,11 +788,14 @@ def q_tilejson_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("knn_kring", None)
+@register("knn_kring", REGISTRY["knn_events"].oracle)
 def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-pruned k-ring kNN (scale path) — pytest verifies equality with
-    knn_bruteforce; driver checks rows. Ring sized for k=3 at cell_zoom=3."""
-    from .joins.knn import knn_cell_pruned
+    """Cell k-ring kNN with adaptive ring widening at a coarse cell zoom —
+    EXACT kNN (covered-radius proof), so it shares knn_events' brute-force
+    oracle verbatim. The fixed-ring variant (knn_cell_pruned) stays pytest-
+    covered; the registry ships the variant whose exactness doesn't hinge on
+    a tuned ring (VERDICT r1 #9)."""
+    from .joins.knn import knn_cell_adaptive
 
     region = load(spark, sf_dir, "region")
     key = F.col("r_regionkey") * 17 + 3
@@ -777,14 +809,49 @@ def q_knn_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
         derived_lon_expr(F.col("event_id")).alias("lon"),
         derived_lat_expr(F.col("event_id")).alias("lat"),
     )
-    return knn_cell_pruned(pts, queries_df, k=3, cell_zoom=3, ring=1, id_col="event_id")
+    return knn_cell_adaptive(pts, queries_df, k=3, cell_zoom=3, id_col="event_id")
 
 
-@register("pip_polygons", None)
+def _polygon_edges_sql(n: int) -> str:
+    """Inline the deterministic polygon fixture as a SQL VALUES edge list so
+    DuckDB can replay the crossing-number test (even-odd over ALL rings —
+    holes included — exactly mirrors joins/pip.py points_in_polygon_multi)."""
+    from .fixtures import polygons_pdf
+
+    vals = []
+    for _, row in polygons_pdf(n).iterrows():
+        for ring in row["rings"]:
+            for (x0, y0), (x1, y1) in zip(ring[:-1], ring[1:]):
+                vals.append(f"('{row['poly_id']}',{x0!r},{y0!r},{x1!r},{y1!r})")
+    return ", ".join(vals)
+
+
+@register(
+    "pip_polygons",
+    f"""
+    WITH pts AS (
+      SELECT event_id, {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+    ), edges(poly_id, x0, y0, x1, y1) AS (
+      VALUES {_polygon_edges_sql(60)}
+    ), hits AS (
+      -- crossing number: identical float64 op order as the numpy kernel
+      -- ((y0 > py) != (y1 > py)) & (px < (x1-x0)*(py-y0)/(y1-y0) + x0)
+      SELECT p.event_id, e.poly_id
+      FROM pts p JOIN edges e
+        ON ((e.y0 > p.lat) <> (e.y1 > p.lat))
+       AND p.lon < (e.x1 - e.x0) * (p.lat - e.y0) / (e.y1 - e.y0) + e.x0
+      GROUP BY 1, 2
+      HAVING count(*) % 2 = 1
+    )
+    SELECT poly_id, CAST(count(*) AS BIGINT) AS n_points, min(event_id) AS min_id
+    FROM hits GROUP BY 1
+    """,
+)
 def q_pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-polygon PIP join (holes, L-shapes, tile-aligned edges) via
     the cell-partitioned strategy; per-zone counts. Pytest verifies against a
-    pure-python ray-casting oracle."""
+    pure-python ray-casting oracle; the DuckDB oracle re-derives containment
+    from the inlined edge list by crossing-number parity."""
     from .fixtures import polygons_df
     from .joins.pip import pip_join_polygons_partitioned
 
@@ -800,10 +867,42 @@ def q_pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lang_id", None)
+def _langid_oracle_sql() -> str:
+    """Replay the marker-frequency heuristic (functions/text.py langid_udf)
+    in SQL: per-language marker-regex counts, argmax with alphabetical
+    tie-break, 'unknown' when every score is zero."""
+    from .functions.text import _LANG_MARKERS
+
+    langs = sorted(_LANG_MARKERS)
+    score_exprs = []
+    for lang in langs:
+        pats = [
+            m if lang == "zh" else m.replace(" ", "\\s") for m in _LANG_MARKERS[lang]
+        ]
+        terms = " + ".join(f"len(regexp_extract_all(t, '{p}'))" for p in pats)
+        score_exprs.append(f"({terms}) AS sc_{lang}")
+    cases = " ".join(f"WHEN sc_{lang} = m THEN '{lang}'" for lang in langs)
+    return f"""
+    WITH s AS (
+      SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents
+    ), sc AS (
+      SELECT lang, {', '.join(score_exprs)} FROM s
+    ), p AS (
+      SELECT lang, greatest({', '.join('sc_' + lg for lg in langs)}) AS m, *
+      FROM sc
+    )
+    SELECT lang,
+           CASE WHEN m = 0 THEN 'unknown' {cases} END AS lang_pred,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """
+
+
+@register("lang_id", _langid_oracle_sql())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID n-gram/marker heuristic — predicted language distribution
-    (rows-only; pytest checks accuracy against the `lang` column)."""
+    (pytest checks accuracy against the `lang` column; the DuckDB oracle
+    replays the marker argmax in SQL)."""
     from .functions.text import with_langid
 
     docs = load(spark, sf_dir, "documents")
@@ -967,10 +1066,10 @@ def q_mvt_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_adaptive", None)
+@register("knn_adaptive", REGISTRY["knn_events"].oracle)
 def q_knn_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN via ring-widening cell search (mercator covered-radius
-    proof); equals knn_events' brute force — verified in pytest."""
+    proof); equals knn_events' brute force, so it shares its oracle."""
     from .joins.knn import knn_cell_adaptive
 
     region = load(spark, sf_dir, "region")
