@@ -93,3 +93,30 @@ def test_large_random_set_closes_all_rings():
     assert total == float(len(pts))  # outer areas minus holes == tile count
     for r in rings:
         assert r[0] == r[-1]
+
+
+def test_distributed_boundary_edges_parity(spark):
+    """groupBy edge-cancellation (Spark) must yield the same rings as the
+    local neighbor-test path, including donuts and diagonal pinch points."""
+    import pandas as pd
+
+    from versatiles_rs_spark.outline import (
+        boundary_edges_df,
+        rings_from_edges,
+        tile_outline_rings,
+    )
+
+    # donut (3x3 minus center) + diagonal-pinch pair + isolated tile
+    tiles = [(x, y) for x in range(3) for y in range(3) if (x, y) != (1, 1)]
+    tiles += [(5, 5), (6, 6), (9, 0)]
+    df = spark.createDataFrame(pd.DataFrame(tiles, columns=["x", "y"]), "x long, y long")
+    edges = [((r.sx, r.sy), (r.ex, r.ey)) for r in boundary_edges_df(df).collect()]
+    got = sorted(
+        (tuple(sorted(ring)), len(ring)) for ring in rings_from_edges(edges)
+    )
+    want = sorted(
+        (tuple(sorted(ring)), len(ring))
+        for ring in tile_outline_rings([t[0] for t in tiles], [t[1] for t in tiles])
+    )
+    # 5 rings: donut outer + donut hole + 2 pinch-separated outers + isolated
+    assert got == want and len(got) == 5

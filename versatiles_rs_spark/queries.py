@@ -1105,13 +1105,17 @@ def q_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tile_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outline polygons of the z=5 tile coverage (TileOutline union analog,
     tile_outline/mod.rs:60-66 — edge-chaining union, no shapely). Emits one
-    row per ring: orientation-signed tile area + vertex count."""
-    from .outline import ring_signed_area, tile_outline_rings
+    row per ring: orientation-signed tile area + vertex count.
 
-    tiles = (
-        _events_with_tiles(spark, sf_dir, 5).select("x", "y").distinct().collect()
-    )
-    rings = tile_outline_rings([r.x for r in tiles], [r.y for r in tiles])
+    Scale shape: boundary edges come from a DISTRIBUTED groupBy cancellation
+    (interior edges appear twice, boundary once); only the O(perimeter) edge
+    set reaches the driver for ring chaining — never the tile set."""
+    from .outline import boundary_edges_df, ring_signed_area, rings_from_edges
+
+    edge_rows = boundary_edges_df(
+        _events_with_tiles(spark, sf_dir, 5).select("x", "y")
+    ).collect()
+    rings = rings_from_edges([((r.sx, r.sy), (r.ex, r.ey)) for r in edge_rows])
     rows = [
         (i, len(ring) - 1, float(ring_signed_area(ring)), min(ring))
         for i, ring in enumerate(
