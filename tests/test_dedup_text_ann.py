@@ -241,3 +241,43 @@ def test_bucket_cap_drops_hot_buckets(spark):
     ).collect()
     cluster_pairs = [r for r in capped if r.id_a < 40 and r.id_b < 40]
     assert cluster_pairs == []  # hot bucket dropped, not enumerated
+
+
+def test_cosine_pairs_lsh_subquadratic(spark):
+    """On clustered data at a near-dup threshold, the LSH path must find the
+    same pairs as the exact path while enumerating far fewer candidates than
+    N^2/2 (VERDICT r1 #3)."""
+    from versatiles_rs_spark.functions.ann import (
+        _band_signature_udf,
+        _lsh_candidate_pairs,
+        cosine_expr,
+        cosine_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 32, 12, 25
+    cents = rng.standard_normal((n_clusters, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    vecs = np.repeat(cents, per, axis=0) + 0.05 * rng.standard_normal((n_clusters * per, dim))
+    n = len(vecs)
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": [list(map(float, v)) for v in vecs]})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= 0.9)
+        .collect()
+    )
+    got = sorted((r.id_a, r.id_b) for r in cosine_pairs_lsh(df, 0.9, dim=dim).collect())
+    assert len(exact) > 500  # clusters actually produce near-dup pairs
+    recall = len(set(got) & set(exact)) / len(exact)
+    assert recall >= 0.98 and set(got) <= set(exact)
+
+    sig = df.select(
+        "vec_id", _band_signature_udf(dim, 16, 8)(F.col("embedding")).alias("sig")
+    )
+    n_cand = _lsh_candidate_pairs(sig, "vec_id", 2000).count()
+    assert n_cand < n * (n - 1) / 2 * 0.3  # way below all-pairs

