@@ -257,9 +257,23 @@ def points_to_vector_tiles(points, zoom: int, layer: str = "points", extent: int
     return df.groupBy("z", "x", "y").applyInPandas(build, schema=out_schema)
 
 
+def decode_tile_payload(blob: bytes):
+    """Sniff-dispatch: VTV1 engine framing or real MVT protobuf (mvt_pbf)."""
+    from .mvt_pbf import decode_tile_payload as _d
+
+    return _d(blob)
+
+
+def encode_tile_payload(layers, fmt: str) -> bytes:
+    from .mvt_pbf import encode_tile_payload as _e
+
+    return _e(layers, fmt)
+
+
 def filter_layers_payload(df, names: list[str], invert: bool = False, payload: str = "bytes"):
     """vector_filter_layers on BINARY payloads (vector_filter_layers.rs:32-54):
-    decode -> keep/drop named layers -> re-encode, Arrow-batched."""
+    decode -> keep/drop named layers -> re-encode, Arrow-batched. Payloads may
+    be VTV1 or real MVT protobuf — each blob round-trips in its own format."""
     import pandas as pd
 
     keep = (lambda n: n not in names) if invert else (lambda n: n in names)
@@ -268,8 +282,8 @@ def filter_layers_payload(df, names: list[str], invert: bool = False, payload: s
         for pdf in batches:
             out = []
             for blob in pdf[payload]:
-                layers = decode_vector_tile(bytes(blob))
-                out.append(encode_vector_tile([l for l in layers if keep(l["name"])]))
+                layers, fmt = decode_tile_payload(bytes(blob))
+                out.append(encode_tile_payload([l for l in layers if keep(l["name"])], fmt))
             pdf = pdf.copy()
             pdf[payload] = pd.Series(out, index=pdf.index)
             yield pdf
@@ -293,7 +307,7 @@ def filter_properties_payload(
         for pdf in batches:
             out = []
             for blob in pdf[payload]:
-                layers = decode_vector_tile(bytes(blob))
+                layers, fmt = decode_tile_payload(bytes(blob))
                 for layer in layers:
                     for f in layer["features"]:
                         f["props"] = {
@@ -301,7 +315,7 @@ def filter_properties_payload(
                             for k, v in f["props"].items()
                             if bool(rx.search(f"{layer['name']}/{k}")) == invert
                         }
-                out.append(encode_vector_tile(layers))
+                out.append(encode_tile_payload(layers, fmt))
             pdf = pdf.copy()
             pdf[payload] = pd.Series(out, index=pdf.index)
             yield pdf
@@ -332,7 +346,7 @@ def update_properties_payload(
         for pdf in batches:
             out = []
             for blob in pdf[payload]:
-                layers = decode_vector_tile(bytes(blob))
+                layers, fmt = decode_tile_payload(bytes(blob))
                 for layer in layers:
                     feats = []
                     for f in layer["features"]:
@@ -348,7 +362,7 @@ def update_properties_payload(
                             f["props"] = {**f["props"], **{str(k): str(v) for k, v in new.items()}}
                         feats.append(f)
                     layer["features"] = feats
-                out.append(encode_vector_tile(layers))
+                out.append(encode_tile_payload(layers, fmt))
             pdf = pdf.copy()
             pdf[payload] = pd.Series(out, index=pdf.index)
             yield pdf
@@ -373,8 +387,12 @@ def merge_vector_payloads(sources: list, keys=("z", "x", "y"), payload: str = "b
 
     def merge(pdf: pd.DataFrame) -> pd.DataFrame:
         merged: dict[str, dict] = {}
-        for _, row in pdf.sort_values("src").iterrows():
-            for layer in decode_vector_tile(bytes(row[payload])):
+        fmt = "vtv1"
+        for si, row in enumerate(pdf.sort_values("src").itertuples()):
+            layers, f_fmt = decode_tile_payload(bytes(getattr(row, payload)))
+            if si == 0:
+                fmt = f_fmt
+            for layer in layers:
                 if layer["name"] in merged:
                     merged[layer["name"]]["features"].extend(layer["features"])
                 else:
@@ -383,7 +401,7 @@ def merge_vector_payloads(sources: list, keys=("z", "x", "y"), payload: str = "b
                         "extent": layer["extent"],
                         "features": list(layer["features"]),
                     }
-        blob = encode_vector_tile(list(merged.values()))
+        blob = encode_tile_payload(list(merged.values()), fmt)
         row = {k: [pdf[k].iloc[0]] for k in keys}
         row[payload] = [blob]
         return pd.DataFrame(row)
