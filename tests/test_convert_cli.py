@@ -78,3 +78,19 @@ def test_convert_mbtiles_roundtrip(spark, tmp_path):
     a = {(r.z, r.x, r.y): bytes(r.bytes) for r in read_mbtiles(spark, mb).collect()}
     b = {(r.z, r.x, r.y): bytes(r.bytes) for r in spark.read.parquet(pq).select("z","x","y","bytes").collect()}
     assert a == b
+
+
+def test_convert_versatiles_roundtrip(spark, tmp_path):
+    """vpl -> .versatiles -> parquet: the namesake container through the CLI."""
+    vpl = tmp_path / "p.vpl"
+    vpl.write_text("from_debug n=40 zoom=3\n")
+    vt = str(tmp_path / "t.versatiles")
+    m1 = run_convert(str(vpl), vt, "--dedup")
+    pq = str(tmp_path / "back")
+    m2 = run_convert(vt, pq, "--layout", "hilbert")
+    assert m2["n_tiles"] == m1["n_tiles"] > 0
+    from versatiles_rs_spark.sources.versatiles import read_versatiles
+
+    a = {(r.z, r.x, r.y): bytes(r.bytes) for r in read_versatiles(spark, vt).collect()}
+    b = {(r.z, r.x, r.y): bytes(r.bytes) for r in spark.read.parquet(pq).select("z","x","y","bytes").collect()}
+    assert a == b

@@ -74,6 +74,10 @@ def main(argv=None):
         from versatiles_rs_spark.sources.pmtiles import read_pmtiles
 
         df = read_pmtiles(spark, args.src)
+    elif args.src.endswith(".versatiles"):
+        from versatiles_rs_spark.sources.versatiles import read_versatiles
+
+        df = read_versatiles(spark, args.src)
     elif args.src.endswith(".tar"):
         from versatiles_rs_spark.sources.tar import read_tar
 
@@ -115,6 +119,11 @@ def main(argv=None):
         from versatiles_rs_spark.sources.pmtiles import write_pmtiles
 
         write_pmtiles(df, args.dst, tile_type=args.format or "png")
+        out_df = df
+    elif args.dst.endswith(".versatiles"):
+        from versatiles_rs_spark.sources.versatiles import write_versatiles
+
+        write_versatiles(df, args.dst, tile_type=args.format or "png")
         out_df = df
     elif args.dst.endswith(".tar"):
         from versatiles_rs_spark.sources.tar import write_tar

@@ -215,13 +215,15 @@ def decode_dem(rgb: np.ndarray, schema: str = "mapbox") -> np.ndarray:
 # blob compression (compression/functions.rs:141-200)
 # ---------------------------------------------------------------------------
 
-try:  # brotli absent in this container; gate per project instructions
+try:  # python-brotli if present; else stdlib-ctypes binding of libbrotli
     import brotli as _brotli  # type: ignore
 
     HAS_BROTLI = True
+    _br_compress, _br_decompress = _brotli.compress, _brotli.decompress
 except ImportError:
-    _brotli = None
-    HAS_BROTLI = False
+    from .brotli_ctypes import HAS_BROTLI
+    from .brotli_ctypes import compress as _br_compress
+    from .brotli_ctypes import decompress as _br_decompress
 
 
 def compress_blob(data: bytes, codec: str) -> bytes:
@@ -232,7 +234,7 @@ def compress_blob(data: bytes, codec: str) -> bytes:
     if codec == "brotli":
         if not HAS_BROTLI:
             raise NotImplementedError("brotli not available in this environment")
-        return _brotli.compress(data)
+        return _br_compress(data)
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -244,30 +246,25 @@ def decompress_blob(data: bytes, codec: str) -> bytes:
     if codec == "brotli":
         if not HAS_BROTLI:
             raise NotImplementedError("brotli not available in this environment")
-        return _brotli.decompress(data)
+        return _br_decompress(data)
     raise ValueError(f"unknown codec {codec}")
 
 
 def optimize_compression(blob: bytes, codec: str, accepted: set[str]) -> tuple[bytes, str]:
-    """Serve-path content negotiation (server/encoding.rs:48-54 +
-    compression/functions.rs:55): keep the payload's current codec when the
-    client accepts it; otherwise recompress minimally (prefer gzip over
-    identity when allowed — the reference's preference order with brotli
-    unavailable here)."""
-    accepted = {a.lower() for a in accepted} | {"identity"}
-    best = "none"
-    for target in ("br", "gzip"):  # preference order (encoding.rs)
-        if target in accepted and (target != "br" or HAS_BROTLI):
-            best = "brotli" if target == "br" else target
-            break
+    """Serve-path content negotiation (compression/functions.rs:70-85):
+    a COMPRESSED payload keeps its codec when the client accepts it; an
+    UNCOMPRESSED payload is compressed to the best accepted codec
+    (brotli > gzip, encoding.rs preference order); otherwise decompress and
+    recompress minimally, identity always acceptable."""
+    acc = {"brotli" if a.lower() == "br" else a.lower() for a in accepted}
     cur = "none" if codec in (None, "none") else codec
-    cur_ok = cur == "none" or cur in accepted or (cur == "brotli" and "br" in accepted)
-    if cur_ok and cur == best:
+    if cur != "none" and cur in acc:
         return blob, cur
     raw = decompress_blob(blob, cur)
-    if best == "none":
-        return raw, "none"
-    return compress_blob(raw, best), best
+    for target in ("brotli", "gzip"):
+        if target in acc and (target != "brotli" or HAS_BROTLI):
+            return compress_blob(raw, target), target
+    return raw, "none"
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -42,8 +42,8 @@ def recompress(
     payload: str = "bytes",
     codec_col: str = "codec",
 ) -> DataFrame:
-    """Re-encode payload compression (none <-> gzip); brotli unavailable in
-    this environment, gated behind import (compression/functions.rs:141-200).
+    """Re-encode payload compression (none <-> gzip <-> brotli; brotli via
+    the system libbrotli ctypes binding, compression/functions.rs:141-200).
 
     Arrow-batched mapInPandas over the binary column. Skips work when the
     payload already has the target codec ("optimize_compression" semantics,

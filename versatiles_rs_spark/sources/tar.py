@@ -5,10 +5,10 @@ writer — any write order, same path scheme as the directory container).
 Single-file edge format handled driver-side like mbtiles/pmtiles; the
 analytical scan stays on parquet tile tables.
 
-The .versatiles container itself is NOT implemented: its block/tile indices
-are mandatorily Brotli-compressed (versatiles/reader.rs:90-131) and brotli
-is absent in this environment; its analytical role (256x256 block layout)
-is covered by sinks/writers.py::write_block_grouped.
+The .versatiles container lives in sources/versatiles.py (real read+write;
+its mandatory Brotli indices use the system libbrotli via ctypes —
+brotli_ctypes.py); its analytical 256x256 block layout is also mirrored by
+sinks/writers.py::write_block_grouped for partitioned output.
 """
 
 from __future__ import annotations
