@@ -4,19 +4,20 @@ Parity targets (/root/reference/versatiles_image/src/format/): png.rs:26-77,
 jpeg.rs:36-74, webp.rs:32-91; compression functions
 versatiles_core/src/utils/compression/functions.rs:55,141-200.
 
-Environment note: no Pillow / libjpeg / libwebp in this container, so:
+Codec inventory (no Python imaging package here, but system C libs exist):
 
 - **PNG is a real, spec-compliant codec** (stdlib zlib + struct): RGB8 /
   RGBA8 / Luma8 / LumaA8, filter-0 encode, full 5-filter decode. Lossless,
   round-trip exact — mirrors png.rs supporting exactly those pixel types
   (operation.rs:92-98).
-- **JPG / WEBP are deterministic stand-ins** ("vt-lossy" container:
-  magic + quality-quantized pixels + zlib). They model the *lossy* property
-  (quality-controlled quantization -> bounded PSNR) with real Spark-side
-  plumbing; swap `encode_image`/`decode_image` for Pillow in production.
-  Marked STUB per project instructions.
-- Compression: gzip (stdlib) real; brotli gated behind import-try
-  (absent here) — matching the reference's {none, gzip, brotli} enum.
+- **JPG / WEBP are real codecs** via ctypes over system libgd/libwebp
+  (image_ctypes.py) — baseline JPEG and full WebP incl. lossless. When the
+  shared libraries are absent the deterministic "vt-lossy" stand-ins
+  (magic + quality-quantized pixels + zlib) remain as the gated fallback,
+  and legacy vt-lossy payloads still decode.
+- Compression: gzip (stdlib) real; brotli real via ctypes over system
+  libbrotli (brotli_ctypes.py) — the reference's full {none, gzip, brotli}
+  enum.
 """
 
 from __future__ import annotations
@@ -147,19 +148,31 @@ def detect_format(blob: bytes) -> str:
     formats explicitly; we sniff for robustness)."""
     if blob[:8] == PNG_SIG:
         return "png"
+    if blob[:3] == b"\xff\xd8\xff":
+        return "jpg"
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        return "webp"
     if blob[:4] in _LOSSY_MAGIC:
-        return _LOSSY_MAGIC[blob[:4]]
+        return _LOSSY_MAGIC[blob[:4]]  # legacy vt-lossy stand-in payloads
     if blob[:2] == b"\x1f\x8b":
         return "gzip"
     return "bin"
+
+
+try:  # real JPEG/WebP via system libgd/libwebp (image_ctypes); else stand-ins
+    from .image_ctypes import HAS_GD_JPEG, HAS_WEBP, jpeg_decode, jpeg_encode, webp_decode, webp_encode
+except Exception:  # pragma: no cover - load failure counts as absent
+    HAS_GD_JPEG = HAS_WEBP = False
 
 
 def encode_image(img: np.ndarray, fmt: str, quality: int = 85) -> bytes:
     fmt = fmt.lower()
     if fmt == "png":
         return encode_png(img)
-    if fmt in ("jpg", "jpeg", "webp"):
-        return encode_lossy(img, fmt, quality)
+    if fmt in ("jpg", "jpeg"):
+        return jpeg_encode(img, quality) if HAS_GD_JPEG else encode_lossy(img, fmt, quality)
+    if fmt == "webp":
+        return webp_encode(img, quality) if HAS_WEBP else encode_lossy(img, fmt, quality)
     raise ValueError(f"unsupported format {fmt} (avif decode likewise unimplemented in reference, avif.rs:79)")
 
 
@@ -167,8 +180,12 @@ def decode_image(blob: bytes) -> np.ndarray:
     fmt = detect_format(blob)
     if fmt == "png":
         return decode_png(blob)
+    if fmt == "jpg" and blob[:3] == b"\xff\xd8\xff":
+        return jpeg_decode(blob)
+    if fmt == "webp" and blob[:4] == b"RIFF":
+        return webp_decode(blob)
     if fmt in ("jpg", "webp"):
-        return decode_lossy(blob)
+        return decode_lossy(blob)  # legacy vt-lossy payloads
     raise ValueError(f"cannot decode format {fmt}")
 
 
