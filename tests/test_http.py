@@ -1,0 +1,136 @@
+"""Remote HTTP range source + serve shim tests (data_reader_http.rs:91-98,
+tile_server.rs:54 / routes.rs:14-22 parity)."""
+
+import gzip
+import json
+import urllib.request
+
+import pandas as pd
+import pytest
+
+
+@pytest.fixture()
+def tile_df(spark):
+    tiles = [(3, x, y, f"t{3}/{x}/{y}".encode() * 20) for x in range(4) for y in range(2)]
+    pdf = pd.DataFrame(tiles, columns=["z", "x", "y", "bytes"])
+    return spark.createDataFrame(pdf, schema="z int, x long, y long, bytes binary")
+
+
+def test_http_range_reader_reads_ranges(tmp_path):
+    from versatiles_rs_spark.remote import HttpRangeReader, start_range_server
+
+    p = tmp_path / "blob.bin"
+    data = bytes(range(256)) * 100
+    p.write_bytes(data)
+    srv, base = start_range_server(str(tmp_path))
+    try:
+        rd = HttpRangeReader(f"{base}/blob.bin")
+        assert rd.size == len(data)
+        assert rd.read(0, 10) == data[:10]
+        assert rd.read(1000, 17) == data[1000:1017]
+        assert rd.read(len(data) - 5, 5) == data[-5:]
+    finally:
+        srv.shutdown()
+
+
+def test_read_pmtiles_over_http(spark, tile_df, tmp_path):
+    from versatiles_rs_spark.remote import start_range_server
+    from versatiles_rs_spark.sources.pmtiles import read_pmtiles, write_pmtiles
+
+    p = str(tmp_path / "t.pmtiles")
+    write_pmtiles(tile_df, p)
+    srv, base = start_range_server(str(tmp_path))
+    try:
+        local = sorted((r.z, r.x, r.y, bytes(r.bytes)) for r in read_pmtiles(spark, p).collect())
+        remote = sorted(
+            (r.z, r.x, r.y, bytes(r.bytes))
+            for r in read_pmtiles(spark, f"{base}/t.pmtiles").collect()
+        )
+        assert remote == local and len(remote) == 8
+    finally:
+        srv.shutdown()
+
+
+def test_read_versatiles_over_http(spark, tile_df, tmp_path):
+    from versatiles_rs_spark.remote import start_range_server
+    from versatiles_rs_spark.sources.versatiles import read_versatiles, write_versatiles
+
+    p = str(tmp_path / "t.versatiles")
+    write_versatiles(tile_df, p, tile_type="bin")
+    srv, base = start_range_server(str(tmp_path))
+    try:
+        remote = sorted(
+            (r.z, r.x, r.y, bytes(r.bytes))
+            for r in read_versatiles(spark, f"{base}/t.versatiles").collect()
+        )
+        local = sorted((r.z, r.x, r.y, bytes(r.bytes)) for r in read_versatiles(spark, p).collect())
+        assert remote == local and len(remote) == 8
+    finally:
+        srv.shutdown()
+
+
+def _get(url, headers=None):
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req) as r:
+        return r.status, dict(r.headers), r.read()
+
+
+def test_serve_tiles_routes(spark, tile_df):
+    from versatiles_rs_spark.server import serve_tiles
+
+    srv, base = serve_tiles(tile_df, tile_fmt="bin")
+    try:
+        # point lookup route (routes.rs:14-22)
+        st, hdrs, body = _get(f"{base}/tiles/3/1/0")
+        assert st == 200 and body == b"t3/1/0" * 20
+        # extension form + 404
+        st2, _, body2 = _get(f"{base}/tiles/3/1/0.bin")
+        assert st2 == 200 and body2 == body
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(f"{base}/tiles/9/9/9")
+        assert ei.value.code == 404
+        # tilejson
+        st3, _, meta = _get(f"{base}/tiles.json")
+        tj = json.loads(meta)
+        assert st3 == 200 and tj["minzoom"] == 3 and tj["maxzoom"] == 3
+    finally:
+        srv.shutdown()
+
+
+def test_serve_accept_encoding_negotiation(spark, tile_df):
+    """server/encoding.rs: gzip/brotli negotiated via Accept-Encoding."""
+    from versatiles_rs_spark.codecs import HAS_BROTLI, decompress_blob
+    from versatiles_rs_spark.server import serve_tiles
+
+    srv, base = serve_tiles(tile_df, tile_fmt="bin")
+    want = b"t3/0/0" * 20
+    try:
+        _, hdrs, body = _get(f"{base}/tiles/3/0/0", {"Accept-Encoding": "gzip"})
+        assert hdrs.get("Content-Encoding") == "gzip"
+        assert gzip.decompress(body) == want
+        if HAS_BROTLI:
+            _, hdrs2, body2 = _get(f"{base}/tiles/3/0/0", {"Accept-Encoding": "br, gzip"})
+            assert hdrs2.get("Content-Encoding") == "br"
+            assert decompress_blob(body2, "brotli") == want
+        _, hdrs3, body3 = _get(f"{base}/tiles/3/0/0", {"Accept-Encoding": "identity"})
+        assert hdrs3.get("Content-Encoding") is None and body3 == want
+    finally:
+        srv.shutdown()
+
+
+def test_serve_static_tar_br(spark, tile_df):
+    """Static-content mode from the reference's own brotli tar fixture."""
+    import os
+
+    from versatiles_rs_spark.codecs import HAS_BROTLI
+    from versatiles_rs_spark.server import serve_tiles
+
+    tarball = "/root/reference/testdata/static.tar.br"
+    if not (HAS_BROTLI and os.path.exists(tarball)):
+        pytest.skip("needs brotli + reference testdata")
+    srv, base = serve_tiles(tile_df, static_tar=tarball)
+    try:
+        st, _, body = _get(f"{base}/static/index.html", {"Accept-Encoding": "identity"})
+        assert st == 200 and b"<" in body
+    finally:
+        srv.shutdown()

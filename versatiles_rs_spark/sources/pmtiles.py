@@ -215,8 +215,13 @@ def write_pmtiles(
 
 
 def read_pmtiles_header(path: str) -> dict:
-    with open(path, "rb") as f:
-        buf = f.read(HEADER_LEN)
+    from ..remote import open_range_reader
+
+    buf = open_range_reader(path).read(0, HEADER_LEN)
+    return parse_pmtiles_header(buf)
+
+
+def parse_pmtiles_header(buf: bytes) -> dict:
     if buf[:7] != b"PMTiles" or buf[7] != 3:
         raise ValueError("not a PMTiles v3 archive")
     vals = struct.unpack_from("<8Q3Q", buf, 8)
@@ -242,39 +247,44 @@ def read_pmtiles_header(path: str) -> dict:
 
 def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
     """Scan a PMTiles archive back into an XYZ tile DataFrame (root + leaf
-    directories, Hilbert id decode)."""
+    directories, Hilbert id decode). `path` may be a local file or an
+    http(s):// URL — remote archives are read with ranged requests
+    (data_reader_http.rs:91-98 parity): header, directories, and the tile
+    data segment each fetch exactly one range."""
     from .. import tile_math as tm
     import numpy as np
 
-    h = read_pmtiles_header(path)
-    with open(path, "rb") as f:
-        data = f.read()
+    from ..remote import open_range_reader
+
+    rd = open_range_reader(path)
+    h = parse_pmtiles_header(rd.read(0, HEADER_LEN))
 
     def dir_at(rng):
         off, ln = rng
-        return deserialize_entries(gzip.decompress(data[off : off + ln]))
+        return deserialize_entries(gzip.decompress(rd.read(off, ln)))
 
     entries = []
     for e in dir_at(h["root_dir"]):
         tid, off, ln, rl = e
         if rl == 0:  # leaf pointer
-            loff = h["leaf_dirs"][0] + off
-            entries.extend(deserialize_entries(gzip.decompress(data[loff : loff + ln])))
+            entries.extend(dir_at((h["leaf_dirs"][0] + off, ln)))
         else:
             entries.append(e)
-    t0 = h["tile_data"][0]
+    t0, tlen = h["tile_data"]
+    tile_data = rd.read(t0, tlen)
     rows = []
     for tid, off, ln, rl in entries:
         # run_length > 1: spec-compliant archives address rl consecutive
         # Hilbert tile ids at the same offset/length (pmtiles spec §directories)
         for t in range(tid, tid + max(int(rl), 1)):
             z, x, y = tm.hilbert_decode(np.array([t], dtype=np.int64))
-            rows.append((int(z[0]), int(x[0]), int(y[0]), data[t0 + off : t0 + off + ln]))
+            rows.append((int(z[0]), int(x[0]), int(y[0]), tile_data[off : off + ln]))
     return spark.createDataFrame(rows, "z int, x long, y long, bytes binary")
 
 
 def read_pmtiles_metadata(path: str) -> dict:
-    h = read_pmtiles_header(path)
-    with open(path, "rb") as f:
-        f.seek(h["metadata"][0])
-        return json.loads(gzip.decompress(f.read(h["metadata"][1])))
+    from ..remote import open_range_reader
+
+    rd = open_range_reader(path)
+    h = parse_pmtiles_header(rd.read(0, HEADER_LEN))
+    return json.loads(gzip.decompress(rd.read(*h["metadata"])))

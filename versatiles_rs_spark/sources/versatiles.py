@@ -60,8 +60,12 @@ def _header_blob(fmt: str, compression: str, zooms, bbox, meta_range, blocks_ran
 
 
 def read_versatiles_header(path: str) -> dict:
-    with open(path, "rb") as f:
-        buf = f.read(HEADER_LEN)
+    from ..remote import open_range_reader
+
+    return parse_versatiles_header(open_range_reader(path).read(0, HEADER_LEN))
+
+
+def parse_versatiles_header(buf: bytes) -> dict:
     if len(buf) != HEADER_LEN or buf[:14] != MAGIC:
         raise ValueError("not a versatiles_v02 file")
     fmt, comp, z0, z1 = buf[14], buf[15], buf[16], buf[17]
@@ -180,13 +184,14 @@ def write_versatiles(
     return len(rows)
 
 
-def _iter_block_tiles(data: bytes, entry: bytes):
-    """Yield (z, x, y, blob) for one 33-byte block definition."""
+def _iter_block_tiles(rd, entry: bytes):
+    """Yield (z, x, y, blob) for one 33-byte block definition; two ranged
+    reads per block (tile index + tiles segment)."""
     z, bx, by, x0, y0, x1, y1, tiles_off, tiles_len, idx_len = struct.unpack(
         ">BIIBBBBQQI", entry
     )
-    idx_off = tiles_off + tiles_len
-    tidx = decompress_blob(data[idx_off : idx_off + idx_len], "brotli")
+    tidx = decompress_blob(rd.read(tiles_off + tiles_len, idx_len), "brotli")
+    tiles = rd.read(tiles_off, tiles_len)
     w = x1 - x0 + 1
     n = len(tidx) // 12
     for i in range(n):
@@ -195,28 +200,32 @@ def _iter_block_tiles(data: bytes, entry: bytes):
             continue
         x = bx * 256 + x0 + i % w
         y = by * 256 + y0 + i // w
-        yield z, x, y, data[tiles_off + off : tiles_off + off + ln]
+        yield z, x, y, tiles[off : off + ln]
 
 
 def read_versatiles(spark: SparkSession, path: str) -> DataFrame:
     """Scan a .versatiles archive into an XYZ tile DataFrame (reader.rs flow:
-    header -> brotli block index -> per-block brotli tile index -> ranges)."""
-    h = read_versatiles_header(path)
-    with open(path, "rb") as f:
-        data = f.read()
+    header -> brotli block index -> per-block brotli tile index -> ranges).
+    `path` may be a local file or an http(s):// URL — remote archives read
+    with ranged requests (data_reader_http.rs:91-98 parity)."""
+    from ..remote import open_range_reader
+
+    rd = open_range_reader(path)
+    h = parse_versatiles_header(rd.read(0, HEADER_LEN))
     b0, bl = h["blocks_range"]
-    bindex = decompress_blob(data[b0 : b0 + bl], "brotli")
+    bindex = decompress_blob(rd.read(b0, bl), "brotli")
     rows = []
     for i in range(len(bindex) // 33):
-        rows.extend(_iter_block_tiles(data, bindex[i * 33 : i * 33 + 33]))
+        rows.extend(_iter_block_tiles(rd, bindex[i * 33 : i * 33 + 33]))
     return spark.createDataFrame(rows, "z int, x long, y long, bytes binary")
 
 
 def read_versatiles_metadata(path: str) -> dict:
-    h = read_versatiles_header(path)
+    from ..remote import open_range_reader
+
+    rd = open_range_reader(path)
+    h = parse_versatiles_header(rd.read(0, HEADER_LEN))
     m0, ml = h["meta_range"]
     if ml == 0:
         return {}
-    with open(path, "rb") as f:
-        f.seek(m0)
-        return json.loads(decompress_blob(f.read(ml), h["compression"]))
+    return json.loads(decompress_blob(rd.read(m0, ml), h["compression"]))
