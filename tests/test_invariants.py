@@ -20,11 +20,11 @@ from versatiles_rs_spark.codecs import decode_image, psnr
 class TestFlagshipRowInvariants:
     @pytest.fixture(scope="class")
     def encoded(self, spark):
-        # the flagship's fused stage, png (lossless) and webp (lossy stand-in)
+        # the flagship's fused stage, png (lossless) and webp (REAL lossy
+        # codec; engine default quality 90 = measured 40 dB floor)
         return {
             fmt: fixtures.images_with_tiles_df(
                 spark, 60, size=16, zoom=6, partitions=2, target_fmt=fmt,
-                quality_table={"default": 80},
             ).collect()
             for fmt in ("png", "webp")
         }

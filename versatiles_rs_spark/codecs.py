@@ -165,7 +165,9 @@ except Exception:  # pragma: no cover - load failure counts as absent
     HAS_GD_JPEG = HAS_WEBP = False
 
 
-def encode_image(img: np.ndarray, fmt: str, quality: int = 85) -> bytes:
+def encode_image(img: np.ndarray, fmt: str, quality: int = 90) -> bytes:
+    # default quality 90: measured floor for the BASELINE row invariant
+    # (PSNR >= 40 dB) on 16px lossy->lossy chains with the real webp codec
     fmt = fmt.lower()
     if fmt == "png":
         return encode_png(img)

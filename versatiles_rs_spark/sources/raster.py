@@ -52,12 +52,134 @@ class GeoRaster:
         return out
 
 
+def _load_libtiff():
+    import ctypes
+    import ctypes.util
+
+    for n in ("libtiff.so.6", "libtiff.so.5", ctypes.util.find_library("tiff") or "libtiff.so"):
+        try:
+            t = ctypes.CDLL(n)
+        except OSError:
+            continue
+        t.TIFFOpen.restype = ctypes.c_void_p
+        t.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        t.TIFFReadRGBAImage.restype = ctypes.c_int
+        t.TIFFReadRGBAImage.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+        ]
+        t.TIFFClose.restype = None
+        t.TIFFClose.argtypes = [ctypes.c_void_p]
+        t.TIFFSetWarningHandler.restype = ctypes.c_void_p
+        t.TIFFSetWarningHandler.argtypes = [ctypes.c_void_p]
+        t.TIFFSetWarningHandler(None)
+        return t
+    return None
+
+
+_LIBTIFF = _load_libtiff()
+HAS_LIBTIFF = _LIBTIFF is not None
+
+
+def _geotiff_bbox(path: str) -> tuple[float, float, float, float]:
+    """Parse ModelPixelScale (33550) + ModelTiepoint (33922) + the GeoKey CRS
+    (34735 key 2048) from the first IFD — a 40-line manual walk, since
+    libtiff's tag table doesn't register GeoTIFF's custom tags."""
+    import struct
+
+    buf = open(path, "rb").read()
+    if buf[:2] == b"II":
+        bo = "<"
+    elif buf[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    off = struct.unpack_from(bo + "I", buf, 4)[0]
+    n = struct.unpack_from(bo + "H", buf, off)[0]
+    tags: dict[int, tuple] = {}
+    sizes = {3: 2, 4: 4, 12: 8}
+    fmts = {3: "H", 4: "I", 12: "d"}
+    w = h = 0
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, off + 2 + i * 12)
+        if typ not in sizes:
+            continue
+        total = sizes[typ] * cnt
+        vpos = off + 10 + i * 12
+        if total > 4:
+            vpos = struct.unpack_from(bo + "I", buf, vpos)[0]
+        vals = struct.unpack_from(bo + f"{cnt}{fmts[typ]}", buf, vpos)
+        tags[tag] = vals
+        if tag == 256:
+            w = vals[0]
+        elif tag == 257:
+            h = vals[0]
+    if 33550 not in tags or 33922 not in tags:
+        raise ValueError(f"{path}: no GeoTIFF geotransform tags")
+    # CRS check: GeoKey 2048 (GeographicTypeGeoKey) must be EPSG:4326 —
+    # arbitrary-CRS warping is GDAL's job (operation.rs); we cover the
+    # plain-WGS84 case this environment can express.
+    keys = tags.get(34735, ())
+    for k in range(4, len(keys), 4):
+        if keys[k] == 2048 and keys[k + 3] not in (4326, 9102):
+            raise NotImplementedError(
+                f"{path}: CRS EPSG:{keys[k + 3]} needs GDAL reprojection"
+            )
+    sx, sy = tags[33550][0], tags[33550][1]
+    px, py, _, gx, gy, _ = tags[33922][:6]
+    lon0 = gx - px * sx
+    lat0 = gy + py * sy
+    return (lon0, lat0 - h * sy, lon0 + w * sx, lat0)
+
+
 def open_raster(path: str) -> GeoRaster:
-    """STUB at the file-format boundary: no GDAL/rasterio in this container.
-    Production: `rasterio.open(path)` -> GeoRaster(arr, bounds)."""
+    """Decode a georeferenced raster file -> GeoRaster.
+
+    TIFF/GeoTIFF is REAL here: pixels via the system libtiff
+    (TIFFReadRGBAImage handles strip/tile layout, Deflate/LZW + predictor),
+    georeference via a manual GeoTIFF IFD parse — validated against the
+    reference's own testdata/gradient.tif. Other formats (or exotic CRSs)
+    still raise: plug rasterio/GDAL there (from_gdal/raster/operation.rs)."""
+    if path.lower().endswith((".tif", ".tiff")) and HAS_LIBTIFF:
+        import ctypes
+
+        bbox = _geotiff_bbox(path)
+        tif = _LIBTIFF.TIFFOpen(path.encode(), b"r")
+        if not tif:
+            raise ValueError(f"libtiff cannot open {path}")
+        try:
+            import struct
+
+            buf = open(path, "rb").read(8)
+            # w/h from the same IFD walk (tags 256/257)
+            data_bbox = bbox  # already parsed; reuse the IFD for dims
+            # minimal re-parse for dims
+            bo = "<" if buf[:2] == b"II" else ">"
+            full = open(path, "rb").read()
+            off = struct.unpack_from(bo + "I", full, 4)[0]
+            n = struct.unpack_from(bo + "H", full, off)[0]
+            w = h = 0
+            for i in range(n):
+                tag, typ, cnt = struct.unpack_from(bo + "HHI", full, off + 2 + i * 12)
+                if tag in (256, 257) and typ in (3, 4):
+                    v = struct.unpack_from(
+                        bo + ("H" if typ == 3 else "I"), full, off + 10 + i * 12
+                    )[0]
+                    w, h = (v, h) if tag == 256 else (w, v)
+            raster = (ctypes.c_uint32 * (w * h))()
+            ok = _LIBTIFF.TIFFReadRGBAImage(tif, w, h, raster, 1)
+            if not ok:
+                raise ValueError(f"libtiff failed to decode {path}")
+            arr = np.ctypeslib.as_array(raster).view(np.uint8).reshape(h, w, 4)
+            arr = arr[::-1].copy()  # TIFFReadRGBAImage is bottom-up
+            if (arr[:, :, 3] == 255).all():
+                arr = np.ascontiguousarray(arr[:, :, :3])
+            return GeoRaster(arr, data_bbox)
+        finally:
+            _LIBTIFF.TIFFClose(tif)
     raise NotImplementedError(
-        f"cannot decode raster file {path!r}: no GDAL/rasterio in this "
-        "environment — construct GeoRaster from an array instead"
+        f"cannot decode raster file {path!r}: only TIFF via system libtiff is "
+        "supported here — plug rasterio/GDAL for other formats"
     )
 
 
