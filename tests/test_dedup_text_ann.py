@@ -211,8 +211,11 @@ def test_minhash_precollapse_parity_and_bound(spark):
         for r in minhash_lsh_pairs(df, threshold=0.5, pre_collapse=False, bucket_cap=0).collect()
     }
     assert with_guard == without and len(with_guard) >= 40 * 39 // 2
-    # candidate bound: signatures are computed per distinct text, not per doc
-    reps, members = _collapse_exact(df, "text", "doc_id")
+    # candidate bound: banding sees one signature per DISTINCT text, not per doc
+    from versatiles_rs_spark.functions.dedup import minhash_udf
+
+    sig_all = df.select("doc_id", F.xxhash64("text").alias("_h"), minhash_udf("text").alias("sig"))
+    reps, members = _collapse_exact(sig_all, "doc_id", "sig")
     assert reps.count() == len({t for _, t in rows})
     assert members.count() == len(rows)
 

@@ -109,21 +109,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, on=id_col, how="inner")
 
 
-def _collapse_exact(df: DataFrame, text_col: str, id_col: str):
-    """Pre-collapse exact duplicates before signature generation.
+def _collapse_exact(sig_all: DataFrame, id_col: str, sig_col: str):
+    """Pre-collapse exact duplicates AFTER map-side signature computation.
 
-    Returns (reps, members): `reps` carries one row (min id) per distinct
-    content; `members` maps every id to its content-hash group. A cluster of
-    m byte-identical docs contributes ONE signature instead of m — without
-    this, LSH banding makes m^2 candidate pairs per band for that cluster
-    (the viral-boilerplate scale killer flagged in VERDICT r1).
+    `sig_all` carries (id, _h = xxhash64(text), signature) — all computed
+    map-side, so the collapse shuffles only slim columns (hash + id +
+    signature), never the document text (the text-out-of-the-shuffle rule
+    that made banding 7x cheaper in r1 benchmarks). Signatures are identical
+    within a group (identical text), so any member's signature represents
+    the group.
+
+    Returns (reps_sig, members): one (id=min, sig) row per distinct content,
+    and the id -> group-hash map. A cluster of m byte-identical docs then
+    contributes ONE signature instead of m — without this, LSH banding makes
+    m^2 candidate pairs per band for that cluster (the viral-boilerplate
+    scale killer flagged in VERDICT r1).
     """
-    hashed = df.select(F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("_h")).cache()
-    reps = hashed.groupBy("_h").agg(
-        F.min(id_col).alias(id_col), F.first(text_col).alias(text_col)
+    reps_sig = sig_all.groupBy("_h").agg(
+        F.min(id_col).alias(id_col), F.first(sig_col).alias(sig_col)
     )
-    members = hashed.select(id_col, "_h")
-    return reps, members
+    members = sig_all.select(id_col, "_h")
+    return reps_sig, members
 
 
 def _expand_pairs(rep_pairs: DataFrame, members: DataFrame, id_col: str, score_col: str, identical_score):
@@ -132,28 +138,44 @@ def _expand_pairs(rep_pairs: DataFrame, members: DataFrame, id_col: str, score_c
 
     Within-group pairs (byte-identical docs) get `identical_score`; cross-
     group pairs inherit the representatives' score (texts are identical
-    within a group, so the score is pair-invariant). All expansion is
-    equi-join algebra on the content hash — no Python, no re-verification.
-    At corpus scale where a pair LIST is itself quadratic in cluster size,
-    keep `exact_dedup_groups` aggregated instead of enumerating.
+    within a group, so the score is pair-invariant). No re-verification.
+
+    Plan shape (kept cheap — the naive version was 5 shuffle joins and
+    dominated the sf0.1 bench): within-group pairs come from ONE groupBy on
+    the content hash with JVM-side pair enumeration over the collected id
+    list (transform/slice, no Python); cross-group expansion broadcasts the
+    verified rep-pair set (bounded: it IS the near-dup result) through the
+    members map — 2 broadcast joins + 1 shuffle join. At corpus scale where
+    a pair LIST is itself quadratic in cluster size, keep
+    `exact_dedup_groups` aggregated instead of enumerating.
     """
-    ml, mr = members.alias("ml"), members.alias("mr")
-    within = (
-        ml.join(mr, (F.col("ml._h") == F.col("mr._h")) & (F.col(f"ml.{id_col}") < F.col(f"mr.{id_col}")))
-        .select(
-            F.col(f"ml.{id_col}").alias("id_a"),
-            F.col(f"mr.{id_col}").alias("id_b"),
-            F.lit(identical_score).alias(score_col),
-        )
+    grp = (
+        members.groupBy("_h")
+        .agg(F.collect_list(id_col).alias("ids"))
+        .filter(F.size("ids") > 1)
     )
-    ga = members.select(F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"))
-    gb = members.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"))
+    pair_expr = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ids, (a, i) -> transform("
+                "slice(ids, i + 2, size(ids)), "
+                "b -> struct(least(a, b) AS id_a, greatest(a, b) AS id_b)))"
+            )
+        )
+    ).alias("p")
+    within = grp.select(pair_expr).select(
+        F.col("p.id_a"), F.col("p.id_b"), F.lit(identical_score).alias(score_col)
+    )
+    ha = members.select(F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"))
+    hb = members.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"))
+    # group-hash-level pair list: one row per rep pair (small side; the
+    # members map always streams against a broadcast of the pair set)
+    j1 = ha.join(F.broadcast(rep_pairs), on="id_a").select("id_b", "_ha", score_col)
+    hp = hb.join(F.broadcast(j1), on="id_b").select("_ha", "_hb", score_col)
     ma = members.select(F.col(id_col).alias("_a"), F.col("_h").alias("_ha"))
     mb = members.select(F.col(id_col).alias("_b"), F.col("_h").alias("_hb"))
     cross = (
-        rep_pairs.join(ga, on="id_a")
-        .join(gb, on="id_b")
-        .join(ma, on="_ha")
+        ma.join(F.broadcast(hp), on="_ha")
         .join(mb, on="_hb")
         .select(
             F.least("_a", "_b").alias("id_a"),
@@ -170,10 +192,15 @@ def _cap_buckets(bucketed: DataFrame, key_cols: list, cap: int) -> DataFrame:
     Even after exact pre-collapse, a family of near-identical (not byte-
     identical) docs can flood one bucket and make its self-join quadratic;
     capping bounds per-bucket candidate fan-out at cap^2. Dropped buckets
-    trade recall for a hard work bound — the standard web-dedup guard."""
-    counts = bucketed.groupBy(*key_cols).count()
-    allowed = counts.filter(F.col("count") <= cap).drop("count")
-    return bucketed.join(allowed, on=key_cols, how="inner")
+    trade recall for a hard work bound — the standard web-dedup guard.
+
+    Implemented as a broadcast ANTI-join against the (few) over-cap bucket
+    keys: the hot-key list comes from a map-side-combined groupBy over slim
+    columns, and the big side never shuffles for the filter itself —
+    window-count and groupBy+inner-join formulations both re-shuffle every
+    row (measured +1-2 s at sf0.1)."""
+    hot = bucketed.groupBy(*key_cols).count().filter(F.col("count") > cap).drop("count")
+    return bucketed.join(F.broadcast(hot), on=key_cols, how="left_anti")
 
 
 def minhash_lsh_pairs(
@@ -209,13 +236,19 @@ def minhash_lsh_pairs(
     5. representative pairs re-expanded to member pairs (equi-joins on the
        content hash) so output matches the no-collapse semantics exactly.
     """
-    if pre_collapse:
-        reps, members = _collapse_exact(df, text_col, id_col)
-        src = reps
-    else:
-        src = df
     rows_per_band = _MINHASH_PERMS // bands
-    sig = src.select(F.col(id_col), minhash_udf(F.col(text_col)).alias("sig"))
+    if pre_collapse:
+        # signatures + content hash map-side; collapse shuffles slim columns
+        sig_all = df.select(
+            F.col(id_col),
+            F.xxhash64(F.col(text_col)).alias("_h"),
+            minhash_udf(F.col(text_col)).alias("sig"),
+        )
+        if materialize:
+            sig_all = sig_all.cache()
+        sig, members = _collapse_exact(sig_all, id_col, "sig")
+    else:
+        sig = df.select(F.col(id_col), minhash_udf(F.col(text_col)).alias("sig"))
     if materialize:
         sig = sig.cache()
     band_cols = F.array(
@@ -261,7 +294,9 @@ def minhash_lsh_pairs(
         .filter(est >= threshold - est_margin)
         .select("id_a", "id_b")
     )
-    texts = src.select(F.col(id_col), F.col(text_col))
+    # candidate texts come straight from the source relation (id equi-join:
+    # only surviving candidates' texts ever move)
+    texts = df.select(F.col(id_col), F.col(text_col))
     cand = (
         likely.join(texts.withColumnRenamed(id_col, "id_a"), on="id_a")
         .withColumnRenamed(text_col, "text_a")
@@ -271,12 +306,29 @@ def minhash_lsh_pairs(
     )
 
     def verify(batches):
+        # shingle sets memoized per doc id for the task's lifetime: a doc in
+        # k candidate pairs is shingled once, not k times (the widened
+        # est_margin sends ~2-3x more pairs here; this keeps verify flat)
+        cache: dict = {}
+
+        def shingles(doc_id, text):
+            a = cache.get(doc_id)
+            if a is None:
+                if len(cache) > 100_000:  # bound task memory
+                    cache.clear()
+                a = cache[doc_id] = _shingle_hashes(text)
+            return a
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            jac = np.array(
-                [ngram_jaccard(a, b) for a, b in zip(pdf["text_a"], pdf["text_b"])]
-            )
+            jac = np.empty(len(pdf))
+            cols = zip(pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"])
+            for i, (ia, ib, ta, tb) in enumerate(cols):
+                sa, sb = shingles(ia, ta), shingles(ib, tb)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                jac[i] = inter / union if union else 1.0
             sub = pdf.loc[jac >= threshold, ["id_a", "id_b"]].copy()
             sub["jaccard"] = np.round(jac[jac >= threshold], 6)
             if len(sub):
@@ -313,35 +365,48 @@ def simhash_pairs(
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    if pre_collapse:
-        reps, members = _collapse_exact(df, text_col, id_col)
-        src = reps
-    else:
-        src = df
     # materialize once: the nblocks x 2-sided self-joins would otherwise
     # re-run the Arrow UDF 2*(r+1) times (same fix as minhash_lsh_pairs)
-    sig = src.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim")).cache()
-    blocks = [
-        F.shiftrightunsigned(F.col("sim"), i * width).bitwiseAND(F.lit((1 << width) - 1)).alias(f"blk{i}")
-        for i in range(nblocks)
-    ]
-    sigb = sig.select(id_col, "sim", *blocks)
-    pairs = None
-    for i in range(nblocks):
-        side = _cap_buckets(sigb, [f"blk{i}"], bucket_cap) if bucket_cap else sigb
-        l, r = side.alias("l"), side.alias("r")
-        p = l.join(
+    if pre_collapse:
+        sig_all = df.select(
+            F.col(id_col),
+            F.xxhash64(F.col(text_col)).alias("_h"),
+            simhash_udf(F.col(text_col)).alias("sim"),
+        ).cache()
+        sig, members = _collapse_exact(sig_all, id_col, "sim")
+        sig = sig.cache()
+    else:
+        sig = df.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sim")).cache()
+    # one exploded (block#, value) relation and ONE equi-join — the unrolled
+    # 4-self-join + union + dedup formulation costs 4x the stages for the
+    # same pairs (measured 2-3 s slower at sf0.1 with the bucket cap on)
+    bvals = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sim"), i * width).bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(nblocks)
+        ]
+    )
+    banded = sig.withColumn("bv", bvals).select(
+        id_col, "sim", F.posexplode("bv").alias("band", "val")
+    )
+    if bucket_cap:
+        banded = _cap_buckets(banded, ["band", "val"], bucket_cap)
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
             r,
-            (F.col(f"l.blk{i}") == F.col(f"r.blk{i}"))
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        ).select(
+        )
+        .select(
             F.col(f"l.{id_col}").alias("id_a"),
             F.col(f"r.{id_col}").alias("id_b"),
             F.col("l.sim").alias("sim_a"),
             F.col("r.sim").alias("sim_b"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        .dropDuplicates(["id_a", "id_b"])
+    )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     rep_pairs = (
         pairs.withColumn("hamming", ham.cast("int"))
