@@ -658,13 +658,124 @@ def q_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("hilbert").limit(100).select("hilbert", "z", "x", "y", "count")
 
 
-@register("minhash_lsh", None)
+_M64 = 18446744073709551615
+
+
+def _mul64_sql(a_expr: str, c: int) -> str:
+    """64-bit wraparound multiply in HUGEINT via 32-bit halves."""
+    return (
+        f"((({a_expr}) & 4294967295) * {c} + "
+        f"(((({a_expr}) >> 32) * {c}) & 4294967295) * 4294967296) & {_M64}"
+    )
+
+
+def _shingles_ctes() -> str:
+    """CTE chain: documents -> per-doc distinct 5-gram splitmix64 shingle
+    hashes — a bit-exact SQL replay of functions/dedup._shingle_hashes
+    (normalize = lower + whitespace-collapse + pad-to-5; polynomial base
+    257; full 3-round splitmix64 finalizer with HUGEINT half-multiplies).
+    Reads bytes as codepoints: valid because the synthetic docs are ASCII
+    (the hash-match itself would catch any divergence)."""
+    poly = "(" + " + ".join(
+        f"CAST(ord(substring(t, i + {k}, 1)) AS HUGEINT) * {257**k}" for k in range(5)
+    ) + ")"
+    g, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+    norm AS (
+      SELECT doc_id,
+        (SELECT CASE WHEN length(s) < 5 THEN rpad(s, 5, ' ') ELSE s END
+         FROM (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s)) AS t
+      FROM documents
+    ), s0 AS (
+      SELECT doc_id, list_transform(range(1, length(t) - 3), i -> ({poly} + {g}) & {_M64}) AS l
+      FROM norm
+    ), s1 AS (
+      SELECT doc_id, list_transform(l, x -> {_mul64_sql('xor(x, x >> 30)', c1)}) AS l FROM s0
+    ), s2 AS (
+      SELECT doc_id, list_transform(l, x -> {_mul64_sql('xor(x, x >> 27)', c2)}) AS l FROM s1
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(l, x -> xor(x, x >> 31))) AS shingles FROM s2
+    )"""
+
+
+def _minhash_oracle_sql(threshold: float = 0.5, est_margin: float = 0.25) -> str:
+    """Full MinHash-LSH replay in SQL: 64 universal-hash permutations (the
+    engine's exact A/B constants inlined), banding by SLICE EQUALITY (the
+    Spark plan buckets by murmur3 of the slice — equal slices always
+    collide, and a colliding-but-unequal slice adds a candidate only, which
+    verification filters; the residual divergence needs a true near-dup
+    pair whose 16 band slices are ALL unequal yet some murmur3 collides:
+    P ~ 16/2^32 per surviving pair), same estimate prune, exact distinct-
+    shingle Jaccard."""
+    from .functions.dedup import _A, _B, _MERSENNE
+
+    perms = ", ".join(
+        f"list_min(list_transform(shingles, s -> ({int(a)} * (s & {_MERSENNE}) + {int(b)}) % {_MERSENNE}))"
+        for a, b in zip(_A, _B)
+    )
+    return f"""
+    WITH {_shingles_ctes()}, sig AS (
+      SELECT doc_id, shingles, [{perms}] AS sig FROM sh
+    ), bands AS (
+      SELECT doc_id, u.band,
+             [sig[u.band * 4 + 1], sig[u.band * 4 + 2],
+              sig[u.band * 4 + 3], sig[u.band * 4 + 4]] AS bv
+      FROM sig, (SELECT unnest(range(0, 16)) AS band) u
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+        len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS est,
+        len(list_intersect(sa.shingles, sb.shingles)) AS inter,
+        len(sa.shingles) + len(sb.shingles) AS tot
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, round(inter * 1.0 / (tot - inter), 6) AS jaccard
+    FROM scored
+    WHERE est >= {threshold - est_margin} AND inter * 1.0 / (tot - inter) >= {threshold}
+    """
+
+
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """SimHash replay in SQL: per-bit shingle majority -> 64-bit
+    fingerprint, pigeonhole 16-bit block equality for candidates, bit_count
+    Hamming verify — block comparison is exact in the Spark plan too, so
+    the oracle is an exact replay (no hash-collision caveat)."""
+    fp = (
+        "list_sum(list_transform(range(0, 64), j -> CASE WHEN "
+        "2 * len(list_filter(shingles, s -> ((s >> j) & 1) = 1)) > len(shingles) "
+        "THEN (CAST(1 AS HUGEINT) << j) ELSE 0 END))"
+    )
+    return f"""
+    WITH {_shingles_ctes()}, fp AS (
+      SELECT doc_id, COALESCE({fp}, 0) AS f FROM sh
+    ), blocks AS (
+      SELECT doc_id, f, u.blk, (f >> (u.blk * 16)) & 65535 AS bv
+      FROM fp, (SELECT unnest(range(0, {max_hamming + 1})) AS blk) u
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.f AS fa, b.f AS fb
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= {max_hamming}
+    """
+
+
+@register("minhash_lsh", _minhash_oracle_sql())
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs over documents.
 
     shingle -> minhash (vectorized numpy) -> band buckets -> self-join ->
     verified Jaccard >= 0.5. Pytest cross-checks against exact pairwise
-    Jaccard at small scale.
+    Jaccard at small scale; the DuckDB oracle replays the ENTIRE pipeline
+    (shingle splitmix, 64 permutations, banding, estimate prune, exact
+    Jaccard) bit-exactly in SQL.
     """
     from .functions.dedup import minhash_lsh_pairs
 
@@ -673,9 +784,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_dup", None)
+@register("simhash_dup", _simhash_oracle_sql())
 def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit fingerprints + near-dup pairs at Hamming distance <= 3."""
+    """SimHash 64-bit fingerprints + near-dup pairs at Hamming distance <= 3;
+    DuckDB oracle replays fingerprint majority vote + pigeonhole blocking."""
     from .functions.dedup import simhash_pairs
 
     return simhash_pairs(
@@ -683,9 +795,39 @@ def q_simhash_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_fingerprint", None)
+def _fingerprint_oracle_sql() -> str:
+    """Replay fingerprint_udf in SQL: min (unsigned order) over 8-byte
+    rolling polynomial hashes with the splitmix finalizer. 64-bit wraparound
+    is emulated via HUGEINT 32-bit-half multiplication; bytes read as
+    codepoints (the synthetic docs are pure ASCII — asserted by the
+    hash-match itself, any multibyte text would diverge)."""
+
+    def byte(k):
+        return f"(CASE WHEN i + {k} <= length(text) THEN ord(substring(text, i + {k}, 1)) ELSE 0 END)"
+
+    h = "(" + " + ".join(f"CAST({byte(k)} AS HUGEINT) * {131**k}" for k in range(8)) + ")"
+    h30 = f"xor({h}, {h} >> 30)"
+    m = 0xBF58476D1CE4E5B9
+    mul = (
+        f"(((({h30}) & 4294967295) * {m} + (((({h30}) >> 32) * {m}) & 4294967295)"
+        f" * 4294967296) & 18446744073709551615)"
+    )
+    fin = f"xor({mul}, {mul} >> 31)"
+    umin = f"list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1), i -> {fin}))"
+    return f"""
+    WITH u AS (SELECT doc_id, {umin} AS uf FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN uf >= 9223372036854775808
+                     THEN uf - 18446744073709551616 ELSE uf END AS BIGINT)
+           AS fingerprint
+    FROM u
+    """
+
+
+@register("doc_fingerprint", _fingerprint_oracle_sql())
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprints (winnowing-style min-sample)."""
+    """Rolling-hash document fingerprints (winnowing-style min-sample); the
+    DuckDB oracle replays the full hash chain bit-exactly in SQL."""
     from .functions.text import with_fingerprint
 
     return with_fingerprint(load(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
