@@ -41,10 +41,16 @@ def tile_cell_expr(lon: Column, lat: Column, res: int) -> Column:
 
 def with_cell_ids(
     df: DataFrame, lon: str = "lon", lat: str = "lat", res: int = 8, out: str = "cell",
-    use_h3: bool | None = None,
+    use_h3: bool | None = None, kind: str | None = None,
 ) -> DataFrame:
-    use_h3 = HAS_H3 if use_h3 is None else use_h3
-    if use_h3:
+    """Attach a hierarchical cell id column.
+
+    kind: "tile" (default; pure JVM expressions), "s2" (REAL S2 cell ids —
+    vectorized numpy port of the public s2geometry algorithm, s2.py), or
+    "h3" (import-gated on the h3 package)."""
+    if kind is None:
+        kind = "h3" if (use_h3 or (use_h3 is None and HAS_H3)) else "tile"
+    if kind == "h3":
         if not HAS_H3:
             raise NotImplementedError("h3 package not available in this environment")
         from pyspark.sql.functions import pandas_udf
@@ -59,6 +65,10 @@ def with_cell_ids(
             )
 
         return df.withColumn(out, h3_udf(F.col(lon), F.col(lat)))
+    if kind == "s2":
+        from .s2 import s2_cell_udf
+
+        return df.withColumn(out, s2_cell_udf(res)(F.col(lon), F.col(lat)))
     return df.withColumn(out, tile_cell_expr(F.col(lon), F.col(lat), res))
 
 

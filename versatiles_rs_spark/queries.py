@@ -1055,6 +1055,89 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s2_oracle_sql(level: int = 8) -> str:
+    """Replay s2.py's S2 cell-id walk in SQL: XYZ -> face/uv -> quadratic st
+    -> 30-bit ij -> 8 chained 4-bit Hilbert lookup steps (the s2geometry
+    lookup table inlined as a 4096-entry list literal) -> parent at `level`.
+    Bit-exact vs the numpy path (same glibc libm for the trig)."""
+    from .s2 import _lookup_pos
+
+    lut = "[" + ",".join(str(int(v)) for v in _lookup_pos) + "]"
+    steps = ""
+    prev = "st"
+    for k in range(7, -1, -1):
+        idx = f"CAST(bits + (((i >> {k * 4}) & 15) << 6) + (((j >> {k * 4}) & 15) << 2) AS BIGINT) + 1"
+        steps += f""", k{k} AS (
+      SELECT * EXCLUDE (n, bits),
+        n | ((CAST(lp[{idx}] AS HUGEINT) >> 2) << {k * 8}) AS n,
+        CAST(lp[{idx}] AS HUGEINT) & 3 AS bits
+      FROM {prev}
+    )"""
+        prev = f"k{k}"
+    lsb = 1 << (2 * (30 - level))
+    st = (
+        "CAST(least(greatest(CAST(floor(1073741824 * (CASE WHEN {c} >= 0 THEN "
+        "0.5 * sqrt(1 + 3 * {c}) ELSE 1 - 0.5 * sqrt(1 - 3 * {c}) END)) AS HUGEINT),"
+        " 0), 1073741823) AS HUGEINT)"
+    )
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {_EV_LON} AS lng, {_EV_LAT} AS lat FROM events
+    ), xyz AS (
+      SELECT event_id, cos(radians(lat)) * cos(radians(lng)) AS x,
+             cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z
+      FROM pts
+    ), fc AS (
+      SELECT event_id, x, y, z,
+        CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+             WHEN abs(y) >= abs(z) THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+             ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face
+      FROM xyz
+    ), uv AS (
+      SELECT event_id, face,
+        CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                  WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+        CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                  WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+      FROM fc
+    ), st AS (
+      SELECT event_id, face, {st.format(c='u')} AS i, {st.format(c='v')} AS j,
+        CAST(face AS HUGEINT) << 60 AS n,
+        CAST(face & 1 AS HUGEINT) AS bits,
+        (SELECT {lut}) AS lp
+      FROM uv
+    ){steps}, cells AS (
+      SELECT event_id,
+             (((n * 2 + 1) & ~(CAST({lsb} AS HUGEINT) - 1)) | {lsb}) AS uc
+      FROM {prev}
+    )
+    SELECT CAST(CASE WHEN uc >= 9223372036854775808
+                     THEN uc - 18446744073709551616 ELSE uc END AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_points, min(event_id) AS min_id
+    FROM cells GROUP BY 1
+    """
+
+
+@register("s2_cells", _s2_oracle_sql(8))
+def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL S2 cell indexing (north rule: "H3/S2 cell indexes"): events
+    bucketed by level-8 S2 cells (s2.py — vectorized numpy port of the
+    public s2geometry FromLatLng walk). The DuckDB oracle replays the entire
+    face/uv/st/Hilbert-lookup pipeline in SQL, bit-exactly."""
+    from .cells import with_cell_ids
+
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return (
+        with_cell_ids(pts, res=8, kind="s2")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"), F.min("event_id").alias("min_id"))
+    )
+
+
 @register("ann_lsh", None)
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN top-k (multi-probe random hyperplanes) — the scale
