@@ -187,3 +187,69 @@ def test_meta_update_survives_downstream_transforms(spark):
     )
     tj = tilejson_of(df)
     assert tj.get("attribution") == "test-attr"
+
+
+def test_reference_berlin_vpl_verbatim(spark, tmp_path):
+    """Run the reference's OWN testdata/berlin.vpl byte-for-byte:
+    from_container (mbtiles dispatch) | vector_update_properties (CSV join
+    into the place_labels layer). The mbtiles is synthesized (the reference
+    repo ships the vpl + cities.csv but not berlin.mbtiles); payloads are
+    real MVT protobuf."""
+    import shutil
+
+    import pandas as pd
+
+    from versatiles_rs_spark.mvt_pbf import decode_mvt, encode_mvt
+    from versatiles_rs_spark.plans.vpl import run_vpl_file
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    ref = "/root/reference/testdata"
+    shutil.copy(f"{ref}/berlin.vpl", tmp_path / "berlin.vpl")
+    shutil.copy(f"{ref}/cities.csv", tmp_path / "cities.csv")
+
+    def tile(names):
+        return encode_mvt(
+            [
+                {
+                    "name": "place_labels",
+                    "extent": 4096,
+                    "features": [
+                        {"id": i, "type": 1, "geometry": [[(10 * i, 20)]],
+                         "props": {"name": n}}
+                        for i, n in enumerate(names, 1)
+                    ],
+                },
+                {
+                    "name": "streets",
+                    "extent": 4096,
+                    "features": [
+                        {"id": 9, "type": 2, "geometry": [[(0, 0), (5, 5)]],
+                         "props": {"name": "Berlin"}}
+                    ],
+                },
+            ]
+        )
+
+    pdf = pd.DataFrame(
+        [
+            (4, 8, 5, tile(["Berlin", "Nowhere"])),
+            (4, 9, 5, tile(["Kyiv"])),
+        ],
+        columns=["z", "x", "y", "bytes"],
+    )
+    df = spark.createDataFrame(pdf, schema="z int, x long, y long, bytes binary")
+    write_mbtiles(df, str(tmp_path / "berlin.mbtiles"))
+
+    out = run_vpl_file(spark, str(tmp_path / "berlin.vpl"))
+    tiles = {(r.z, r.x, r.y): decode_mvt(bytes(r.bytes)) for r in out.collect()}
+    assert len(tiles) == 2
+    t1 = {l["name"]: l for l in tiles[(4, 8, 5)]}
+    props = {f["props"]["name"]: f["props"] for f in t1["place_labels"]["features"]}
+    assert props["Berlin"]["city_population"] == "3755251"
+    assert props["Berlin"]["city_id"] == "1"
+    assert "city_name" not in props["Berlin"]  # id_field_data excluded
+    assert props["Nowhere"] == {"name": "Nowhere"}  # unmatched kept (no remove flag)
+    # other layers untouched (layer_name scoping)
+    assert t1["streets"]["features"][0]["props"] == {"name": "Berlin"}
+    t2 = {l["name"]: l for l in tiles[(4, 9, 5)]}
+    assert {f["props"].get("city_population") for f in t2["place_labels"]["features"]} == {"2952301"}

@@ -84,7 +84,11 @@ def run_pair(lo: int, hi: int, n: int) -> dict:
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 640000
-    results = [run_pair(4, 16, n), run_pair(8, 32, n)]
+    pairs = [(2, 8), (4, 16), (8, 32)]
+    for a in sys.argv:
+        if a.startswith("--pairs="):  # e.g. --pairs=2:8,4:16
+            pairs = [tuple(map(int, p.split(":"))) for p in a[8:].split(",")]
+    results = [run_pair(lo, hi, n) for lo, hi in pairs]
     out = {
         "metric": "flagship tiles-encoded+PIP-joined rows/sec scaling N->4N",
         "target": 0.8,

@@ -197,8 +197,25 @@ def build_pipeline(spark: SparkSession, pipe: VPLPipeline) -> DataFrame:
     return df
 
 
-def run_vpl(spark: SparkSession, text: str) -> DataFrame:
-    return build_pipeline(spark, parse_vpl(text))
+def run_vpl(spark: SparkSession, text: str, base_dir: str | None = None) -> DataFrame:
+    """Parse + build a VPL pipeline. `base_dir` anchors relative filenames
+    (from_container / data_source_path), like the reference resolves against
+    the VPL file's directory."""
+    prev = _VPL_BASE_DIR[0]
+    _VPL_BASE_DIR[0] = base_dir
+    try:
+        return build_pipeline(spark, parse_vpl(text))
+    finally:
+        _VPL_BASE_DIR[0] = prev
+
+
+def run_vpl_file(spark: SparkSession, path: str) -> DataFrame:
+    """Run a .vpl file; relative paths resolve against the file's directory."""
+    import os
+
+    with open(path) as f:
+        text = f.read()
+    return run_vpl(spark, text, base_dir=os.path.dirname(os.path.abspath(path)))
 
 
 # ---------------------------------------------------------------------------
@@ -221,8 +238,55 @@ def _from_debug(spark, children=(), format: str = "png", n: int = 256, zoom: int
 
 @source("from_parquet")
 def _from_parquet(spark, children=(), filename: str = "", **kw):
-    """Scan an existing tile table (our from_container analog)."""
-    return spark.read.parquet(filename)
+    """Scan an existing tile table (pushdown-friendly parquet path)."""
+    return spark.read.parquet(_resolve(filename))
+
+
+# base directory for relative filenames inside a VPL file — the reference
+# resolves from_container/data_source_path against the VPL file's own
+# location (from_container.rs:20-22). Set by run_vpl(..., base_dir=).
+_VPL_BASE_DIR: list = [None]
+
+
+def _resolve(path: str) -> str:
+    import os
+
+    if _VPL_BASE_DIR[0] and not os.path.isabs(path) and "://" not in path:
+        return os.path.join(_VPL_BASE_DIR[0], path)
+    return path
+
+
+@source("from_container")
+def _from_container(spark, children=(), filename: str = "", **kw):
+    """Container dispatch by extension (from_container.rs + the
+    container_registry): mbtiles / pmtiles / versatiles / tar / parquet /
+    directory tree; pmtiles + versatiles also read from http(s):// URLs."""
+    f = _resolve(str(filename))
+    if f.endswith(".mbtiles"):
+        from ..sources.mbtiles import read_mbtiles
+
+        return read_mbtiles(spark, f)
+    if f.endswith(".pmtiles"):
+        from ..sources.pmtiles import read_pmtiles
+
+        return read_pmtiles(spark, f)
+    if f.endswith(".versatiles"):
+        from ..sources.versatiles import read_versatiles
+
+        return read_versatiles(spark, f)
+    if f.endswith(".tar"):
+        from ..sources.tar import read_tar
+
+        return read_tar(spark, f)
+    if f.endswith(".parquet") or f.endswith("/"):
+        return spark.read.parquet(f)
+    import os
+
+    if os.path.isdir(f):
+        from ..sources.containers import read_directory_tree
+
+        return read_directory_tree(spark, f)
+    raise VPLParseError(f"from_container: unrecognized container {filename!r}")
 
 
 @source("from_stacked")
@@ -329,6 +393,61 @@ def _swap_xy(df, **kw):
     from ..operators.transform import swap_xy_df
 
     return swap_xy_df(df)
+
+
+@transform("vector_filter_properties")
+def _vector_filter_properties(df, regex: str = "", invert=False, **kw):
+    """Drop (or with invert, keep) feature properties whose 'layer/name'
+    path matches the regex (vector_filter_properties.rs:16-25)."""
+    from ..vector_tile import filter_properties_payload
+
+    return filter_properties_payload(df, str(regex), invert=_to_bool(invert))
+
+
+def _to_bool(v) -> bool:
+    return str(v).lower() in ("1", "true", "yes") if not isinstance(v, bool) else v
+
+
+@transform("vector_update_properties")
+def _vector_update_properties(
+    df,
+    data_source_path: str = "",
+    layer_name: str = "",
+    id_field_tiles: str = "",
+    id_field_data: str = "",
+    replace_properties=False,
+    remove_non_matching=False,
+    include_id=False,
+    **kw,
+):
+    """Join an external CSV into vector-tile feature properties
+    (vector_update_properties.rs:17-37 args, incl. the reference's
+    berlin.vpl). The CSV is loaded driver-side into the broadcast property
+    map (the reference's HashMap pattern); payloads may be VTV1 or real MVT
+    protobuf."""
+    import csv
+
+    from ..vector_tile import update_properties_payload
+
+    path = _resolve(str(data_source_path))
+    props_map: dict = {}
+    with open(path, newline="") as f:
+        for row in csv.DictReader(f):
+            key = row.get(id_field_data)
+            if key is None:
+                raise VPLParseError(
+                    f"vector_update_properties: {id_field_data!r} not in {path}"
+                )
+            vals = {k: v for k, v in row.items() if include_id or k != id_field_data}
+            props_map[str(key)] = vals
+    return update_properties_payload(
+        df,
+        props_map,
+        id_field=id_field_tiles,
+        remove_non_matching=_to_bool(remove_non_matching),
+        replace_properties=_to_bool(replace_properties),
+        layer_name=layer_name or None,
+    )
 
 
 @transform("vector_filter_layers")

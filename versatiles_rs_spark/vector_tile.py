@@ -330,11 +330,14 @@ def update_properties_payload(
     remove_non_matching: bool = False,
     replace_properties: bool = False,
     payload: str = "bytes",
+    layer_name: str | None = None,
 ):
     """vector_update_properties on BINARY payloads
     (vector_update_properties.rs:50-137): each feature's `id_field` property
     probes a broadcast property map; matches merge (or replace) the feature's
-    properties; remove_non_matching drops unmatched features.
+    properties; remove_non_matching drops unmatched features. When
+    `layer_name` is set, only that layer is touched (the reference's
+    layer_name arg).
 
     props_map: {id_value(str): {key: value}} — shipped in the task closure
     (the reference's driver-side HashMap pattern); for big property tables use
@@ -348,6 +351,8 @@ def update_properties_payload(
             for blob in pdf[payload]:
                 layers, fmt = decode_tile_payload(bytes(blob))
                 for layer in layers:
+                    if layer_name is not None and layer["name"] != layer_name:
+                        continue
                     feats = []
                     for f in layer["features"]:
                         key = f["props"].get(id_field)
