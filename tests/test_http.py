@@ -134,3 +134,70 @@ def test_serve_static_tar_br(spark, tile_df):
         assert st == 200 and b"<" in body
     finally:
         srv.shutdown()
+
+
+def test_serve_from_reference_config(spark, tmp_path):
+    """Consume the reference's OWN testdata/config1.yml verbatim: named tile
+    sources (mbtiles + vpl pipeline; the remote .versatiles mount is skipped
+    like a down mount), static tar mounts with url prefixes, CORS globs,
+    extra response headers."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from versatiles_rs_spark.codecs import HAS_BROTLI
+    from versatiles_rs_spark.mvt_pbf import encode_mvt
+    from versatiles_rs_spark.server import serve_from_config
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    if not HAS_BROTLI:
+        pytest.skip("brotli needed for static.tar.br mount")
+    ref = "/root/reference/testdata"
+    conf = tmp_path / "conf"
+    td = tmp_path / "testdata"
+    conf.mkdir(), td.mkdir()
+    for f in ("config1.yml", "static.tar.br", "berlin.vpl", "cities.csv"):
+        shutil.copy(f"{ref}/{f}", conf / f)
+    shutil.copy(f"{ref}/static.tar.gz", td / "static.tar.gz")
+
+    blob = encode_mvt(
+        [{"name": "place_labels", "extent": 4096,
+          "features": [{"id": 1, "type": 1, "geometry": [[(1, 2)]],
+                        "props": {"name": "Berlin"}}]}]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame([(3, 4, 2, blob)], columns=["z", "x", "y", "bytes"]),
+        schema="z int, x long, y long, bytes binary",
+    )
+    write_mbtiles(df, str(conf / "berlin.mbtiles"))
+
+    srv, base, skipped = serve_from_config(spark, str(conf / "config1.yml"))
+    try:
+        assert [n for n, _ in skipped] == ["osm"]  # remote mount down -> skipped
+        st, hdrs, body = _get(f"{base}/tiles/berlin/3/4/2", {"Accept-Encoding": "identity"})
+        assert st == 200 and bytes(body) == blob
+        # extra headers from the config reach every response
+        assert hdrs.get("Cache-Control") == "public, max-age=86400, immutable"
+        assert hdrs.get("Surrogate-Control") == "max-age=604800"
+        # the vpl source runs the berlin pipeline (CSV-joined payloads differ)
+        st2, _, body2 = _get(f"{base}/tiles/pipeline/3/4/2", {"Accept-Encoding": "identity"})
+        assert st2 == 200 and body2 != blob and len(body2) > len(blob)
+        # tilejson per source
+        st3, _, meta = _get(f"{base}/tiles/berlin/tiles.json")
+        assert json.loads(meta)["maxzoom"] == 3
+        # static mounts: tar.br at "/", tar.gz at "/whynot/"
+        st4, _, idx = _get(f"{base}/index.html", {"Accept-Encoding": "identity"})
+        assert st4 == 200 and b"<" in idx
+        st5, _, idx2 = _get(f"{base}/whynot/index.html", {"Accept-Encoding": "identity"})
+        assert st5 == 200
+        # CORS: matching glob echoes origin; non-matching gets no header
+        _, h6, _ = _get(f"{base}/index.html", {"Origin": "https://example.org", "Accept-Encoding": "identity"})
+        assert h6.get("Access-Control-Allow-Origin") == "https://example.org"
+        assert h6.get("Access-Control-Max-Age") == "86400"
+        _, h7, _ = _get(f"{base}/index.html", {"Origin": "https://evil.example.net", "Accept-Encoding": "identity"})
+        assert h7.get("Access-Control-Allow-Origin") is None
+        _, h8, _ = _get(f"{base}/index.html", {"Origin": "https://cdn.other-example.org", "Accept-Encoding": "identity"})
+        assert h8.get("Access-Control-Allow-Origin") == "https://cdn.other-example.org"
+    finally:
+        srv.shutdown()

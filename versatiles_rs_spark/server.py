@@ -64,9 +64,26 @@ class TileHandler(BaseHTTPRequestHandler):
     tilejson: dict = {}
     tile_fmt = "png"
     static: dict[str, bytes] = {}
+    sources: dict = {}  # name -> (df, tilejson) for config-driven multi-source
+    extra_headers: dict[str, str] = {}
+    cors_origins: list[str] = []
+    cors_max_age: int = 0
 
     def log_message(self, *a):
         pass
+
+    def _cors_origin(self) -> str | None:
+        import fnmatch
+
+        origin = self.headers.get("Origin")
+        if not origin or not self.cors_origins:
+            return None
+        host = origin.split("://", 1)[-1]
+        for pat in self.cors_origins:
+            p = pat.split("://", 1)[-1]
+            if fnmatch.fnmatch(origin, pat) or fnmatch.fnmatch(host, p):
+                return origin
+        return None
 
     def _negotiate(self, body: bytes) -> tuple[bytes, str | None]:
         from .codecs import optimize_compression
@@ -86,14 +103,36 @@ class TileHandler(BaseHTTPRequestHandler):
         if encoding:
             self.send_header("Content-Encoding", encoding)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in self.extra_headers.items():
+            self.send_header(k, v)
+        origin = self._cors_origin()
+        if origin:
+            self.send_header("Access-Control-Allow-Origin", origin)
+            if self.cors_max_age:
+                self.send_header("Access-Control-Max-Age", str(self.cors_max_age))
         self.end_headers()
         self.wfile.write(body)
 
     def do_GET(self):
         from .sources.containers import get_tile
 
+        # config mode: /tiles/{name}/{z}/{x}/{y} + /tiles/{name}/tiles.json
+        m = re.match(r"^/tiles/(\w+)/(\d+)/(\d+)/(\d+)(?:\.\w+)?$", self.path)
+        if m and m.group(1) in self.sources:
+            df, _ = self.sources[m.group(1)]
+            z, x, y = int(m.group(2)), int(m.group(3)), int(m.group(4))
+            row = get_tile(df, z, x, y)
+            if row is None:
+                self.send_error(404, "tile not found")
+                return
+            self._send(bytes(row.bytes), _CTYPE["bin"])
+            return
+        m = re.match(r"^/tiles/(\w+)/tiles\.json$", self.path)
+        if m and m.group(1) in self.sources:
+            self._send(json.dumps(self.sources[m.group(1)][1]).encode(), "application/json")
+            return
         m = _TILE_RE.match(self.path)
-        if m:
+        if m and self.df is not None:
             z, x, y = map(int, m.groups())
             row = get_tile(self.df, z, x, y)
             if row is None:
@@ -101,7 +140,7 @@ class TileHandler(BaseHTTPRequestHandler):
                 return
             self._send(bytes(row.bytes), _CTYPE.get(self.tile_fmt, _CTYPE["bin"]))
             return
-        if self.path in ("/tiles.json", "/tiles/tiles.json"):
+        if self.path in ("/tiles.json", "/tiles/tiles.json") and self.df is not None:
             self._send(json.dumps(self.tilejson).encode(), "application/json")
             return
         name = self.path.lstrip("/")
@@ -139,3 +178,81 @@ def serve_tiles(
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     return srv, f"http://{host}:{srv.server_address[1]}"
+
+
+def _load_tile_source(spark, path: str):
+    """Container/VPL dispatch for a config `tiles:` entry."""
+    if path.endswith(".mbtiles"):
+        from .sources.mbtiles import read_mbtiles
+
+        return read_mbtiles(spark, path)
+    if path.endswith(".pmtiles"):
+        from .sources.pmtiles import read_pmtiles
+
+        return read_pmtiles(spark, path)
+    if path.endswith(".versatiles"):
+        from .sources.versatiles import read_versatiles
+
+        return read_versatiles(spark, path)
+    if path.endswith(".vpl"):
+        from .plans.vpl import run_vpl_file
+
+        return run_vpl_file(spark, path)
+    raise ValueError(f"unsupported tile source {path!r}")
+
+
+def serve_from_config(spark, config_path: str, port: int = 0):
+    """Start the shim from a reference-format server YAML (the layout of
+    versatiles' own testdata/config1.yml): `server:` ip/port, `cors:`
+    allowed_origins globs + max_age, `extra_response_headers:`, `static:`
+    tar mounts, `tiles:` named container/VPL sources. Remote (http) sources
+    that fail to open are skipped with a warning, like a server that keeps
+    running when one mount is down. Returns (server, url, skipped)."""
+    import os
+
+    import yaml
+
+    from .sources.containers import tilejson_for
+
+    with open(config_path) as f:
+        cfg = yaml.safe_load(f)
+    base = os.path.dirname(os.path.abspath(config_path))
+
+    def resolve(p):
+        return p if "://" in p or os.path.isabs(p) else os.path.normpath(os.path.join(base, p))
+
+    sources, skipped = {}, []
+    for entry in cfg.get("tiles", []) or []:
+        try:
+            df = _load_tile_source(spark, resolve(entry["path"]))
+            sources[entry["name"]] = (df, tilejson_for(df))
+        except Exception as e:  # keep serving the healthy mounts
+            skipped.append((entry["name"], str(e)[:200]))
+
+    static: dict[str, bytes] = {}
+    for mnt in cfg.get("static", []) or []:
+        p = resolve(mnt["path"])
+        prefix = mnt.get("url_prefix", "/").strip("/")
+        if os.path.isfile(p) and (p.endswith(".tar") or ".tar." in p):
+            for name, data in _load_static(p).items():
+                static[f"{prefix}/{name}".strip("/")] = data
+
+    server_cfg = cfg.get("server", {}) or {}
+    cors = cfg.get("cors", {}) or {}
+    handler = type(
+        "ConfigTileHandler",
+        (TileHandler,),
+        {
+            "df": None,
+            "sources": sources,
+            "static": static,
+            "extra_headers": dict(cfg.get("extra_response_headers", {}) or {}),
+            "cors_origins": list(cors.get("allowed_origins", []) or []),
+            "cors_max_age": int(cors.get("max_age_seconds", 0) or 0),
+        },
+    )
+    host = str(server_cfg.get("ip", "127.0.0.1"))
+    srv = ThreadingHTTPServer((host, port), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, f"http://{host}:{srv.server_address[1]}", skipped
