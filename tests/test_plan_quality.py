@@ -139,3 +139,28 @@ def test_minhash_signature_computed_once(spark, sf_dir):
     # all four references to signatures (band-left, band-right, est-a, est-b)
     # must read the cached table, not re-run the Arrow UDF
     assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_dedup_guard_plan_shapes(spark, sf_dir):
+    """r2 guard rules: the hot-bucket cap must be a BROADCAST anti-join (big
+    side never re-shuffles for the filter) and pair re-expansion must
+    broadcast the rep-pair set — no extra full-table sort-merge joins."""
+    from versatiles_rs_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(minhash_lsh_pairs(docs))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # document text must not appear as a shuffle attribute anywhere
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, f"text in shuffle: {line.strip()[:140]}"
+
+
+def test_s2_udf_evaluated_once(spark, sf_dir):
+    """s2_cells: one Arrow UDF eval (ArrowEvalPython), aggregation JVM-side."""
+    from versatiles_rs_spark.queries import REGISTRY
+
+    df = REGISTRY["s2_cells"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "HashAggregate" in plan
