@@ -33,6 +33,7 @@ HEADLINE = [
     "pip_polygons",
     "knn_events",
     "knn_kring",
+    "s2_cells",
     "dedup_exact",
     "minhash_lsh",
     "simhash_dup",
