@@ -206,3 +206,26 @@ class TestRealLossyCodecs:
         legacy = codecs.encode_lossy(img, "jpg", 85)
         out = codecs.decode_image(legacy)
         assert out.shape == img.shape
+
+
+class TestAvif:
+    """Real AVIF via system libheif — the reference declares the format but
+    leaves decode unimplemented (avif.rs:79); this engine implements both."""
+
+    def setup_method(self):
+        if not codecs.HAS_AVIF:
+            pytest.skip("libheif absent")
+
+    def test_avif_roundtrip_psnr(self):
+        img = make_pixels(8, 64)
+        blob = codecs.encode_image(img, "avif", quality=85)
+        assert blob[4:12] == b"ftypavif"
+        assert codecs.detect_format(blob) == "avif"
+        out = codecs.decode_image(blob)
+        assert out.shape == img.shape and codecs.psnr(img, out) >= 40.0
+
+    def test_avif_quality_monotonic(self):
+        img = make_pixels(13, 64)
+        hi = codecs.decode_image(codecs.encode_image(img, "avif", quality=95))
+        lo = codecs.decode_image(codecs.encode_image(img, "avif", quality=20))
+        assert codecs.psnr(img, hi) > codecs.psnr(img, lo)

@@ -152,6 +152,8 @@ def detect_format(blob: bytes) -> str:
         return "jpg"
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         return "webp"
+    if blob[4:12] in (b"ftypavif", b"ftypavis"):
+        return "avif"
     if blob[:4] in _LOSSY_MAGIC:
         return _LOSSY_MAGIC[blob[:4]]  # legacy vt-lossy stand-in payloads
     if blob[:2] == b"\x1f\x8b":
@@ -164,6 +166,11 @@ try:  # real JPEG/WebP via system libgd/libwebp (image_ctypes); else stand-ins
 except Exception:  # pragma: no cover - load failure counts as absent
     HAS_GD_JPEG = HAS_WEBP = False
 
+try:  # real AVIF via system libheif (beyond the reference: avif.rs:79 is a stub)
+    from .avif_ctypes import HAS_AVIF, avif_decode, avif_encode
+except Exception:  # pragma: no cover
+    HAS_AVIF = False
+
 
 def encode_image(img: np.ndarray, fmt: str, quality: int = 90) -> bytes:
     # default quality 90: measured floor for the BASELINE row invariant
@@ -175,7 +182,9 @@ def encode_image(img: np.ndarray, fmt: str, quality: int = 90) -> bytes:
         return jpeg_encode(img, quality) if HAS_GD_JPEG else encode_lossy(img, fmt, quality)
     if fmt == "webp":
         return webp_encode(img, quality) if HAS_WEBP else encode_lossy(img, fmt, quality)
-    raise ValueError(f"unsupported format {fmt} (avif decode likewise unimplemented in reference, avif.rs:79)")
+    if fmt == "avif" and HAS_AVIF:
+        return avif_encode(img, quality)
+    raise ValueError(f"unsupported format {fmt} (reference's own avif decode is unimplemented, avif.rs:79)")
 
 
 def decode_image(blob: bytes) -> np.ndarray:
@@ -186,6 +195,8 @@ def decode_image(blob: bytes) -> np.ndarray:
         return jpeg_decode(blob)
     if fmt == "webp" and blob[:4] == b"RIFF":
         return webp_decode(blob)
+    if fmt == "avif" and HAS_AVIF:
+        return avif_decode(blob)
     if fmt in ("jpg", "webp"):
         return decode_lossy(blob)  # legacy vt-lossy payloads
     raise ValueError(f"cannot decode format {fmt}")
