@@ -288,8 +288,24 @@ def ann_gemm_topk(
 
 
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((nbits, dim))
+    """Deterministic pseudo-normal hyperplanes via splitmix64 + Box-Muller.
+
+    Replaces the original PCG64 standard_normal: the stream is now a pure
+    function of (seed, bit, component) built from integer hashing and
+    closed-form math — exactly replayable in SQL, which is what lets the
+    ann_lsh driver query carry a full DuckDB oracle. Quality is equivalent
+    for LSH purposes (iid-ish signs; recall measured in pytest either way).
+    """
+    from .dedup import _splitmix64
+
+    idx = np.arange(nbits * dim, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B9)
+    h1 = _splitmix64(idx)
+    h2 = _splitmix64(h1)
+    # uniforms in (0,1]: (h + 1) / 2^64
+    u1 = (h1.astype(np.float64) + 1.0) / 18446744073709551616.0
+    u2 = h2.astype(np.float64) / 18446744073709551616.0
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+    return z.reshape(nbits, dim)
 
 
 def ann_lsh_topk(

@@ -1138,10 +1138,61 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh", None)
+def _ann_lsh_oracle_sql(k: int = 5, nbits: int = 8, dim: int = 64) -> str:
+    """Replay ann_lsh_topk in SQL: the deterministic hyperplanes (splitmix +
+    Box-Muller, _hyperplanes) are INLINED as float literals (repr round-trips
+    IEEE754 exactly), then bucket signs, multi-probe 1-bit flips, exact
+    cosine re-rank with the same tie-break."""
+    from .functions.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, nbits)
+
+    def dot(vec_col: str, arr) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in arr) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> {vec_col}[i] * ({lit}::DOUBLE[])[i]))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot('v', planes[b])} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(nbits)
+    )
+    probes = ", ".join(["qbucket"] + [f"xor(qbucket, {1 << b})" for b in range(nbits)])
+    vv = "list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))"
+    qq = "list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i]))"
+    vq = "list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), buck AS (
+      SELECT vec_id, v, {bucket} AS bucket FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bucket AS qbucket FROM buck WHERE vec_id < 3
+    ), probes AS (
+      SELECT query_id, qv, unnest([{probes}]) AS bucket FROM q
+    ), cand AS (
+      SELECT p.query_id, p.qv, b.vec_id, b.v
+      FROM probes p JOIN buck b USING (bucket)
+      WHERE b.vec_id != p.query_id
+    ), scored AS (
+      SELECT query_id, vec_id,
+             {vq} / (sqrt({vv}) * sqrt({qq})) AS cos
+      FROM cand
+    ), ranked AS (
+      SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_lsh", _ann_lsh_oracle_sql())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-k (multi-probe random hyperplanes) — the scale
-    path; recall vs brute force asserted in pytest."""
+    """LSH-bucketed ANN top-k (multi-probe deterministic hyperplanes) — the
+    scale path; recall vs brute force asserted in pytest, and the DuckDB
+    oracle replays bucket signs + probes + cosine re-rank exactly."""
     from .functions.ann import ann_lsh_topk
 
     emb = load(spark, sf_dir, "embeddings")
