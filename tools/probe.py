@@ -5,6 +5,8 @@ Prints TileJSON-style metadata + per-zoom size statistics (the probe
 dev_tools/measure_tile_sizes.rs:36).
 
     python tools/probe.py /path/to/tile_table_or_levels_dir
+    python tools/probe.py tiles.{versatiles,pmtiles,mbtiles,tar}   # containers
+    python tools/probe.py http(s)://.../tiles.pmtiles              # remote
 """
 
 from __future__ import annotations
@@ -24,7 +26,35 @@ def main():
     from versatiles_rs_spark.sources.containers import tilejson_for
 
     spark = get_spark(app_name="probe", master="local[8]", shuffle_partitions=8)
-    df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    header = None
+    if path.endswith(".versatiles"):
+        from versatiles_rs_spark.sources.versatiles import (
+            read_versatiles,
+            read_versatiles_header,
+            read_versatiles_metadata,
+        )
+
+        header = dict(read_versatiles_header(path), metadata=read_versatiles_metadata(path))
+        df = read_versatiles(spark, path)
+    elif path.endswith(".pmtiles"):
+        from versatiles_rs_spark.sources.pmtiles import (
+            read_pmtiles,
+            read_pmtiles_header,
+            read_pmtiles_metadata,
+        )
+
+        header = dict(read_pmtiles_header(path), metadata=read_pmtiles_metadata(path))
+        df = read_pmtiles(spark, path)
+    elif path.endswith(".mbtiles"):
+        from versatiles_rs_spark.sources.mbtiles import read_mbtiles
+
+        df = read_mbtiles(spark, path)
+    elif path.endswith(".tar"):
+        from versatiles_rs_spark.sources.tar import read_tar
+
+        df = read_tar(spark, path)
+    else:
+        df = spark.read.option("recursiveFileLookup", "true").parquet(path)
     payload = "bytes" if "bytes" in df.columns else None
     tj = tilejson_for(df)
     sizes = None
@@ -44,7 +74,10 @@ def main():
                 .collect()
             )
         ]
-    print(json.dumps({"tilejson": tj, "size_stats": sizes}, indent=2, default=int))
+    out = {"tilejson": tj, "size_stats": sizes}
+    if header is not None:
+        out["container"] = header
+    print(json.dumps(out, indent=2, default=str))
     spark.stop()
 
 
