@@ -128,11 +128,21 @@ def write_pmtiles(
     payload: str = "bytes",
     tile_type: str = "png",
 ) -> int:
-    """Export a tile DataFrame as a PMTiles v3 archive. Returns tiles written."""
+    """Export a tile DataFrame as a PMTiles v3 archive. Returns tiles written.
+
+    Driver-side single-file EDGE format: Hilbert-clustering the directory
+    requires global order, so tiles collect to the driver (the reference is
+    single-process here too). Guarded; for cluster-scale output use the
+    partitioned sinks (sinks/writers.py) and convert per shard."""
     from .. import tile_math as tm
     import numpy as np
 
     rows = df.select("z", "x", "y", payload).collect()
+    if len(rows) > 2_000_000:
+        raise ValueError(
+            f"write_pmtiles collects to the driver; {len(rows)} tiles > 2000000. "
+            "Export partitioned (sinks/writers.py) instead."
+        )
     keyed = []
     for r in rows:
         tid = int(
