@@ -63,14 +63,21 @@ def knn_cell_adaptive(
     O(k)-ish candidates for dense regions — the reference's level-iteration
     pattern (SURVEY.md §2.6) applied to search radius.
     """
+    # the query side is broadcast-scale by contract (same assumption as
+    # knn_bruteforce), so unresolved ids are tracked driver-side: one tiny
+    # collect up front + ONE stats job per ring — the previous formulation
+    # paid stats + isEmpty (two full passes) per iteration
+    unresolved = {r.query_id for r in queries.select("query_id").collect()}
     remaining = queries
     done_parts: list[DataFrame] = []
     ring = 1
     while ring <= max_ring:
+        # cache: the per-ring result feeds BOTH the proof-bound stats job and
+        # the final output — without it the cell join recomputes at collect
         res = knn_cell_pruned(
             points, remaining, k=k, cell_zoom=cell_zoom, ring=ring,
             id_col=id_col, lon=lon, lat=lat,
-        )
+        ).cache()
         # guaranteed covered radius around the query point: >= ring cells in
         # every direction. In longitude a cell is cell_w degrees; in latitude
         # mercator cells span cell_w * cos(lat) degrees (gudermannian
@@ -93,19 +100,21 @@ def knn_cell_adaptive(
             F.max("_d2").alias("_maxd"),
             F.min("_safe").alias("_safe"),
         )
-        ok_ids = stats.filter(
+        ok = {r.query_id for r in stats.filter(
             (F.col("_n") >= k) & (F.col("_maxd") <= F.col("_safe"))
-        ).select("query_id")
-        done_parts.append(
-            res.join(ok_ids, on="query_id").select("query_id", "rank", id_col)
-        )
-        remaining = remaining.join(ok_ids, on="query_id", how="left_anti")
-        if remaining.isEmpty():
+        ).select("query_id").collect()}
+        if ok:
+            done_parts.append(
+                res.filter(F.col("query_id").isin(list(ok))).select("query_id", "rank", id_col)
+            )
+            unresolved -= ok
+        if not unresolved:
             break
+        remaining = queries.filter(F.col("query_id").isin(list(unresolved)))
         ring *= 2
     else:
         raise ValueError(f"ring exceeded max_ring={max_ring} with queries unresolved")
-    if not remaining.isEmpty():
+    if unresolved:
         # max_ring hit exactly: final pass at max_ring without the proof bound
         done_parts.append(
             knn_cell_pruned(points, remaining, k=k, cell_zoom=cell_zoom, ring=max_ring,
