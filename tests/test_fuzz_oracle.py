@@ -93,3 +93,114 @@ def test_random_pyramid_counts_match_oracle(spark, sf_dir, ducks, seed):
             "SELECT sum(c) FROM (" + " UNION ALL ".join(union_sql) + ")"
         ).fetchone()
         assert got == int(expect), (z_min, z_max, box)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_codec_roundtrips(seed):
+    """Random images through every real codec: lossless paths exact, lossy
+    paths within the PSNR bound, format sniffing stable."""
+    from versatiles_rs_spark import codecs
+
+    rng = np.random.default_rng(seed)
+    noise = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    # smooth gradient with random phase: the content class lossy codecs are
+    # specified over (PSNR bounds on pure noise are meaningless)
+    ox, oy = int(rng.integers(128)), int(rng.integers(128))  # no sawtooth wrap
+    y, x = np.mgrid[0:32, 0:32]
+    smooth = np.stack(
+        [4 * x + ox, 4 * y + oy, (x + y) * 2], axis=-1
+    ).astype(np.uint8)
+    for img in (smooth, noise):
+        png = codecs.decode_image(codecs.encode_image(img, "png"))
+        assert (png == img).all()
+        if codecs.HAS_WEBP:
+            wl = codecs.decode_image(codecs.encode_image(img, "webp", quality=100))
+            assert (wl == img).all()
+    for fmt, has in (("jpg", codecs.HAS_GD_JPEG), ("webp", codecs.HAS_WEBP),
+                     ("avif", codecs.HAS_AVIF)):
+        if not has:
+            continue
+        blob = codecs.encode_image(smooth, fmt, quality=95)
+        assert codecs.detect_format(blob) == fmt
+        out = codecs.decode_image(blob)
+        assert out.shape == smooth.shape
+        assert codecs.psnr(smooth, out) >= 30.0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_mvt_pbf_roundtrip(seed):
+    """Random layer/feature/property structures survive MVT protobuf
+    encode->decode exactly (geometry, ids, typed values)."""
+    from versatiles_rs_spark.mvt_pbf import decode_mvt, encode_mvt
+
+    rng = np.random.default_rng(seed + 77)
+    layers = []
+    for li in range(int(rng.integers(1, 4))):
+        feats = []
+        for fi in range(int(rng.integers(1, 6))):
+            gtype = int(rng.integers(1, 4))
+            if gtype == 1:
+                geom = [[(int(rng.integers(0, 4096)), int(rng.integers(0, 4096)))]
+                        for _ in range(int(rng.integers(1, 4)))]
+            else:
+                n = int(rng.integers(2 if gtype == 2 else 3, 6))
+                ring = [(int(rng.integers(0, 4096)), int(rng.integers(0, 4096))) for _ in range(n)]
+                if gtype == 3:
+                    ring.append(ring[0])
+                geom = [ring]
+            feats.append({
+                "id": int(rng.integers(0, 1 << 40)),
+                "type": gtype,
+                "geometry": geom,
+                "props": {
+                    f"k{j}": v for j, v in enumerate(
+                        [str(rng.integers(100)), int(rng.integers(-5, 5)), bool(rng.integers(2))]
+                        [: int(rng.integers(0, 4))]
+                    )
+                },
+            })
+        layers.append({"name": f"layer{li}", "extent": 4096, "features": feats})
+    rt = decode_mvt(encode_mvt(layers))
+    for a, b in zip(layers, rt):
+        assert a["name"] == b["name"]
+        for fa, fb in zip(a["features"], b["features"]):
+            assert fa["id"] == fb["id"] and fa["type"] == fb["type"]
+            assert fa["props"] == fb["props"]
+            if fa["type"] != 3:
+                assert fa["geometry"] == fb["geometry"]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_fuzz_brotli_and_versatiles_roundtrip(spark, tmp_path, seed):
+    """Random payload sets survive brotli and the .versatiles container."""
+    from versatiles_rs_spark.codecs import HAS_BROTLI, compress_blob, decompress_blob
+
+    if not HAS_BROTLI:
+        pytest.skip("libbrotli absent")
+    rng = np.random.default_rng(seed + 5)
+    blobs = [rng.integers(0, 256, int(rng.integers(1, 5000)), dtype=np.uint8).tobytes()
+             for _ in range(20)]
+    for b in blobs:
+        assert decompress_blob(compress_blob(b, "brotli"), "brotli") == b
+
+    import pandas as pd
+
+    from versatiles_rs_spark.sources.versatiles import read_versatiles, write_versatiles
+
+    tiles = []
+    used = set()
+    for b in blobs:
+        z = int(rng.integers(1, 9))
+        key = (z, int(rng.integers(0, 1 << z)), int(rng.integers(0, 1 << z)))
+        if key in used:
+            continue
+        used.add(key)
+        tiles.append((*key, b))
+    df = spark.createDataFrame(
+        pd.DataFrame(tiles, columns=["z", "x", "y", "bytes"]),
+        schema="z int, x long, y long, bytes binary",
+    )
+    p = str(tmp_path / f"f{seed}.versatiles")
+    write_versatiles(df, p, tile_type="bin")
+    got = sorted((r.z, r.x, r.y, bytes(r.bytes)) for r in read_versatiles(spark, p).collect())
+    assert got == sorted(tiles)

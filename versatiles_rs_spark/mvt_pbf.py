@@ -122,7 +122,9 @@ def _decode_value(buf: bytes):
             return struct.unpack("<f", v)[0]
         if field == 3:
             return struct.unpack("<d", v)[0]
-        if field in (4, 5):
+        if field == 4:  # int64: varint carries two's complement
+            return v - (1 << 64) if v >= (1 << 63) else v
+        if field == 5:  # uint64
             return v
         if field == 6:  # sint64 zigzag
             return (v >> 1) ^ -(v & 1)
