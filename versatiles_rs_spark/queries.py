@@ -709,6 +709,7 @@ def _minhash_oracle_sql(threshold: float = 0.5, est_margin: float = 0.25) -> str
     shingle Jaccard."""
     from .functions.dedup import _A, _B, _MERSENNE
 
+    nperm = len(_A)
     perms = ", ".join(
         f"list_min(list_transform(shingles, s -> ({int(a)} * (s & {_MERSENNE}) + {int(b)}) % {_MERSENNE}))"
         for a, b in zip(_A, _B)
@@ -727,7 +728,7 @@ def _minhash_oracle_sql(threshold: float = 0.5, est_margin: float = 0.25) -> str
         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
     ), scored AS (
       SELECT c.id_a, c.id_b,
-        len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0 AS est,
+        len(list_filter(range(1, {nperm} + 1), i -> sa.sig[i] = sb.sig[i])) / {nperm}.0 AS est,
         len(list_intersect(sa.shingles, sb.shingles)) AS inter,
         len(sa.shingles) + len(sb.shingles) AS tot
       FROM cand c
