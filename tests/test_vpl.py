@@ -253,3 +253,30 @@ def test_reference_berlin_vpl_verbatim(spark, tmp_path):
     assert t1["streets"]["features"][0]["props"] == {"name": "Berlin"}
     t2 = {l["name"]: l for l in tiles[(4, 9, 5)]}
     assert {f["props"].get("city_population") for f in t2["place_labels"]["features"]} == {"2952301"}
+
+
+def test_reference_gdal_raster_vpl(spark):
+    """The reference's from_gdal test pipeline shape (operation.rs:262) runs
+    verbatim against its own gradient.tif, through real libtiff decode."""
+    import os
+
+    import numpy as np
+
+    from versatiles_rs_spark.codecs import decode_image
+    from versatiles_rs_spark.plans.vpl import run_vpl
+    from versatiles_rs_spark.sources.raster import HAS_LIBTIFF
+
+    tif = "/root/reference/testdata/gradient.tif"
+    if not (HAS_LIBTIFF and os.path.exists(tif)):
+        pytest.skip("libtiff or reference testdata absent")
+    df = run_vpl(
+        spark,
+        f'from_gdal_raster filename="{tif}" tile_size=16 level_min=1 level_max=1',
+    )
+    rows = {(r.x, r.y): decode_image(bytes(r.bytes)) for r in df.collect()}
+    assert set(rows) == {(0, 0), (1, 0), (0, 1), (1, 1)}
+    # reference goldens: average tile colors (operation.rs:330-338)
+    want = {(0, 0): (63, 43, 0), (1, 0): (192, 43, 0), (0, 1): (63, 212, 0), (1, 1): (192, 212, 0)}
+    for k, expect in want.items():
+        avg = rows[k][:, :, :3].reshape(-1, 3).mean(axis=0)
+        assert np.abs(avg - np.array(expect)).max() <= 6

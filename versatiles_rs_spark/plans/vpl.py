@@ -289,6 +289,22 @@ def _from_container(spark, children=(), filename: str = "", **kw):
     raise VPLParseError(f"from_container: unrecognized container {filename!r}")
 
 
+@source("from_gdal_raster")
+def _from_gdal_raster(
+    spark, children=(), filename: str = "", tile_size=256, level_min=0, level_max=3, **kw
+):
+    """Georeferenced raster -> tile pyramid (from_gdal/raster/operation.rs;
+    the reference gates this behind its gdal feature flag). GeoTIFF decode is
+    real here (system libtiff); the reference's own test pipeline
+    `from_gdal_raster filename="../testdata/gradient.tif" ...` runs as-is."""
+    from ..sources.raster import open_raster, raster_to_tiles
+
+    raster = open_raster(_resolve(str(filename)))
+    return raster_to_tiles(
+        spark, raster, int(level_min), int(level_max), tile_size=int(tile_size)
+    )
+
+
 @source("from_stacked")
 def _from_stacked(spark, children=(), **kw):
     from ..operators.stacked import stacked_first_non_empty
