@@ -246,6 +246,57 @@ def test_bucket_cap_drops_hot_buckets(spark):
     assert cluster_pairs == []  # hot bucket dropped, not enumerated
 
 
+def test_bucket_cap_reports_dropped_counts(spark):
+    """The cap is an observable recall trade (VERDICT r2 #3): a planted
+    over-cap bucket must surface its dropped bucket/row counts through the
+    metrics dict (and the warning log), never silently."""
+    df, _ = _planted_cluster_df(spark, m=40)
+    metrics: dict = {}
+    minhash_lsh_pairs(
+        df, threshold=0.5, pre_collapse=False, bucket_cap=10, metrics=metrics
+    ).collect()
+    # 40 identical docs share every one of the 16 band buckets
+    assert metrics["capped_buckets"] >= 16
+    assert metrics["capped_rows"] >= 16 * 40
+    # and a run with no hot buckets reports zeros, not missing keys
+    m2: dict = {}
+    minhash_lsh_pairs(df, threshold=0.5, pre_collapse=True, metrics=m2).collect()
+    assert m2 == {"capped_buckets": 0, "capped_rows": 0}
+
+
+def test_expand_pairs_shuffle_fallback_parity(spark):
+    """Above max_broadcast_pairs the rep-pair expansion must switch to
+    shuffle joins (VERDICT r2 #4) and produce IDENTICAL pairs to the
+    broadcast path on a planted mega-cluster."""
+    df, _ = _planted_cluster_df(spark, m=25)
+    via_broadcast = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(df, threshold=0.5).collect()
+    }
+    via_shuffle = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(df, threshold=0.5, max_broadcast_pairs=0).collect()
+    }
+    assert via_shuffle == via_broadcast and len(via_broadcast) >= 25 * 24 // 2
+    sim_b = {(r.id_a, r.id_b) for r in simhash_pairs(df).collect()}
+    sim_s = {(r.id_a, r.id_b) for r in simhash_pairs(df, max_broadcast_pairs=0).collect()}
+    assert sim_s == sim_b
+
+
+def test_minhash_bands_parameter(spark):
+    """bands must tile the 64-perm signature (ADVICE r2): non-divisors raise,
+    and a coarser banding (8 bands x 8 rows) still finds the identical
+    cluster (identical sigs collide in every band regardless of width)."""
+    df, _ = _planted_cluster_df(spark, m=10)
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(df, bands=7)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(df, threshold=0.5, bands=8).collect()
+    }
+    assert {(a, b) for a in range(10) for b in range(a + 1, 10)} <= pairs
+
+
 def test_cosine_pairs_lsh_subquadratic(spark):
     """On clustered data at a near-dup threshold, the LSH path must find the
     same pairs as the exact path while enumerating far fewer candidates than

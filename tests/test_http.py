@@ -118,6 +118,47 @@ def test_serve_accept_encoding_negotiation(spark, tile_df):
         srv.shutdown()
 
 
+def test_serve_threads_stored_container_compression(spark, tmp_path):
+    """server/encoding.rs parity: a gzip-STORED tile (mbtiles pbf convention)
+    must be served as-is to a gzip-accepting client (Content-Encoding: gzip,
+    single layer) and transparently DECOMPRESSED for identity clients —
+    never brotli'd on top of the stored gzip layer."""
+    import pandas as pd
+
+    from versatiles_rs_spark.codecs import HAS_BROTLI, decompress_blob
+    from versatiles_rs_spark.server import _load_tile_source, serve_tiles
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    raw = b"not-really-mvt-but-distinct-bytes" * 30
+    stored = gzip.compress(raw)
+    df = spark.createDataFrame(
+        pd.DataFrame([(2, 1, 1, stored)], columns=["z", "x", "y", "bytes"]),
+        schema="z int, x long, y long, bytes binary",
+    )
+    p = str(tmp_path / "t.mbtiles")
+    write_mbtiles(df, p, metadata={"format": "pbf"})
+
+    loaded, codec = _load_tile_source(spark, p)
+    assert codec == "gzip"
+    srv, base = serve_tiles(loaded, tile_fmt="mvt", tile_codec=codec)
+    try:
+        # gzip client: stored layer passes through untouched, labeled gzip
+        _, hdrs, body = _get(f"{base}/tiles/2/1/1", {"Accept-Encoding": "gzip"})
+        assert hdrs.get("Content-Encoding") == "gzip"
+        assert gzip.decompress(body) == raw
+        # identity client: server decompresses the stored layer
+        _, hdrs2, body2 = _get(f"{base}/tiles/2/1/1", {"Accept-Encoding": "identity"})
+        assert hdrs2.get("Content-Encoding") is None and body2 == raw
+        if HAS_BROTLI:
+            # brotli-only client: recoded gzip->brotli, ONE layer (the r2
+            # bug served brotli(gzip(raw)) labeled only br)
+            _, hdrs3, body3 = _get(f"{base}/tiles/2/1/1", {"Accept-Encoding": "br"})
+            assert hdrs3.get("Content-Encoding") == "br"
+            assert decompress_blob(body3, "brotli") == raw
+    finally:
+        srv.shutdown()
+
+
 def test_serve_static_tar_br(spark, tile_df):
     """Static-content mode from the reference's own brotli tar fixture."""
     import os

@@ -212,3 +212,25 @@ def test_knn_adaptive_matches_bruteforce(spark):
         for r in knn_cell_adaptive(pts, queries, k=5, cell_zoom=5).collect()
     )
     assert ad == bf and len(ad) == 4 * 5
+
+
+def test_knn_adaptive_max_ring_fallback(spark):
+    """Queries still unproven when rings are exhausted get the documented
+    final non-proof pass at max_ring (previously dead code behind a
+    while/else raise) instead of ValueError."""
+    from versatiles_rs_spark.joins.knn import knn_cell_adaptive
+
+    # cell_zoom=5 -> cell width 11.25 deg; query at lon 0.5 sits in cell
+    # [0, 11.25). The third-nearest point (lon 21) is inside the ring-1
+    # window but 20.5 deg away — beyond the ~11 deg ring-1 proof bound — so
+    # the loop can FIND k=3 at ring 1 but never PROVE it with max_ring=1.
+    pts = spark.createDataFrame(
+        [(0, 1.0, 0.0), (1, 2.0, 0.0), (2, 21.0, 0.0)],
+        "event_id long, lon double, lat double",
+    )
+    queries = spark.createDataFrame([(0, 0.5, 0.0)], "query_id long, qlon double, qlat double")
+    out = sorted(
+        (r.query_id, r.rank, r.event_id)
+        for r in knn_cell_adaptive(pts, queries, k=3, cell_zoom=5, max_ring=1).collect()
+    )
+    assert out == [(0, 1, 0), (0, 2, 1), (0, 3, 2)]

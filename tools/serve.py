@@ -37,12 +37,12 @@ def main():
         from versatiles_rs_spark.server import _load_tile_source, serve_tiles
 
         if path.endswith(".parquet") or os.path.isdir(path):
-            df = spark.read.option("recursiveFileLookup", "true").parquet(path)
+            df, codec = spark.read.option("recursiveFileLookup", "true").parquet(path), "none"
         else:
-            df = _load_tile_source(spark, path)
+            df, codec = _load_tile_source(spark, path)
         df = df.cache()
         df.count()  # materialize so point lookups hit memory
-        srv, url = serve_tiles(df, port=port)
+        srv, url = serve_tiles(df, port=port, tile_codec=codec)
     print(f"# serving on {url} (Ctrl-C to stop)")
     try:
         while True:

@@ -166,6 +166,11 @@ try:  # real JPEG/WebP via system libgd/libwebp (image_ctypes); else stand-ins
 except Exception:  # pragma: no cover - load failure counts as absent
     HAS_GD_JPEG = HAS_WEBP = False
 
+    def _codec_unavailable(*a, **k):
+        raise ValueError("jpeg/webp codec unavailable (image_ctypes failed to load)")
+
+    jpeg_decode = jpeg_encode = webp_decode = webp_encode = _codec_unavailable
+
 try:  # real AVIF via system libheif (beyond the reference: avif.rs:79 is a stub)
     from .avif_ctypes import HAS_AVIF, avif_decode, avif_encode
 except Exception:  # pragma: no cover
@@ -192,8 +197,12 @@ def decode_image(blob: bytes) -> np.ndarray:
     if fmt == "png":
         return decode_png(blob)
     if fmt == "jpg" and blob[:3] == b"\xff\xd8\xff":
+        if not HAS_GD_JPEG:
+            raise ValueError("real JPEG blob but libgd/libjpeg unavailable")
         return jpeg_decode(blob)
     if fmt == "webp" and blob[:4] == b"RIFF":
+        if not HAS_WEBP:
+            raise ValueError("real WebP blob but libwebp unavailable")
         return webp_decode(blob)
     if fmt == "avif" and HAS_AVIF:
         return avif_decode(blob)

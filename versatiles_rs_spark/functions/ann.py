@@ -211,14 +211,20 @@ def embed_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_hint: int | None = None,
     **lsh_kw,
 ) -> DataFrame:
     """Embedding near-duplicate pairs with an automatic exact/approximate
     switch: exact blocked-GEMM while N <= exact_bound (oracle-verifiable),
     LSH-prefiltered verification beyond it (the 10^9-embedding scale path —
-    the all-pairs block join is Theta(N^2) flops and must not run there)."""
+    the all-pairs block join is Theta(N^2) flops and must not run there).
+
+    `n_hint`: known/estimated row count. Supplying it (e.g. from table stats
+    or a prior count) skips the count job the auto switch otherwise pays
+    (VERDICT r2 #6)."""
     if mode == "auto":
-        mode = "exact" if vectors.count() <= exact_bound else "lsh"
+        n = n_hint if n_hint is not None else vectors.count()
+        mode = "exact" if n <= exact_bound else "lsh"
     if mode == "exact":
         return cosine_pairs_blocked(vectors, threshold, id_col=id_col, vec_col=vec_col)
     return cosine_pairs_lsh(

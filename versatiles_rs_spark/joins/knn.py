@@ -104,18 +104,25 @@ def knn_cell_adaptive(
             (F.col("_n") >= k) & (F.col("_maxd") <= F.col("_safe"))
         ).select("query_id").collect()}
         if ok:
+            # accepted rows are <= |queries| * k (query side is
+            # broadcast-scale by contract): materialize them eagerly so the
+            # heavyweight per-ring cache can be released immediately instead
+            # of accumulating across rings
             done_parts.append(
-                res.filter(F.col("query_id").isin(list(ok))).select("query_id", "rank", id_col)
+                res.filter(F.col("query_id").isin(list(ok)))
+                .select("query_id", "rank", id_col)
+                .localCheckpoint(eager=True)
             )
             unresolved -= ok
+        res.unpersist()
         if not unresolved:
             break
         remaining = queries.filter(F.col("query_id").isin(list(unresolved)))
         ring *= 2
-    else:
-        raise ValueError(f"ring exceeded max_ring={max_ring} with queries unresolved")
     if unresolved:
-        # max_ring hit exactly: final pass at max_ring without the proof bound
+        # rings exhausted: final pass at max_ring without the proof bound —
+        # the documented non-proof fallback (was dead behind a while/else
+        # raise; every normal loop exit raised before reaching it)
         done_parts.append(
             knn_cell_pruned(points, remaining, k=k, cell_zoom=cell_zoom, ring=max_ring,
                             id_col=id_col, lon=lon, lat=lat)

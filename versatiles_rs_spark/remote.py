@@ -82,8 +82,16 @@ class RangeFileHandler(BaseHTTPRequestHandler):
         self._serve(head=False)
 
     def _serve(self, head: bool):
-        path = os.path.normpath(os.path.join(self.root, self.path.lstrip("/")))
-        if not path.startswith(os.path.abspath(self.root)) or not os.path.isfile(path):
+        # containment via commonpath on resolved paths: a bare prefix check
+        # lets /tmp/x2/f escape a /tmp/x root, and a relative root never
+        # matches its own abspath prefix (ADVICE r2)
+        root = os.path.realpath(self.root)
+        path = os.path.realpath(os.path.join(root, self.path.lstrip("/")))
+        try:
+            contained = os.path.commonpath([root, path]) == root
+        except ValueError:
+            contained = False
+        if not contained or not os.path.isfile(path):
             self.send_error(404)
             return
         size = os.path.getsize(path)

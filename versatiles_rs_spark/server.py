@@ -63,8 +63,9 @@ class TileHandler(BaseHTTPRequestHandler):
     df = None
     tilejson: dict = {}
     tile_fmt = "png"
+    tile_codec = "none"  # stored compression of self.df's tile payloads
     static: dict[str, bytes] = {}
-    sources: dict = {}  # name -> (df, tilejson) for config-driven multi-source
+    sources: dict = {}  # name -> (df, tilejson, codec) for config-driven multi-source
     extra_headers: dict[str, str] = {}
     cors_origins: list[str] = []
     cors_max_age: int = 0
@@ -85,7 +86,12 @@ class TileHandler(BaseHTTPRequestHandler):
                 return origin
         return None
 
-    def _negotiate(self, body: bytes) -> tuple[bytes, str | None]:
+    def _negotiate(self, body: bytes, codec: str = "none") -> tuple[bytes, str | None]:
+        """`codec` is the payload's STORED compression (container tile
+        compression) — threading it into optimize_compression mirrors the
+        reference (server/encoding.rs): a gzip-stored MVT keeps its gzip
+        layer for gzip-accepting clients and is transparently recoded (never
+        double-compressed) otherwise."""
         from .codecs import optimize_compression
 
         accepted = {
@@ -93,11 +99,11 @@ class TileHandler(BaseHTTPRequestHandler):
             for e in (self.headers.get("Accept-Encoding") or "").split(",")
             if e.strip()
         }
-        out, codec = optimize_compression(body, "none", accepted)
+        out, codec = optimize_compression(body, codec, accepted)
         return out, {"gzip": "gzip", "brotli": "br"}.get(codec)
 
-    def _send(self, body: bytes, ctype: str):
-        body, encoding = self._negotiate(body)
+    def _send(self, body: bytes, ctype: str, codec: str = "none"):
+        body, encoding = self._negotiate(body, codec)
         self.send_response(200)
         self.send_header("Content-Type", ctype)
         if encoding:
@@ -119,13 +125,13 @@ class TileHandler(BaseHTTPRequestHandler):
         # config mode: /tiles/{name}/{z}/{x}/{y} + /tiles/{name}/tiles.json
         m = re.match(r"^/tiles/(\w+)/(\d+)/(\d+)/(\d+)(?:\.\w+)?$", self.path)
         if m and m.group(1) in self.sources:
-            df, _ = self.sources[m.group(1)]
+            df, _, codec = self.sources[m.group(1)]
             z, x, y = int(m.group(2)), int(m.group(3)), int(m.group(4))
             row = get_tile(df, z, x, y)
             if row is None:
                 self.send_error(404, "tile not found")
                 return
-            self._send(bytes(row.bytes), _CTYPE["bin"])
+            self._send(bytes(row.bytes), _CTYPE["bin"], codec)
             return
         m = re.match(r"^/tiles/(\w+)/tiles\.json$", self.path)
         if m and m.group(1) in self.sources:
@@ -138,7 +144,11 @@ class TileHandler(BaseHTTPRequestHandler):
             if row is None:
                 self.send_error(404, "tile not found")
                 return
-            self._send(bytes(row.bytes), _CTYPE.get(self.tile_fmt, _CTYPE["bin"]))
+            self._send(
+                bytes(row.bytes),
+                _CTYPE.get(self.tile_fmt, _CTYPE["bin"]),
+                self.tile_codec,
+            )
             return
         if self.path in ("/tiles.json", "/tiles/tiles.json") and self.df is not None:
             self._send(json.dumps(self.tilejson).encode(), "application/json")
@@ -159,9 +169,12 @@ def serve_tiles(
     port: int = 0,
     tile_fmt: str = "png",
     static_tar: str | None = None,
+    tile_codec: str = "none",
 ):
     """Start the serve shim on a background thread. Returns (server, url);
-    call server.shutdown() to stop."""
+    call server.shutdown() to stop. `tile_codec` declares the stored
+    compression of `df`'s payload bytes (e.g. "gzip" for MVT out of an
+    mbtiles container) so negotiation recodes instead of double-compressing."""
     from .sources.containers import tilejson_for
 
     handler = type(
@@ -171,6 +184,7 @@ def serve_tiles(
             "df": df,
             "tilejson": tilejson_for(df),
             "tile_fmt": tile_fmt,
+            "tile_codec": tile_codec,
             "static": _load_static(static_tar) if static_tar else {},
         },
     )
@@ -181,23 +195,31 @@ def serve_tiles(
 
 
 def _load_tile_source(spark, path: str):
-    """Container/VPL dispatch for a config `tiles:` entry."""
+    """Container/VPL dispatch for a config `tiles:` entry. Returns
+    (df, stored_tile_codec) — the codec is read from the container header so
+    the serve path can negotiate from the REAL current compression
+    (server/encoding.rs parity) instead of assuming raw bytes."""
     if path.endswith(".mbtiles"):
-        from .sources.mbtiles import read_mbtiles
+        from .sources.mbtiles import read_mbtiles, read_mbtiles_metadata
 
-        return read_mbtiles(spark, path)
+        # mbtiles convention (spec 1.3): pbf tiles are stored gzip-compressed
+        fmt = read_mbtiles_metadata(path).get("format", "")
+        return read_mbtiles(spark, path), "gzip" if fmt in ("pbf", "mvt") else "none"
     if path.endswith(".pmtiles"):
-        from .sources.pmtiles import read_pmtiles
+        from .sources.pmtiles import read_pmtiles, read_pmtiles_header
 
-        return read_pmtiles(spark, path)
+        code = read_pmtiles_header(path)["tile_compression"]
+        codec = {1: "none", 2: "gzip", 3: "brotli"}.get(code, "none")
+        return read_pmtiles(spark, path), codec
     if path.endswith(".versatiles"):
-        from .sources.versatiles import read_versatiles
+        from .sources.versatiles import read_versatiles, read_versatiles_header
 
-        return read_versatiles(spark, path)
+        comp = read_versatiles_header(path)["compression"]
+        return read_versatiles(spark, path), comp if comp in ("gzip", "brotli") else "none"
     if path.endswith(".vpl"):
         from .plans.vpl import run_vpl_file
 
-        return run_vpl_file(spark, path)
+        return run_vpl_file(spark, path), "none"
     raise ValueError(f"unsupported tile source {path!r}")
 
 
@@ -224,8 +246,8 @@ def serve_from_config(spark, config_path: str, port: int = 0):
     sources, skipped = {}, []
     for entry in cfg.get("tiles", []) or []:
         try:
-            df = _load_tile_source(spark, resolve(entry["path"]))
-            sources[entry["name"]] = (df, tilejson_for(df))
+            df, codec = _load_tile_source(spark, resolve(entry["path"]))
+            sources[entry["name"]] = (df, tilejson_for(df), codec)
         except Exception as e:  # keep serving the healthy mounts
             skipped.append((entry["name"], str(e)[:200]))
 
