@@ -120,3 +120,24 @@ def test_distributed_boundary_edges_parity(spark):
     )
     # 5 rings: donut outer + donut hole + 2 pinch-separated outers + isolated
     assert got == want and len(got) == 5
+
+
+def test_registry_edge_set_chains_to_closed_rings(spark):
+    """The registry's tile_outline query emits the distributed boundary-edge
+    set (SQL-oracled by the driver); this keeps the end-to-end check that
+    the edge set over a REAL table still chains into closed, consistently
+    oriented rings — the driver-side tail the oracle can't express."""
+    from versatiles_rs_spark.outline import ring_signed_area, rings_from_edges
+    from versatiles_rs_spark.queries import REGISTRY
+
+    edges = REGISTRY["tile_outline"].fn(spark, "/root/testdata/sf0.001").collect()
+    rings = rings_from_edges([((r.sx, r.sy), (r.ex, r.ey)) for r in edges])
+    assert rings and all(r[0] == r[-1] for r in rings)
+    # covered area equals the distinct z=5 tile count (outer minus holes)
+    from versatiles_rs_spark.queries import _events_with_tiles
+
+    n_tiles = (
+        _events_with_tiles(spark, "/root/testdata/sf0.001", 5)
+        .select("x", "y").distinct().count()
+    )
+    assert sum(ring_signed_area(r) for r in rings) == float(n_tiles)

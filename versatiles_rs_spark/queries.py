@@ -669,6 +669,29 @@ def _mul64_sql(a_expr: str, c: int) -> str:
     )
 
 
+def _splitmix_geo_ctes(n: int) -> str:
+    """CTE chain: ids 0..n-1 -> splitmix64 phash -> derived lon/lat — a
+    bit-exact SQL replay of fixtures.phash_for + fixtures.phash_to_lonlat
+    (no skew), used to oracle queries whose input is the synthetic image
+    fixture rather than a parquet table. 64-bit wraparound via HUGEINT
+    half-multiplies; the float pipeline mirrors the numpy op order exactly
+    (divide by 2^26 is exact, so lon/lat are bit-identical doubles)."""
+    g, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+    ids AS (SELECT unnest(range(0, {n})) AS i),
+    p0 AS (SELECT i, (CAST(i AS HUGEINT) + {g}) & {_M64} AS x FROM ids),
+    p1 AS (SELECT i, {_mul64_sql('xor(x, x >> 30)', c1)} AS x FROM p0),
+    p2 AS (SELECT i, {_mul64_sql('xor(x, x >> 27)', c2)} AS x FROM p1),
+    ph AS (SELECT i, xor(x, x >> 31) AS p FROM p2),
+    geo AS (
+      SELECT i,
+        ((p & 67108863) / 67108864.0) * 360.0 - 180.0 AS lon,
+        (((p >> 26) & 67108863) / 67108864.0) * 170.10225755960318
+          - 85.05112877980159 AS lat
+      FROM ph
+    )"""
+
+
 def _shingles_ctes() -> str:
     """CTE chain: documents -> per-doc distinct 5-gram splitmix64 shingle
     hashes — a bit-exact SQL replay of functions/dedup._shingle_hashes
@@ -1203,11 +1226,35 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries_df, k=5, nbits=8, dim=64)
 
 
-@register("raster_pyramid", None)
+def _raster_pyramid_oracle_sql() -> str:
+    """Replay the z4 tile set of 512 fixture images (splitmix phash ->
+    lon/lat -> tile@4) and roll parents up with shiftright — per-level
+    counts + tile-bbox extremes. Pixel content (mosaic + box-downscale)
+    stays pytest-verified (test_raster_ops goldens)."""
+    x4, y4 = tile_xy_sql("lon", "lat", 4)
+    lv = []
+    for z in (4, 3, 2):
+        s = 4 - z
+        lv.append(
+            f"SELECT {z} AS z, CAST(count(*) AS BIGINT) AS n_tiles, "
+            f"min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max "
+            f"FROM (SELECT DISTINCT x >> {s} AS x, y >> {s} AS y FROM t4) _l{z}"
+        )
+    return f"""
+    WITH {_splitmix_geo_ctes(512)},
+    t4 AS (SELECT DISTINCT {x4} AS x, {y4} AS y FROM geo)
+    {' UNION ALL '.join(lv)}
+    """
+
+
+@register("raster_pyramid", _raster_pyramid_oracle_sql())
 def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raster overview pyramid z4 -> z2 over deterministic synthetic tiles:
-    per-level tile counts + payload bytes (mosaic + box-downscale kernels,
-    raster_overview.rs semantics; pixel-exact goldens in pytest)."""
+    per-level tile counts + coordinate extremes (mosaic + box-downscale
+    kernels, raster_overview.rs semantics). The DuckDB oracle replays the
+    fixture's splitmix64 tile assignment + the shiftright parent rollup;
+    pixel payloads are pytest-verified (pixel-exact goldens) — the mosaic
+    kernels still execute here, feeding the counted rows."""
     from . import fixtures
     from .operators.raster import build_pyramid
 
@@ -1220,7 +1267,9 @@ def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     levels = build_pyramid(base, z_max=4, z_min=2, tile_size=16)
     stats = [
         df.groupBy("z").agg(
-            F.count("*").alias("n_tiles"), F.sum(F.length("bytes")).alias("total_bytes")
+            F.count("*").alias("n_tiles"),
+            F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"), F.max("y").alias("y_max"),
         )
         for df in levels.values()
     ]
@@ -1230,10 +1279,29 @@ def q_raster_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("vpl_pipeline", None)
+def _vpl_pipeline_oracle_sql() -> str:
+    """Replay from_debug n=256 zoom=4 | filter_zoom 4..4 | flip_y in SQL:
+    splitmix phash -> lon/lat -> tile@4, y -> 15 - y. raster_levels is a
+    payload op (row-preserving) so the row stats are unchanged by it; the
+    gamma kernel itself is pytest-verified (test_raster_ops)."""
+    x4, y4 = tile_xy_sql("lon", "lat", 4)
+    return f"""
+    WITH {_splitmix_geo_ctes(256)},
+    t AS (SELECT {x4} AS x, 15 - ({y4}) AS y FROM geo)
+    SELECT 4 AS z, CAST(count(*) AS BIGINT) AS n_tiles,
+           min(x) AS x_min, max(x) AS x_max,
+           min(y) AS y_min, max(y) AS y_max
+    FROM t
+    """
+
+
+@register("vpl_pipeline", _vpl_pipeline_oracle_sql())
 def q_vpl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end VPL plan: parse -> build -> execute
-    (vpl/parser.rs + factory.rs parity; deterministic debug source)."""
+    (vpl/parser.rs + factory.rs parity; deterministic debug source). The
+    raster_levels stage still executes per row inside the fused pipeline
+    (mapInPandas is opaque to pruning); its gamma math has pytest goldens.
+    The DuckDB oracle replays the debug source's tile derivation + flip_y."""
     from .plans.vpl import run_vpl
 
     df = run_vpl(
@@ -1243,9 +1311,8 @@ def q_vpl_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return df.groupBy("z").agg(
         F.count("*").alias("n_tiles"),
-        F.min("x").alias("x_min"),
-        F.max("y").alias("y_max"),
-        F.sum(F.length("bytes")).alias("total_bytes"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
     )
 
 
@@ -1275,11 +1342,32 @@ def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select("z", "x", "y", "n_features")
 
 
-@register("raster_ingest", None)
+def _raster_ingest_oracle_sql() -> str:
+    """Replay geo_bbox_to_tile_bbox (tile_bbox/constructors.rs:258-266
+    semantics: eps=1e-10 inset, inclusive tile range) for bbox
+    (0, 40, 20, 60) at z=4..6 — tile counts + extremes are pure bbox math
+    (tile_bbox_pyramid.rs:87-93). Warp pixels stay pytest-verified."""
+    eps = 1e-10
+    w, s, e, n = 0.0, 40.0, 20.0, 60.0
+    parts = []
+    for z in (4, 5, 6):
+        x0, y0 = tile_xy_sql(repr(w + eps), repr(n - eps), z)
+        x1, y1 = tile_xy_sql(repr(e - eps), repr(s + eps), z)
+        parts.append(
+            f"SELECT {z} AS z, "
+            f"CAST((({x1}) - ({x0}) + 1) * (({y1}) - ({y0}) + 1) AS BIGINT) AS n_tiles, "
+            f"{x0} AS x_min, {x1} AS x_max, {y0} AS y_min, {y1} AS y_max"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("raster_ingest", _raster_ingest_oracle_sql())
 def q_raster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Georeferenced-raster -> tile pyramid cut (from_gdal_raster substitute,
     operation.rs semantics: warp to mercator, tiles per zoom). Deterministic
-    in-memory gradient dataset; warp-pixel oracle in test_raster_source.py."""
+    in-memory gradient dataset; warp-pixel oracle in test_raster_source.py —
+    the warp kernel still runs per tile here, producing the counted rows.
+    The DuckDB oracle replays the per-level tile-bbox enumeration."""
     import numpy as np
 
     from .sources.raster import GeoRaster, raster_to_tiles
@@ -1290,18 +1378,32 @@ def q_raster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = raster_to_tiles(spark, raster, 4, 6, tile_size=16)
     return tiles.groupBy("z").agg(
         F.count("*").alias("n_tiles"),
-        F.min("x").alias("x_min"),
-        F.max("x").alias("x_max"),
-        F.sum(F.length("bytes")).alias("total_bytes"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
     )
 
 
-@register("mvt_filter_chain", None)
+_EV_X4, _EV_Y4 = tile_xy_sql(_EV_LON, _EV_LAT, 4)
+
+
+@register(
+    "mvt_filter_chain",
+    f"""
+    SELECT 4 AS z, {_EV_X4} AS x, {_EV_Y4} AS y,
+           CAST(count(*) AS INT) AS n_features,
+           CAST(count(*) FILTER (WHERE user_id % 10 < 5) AS INT) AS n_segmented
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
 def q_mvt_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary vector-tile transform chain: build MVT tiles -> property-join
     (broadcast map probe) -> drop a property by regex -> per-tile feature
     stats. Exercises the payload-level vector op family end-to-end
-    (vector_update_properties.rs + vector_filter_properties.rs semantics)."""
+    (vector_update_properties.rs + vector_filter_properties.rs semantics).
+    The stats derive deterministically from events rows — the MVT payload is
+    a lossless round-trip in the middle — so the DuckDB oracle states them
+    directly: n_segmented counts features whose uid (user_id % 10) is in the
+    joined property map (ids 0..4 only, so the join is non-trivial)."""
     from .vector_tile import (
         decode_vector_tile,
         filter_properties_payload,
@@ -1319,7 +1421,7 @@ def q_mvt_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("props"),
     )
     tiles = points_to_vector_tiles(pts, zoom=4)
-    props = {str(i): {"segment": f"seg{i % 3}"} for i in range(10)}
+    props = {str(i): {"segment": f"seg{i % 3}"} for i in range(5)}
     joined = update_properties_payload(tiles, props, id_field="uid")
     cleaned = filter_properties_payload(joined, r"points/etype")
 
@@ -1378,30 +1480,44 @@ def q_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_gemm_topk(emb, queries_df, k=5)
 
 
-@register("tile_outline", None)
+def _tile_outline_oracle_sql() -> str:
+    """Replay the distributed boundary-edge cancellation in SQL: every tile
+    emits its 4 directed edges (area-on-the-left convention, outline._DIRS);
+    interior edges appear from BOTH adjacent tiles in opposite directions,
+    so grouping by the undirected key and keeping count==1 leaves exactly
+    the boundary."""
+    return f"""
+    WITH tiles AS (SELECT DISTINCT {_EV_X5} AS x, {_EV_Y5} AS y FROM events),
+    edges AS (
+      SELECT x AS sx, y + 1 AS sy, x + 1 AS ex, y + 1 AS ey FROM tiles
+      UNION ALL SELECT x + 1, y + 1, x + 1, y FROM tiles
+      UNION ALL SELECT x + 1, y, x, y FROM tiles
+      UNION ALL SELECT x, y, x, y + 1 FROM tiles
+    ), keyed AS (
+      SELECT sx, sy, ex, ey,
+        CASE WHEN sx < ex OR (sx = ex AND sy < ey) THEN sx ELSE ex END AS k0x,
+        CASE WHEN sx < ex OR (sx = ex AND sy < ey) THEN sy ELSE ey END AS k0y,
+        CASE WHEN sx < ex OR (sx = ex AND sy < ey) THEN ex ELSE sx END AS k1x,
+        CASE WHEN sx < ex OR (sx = ex AND sy < ey) THEN ey ELSE sy END AS k1y
+      FROM edges
+    )
+    SELECT min(sx) AS sx, min(sy) AS sy, min(ex) AS ex, min(ey) AS ey
+    FROM keyed GROUP BY k0x, k0y, k1x, k1y HAVING count(*) = 1
+    """
+
+
+@register("tile_outline", _tile_outline_oracle_sql())
 def q_tile_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outline polygons of the z=5 tile coverage (TileOutline union analog,
-    tile_outline/mod.rs:60-66 — edge-chaining union, no shapely). Emits one
-    row per ring: orientation-signed tile area + vertex count.
+    """Directed boundary edges of the z=5 tile coverage (TileOutline union
+    analog, tile_outline/mod.rs:60-66 — no shapely). Fully DISTRIBUTED: one
+    groupBy cancellation over slim integer rows (interior edges appear
+    twice, boundary once); nothing reaches the driver. The O(perimeter)
+    ring-chaining tail (rings_from_edges) and its orientation/hole goldens
+    are pytest-verified (test_outline.py) — chaining is inherently
+    sequential per ring and not SQL-expressible, the edge set is."""
+    from .outline import boundary_edges_df
 
-    Scale shape: boundary edges come from a DISTRIBUTED groupBy cancellation
-    (interior edges appear twice, boundary once); only the O(perimeter) edge
-    set reaches the driver for ring chaining — never the tile set."""
-    from .outline import boundary_edges_df, ring_signed_area, rings_from_edges
-
-    edge_rows = boundary_edges_df(
-        _events_with_tiles(spark, sf_dir, 5).select("x", "y")
-    ).collect()
-    rings = rings_from_edges([((r.sx, r.sy), (r.ex, r.ey)) for r in edge_rows])
-    rows = [
-        (i, len(ring) - 1, float(ring_signed_area(ring)), min(ring))
-        for i, ring in enumerate(
-            sorted(rings, key=lambda r: (ring_signed_area(r), min(r)))
-        )
-    ]
-    return spark.createDataFrame(
-        rows, "ring_id int, n_vertices int, area double, min_corner struct<x:long,y:long>"
-    ).select("ring_id", "n_vertices", "area", F.col("min_corner.x").alias("cx"), F.col("min_corner.y").alias("cy"))
+    return boundary_edges_df(_events_with_tiles(spark, sf_dir, 5).select("x", "y"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
