@@ -132,14 +132,62 @@ def _geotiff_bbox(path: str) -> tuple[float, float, float, float]:
     return (lon0, lat0 - h * sy, lon0 + w * sx, lat0)
 
 
+_WORLD_EXTS = {
+    ".png": (".pgw", ".pngw"),
+    ".jpg": (".jgw", ".jpgw"),
+    ".jpeg": (".jgw", ".jpgw"),
+    ".webp": (".wpw",),
+}
+
+
+def _world_file_bbox(path: str, w: int, h: int) -> tuple[float, float, float, float]:
+    """Parse the ESRI world-file sidecar (.pgw/.jgw/.wld: A D B E C F — pixel
+    scale, rotation terms, center of the upper-left pixel) into a WGS84 bbox.
+    Rotation must be zero (axis-aligned), matching the GeoTIFF path; rotated
+    geotransforms are GDAL's job (from_gdal/raster/operation.rs)."""
+    import os
+
+    base, ext = os.path.splitext(path)
+    candidates = [base + e for e in _WORLD_EXTS.get(ext.lower(), ())] + [base + ".wld"]
+    side = next((c for c in candidates if os.path.exists(c)), None)
+    if side is None:
+        raise ValueError(
+            f"{path}: no world-file sidecar found (tried {[os.path.basename(c) for c in candidates]})"
+        )
+    vals = [float(line.strip()) for line in open(side) if line.strip()][:6]
+    if len(vals) != 6:
+        raise ValueError(f"{side}: world file needs 6 numeric lines, got {len(vals)}")
+    a, d, b, e, c, f = vals
+    if d != 0.0 or b != 0.0:
+        raise NotImplementedError(f"{side}: rotated geotransform needs GDAL")
+    if a <= 0.0 or e >= 0.0:
+        raise ValueError(f"{side}: expected A>0 (east-up) and E<0 (north-up)")
+    # C/F reference the CENTER of the upper-left pixel; bbox edges are half a
+    # pixel out (the GDAL world-file convention)
+    lon0 = c - a / 2.0
+    lat1 = f - e / 2.0
+    return (lon0, lat1 + h * e, lon0 + w * a, lat1)
+
+
 def open_raster(path: str) -> GeoRaster:
     """Decode a georeferenced raster file -> GeoRaster.
 
     TIFF/GeoTIFF is REAL here: pixels via the system libtiff
     (TIFFReadRGBAImage handles strip/tile layout, Deflate/LZW + predictor),
     georeference via a manual GeoTIFF IFD parse — validated against the
-    reference's own testdata/gradient.tif. Other formats (or exotic CRSs)
-    still raise: plug rasterio/GDAL there (from_gdal/raster/operation.rs)."""
+    reference's own testdata/gradient.tif. PNG/JPEG/WebP with an ESRI
+    world-file sidecar (.pgw/.jgw/.wld) are also real, decoded with the
+    engine's own codecs. Other formats (or exotic CRSs) still raise: plug
+    rasterio/GDAL there (from_gdal/raster/operation.rs)."""
+    import os
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext in _WORLD_EXTS:
+        from ..codecs import decode_image
+
+        data = decode_image(open(path, "rb").read())
+        h, w = data.shape[:2]
+        return GeoRaster(data, _world_file_bbox(path, w, h))
     if path.lower().endswith((".tif", ".tiff")) and HAS_LIBTIFF:
         import ctypes
 
