@@ -109,3 +109,118 @@ class TestS2:
         got = [r.cell for r in with_cell_ids(df, res=12, kind="s2").collect()]
         want = list(s2_cell_id(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 12))
         assert got == [int(w) for w in want]
+
+
+class TestHex7:
+    """Aperture-7 icosahedral hex index (hex7.py — H3 grid structure)."""
+
+    @staticmethod
+    def _global_points(n=400):
+        import numpy as np
+
+        # deterministic global scatter (R2 low-discrepancy sequence; the
+        # golden-ratio pair 137.5/0.618 is complementary mod 1 and collapses
+        # to a 1-D curve), equal-area in latitude, avoiding the exact poles
+        i = np.arange(n, dtype=np.float64)
+        lng = ((i * 0.7548776662466927) % 1.0) * 360.0 - 180.0
+        lat = np.degrees(np.arcsin(np.clip(2.0 * ((i * 0.5698402909980532) % 1.0) - 1.0, -0.999, 0.999)))
+        return lng, lat
+
+    def test_pack_unpack_roundtrip(self):
+        import numpy as np
+
+        from versatiles_rs_spark.hex7 import hex7_cell_id, pack_cell, unpack_cell
+
+        lng, lat = self._global_points()
+        for res in (0, 5, 11, 15):
+            cells = hex7_cell_id(lng, lat, res)
+            r, f, q, rr = unpack_cell(cells)
+            assert (r == res).all() and ((f >= 0) & (f < 20)).all()
+            assert (pack_cell(res, f, q, rr) == cells).all()
+            assert (cells > 0).all()
+
+    def test_all_faces_reachable(self):
+        import numpy as np
+
+        from versatiles_rs_spark.hex7 import hex7_cell_id, unpack_cell
+
+        lng, lat = self._global_points(4000)
+        _, face, _, _ = unpack_cell(hex7_cell_id(lng, lat, 3))
+        assert set(np.unique(face)) == set(range(20))
+
+    def test_center_roundtrip_idempotent(self):
+        """cell_id(center(cell)) == cell — the inverse gnomonic is exact at
+        fine res; coarse-res mismatches are only the documented cross-face
+        edge cells (hex center projects onto the adjacent face)."""
+        import numpy as np
+
+        from versatiles_rs_spark.hex7 import (
+            cell_center_lnglat,
+            hex7_cell_id,
+            unpack_cell,
+        )
+
+        lng, lat = self._global_points()
+        for res in (7, 12):
+            cells = hex7_cell_id(lng, lat, res)
+            clng, clat = cell_center_lnglat(cells)
+            assert (hex7_cell_id(clng, clat, res) == cells).all()
+        cells = hex7_cell_id(lng, lat, 3)
+        clng, clat = cell_center_lnglat(cells)
+        again = hex7_cell_id(clng, clat, 3)
+        bad = again != cells
+        assert bad.mean() < 0.05
+        _, f1, _, _ = unpack_cell(cells[bad])
+        _, f2, _, _ = unpack_cell(again[bad])
+        assert (f1 != f2).all()  # every mismatch is a face flip, never lattice drift
+
+    def test_parent_law(self):
+        """parent(cell) is the res-1 cell of the child's center, and parent
+        centers are within one coarse-hex radius of the child center."""
+        import numpy as np
+
+        from versatiles_rs_spark.hex7 import (
+            cell_center_lnglat,
+            hex7_cell_id,
+            hex7_parent,
+            unpack_cell,
+        )
+
+        lng, lat = self._global_points()
+        for res in (3, 8):
+            cells = hex7_cell_id(lng, lat, res)
+            par = hex7_parent(cells)
+            r, f, _, _ = unpack_cell(par)
+            assert (r == res - 1).all()
+            clng, clat = cell_center_lnglat(cells)
+            want = hex7_cell_id(clng, clat, res - 1)
+            # same-face centers must agree exactly; cross-face argmax flips
+            # are the documented face-edge caveat (hex7.py docstring)
+            _, wf, _, _ = unpack_cell(want)
+            same = wf == f
+            assert same.mean() > 0.95
+            assert (par[same] == want[same]).all()
+
+    def test_kring_size_and_membership(self):
+        from versatiles_rs_spark.hex7 import hex7_cell_id, hex7_kring, unpack_cell
+        import numpy as np
+
+        cell = int(hex7_cell_id(np.array([12.3]), np.array([51.2]), 6)[0])
+        for k in (0, 1, 2, 3):
+            ring = hex7_kring(cell, k)
+            assert len(ring) == 3 * k * k + 3 * k + 1
+            assert cell in set(int(c) for c in ring)
+            r, f, _, _ = unpack_cell(ring)
+            assert (r == 6).all() and (f == f[0]).all()
+
+    def test_spark_udf_parity(self, spark):
+        import pandas as pd
+
+        from versatiles_rs_spark.cells import with_cell_ids
+        from versatiles_rs_spark.hex7 import hex7_cell_id
+
+        pdf = pd.DataFrame({"lon": [12.3, -100.0, 179.9, 0.0], "lat": [51.2, -40.0, -89.0, 0.1]})
+        df = spark.createDataFrame(pdf)
+        got = sorted(r.cell for r in with_cell_ids(df, res=9, kind="hex7").collect())
+        want = sorted(int(c) for c in hex7_cell_id(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 9))
+        assert got == want

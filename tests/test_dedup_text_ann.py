@@ -186,6 +186,64 @@ def test_ann_gemm_matches_bruteforce(spark, sf_dir):
     assert gm == bf and len(gm) == 20 * 7
 
 
+def test_ann_ivf_recall_and_training(spark):
+    """IVF probes a fraction of lists yet keeps high recall; trained
+    (spherical k-means) centroids are deterministic and at least match the
+    untrained quantizer on clustered data."""
+    from versatiles_rs_spark.functions.ann import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    # clustered corpus: 8 gaussian blobs so the coarse quantizer has real
+    # structure to learn
+    n_per, dim, k = 50, 16, 10
+    centers = rng.standard_normal((8, dim)) * 3.0
+    vecs = np.vstack([c + rng.standard_normal((n_per, dim)) for c in centers]).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") % 80 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    brute = ann_bruteforce_topk(df, q, k=k).collect()
+    bsets = {}
+    for r in brute:
+        bsets.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    def recall(rows):
+        s = {}
+        for r in rows:
+            s.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(len(bsets[qq] & s.get(qq, set())) / k for qq in bsets) / len(bsets)
+
+    untrained = ann_ivf_topk(df, q, k=k, nlist=8, nprobe=2, dim=dim).collect()
+    c1 = train_ivf_centroids(df, nlist=8, dim=dim, sample_cap=200, iters=8)
+    c2 = train_ivf_centroids(df, nlist=8, dim=dim, sample_cap=200, iters=8)
+    assert (c1 == c2).all()  # pure function of the data, no RNG
+    trained = ann_ivf_topk(df, q, k=k, nlist=8, nprobe=2, dim=dim, centroids=c1).collect()
+    r_u, r_t = recall(untrained), recall(trained)
+    assert r_t >= 0.9  # trained lists isolate the blobs
+    assert r_t >= r_u - 1e-9
+
+
+def test_ann_ivf_candidates_subquadratic(spark):
+    """The probed-list join must examine ~nprobe/nlist of the corpus, not
+    all of it — the point of IVF at scale."""
+    from versatiles_rs_spark.functions.ann import _ivf_centroids
+
+    rng = np.random.default_rng(3)
+    n, dim, nlist, nprobe = 600, 16, 12, 3
+    vecs = rng.standard_normal((n, dim)).astype(np.float64)
+    C = _ivf_centroids(dim, nlist)
+    assign = np.argmax(vecs @ C.T, axis=1)
+    qd = vecs[:5] @ C.T
+    probes = np.argsort(-qd, axis=1, kind="stable")[:, :nprobe]
+    n_cand = sum(int(np.isin(assign, p).sum()) for p in probes)
+    assert n_cand < 0.6 * 5 * n  # well under brute force's 5*n comparisons
+
+
 def _planted_cluster_df(spark, m=60):
     """m byte-identical docs (the viral-boilerplate hot bucket) + near-dups +
     distinct docs."""

@@ -46,8 +46,11 @@ def with_cell_ids(
     """Attach a hierarchical cell id column.
 
     kind: "tile" (default; pure JVM expressions), "s2" (REAL S2 cell ids —
-    vectorized numpy port of the public s2geometry algorithm, s2.py), or
-    "h3" (import-gated on the h3 package)."""
+    vectorized numpy port of the public s2geometry algorithm, s2.py),
+    "hex7" (aperture-7 icosahedral hexagonal index — H3's grid structure
+    with a documented engine-specific orientation, hex7.py), or "h3"
+    (import-gated on the h3 package: bit-exact H3 ids need Uber's published
+    orientation tables, which can't be fetched or verified offline)."""
     if kind is None:
         kind = "h3" if (use_h3 or (use_h3 is None and HAS_H3)) else "tile"
     if kind == "h3":
@@ -69,6 +72,10 @@ def with_cell_ids(
         from .s2 import s2_cell_udf
 
         return df.withColumn(out, s2_cell_udf(res)(F.col(lon), F.col(lat)))
+    if kind == "hex7":
+        from .hex7 import hex7_cell_udf
+
+        return df.withColumn(out, hex7_cell_udf(res)(F.col(lon), F.col(lat)))
     return df.withColumn(out, tile_cell_expr(F.col(lon), F.col(lat), res))
 
 

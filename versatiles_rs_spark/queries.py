@@ -1162,6 +1162,99 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hex7_oracle_sql(res: int = 5) -> str:
+    """Replay hex7.py's aperture-7 icosahedral walk in SQL: XYZ -> argmax
+    face (20 inlined dot products) -> gnomonic tangent-plane coords (inlined
+    per-face basis) -> rotated/scaled axial coords -> cube rounding -> bit
+    packing. All constants repr()-round-tripped from the engine's own
+    derived icosahedron, so the oracle is bit-exact vs the numpy path."""
+    from .hex7 import _OFF, _S3_3, FACE_CENTERS, FACE_U, FACE_V, _res_frame
+
+    s, c, sn = _res_frame(res)
+    dots = ", ".join(
+        f"{cx!r} * x + {cy!r} * y + {cz!r} * z" for cx, cy, cz in FACE_CENTERS
+    )
+
+    def lst(arr, i):
+        return "[" + ",".join(repr(float(v)) for v in arr[:, i]) + "]"
+
+    a_expr = " + ".join(
+        f"(({ax} / dl[face + 1]) * (({lst(FACE_U, i)})[face + 1]))"
+        for i, ax in enumerate(("x", "y", "z"))
+    )
+    b_expr = " + ".join(
+        f"(({ax} / dl[face + 1]) * (({lst(FACE_V, i)})[face + 1]))"
+        for i, ax in enumerate(("x", "y", "z"))
+    )
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {_EV_LON} AS lng, {_EV_LAT} AS lat FROM events
+    ), xyz AS (
+      SELECT event_id, cos(radians(lat)) * cos(radians(lng)) AS x,
+             cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z
+      FROM pts
+    ), fd AS (
+      SELECT event_id, x, y, z, [{dots}] AS dl FROM xyz
+    ), fc AS (
+      SELECT event_id, x, y, z, dl,
+             list_position(dl, list_aggregate(dl, 'max')) - 1 AS face
+      FROM fd
+    ), ab AS (
+      SELECT event_id, face, {a_expr} AS a, {b_expr} AS b FROM fc
+    ), rot AS (
+      SELECT event_id, face, {c!r} * a + {sn!r} * b AS xp,
+             {c!r} * b - {sn!r} * a AS yp
+      FROM ab
+    ), axial AS (
+      SELECT event_id, face, ({_S3_3!r} * xp - yp / 3.0) / {s!r} AS cx,
+             (2.0 / 3.0 * yp) / {s!r} AS cz
+      FROM rot
+    ), rnd AS (
+      SELECT event_id, face, cx, -cx - cz AS cy, cz,
+             floor(cx + 0.5) AS rx, floor(-cx - cz + 0.5) AS ry,
+             floor(cz + 0.5) AS rz
+      FROM axial
+    ), qr AS (
+      SELECT event_id, face,
+        CAST(CASE WHEN abs(rx - cx) > abs(ry - cy) AND abs(rx - cx) > abs(rz - cz)
+                  THEN -ry - rz ELSE rx END AS BIGINT) AS q,
+        CAST(CASE WHEN NOT (abs(rx - cx) > abs(ry - cy) AND abs(rx - cx) > abs(rz - cz))
+                   AND NOT (abs(ry - cy) > abs(rz - cz))
+                  THEN -rx - ry ELSE rz END AS BIGINT) AS r
+      FROM rnd
+    ), cells AS (
+      SELECT event_id,
+        (CAST({res} AS BIGINT) << 58) | (CAST(face AS BIGINT) << 52)
+          | ((q + {_OFF}) << 26) | (r + {_OFF}) AS cell
+      FROM qr
+    )
+    SELECT cell, CAST(count(*) AS BIGINT) AS n_points, min(event_id) AS min_id
+    FROM cells GROUP BY 1
+    """
+
+
+@register("hex_cells", _hex7_oracle_sql(5))
+def q_hex_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aperture-7 icosahedral hexagonal cell indexing (the H3-structure half
+    of the north rule's "H3/S2" clause, hex7.py — gnomonic projection,
+    sqrt(7)/asin(sqrt(3/28)) lattice hierarchy, cube rounding; orientation
+    is the engine's documented golden-ratio icosahedron, NOT Uber's
+    unverifiable-offline tables — see hex7.py's scope note). Events bucketed
+    by res-5 hex cells; the DuckDB oracle replays the whole projection."""
+    from .cells import with_cell_ids
+
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return (
+        with_cell_ids(pts, res=5, kind="hex7")
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_points"), F.min("event_id").alias("min_id"))
+    )
+
+
 def _ann_lsh_oracle_sql(k: int = 5, nbits: int = 8, dim: int = 64) -> str:
     """Replay ann_lsh_topk in SQL: the deterministic hyperplanes (splitmix +
     Box-Muller, _hyperplanes) are INLINED as float literals (repr round-trips
@@ -1478,6 +1571,80 @@ def q_ann_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return ann_gemm_topk(emb, queries_df, k=5)
+
+
+def _ann_ivf_oracle_sql(k: int = 5, nlist: int = 16, nprobe: int = 4, dim: int = 64) -> str:
+    """Replay ann_ivf_topk in SQL: the deterministic unit centroids
+    (_ivf_centroids) are inlined as float literals; assignment takes the
+    FIRST argmax dot (list_position of max), probes rank (dot DESC, cidx
+    ASC) <= nprobe, exact cosine re-rank with the same (cos DESC, id ASC)
+    tie-break as every other ANN oracle."""
+    from .functions.ann import _ivf_centroids
+
+    C = _ivf_centroids(dim, nlist)
+
+    def dot(vec_col: str, arr) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in arr) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> {vec_col}[i] * ({lit}::DOUBLE[])[i]))"
+        )
+
+    dots = ", ".join(dot("v", C[j]) for j in range(nlist))
+    vv = f"list_sum(list_transform(range(1, {dim + 1}), i -> v[i] * v[i]))"
+    qq = f"list_sum(list_transform(range(1, {dim + 1}), i -> qv[i] * qv[i]))"
+    vq = f"list_sum(list_transform(range(1, {dim + 1}), i -> v[i] * qv[i]))"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), dl AS (
+      SELECT vec_id, v, [{dots}] AS dots FROM e
+    ), assigned AS (
+      SELECT vec_id, v,
+             list_position(dots, list_aggregate(dots, 'max')) - 1 AS ivf_list
+      FROM dl
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, dots FROM dl WHERE vec_id < 3
+    ), qd AS (
+      SELECT query_id, qv, unnest(range(0, {nlist})) AS cidx, unnest(dots) AS d
+      FROM q
+    ), probes AS (
+      SELECT query_id, qv, cidx AS ivf_list FROM (
+        SELECT query_id, qv, cidx, row_number() OVER (
+          PARTITION BY query_id ORDER BY d DESC, cidx ASC
+        ) AS pr FROM qd
+      ) WHERE pr <= {nprobe}
+    ), cand AS (
+      SELECT p.query_id, p.qv, a.vec_id, a.v
+      FROM probes p JOIN assigned a USING (ivf_list)
+      WHERE a.vec_id != p.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY {vq} / (sqrt({vv}) * sqrt({qq})) DESC, vec_id ASC
+      ) AS rank
+      FROM cand
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf", _ann_ivf_oracle_sql())
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN over the embedding column — the brief's named
+    scale path alongside LSH (functions/ann.py::ann_ivf_topk). Vectors
+    shuffle once on the coarse-quantizer list id; queries probe their 4
+    nearest of 16 lists; exact cosine re-rank inside the probed lists. The
+    registry variant uses the deterministic (SQL-replayable) quantizer;
+    train_ivf_centroids supplies data-adaptive lists, recall-tested in
+    pytest against brute force."""
+    from .functions.ann import ann_ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_ivf_topk(emb, queries_df, k=5, nlist=16, nprobe=4)
 
 
 def _tile_outline_oracle_sql() -> str:
