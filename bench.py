@@ -34,10 +34,12 @@ HEADLINE = [
     "knn_events",
     "knn_kring",
     "s2_cells",
+    "hex_cells",
     "dedup_exact",
     "minhash_lsh",
     "simhash_dup",
     "ann_cosine",
+    "ann_ivf",
     "embed_neardup",
     "quality_score",
     "token_count",

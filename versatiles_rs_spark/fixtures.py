@@ -155,6 +155,7 @@ def images_with_tiles_df(
     skew: bool = True,
     target_fmt: str = "png",
     quality_table: dict | None = None,
+    emit_bytes: bool = True,
 ) -> DataFrame:
     """Fused single-pass pipeline stage: generate images, derive lon/lat from
     phash, assign (z,x,y), re-encode into the tile format, compute the Hilbert
@@ -165,6 +166,13 @@ def images_with_tiles_df(
     At 100 TB this is the pattern that matters: payload-touching kernels are
     fused per-partition, and everything downstream (joins, aggs) runs on slim
     JVM-side columns.
+
+    emit_bytes=False is manual column pruning THROUGH the UDF boundary (the
+    one pruning Catalyst cannot do): consumers that only aggregate payload
+    size (the flagship's sum(nbytes)) get a `nbytes` long column and the
+    encoded blobs never cross Arrow back to the JVM — the encode still runs
+    per row, only the ~KB payload transfer is elided. Sinks and container
+    writers keep the default (they need the bytes).
     """
     from . import tile_math as tm
 
@@ -172,9 +180,10 @@ def images_with_tiles_df(
     # 40 dB) with the REAL webp codec on 16px lossy->lossy chains (q85 bottoms
     # out at 39.4 dB on the gradient fixtures; q90 at 40.6 dB)
     qt = quality_table or {"default": 90}
+    payload_field = "bytes binary" if emit_bytes else "nbytes long"
     schema = (
         "image_id string, w int, h int, fmt string, caption string, phash bigint, "
-        "lon double, lat double, z int, x long, y long, hilbert long, bytes binary"
+        f"lon double, lat double, z int, x long, y long, hilbert long, {payload_field}"
     )
 
     def gen(batches):
@@ -196,23 +205,25 @@ def images_with_tiles_df(
                 encode_image(decode_image(bytes(b)), target_fmt, quality=q)
                 for b in out["bytes"]
             ]
-            yield pd.DataFrame(
-                {
-                    "image_id": out["image_id"],
-                    "w": out["w"],
-                    "h": out["h"],
-                    "fmt": target_fmt,
-                    "caption": out["caption"],
-                    "phash": out["phash"],
-                    "lon": lon,
-                    "lat": lat,
-                    "z": z.astype(np.int32),
-                    "x": x,
-                    "y": y,
-                    "hilbert": hil,
-                    "bytes": blobs,
-                }
-            )
+            cols = {
+                "image_id": out["image_id"],
+                "w": out["w"],
+                "h": out["h"],
+                "fmt": target_fmt,
+                "caption": out["caption"],
+                "phash": out["phash"],
+                "lon": lon,
+                "lat": lat,
+                "z": z.astype(np.int32),
+                "x": x,
+                "y": y,
+                "hilbert": hil,
+            }
+            if emit_bytes:
+                cols["bytes"] = blobs
+            else:
+                cols["nbytes"] = np.array([len(b) for b in blobs], dtype=np.int64)
+            yield pd.DataFrame(cols)
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=schema)
 

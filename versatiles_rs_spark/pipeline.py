@@ -41,18 +41,23 @@ def flagship(
     n_polygons: int = 200,
     img_size: int = 64,
     partitions: int | None = None,
-    target_fmt: str = "png",
+    target_fmt: str = "jpg",
     quality: str | int = "0-9:90,10-14:80",
 ) -> DataFrame:
     """Build (lazily) the flagship DataFrame; caller triggers execution.
 
     Physical plan shape (the one we want at 100 TB):
     - ONE fused Python stage does all payload work (generate/decode/encode +
-      coordinate derivation + Hilbert id) — payload bytes cross the Arrow
-      boundary exactly once.
-    - payload size is projected to `nbytes` JVM-side and the binary column is
-      dropped BEFORE the join, so the PIP shuffle moves ~50-byte rows, not
-      ~10 KB rows (200x less shuffle IO).
+      coordinate derivation + Hilbert id) — and because this job only ever
+      aggregates payload SIZE, the stage emits `nbytes` instead of the blobs
+      (fixtures.images_with_tiles_df emit_bytes=False): the encode runs per
+      row but the ~KB payloads never cross the Arrow boundary back to the
+      JVM. That is the column pruning Catalyst cannot see through a UDF,
+      done by hand.
+    - tiles re-encode as JPEG (real libjpeg), so the per-zoom quality table
+      (raster_format.rs semantics) actually applies — PNG ignored it.
+    - the PIP shuffle moves ~50-byte rows, not ~10 KB rows (200x less
+      shuffle IO).
     - the PIP join itself is a cell-keyed equi-join (shuffle hash, AQE skew
       handling) followed by an Arrow-batched exact ray-cast.
     """
@@ -70,10 +75,10 @@ def flagship(
         skew=True,
         target_fmt=target_fmt,
         quality_table=qt,
+        emit_bytes=False,
     )
     slim = encoded.select(
-        "image_id", "lon", "lat", "z", "x", "y", "hilbert",
-        F.length("bytes").alias("nbytes"),
+        "image_id", "lon", "lat", "z", "x", "y", "hilbert", "nbytes",
     )
     polys = fixtures.polygons_df(spark, n_polygons)
     joined = pip_join_polygons_partitioned(slim, polys, cell_zoom=6)
