@@ -33,6 +33,7 @@ HEADLINE = [
     "pip_polygons",
     "knn_events",
     "knn_kring",
+    "knn_hex",
     "s2_cells",
     "hex_cells",
     "dedup_exact",

@@ -127,6 +127,39 @@ def test_knn_cell_pruned_matches_bruteforce(spark):
     assert cell == brute
 
 
+def test_knn_hex_kring_matches_bruteforce(spark):
+    """Hex k-ring kNN parity at the registry's (res=1, ring=2): the ring is
+    sized so every true neighbor lies inside it for globally scattered
+    points (the same guarantee the tile-cell fixed-ring test makes)."""
+    from versatiles_rs_spark.joins.knn import knn_hex_kring
+
+    rng = np.random.default_rng(17)
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": np.arange(3000),
+                "lon": rng.uniform(-170, 170, 3000),
+                "lat": rng.uniform(-80, 80, 3000),
+            }
+        )
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": np.arange(8),
+                "qlon": rng.uniform(-150, 150, 8),
+                "qlat": rng.uniform(-70, 70, 8),
+            }
+        )
+    )
+    brute = {(r.query_id, r.rank): r.event_id for r in knn_bruteforce(pts, qs, k=3).collect()}
+    hexr = {
+        (r.query_id, r.rank): r.event_id
+        for r in knn_hex_kring(pts, qs, k=3, res=1, ring=2).collect()
+    }
+    assert hexr == brute
+
+
 def test_update_properties_semantics(spark):
     from versatiles_rs_spark.operators.vector import update_properties
 

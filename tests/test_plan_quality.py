@@ -164,3 +164,50 @@ def test_s2_udf_evaluated_once(spark, sf_dir):
     plan = plan_of(df)
     assert plan.count("ArrowEvalPython") == 1
     assert "HashAggregate" in plan
+
+
+def test_hex7_udf_evaluated_once(spark, sf_dir):
+    """hex_cells: one Arrow UDF eval (ArrowEvalPython), aggregation JVM-side
+    — same single-eval rule as s2_cells."""
+    from versatiles_rs_spark.queries import REGISTRY
+
+    df = REGISTRY["hex_cells"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "HashAggregate" in plan
+
+
+def test_ann_ivf_single_list_shuffle(spark, sf_dir):
+    """ann_ivf: exactly two Arrow evals (vector assignment + query probes)
+    and no more hash exchanges than the join (x2 sides) + the re-rank
+    window; the candidate join must key on the coarse-quantizer list id."""
+    from versatiles_rs_spark.queries import REGISTRY
+
+    df = REGISTRY["ann_ivf"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("ArrowEvalPython") == 2
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) <= 3, exchanges
+    # the candidate join must key on the coarse-quantizer list id — via a
+    # hash shuffle at scale, or a broadcast under AQE at toy SF (both fine)
+    join_lines = [
+        line for line in plan.splitlines() if "Join" in line and "ivf_list" in line
+    ]
+    assert join_lines, plan
+
+
+def test_flagship_payload_never_crosses_arrow(spark):
+    """r3 rule: the flagship's encoded payload must not appear ANYWHERE in
+    the plan (emit_bytes=False projects nbytes inside the Python stage) —
+    stronger than the r1 no-payload-in-shuffle gate."""
+    import re
+
+    from versatiles_rs_spark.pipeline import flagship
+
+    df = flagship(spark, n_images=100, n_polygons=10)
+    plan = plan_of(df)
+    # (?<![a-z_]) spares nbytes/tile_bytes — only the bare payload attribute
+    assert not re.search(r"(?<![a-z_])bytes#", plan), "payload column in plan"
+    assert "nbytes" in plan

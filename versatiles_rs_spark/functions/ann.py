@@ -343,7 +343,9 @@ def ann_lsh_topk(
             (signs.astype(np.uint64) << np.arange(nbits, dtype=np.uint64)).sum(axis=1).astype(np.int64)
         )
 
-    v = vectors.withColumn("bucket", bucket_udf(F.col(vec_col)))
+    from ..udfs import single_eval
+
+    v = vectors.withColumn("bucket", single_eval(bucket_udf(F.col(vec_col))))
     q = queries.withColumn("qbucket", bucket_udf(F.col("qv")))
     # multi-probe: query bucket + all 1-bit flips
     probes = F.array(
@@ -457,7 +459,9 @@ def ann_ivf_topk(
         idx = np.argsort(-d, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(idx.astype(np.int64)))
 
-    v = vectors.withColumn("ivf_list", list_udf(F.col(vec_col)))
+    from ..udfs import single_eval
+
+    v = vectors.withColumn("ivf_list", single_eval(list_udf(F.col(vec_col))))
     qp = queries.withColumn("ivf_list", F.explode(probe_udf(F.col("qv"))))
     cand = v.join(qp, on="ivf_list").filter(F.col(id_col) != F.col("query_id"))
     cos = cosine_expr(F.col(vec_col), F.col("qv"))

@@ -210,6 +210,72 @@ def cell_center_lnglat(cell) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+def kring_offsets(k: int = 1) -> list[tuple[int, int]]:
+    """The 3k^2+3k+1 axial offsets within hex distance k, in deterministic
+    (dq, dr) scan order — shared by the Spark path and the SQL oracle."""
+    out = []
+    for dq in range(-k, k + 1):
+        for dr in range(-k, k + 1):
+            if max(abs(dq), abs(dr), abs(dq + dr)) <= k:
+                out.append((dq, dr))
+    return out
+
+
+def hex7_kring_multiface(lng, lat, res: int, ring: int = 1, nfaces: int = 3) -> np.ndarray:
+    """(n, nfaces * ringsize) probe-cell matrix: the kring around the point's
+    cell in EACH of its top-`nfaces` faces' lattices. Probing the runner-up
+    faces is what makes a fixed-ring candidate search complete across
+    icosahedron face edges: a neighbor across the edge lives in its own
+    face's lattice, and projecting the query into that lattice lands within
+    ring distance of it (same gnomonic-distance guarantee as same-face)."""
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    theta = np.radians(np.asarray(lng, dtype=np.float64))
+    x = np.cos(phi) * np.cos(theta)
+    y = np.cos(phi) * np.sin(theta)
+    z = np.sin(phi)
+    dots = (
+        FACE_CENTERS[:, 0][:, None] * x
+        + FACE_CENTERS[:, 1][:, None] * y
+        + FACE_CENTERS[:, 2][:, None] * z
+    )  # (20, n)
+    top = np.argsort(-dots, axis=0, kind="stable")[:nfaces].T  # (n, F)
+    offs = np.array(kring_offsets(ring), dtype=np.int64)
+    s, c, sn = _res_frame(res)
+    n = x.shape[0]
+    out = []
+    for j in range(nfaces):
+        f = top[:, j]
+        d = dots[f, np.arange(n)]
+        px, py, pz = x / d, y / d, z / d
+        u, v = FACE_U[f], FACE_V[f]
+        a = px * u[:, 0] + py * u[:, 1] + pz * u[:, 2]
+        b = px * v[:, 0] + py * v[:, 1] + pz * v[:, 2]
+        xp = c * a + sn * b
+        yp = c * b - sn * a
+        q, r = _axial_round((_S3_3 * xp - yp / 3.0) / s, (2.0 / 3.0 * yp) / s)
+        out.append(
+            pack_cell(res, f[:, None], q[:, None] + offs[:, 0], r[:, None] + offs[:, 1])
+        )
+    return np.concatenate(out, axis=1)
+
+
+def hex7_kring_udf(res: int, ring: int = 1, nfaces: int = 3):
+    """Arrow-batched (lng, lat) -> array of probe cell ids: the kring in
+    each of the point's top-`nfaces` face lattices (hex7_kring_multiface);
+    nfaces=1 is the single-face ring with the cross-face edge caveat."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    @pandas_udf(ArrayType(LongType()))
+    def udf(lng: pd.Series, lat: pd.Series) -> pd.Series:
+        cells = hex7_kring_multiface(
+            lng.to_numpy(np.float64), lat.to_numpy(np.float64), res, ring, nfaces
+        )
+        return pd.Series(list(cells))
+
+    return udf
+
+
 def hex7_cell_udf(res: int = 8):
     """Arrow-batched (lng, lat) -> hex7 cell id column."""
     from pyspark.sql.functions import pandas_udf

@@ -176,3 +176,49 @@ def knn_cell_pruned(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", id_col)
     )
+
+
+def knn_hex_kring(
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    res: int = 1,
+    ring: int = 2,
+    nfaces: int = 3,
+    id_col: str = "event_id",
+    lon: str = "lon",
+    lat: str = "lat",
+) -> DataFrame:
+    """kNN via HEXAGONAL k-ring expansion — the north rule's "H3 k-ring"
+    layout on the engine's own aperture-7 icosahedral index (hex7.py).
+
+    Same scale shape as knn_cell_pruned: points get one Arrow-batched cell
+    assignment, queries explode to nfaces * (3*ring^2+3*ring+1) probe
+    cells — the kring in each of the query's top-`nfaces` icosahedron-face
+    lattices, which is what keeps the candidate set complete across face
+    edges (a cross-edge neighbor lives in ITS face's lattice; projecting
+    the query there lands within ring distance of it). The candidate join
+    is a shuffle hash equi-join on the bigint cell id; a query-partitioned
+    window takes the top-k. Fixed-ring APPROXIMATE variant: exactness
+    requires the true neighbors inside the ring (parity vs brute force
+    pytest-checked at the registry's res/ring); knn_cell_adaptive remains
+    the proof-carrying exact path.
+    """
+    from ..hex7 import hex7_cell_udf, hex7_kring_udf
+    from ..udfs import single_eval
+
+    pts = points.withColumn(
+        "hcell", single_eval(hex7_cell_udf(res)(F.col(lon), F.col(lat)))
+    )
+    qx = queries.withColumn(
+        "hcell",
+        F.explode(hex7_kring_udf(res, ring, nfaces)(F.col("qlon"), F.col("qlat"))),
+    )
+    cand = pts.join(qx, on="hcell")
+    dist = _dist2(F.col(lon), F.col(lat), F.col("qlon"), F.col("qlat"))
+    w = Window.partitionBy("query_id").orderBy(dist.asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", id_col)
+    )

@@ -1162,13 +1162,18 @@ def q_s2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hex7_oracle_sql(res: int = 5) -> str:
-    """Replay hex7.py's aperture-7 icosahedral walk in SQL: XYZ -> argmax
-    face (20 inlined dot products) -> gnomonic tangent-plane coords (inlined
-    per-face basis) -> rotated/scaled axial coords -> cube rounding -> bit
-    packing. All constants repr()-round-tripped from the engine's own
-    derived icosahedron, so the oracle is bit-exact vs the numpy path."""
-    from .hex7 import _OFF, _S3_3, FACE_CENTERS, FACE_U, FACE_V, _res_frame
+def _hex7_walk_sql(src: str, keep: str, res: int, nfaces: int = 1, pk: str = "") -> str:
+    """Reusable subquery replaying hex7.py's aperture-7 icosahedral walk in
+    SQL: XYZ -> face selection (20 inlined dot products) -> gnomonic
+    tangent-plane coords (inlined per-face basis) -> rotated/scaled axial
+    coords -> cube rounding. `src` must expose `lng`/`lat` plus the `keep`
+    columns; the result carries (keep, face, q, r). With nfaces=1 the face
+    is the first argmax dot (list_position of max — matches numpy argmax);
+    nfaces>1 keeps the top-nfaces faces per `pk` row (dot DESC, index ASC —
+    matches the stable argsort in hex7_kring_multiface), one output row per
+    (pk, face). All constants repr()-round-tripped from the engine's own
+    derived icosahedron, so the replay is bit-exact vs the numpy path."""
+    from .hex7 import _S3_3, FACE_CENTERS, FACE_U, FACE_V, _res_frame
 
     s, c, sn = _res_frame(res)
     dots = ", ".join(
@@ -1186,42 +1191,81 @@ def _hex7_oracle_sql(res: int = 5) -> str:
         f"(({ax} / dl[face + 1]) * (({lst(FACE_V, i)})[face + 1]))"
         for i, ax in enumerate(("x", "y", "z"))
     )
-    return f"""
-    WITH pts AS (
-      SELECT event_id, {_EV_LON} AS lng, {_EV_LAT} AS lat FROM events
-    ), xyz AS (
-      SELECT event_id, cos(radians(lat)) * cos(radians(lng)) AS x,
-             cos(radians(lat)) * sin(radians(lng)) AS y, sin(radians(lat)) AS z
-      FROM pts
-    ), fd AS (
-      SELECT event_id, x, y, z, [{dots}] AS dl FROM xyz
-    ), fc AS (
-      SELECT event_id, x, y, z, dl,
-             list_position(dl, list_aggregate(dl, 'max')) - 1 AS face
-      FROM fd
-    ), ab AS (
-      SELECT event_id, face, {a_expr} AS a, {b_expr} AS b FROM fc
-    ), rot AS (
-      SELECT event_id, face, {c!r} * a + {sn!r} * b AS xp,
-             {c!r} * b - {sn!r} * a AS yp
-      FROM ab
-    ), axial AS (
-      SELECT event_id, face, ({_S3_3!r} * xp - yp / 3.0) / {s!r} AS cx,
-             (2.0 / 3.0 * yp) / {s!r} AS cz
-      FROM rot
-    ), rnd AS (
-      SELECT event_id, face, cx, -cx - cz AS cy, cz,
-             floor(cx + 0.5) AS rx, floor(-cx - cz + 0.5) AS ry,
-             floor(cz + 0.5) AS rz
-      FROM axial
-    ), qr AS (
-      SELECT event_id, face,
+    if nfaces == 1:
+        face_sel = f"""
+                SELECT {keep}, x, y, z, dl,
+                       list_position(dl, list_aggregate(dl, 'max')) - 1 AS face
+                FROM (
+                  SELECT {keep}, x, y, z, [{dots}] AS dl
+                  FROM (
+                    SELECT {keep},
+                           cos(radians(lat)) * cos(radians(lng)) AS x,
+                           cos(radians(lat)) * sin(radians(lng)) AS y,
+                           sin(radians(lat)) AS z
+                    FROM {src}
+                  )
+                )"""
+    else:
+        face_sel = f"""
+                SELECT {keep}, x, y, z, dl, cidx - 1 AS face
+                FROM (
+                  SELECT {keep}, x, y, z, dl, cidx, row_number() OVER (
+                    PARTITION BY {pk} ORDER BY d DESC, cidx ASC
+                  ) AS fr
+                  FROM (
+                    SELECT {keep}, x, y, z, dl,
+                           unnest(range(1, 21)) AS cidx, unnest(dl) AS d
+                    FROM (
+                      SELECT {keep}, x, y, z, [{dots}] AS dl
+                      FROM (
+                        SELECT {keep},
+                               cos(radians(lat)) * cos(radians(lng)) AS x,
+                               cos(radians(lat)) * sin(radians(lng)) AS y,
+                               sin(radians(lat)) AS z
+                        FROM {src}
+                      )
+                    )
+                  )
+                ) WHERE fr <= {nfaces}"""
+    return f"""(
+      SELECT {keep}, face,
         CAST(CASE WHEN abs(rx - cx) > abs(ry - cy) AND abs(rx - cx) > abs(rz - cz)
                   THEN -ry - rz ELSE rx END AS BIGINT) AS q,
         CAST(CASE WHEN NOT (abs(rx - cx) > abs(ry - cy) AND abs(rx - cx) > abs(rz - cz))
                    AND NOT (abs(ry - cy) > abs(rz - cz))
                   THEN -rx - ry ELSE rz END AS BIGINT) AS r
-      FROM rnd
+      FROM (
+        SELECT {keep}, face, cx, -cx - cz AS cy, cz,
+               floor(cx + 0.5) AS rx, floor(-cx - cz + 0.5) AS ry,
+               floor(cz + 0.5) AS rz
+        FROM (
+          SELECT {keep}, face, ({_S3_3!r} * xp - yp / 3.0) / {s!r} AS cx,
+                 (2.0 / 3.0 * yp) / {s!r} AS cz
+          FROM (
+            SELECT {keep}, face, {c!r} * a + {sn!r} * b AS xp,
+                   {c!r} * b - {sn!r} * a AS yp
+            FROM (
+              SELECT {keep}, face, {a_expr} AS a, {b_expr} AS b
+              FROM ({face_sel}
+              )
+            )
+          )
+        )
+      )
+    )"""
+
+
+def _hex7_oracle_sql(res: int = 5) -> str:
+    """hex_cells oracle: the walk (see _hex7_walk_sql) + bit packing +
+    per-cell aggregation."""
+    from .hex7 import _OFF
+
+    walk = _hex7_walk_sql("pts", "event_id", res)
+    return f"""
+    WITH pts AS (
+      SELECT event_id, {_EV_LON} AS lng, {_EV_LAT} AS lat FROM events
+    ), qr AS (
+      SELECT * FROM {walk}
     ), cells AS (
       SELECT event_id,
         (CAST({res} AS BIGINT) << 58) | (CAST(face AS BIGINT) << 52)
@@ -1231,6 +1275,76 @@ def _hex7_oracle_sql(res: int = 5) -> str:
     SELECT cell, CAST(count(*) AS BIGINT) AS n_points, min(event_id) AS min_id
     FROM cells GROUP BY 1
     """
+
+
+def _knn_hex_oracle_sql(k: int = 3, res: int = 1, ring: int = 2, nfaces: int = 3) -> str:
+    """Replay knn_hex_kring in SQL: hex-project points (argmax face) AND
+    queries (top-nfaces faces — the multi-face probe that keeps candidates
+    complete across icosahedron edges) with the shared walk
+    (_hex7_walk_sql), explode queries to the inlined kring (dq, dr)
+    offsets, equi-join on (face, q, r), rank by squared-degree distance
+    with the id tie-break. The fixed-ring approximation is part of the
+    operator's contract, so the oracle replays it exactly (exactness vs
+    brute force is the pytest's job)."""
+    from .hex7 import kring_offsets
+
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in kring_offsets(ring))
+    pwalk = _hex7_walk_sql("p0", "event_id, lng, lat", res)
+    qwalk = _hex7_walk_sql("q0", "query_id, lng, lat", res, nfaces=nfaces, pk="query_id")
+    return f"""
+    WITH p0 AS (
+      SELECT event_id, {_EV_LON} AS lng, {_EV_LAT} AS lat FROM events
+    ), q0 AS (
+      SELECT r_regionkey AS query_id, {_QLON} AS lng, {_QLAT} AS lat FROM region
+    ), pw AS (
+      SELECT * FROM {pwalk}
+    ), qw AS (
+      SELECT * FROM {qwalk}
+    ), offs(dq, dr) AS (
+      VALUES {offs}
+    ), qx AS (
+      SELECT query_id, lng AS qlng, lat AS qlat, face,
+             q + dq AS q, r + dr AS r
+      FROM qw CROSS JOIN offs
+    ), cand AS (
+      SELECT qx.query_id, pw.event_id,
+             (pw.lng - qx.qlng) * (pw.lng - qx.qlng)
+             + (pw.lat - qx.qlat) * (pw.lat - qx.qlat) AS dist
+      FROM qx JOIN pw USING (face, q, r)
+    ), ranked AS (
+      SELECT query_id, event_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY dist ASC, event_id ASC
+      ) AS rank
+      FROM cand
+    )
+    SELECT query_id, rank, event_id FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("knn_hex", _knn_hex_oracle_sql(3, 1, 2))
+def q_knn_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via hexagonal k-ring expansion — the north rule's "H3 k-ring"
+    join layout on the engine's aperture-7 hex index (joins/knn.py::
+    knn_hex_kring): one Arrow cell assignment on points, queries exploded
+    to 3 faces x 19 ring cells (multi-face probing covers icosahedron
+    edges), shuffle hash equi-join on the bigint cell id, window top-k.
+    Parity with brute force at this res/ring is pytest-asserted; the
+    oracle replays the fixed-ring semantics bit-exactly."""
+    from .joins.knn import knn_hex_kring
+
+    region = load(spark, sf_dir, "region")
+    key = F.col("r_regionkey") * 17 + 3
+    queries_df = region.select(
+        F.col("r_regionkey").alias("query_id"),
+        derived_lon_expr(key).alias("qlon"),
+        derived_lat_expr(key).alias("qlat"),
+    )
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return knn_hex_kring(pts, queries_df, k=3, res=1, ring=2, id_col="event_id")
 
 
 @register("hex_cells", _hex7_oracle_sql(5))

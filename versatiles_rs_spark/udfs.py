@@ -20,6 +20,20 @@ from pyspark.sql.types import LongType
 
 from . import tile_math as tm
 
+
+def single_eval(col: Column) -> Column:
+    """Evaluate-once barrier for a Python UDF column that feeds a JOIN KEY.
+
+    Catalyst's ExtractPythonUDFs materializes a UDF referenced as both a
+    join key and a surviving output column as TWO stacked ArrowEvalPython
+    nodes — the whole assignment kernel runs twice. Wrapping the UDF in
+    explode(array(...)) inserts a Generate node, which is a projection
+    barrier the extractor does not duplicate across; the array/explode pair
+    is semantically the identity and costs nothing measurable. Plan-gated
+    in tests/test_plan_quality.py (ann_ivf: exactly 2 Arrow evals)."""
+    return F.explode(F.array(col))
+
+
 # ---------------------------------------------------------------------------
 # Tier 1: JVM-side column expressions (whole-stage codegen)
 # ---------------------------------------------------------------------------
