@@ -1,0 +1,131 @@
+"""Distributed connected components — dup-pair lists -> dedup clusters.
+
+Near-dup detectors (minhash_lsh_pairs, simhash_pairs, phash_neardup_pairs,
+embed_neardup_pairs) emit PAIRS; dedup policy needs CLUSTERS (keep one doc
+per component of the similarity graph). A pair list alone under-counts:
+a star (hub similar to k spokes, spokes not pairwise similar) is one cluster
+of k+1 docs but only k pairs.
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — the canonical shuffle-based
+CC with O(log^2 n) rounds on any graph (O(log n) observed; a 1023-node chain
+converges in 5 rounds in the pytest). Each half-round is one groupBy over
+slim (long, long) edges; no vertex state lives on the driver.
+
+100 TB shape: per-round shuffle volume is O(|E|) longs; lineage is truncated
+every round with localCheckpoint (on a real cluster, set a checkpoint dir
+and swap in .checkpoint()) so the plan does not grow with iterations;
+convergence is detected from a 4-long aggregate signature of the edge
+multiset (one tiny job per round, no driver-side edge materialization).
+The in-group neighbor lists (collect_set) peak at the size of the largest
+star formed while collapsing a component — the algorithm's documented
+memory envelope, which shrinks geometrically as stars merge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edge_signature(edges: DataFrame) -> tuple:
+    """Order-insensitive multiset signature of the edge set: equal signatures
+    across two rounds => fixed point (hash-sum collision odds ~2^-64)."""
+    # per-row terms reduced mod 2^31 so the long sums cannot overflow under
+    # ANSI mode until ~4e9 edges per partition-set (collision odds between
+    # two consecutive rounds' multisets remain negligible)
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.sum(F.pmod("u", F.lit(2**31))).alias("su"),
+        F.sum(F.pmod("v", F.lit(2**31))).alias("sv"),
+        F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(2**31))).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["su"], row["sv"], row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u})."""
+    sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.array_min(F.array_union("nbrs", F.array("u")))
+    out = grouped.select(
+        F.explode(F.filter("nbrs", lambda x: x > F.col("u"))).alias("u"),
+        m.alias("v"),
+    )
+    return out.filter(F.col("u") != F.col("v")).dropDuplicates(["u", "v"])
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges to (larger, smaller); connect u and its smaller
+    neighbors to the minimum of the group."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    grouped = oriented.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    m = F.array_min("nbrs")  # all nbrs < u, so min(N + {u}) = min(N)
+    out = grouped.select(
+        F.explode(F.array_union("nbrs", F.array("u"))).alias("node"),
+        m.alias("v"),
+    )
+    return (
+        out.filter(F.col("node") != F.col("v"))
+        .select(F.col("node").alias("u"), "v")
+        .dropDuplicates(["u", "v"])
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 40,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """(id, component) for every id appearing in `pairs`; component is the
+    minimum id reachable in the undirected pair graph. Isolated ids (no
+    pairs) are the caller's to union in — they are their own components.
+    When `metrics` is a dict, records the number of star rounds executed
+    under "cc_rounds" (no silent unbounded iteration).
+    """
+    edges = (
+        pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .dropDuplicates(["u", "v"])
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for rounds in range(1, max_iter + 1):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig = _edge_signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_iter} rounds")
+    if metrics is not None:
+        metrics["cc_rounds"] = rounds
+    # fixed point: every edge is (node, root). Roots point to themselves.
+    nodes = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return nodes.unionByName(roots).dropDuplicates(["id"])
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """Cluster view of a near-dup pair list: (id, cluster, cluster_size,
+    is_keeper). Policy: keep the minimum id per component (the same keeper
+    rule as exact_dedup)."""
+    cc = connected_components(pairs, src, dst)
+    sizes = cc.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (
+        cc.join(sizes, on="component")
+        .select(
+            "id",
+            F.col("component").alias("cluster"),
+            "cluster_size",
+            (F.col("id") == F.col("component")).alias("is_keeper"),
+        )
+    )

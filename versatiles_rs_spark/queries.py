@@ -1801,6 +1801,168 @@ def q_tile_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boundary_edges_df(_events_with_tiles(spark, sf_dir, 5).select("x", "y"))
 
 
+# ---------------------------------------------------------------------------
+# Image-table phash near-dup, dup clusters, as-of enrichment (north-rule
+# input_hint: phash:int64 per image; training-pipeline ops beyond the
+# reference — SURVEY.md §2 LLM-pipeline block)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic phash per image id, replayable bit-exactly in
+# ANSI SQL with no 64-bit overflow anywhere (31-bit halves): groups of 4
+# consecutive ids share a base fingerprint; member k flips a 2-bit mask, so
+# (base, k) pairs sit at Hamming 2 and (j, k) spoke pairs at Hamming 4 —
+# a STAR per group, which makes cluster resolution (dup_clusters) exercise
+# real transitive closure rather than cliques.
+_PH_CTE = """
+    ph AS (
+      SELECT doc_id AS image_id,
+        xor(
+          (((doc_id - doc_id % 4) * 2654435761 + 1013904223) % 2147483648)
+            * 2147483648
+          + (((doc_id - doc_id % 4) * 2246822519 + 1779033703) % 2147483648),
+          CASE doc_id % 4 WHEN 1 THEN 3 WHEN 2 THEN 12 WHEN 3 THEN 48 ELSE 0 END
+        ) AS phash
+      FROM documents
+    )"""
+
+# pigeonhole replay: 4 x 16-bit blocks (max_hamming = 3), block-equality
+# candidates, popcount verify — the exact plan phash_neardup_pairs runs
+_PH_PAIRS_CTES = (
+    _PH_CTE
+    + """,
+    blocks AS (
+      SELECT image_id, phash, u.blk, (phash >> (u.blk * 16)) & 65535 AS bv
+      FROM ph, (SELECT unnest(range(0, 4)) AS blk) u
+    ), cand AS (
+      SELECT DISTINCT a.image_id AS id_a, b.image_id AS id_b,
+                      a.phash AS pa, b.phash AS pb
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bv = b.bv AND a.image_id < b.image_id
+    ), ppairs AS (
+      SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+      FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+    )"""
+)
+
+
+def _phash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(image_id, phash) — the Spark side of the _PH_CTE contract."""
+    docs = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("image_id"))
+    gid = F.col("image_id") - F.pmod(F.col("image_id"), F.lit(4))
+    hi = F.pmod(gid * F.lit(2654435761) + F.lit(1013904223), F.lit(2**31))
+    lo = F.pmod(gid * F.lit(2246822519) + F.lit(1779033703), F.lit(2**31))
+    k = F.pmod(F.col("image_id"), F.lit(4))
+    mask = (
+        F.when(k == 1, F.lit(3))
+        .when(k == 2, F.lit(12))
+        .when(k == 3, F.lit(48))
+        .otherwise(F.lit(0))
+    )
+    return docs.withColumn(
+        "phash", (hi * F.lit(2**31) + lo).bitwiseXOR(mask.cast("long"))
+    )
+
+
+@register("phash_neardup", f"WITH {_PH_PAIRS_CTES} SELECT id_a, id_b, hamming FROM ppairs")
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs on the 64-bit perceptual-hash column the
+    north-rule input table carries (input_hint phash:int64). Multi-index
+    pigeonhole blocking + popcount verify — exact recall at Hamming <= 3,
+    pure JVM end to end (no Python in the plan; gated in
+    test_plan_quality.py). The oracle replays fingerprint synthesis,
+    blocking, and verification bit-exactly in SQL."""
+    from .functions.phash import phash_neardup_pairs
+
+    return phash_neardup_pairs(
+        _phash_table(spark, sf_dir), phash_col="phash", id_col="image_id", max_hamming=3
+    )
+
+
+@register(
+    "dup_clusters",
+    f"""
+    WITH RECURSIVE {_PH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM ppairs
+      UNION SELECT id_b, id_a FROM ppairs
+    ),
+    walk(v, l) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.v
+    ),
+    comp AS (SELECT v AS id, min(l) AS cluster FROM walk GROUP BY v),
+    sizes AS (SELECT cluster, count(*) AS cluster_size FROM comp GROUP BY cluster)
+    SELECT c.id, c.cluster, s.cluster_size,
+           CAST(c.id = c.cluster AS INTEGER) AS is_keeper
+    FROM comp c JOIN sizes s USING (cluster)
+    """,
+)
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the phash pair list via distributed connected
+    components (alternating large-star/small-star, functions/graph.py). The
+    fixture's per-group stars make this a real transitive-closure test: the
+    spoke-spoke memberships exist in no pair, only through the hub. Oracle:
+    recursive-CTE reachability with min-label aggregation."""
+    from .functions.graph import dedup_clusters
+    from .functions.phash import phash_neardup_pairs
+
+    pairs = phash_neardup_pairs(
+        _phash_table(spark, sf_dir), phash_col="phash", id_col="image_id", max_hamming=3
+    ).select("id_a", "id_b")
+    return dedup_clusters(pairs).withColumn(
+        "is_keeper", F.col("is_keeper").cast("int")
+    )
+
+
+@register(
+    "asof_events",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), errs AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, epoch_us(c.ts) AS ts_us, c.event_id,
+           epoch_us(e.ts) AS asof_ts_us, e.value AS asof_value
+    FROM clicks c ASOF LEFT JOIN errs e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+)
+def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each click event enriched with the latest
+    at-or-before error event of the same user (joins/asof.py — union-marker
+    window, ONE shuffle, no range-join candidate explosion). Right side
+    deduped per (user, ts) by max event_id on both sides so tied timestamps
+    are deterministic; the oracle is DuckDB's native ASOF LEFT JOIN, an
+    independent implementation of the same semantics. Timestamps are
+    emitted as epoch microseconds to keep the hash comparison type-stable."""
+    from .joins.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errs = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
+    )
+    out = asof_join(clicks, errs, ts_col="ts", by=("user_id",), right_cols=("value",))
+
+    def us(col: str):  # TIMESTAMP_NTZ -> epoch micros, session-tz-independent
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+        )
+
+    return out.select(
+        "user_id",
+        us("ts").alias("ts_us"),
+        "event_id",
+        us("asof_ts").alias("asof_ts_us"),
+        F.col("asof_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
