@@ -47,6 +47,9 @@ HEADLINE = [
     "mvt_tiles",
     "raster_pyramid",
     "vpl_pipeline",
+    "phash_neardup",
+    "dup_clusters",
+    "asof_events",
     "tpch_q1",
     "tpch_q3",
 ]
@@ -85,7 +88,11 @@ def main():
         timings[name] = round(best, 3)
         print(f"# {name}: {n} rows in {timings[name]}s (best of {reps})", file=sys.stderr)
 
-    flagship_reps = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPS", "2"))
+    # 3 reps: the first flagship execution pays one-off costs the headline
+    # queries don't warm (mapInPandas worker fork + ctypes codec dlopen per
+    # worker), measured 1.5-2x the steady state — best-of-3 records the
+    # engine, not the warm-up
+    flagship_reps = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPS", "3"))
     fm = run_flagship(spark, n_images=n_flagship)
     for _ in range(flagship_reps - 1):
         fm2 = run_flagship(spark, n_images=n_flagship)

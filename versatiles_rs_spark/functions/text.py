@@ -95,3 +95,45 @@ def fingerprint_udf(texts: pd.Series) -> pd.Series:
 
 def with_fingerprint(df: DataFrame, text: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", fingerprint_udf(F.col(text)))
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Top-k salient terms per document by a tf-idf-style relevance score.
+
+    score = tf * (N + 1) / (doc_freq + 1) — deliberately RATIONAL (one
+    integer multiply + one IEEE division, both exactly specified) instead of
+    the usual log idf: a transcendental can differ by 1 ulp between engines
+    and flip near-tied rankings, breaking cross-engine reproducibility of
+    the selected term set. Monotonic in the log formulation per fixed tf,
+    so the ranking intent is preserved.
+
+    Plan shape: tokenize map-side (split/explode, JVM), one groupBy for tf,
+    one for doc_freq (both slim (id, term) rows), a term-keyed join, one
+    window for the per-doc top-k. `n_docs` skips the count job when the
+    caller already knows the corpus size (table stats / previous stage).
+    Ties broken by term ascending, so output is deterministic.
+    """
+    from pyspark.sql import Window
+
+    n = n_docs if n_docs is not None else df.count()
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    scored = tf.join(docfreq, on="term").withColumn(
+        "score", (F.col("tf") * F.lit(n + 1)).cast("double") / (F.col("doc_freq") + F.lit(1))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "doc_freq", F.round("score", 6).alias("score"), "rank")
+    )

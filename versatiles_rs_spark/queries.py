@@ -1963,6 +1963,300 @@ def q_asof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+_SS = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+@register(
+    "sessionize",
+    """
+    WITH t AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    flag AS (
+      SELECT user_id, us,
+        CASE WHEN lag(us) OVER w IS NULL
+               OR us - lag(us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), seq AS (
+      SELECT user_id, us,
+        CAST(sum(is_new) OVER (
+          PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+        ) AS BIGINT) AS session_seq
+      FROM flag
+    )
+    SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+           min(us) AS start_us, max(us) AS end_us
+    FROM seq GROUP BY 1, 2
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) of the event stream, rolled up
+    to one row per (user, session): lag + running-sum window composition
+    (functions/sessions.py), ONE shuffle, WholeStageCodegen throughout. The
+    oracle replays the same windows in DuckDB — microsecond ordering keeps
+    boundary assignment deterministic across engines."""
+    from .functions.sessions import sessionize
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts")
+    sess = sessionize(ev, ts_col="ts", by=("user_id",), gap_seconds=1800)
+    us = F.expr(_US)
+    return (
+        sess.withColumn("us", us)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+        )
+    )
+
+
+@register(
+    "range_join_events",
+    """
+    WITH s AS (
+      SELECT event_id AS signup_id,
+             epoch_us(ts) // 1000000 AS start_s,
+             epoch_us(ts) // 1000000 + 7200 AS end_s
+      FROM events WHERE event_type = 'signup'
+    ), p AS (
+      SELECT epoch_us(ts) // 1000000 AS ts_s, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT signup_id, CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 2) AS sum_value
+    FROM s JOIN p ON p.ts_s >= s.start_s AND p.ts_s <= s.end_s
+    GROUP BY 1
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless interval join: purchases landing in the 2-hour window after
+    each signup, via the bucketized equi-join (joins/range_join.py) — the
+    naive formulation is a BroadcastNestedLoopJoin over |P| x |I|; the
+    bucket key turns it into a shuffled hash join whose candidates meet in
+    exactly one bucket. Oracle runs the raw range predicate."""
+    from .joins.range_join import range_join
+
+    ev = load(spark, sf_dir, "events")
+    ss = F.expr(_SS)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        ss.alias("start_s"),
+        (ss + F.lit(7200)).alias("end_s"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        ss.alias("ts_s"), "value"
+    )
+    rj = range_join(purchases, signups, "ts_s", "start_s", "end_s", bucket_seconds=3600)
+    return rj.groupBy("signup_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+_STRATA = {"en": 0.5, "es": 0.25, "de": 0.125}
+_STRATA_DEFAULT = 0.0625
+
+
+@register(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ((doc_id * 2654435761 + 1013904223) % 2147483648) <
+      CASE lang
+        WHEN 'en' THEN {int(0.5 * 2**31)}
+        WHEN 'es' THEN {int(0.25 * 2**31)}
+        WHEN 'de' THEN {int(0.125 * 2**31)}
+        ELSE {int(0.0625 * 2**31)}
+      END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language corpus rebalancing: rows survive by a
+    31-bit affine hash of doc_id against a per-stratum threshold
+    (functions/sessions.py::stratified_sample) — stable across runs and
+    engines, no rand(), the gate folds into the scan (no shuffle). The
+    oracle evaluates the identical arithmetic."""
+    from .functions.sessions import stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, key_col="doc_id", stratum_col="lang",
+        fractions=_STRATA, default_fraction=_STRATA_DEFAULT,
+    )
+
+
+@register(
+    "tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ), dfq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS doc_freq FROM tf GROUP BY 1
+    ), n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+             CAST(tf.tf * (n.n + 1) AS DOUBLE) / (dfq.doc_freq + 1) AS score
+      FROM tf JOIN dfq USING (term), n
+    ), ranked AS (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC
+      ) AS INTEGER) AS rank FROM scored
+    )
+    SELECT doc_id, term, tf, doc_freq, round(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by the rational tf-idf variant
+    (functions/text.py::tfidf_topk — integer multiply + one IEEE division,
+    bit-identical across engines where a log idf can diverge by 1 ulp and
+    flip near-tied rankings). Tokenize/tf/doc_freq are slim JVM groupBys;
+    top-k is one window."""
+    from .functions.text import tfidf_topk
+
+    return tfidf_topk(load(spark, sf_dir, "documents"), k=3)
+
+
+def _geohash_oracle() -> str:
+    from .cells import _GEOHASH32, _geohash_quant
+
+    p = 6
+    lon_bits, lat_bits = _geohash_quant(p)
+    total = lon_bits + lat_bits
+    terms = " + ".join(
+        [f"(((lonq >> {lon_bits - 1 - j}) & 1) << {total - 1 - 2 * j})" for j in range(lon_bits)]
+        + [f"(((latq >> {lat_bits - 1 - j}) & 1) << {total - 2 - 2 * j})" for j in range(lat_bits)]
+    )
+    chars = "||".join(
+        f"substring('{_GEOHASH32}', CAST(((v >> {5 * (p - 1 - i)}) & 31) + 1 AS INTEGER), 1)"
+        for i in range(p)
+    )
+    return f"""
+    WITH pts AS (SELECT event_id, {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events),
+    q AS (SELECT event_id,
+      least(CAST(floor((lon + 180.0) / 360.0 * {float(1 << lon_bits)}) AS BIGINT), {(1 << lon_bits) - 1}) AS lonq,
+      least(CAST(floor((lat + 90.0) / 180.0 * {float(1 << lat_bits)}) AS BIGINT), {(1 << lat_bits) - 1}) AS latq
+    FROM pts),
+    iv AS (SELECT event_id, {terms} AS v FROM q),
+    g AS (SELECT event_id, {chars} AS geohash FROM iv)
+    SELECT geohash, CAST(count(*) AS BIGINT) AS n_points, min(event_id) AS min_id
+    FROM g GROUP BY 1
+    """
+
+
+@register("geohash_cells", _geohash_oracle())
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base-32 geohash indexing (cells.py::geohash_expr) — the third cell
+    system next to tile/S2/hex7, the common join key for external datasets.
+    Pure JVM bit-interleave (no UDF, WholeStageCodegen); validated against
+    published geohash test vectors in pytest; the oracle replays the
+    identical quantize/interleave/base32 arithmetic."""
+    from .cells import geohash_expr
+
+    pts = load(spark, sf_dir, "events").select(
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return (
+        pts.withColumn("geohash", geohash_expr(F.col("lon"), F.col("lat"), 6))
+        .groupBy("geohash")
+        .agg(F.count("*").alias("n_points"), F.min("event_id").alias("min_id"))
+    )
+
+
+_DECON_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DECON_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) >= 3 THEN
+          list_distinct(list_transform(range(1, len(tk) - 1),
+            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+        ELSE [] END AS gs
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 17 = 0
+    ), train AS (
+      SELECT doc_id, gs FROM grams WHERE doc_id % 17 <> 0
+    ), flat AS (
+      SELECT doc_id, unnest(gs) AS gram FROM train
+    ), hits AS (
+      SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      FROM flat f JOIN bench b USING (gram) GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(len(t.gs) AS BIGINT) AS n_grams,
+           coalesce(h.n_hits, 0) AS n_hits,
+           round(CASE WHEN len(t.gs) > 0
+                 THEN coalesce(h.n_hits, 0) / len(t.gs) ELSE 0.0 END, 6)
+             AS contaminated_frac
+    FROM train t LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (functions/decontam.py): word-3-gram
+    overlap of every training doc against a benchmark set (docs with
+    doc_id % 17 == 0 stand in for the eval suite). Benchmark n-grams are
+    DISTINCTed and BROADCAST (eval suites are small by nature), so training
+    text never shuffles — the only exchange is the slim per-doc count
+    aggregation. The GPT-3-style policy (drop on any hit) is a filter on
+    n_hits; the fraction supports softer thresholds."""
+    from .functions.decontam import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return ngram_contamination(train, bench, text_col="text", id_col="doc_id", n=3)
+
+
+@register(
+    "pack_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars AS n_tokens,
+             CAST(doc_id % 8 AS INTEGER) AS shard
+      FROM documents
+    ), spans AS (
+      SELECT shard, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
+      FROM d
+    ), ex AS (
+      SELECT shard, start_tok, n_tokens,
+        unnest(range(start_tok // 2048, (start_tok + n_tokens - 1) // 2048 + 1)) AS chunk
+      FROM spans WHERE n_tokens > 0
+    )
+    SELECT shard, chunk, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(least(start_tok + n_tokens, (chunk + 1) * 2048)
+             - greatest(start_tok, chunk * 2048)) AS BIGINT) AS n_tokens
+    FROM ex GROUP BY 1, 2
+    """,
+)
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (functions/packing.py): documents
+    hash-bucketed into 8 shards, concatenated in doc_id order within each
+    shard, cut every 2048 tokens (n_chars as the deterministic token
+    proxy); per chunk, how many docs contribute and the exact tokens held.
+    Per-shard windows keep the cumsum parallel (no single-partition window
+    — the classic distributed-cumsum trap); integer `div` for chunk ids so
+    offsets past 2^53 can't round."""
+    from .functions.packing import pack_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_chunks(docs, token_col="n_chars", id_col="doc_id", capacity=2048, shards=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
