@@ -79,6 +79,83 @@ def with_cell_ids(
     return df.withColumn(out, tile_cell_expr(F.col(lon), F.col(lat), res))
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_quant(precision: int) -> tuple[int, int]:
+    """(lon_bits, lat_bits) for a `precision`-char geohash: lon takes the
+    even interleave positions starting at the MSB, so it gets the extra bit
+    when 5*precision is odd."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    return lon_bits, total - lon_bits
+
+
+def geohash_expr(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Classic base-32 geohash (Niemeyer) of (lon, lat), `precision` chars —
+    the third cell system next to tile/S2/hex7, included because geohash
+    prefixes are the common join key for externally-produced datasets.
+
+    Pure JVM column expressions: quantize each axis to its bit budget,
+    interleave bits lon-first (unrolled literal shifts — 5*precision
+    terms), then index the base-32 alphabet per 5-bit group. No UDF, stays
+    in WholeStageCodegen; the identical arithmetic is emitted as ANSI SQL
+    by geohash_sql for the DuckDB oracle."""
+    lon_bits, lat_bits = _geohash_quant(precision)
+    total = lon_bits + lat_bits
+    lonq = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))).cast("long"),
+        F.lit((1 << lon_bits) - 1),
+    )
+    latq = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))).cast("long"),
+        F.lit((1 << lat_bits) - 1),
+    )
+    v = F.lit(0).cast("long")
+    for j in range(lon_bits):
+        v = v + F.shiftleft(F.shiftright(lonq, lon_bits - 1 - j).bitwiseAND(F.lit(1)), total - 1 - 2 * j)
+    for j in range(lat_bits):
+        v = v + F.shiftleft(F.shiftright(latq, lat_bits - 1 - j).bitwiseAND(F.lit(1)), total - 2 - 2 * j)
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            (F.shiftright(v, 5 * (precision - 1 - i)).bitwiseAND(F.lit(31)) + F.lit(1)).cast("int"),
+            1,
+        )
+        for i in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lon_sql: str, lat_sql: str, precision: int = 6) -> str:
+    """The identical geohash arithmetic as an ANSI-SQL scalar expression
+    (DuckDB oracle counterpart of geohash_expr — same op order so the IEEE
+    float quantization is bit-identical)."""
+    lon_bits, lat_bits = _geohash_quant(precision)
+    total = lon_bits + lat_bits
+    lonq = (
+        f"least(CAST(floor((({lon_sql}) + 180.0) / 360.0 * {float(1 << lon_bits)}) AS BIGINT),"
+        f" {(1 << lon_bits) - 1})"
+    )
+    latq = (
+        f"least(CAST(floor((({lat_sql}) + 90.0) / 180.0 * {float(1 << lat_bits)}) AS BIGINT),"
+        f" {(1 << lat_bits) - 1})"
+    )
+    terms = [
+        f"(((lonq >> {lon_bits - 1 - j}) & 1) << {total - 1 - 2 * j})" for j in range(lon_bits)
+    ] + [
+        f"(((latq >> {lat_bits - 1 - j}) & 1) << {total - 2 - 2 * j})" for j in range(lat_bits)
+    ]
+    chars = "||".join(
+        f"substring('{_GEOHASH32}', CAST(((v >> {5 * (precision - 1 - i)}) & 31) + 1 AS INTEGER), 1)"
+        for i in range(precision)
+    )
+    return (
+        f"(SELECT {chars} FROM (SELECT {' + '.join(terms)} AS v"
+        f" FROM (SELECT {lonq} AS lonq, {latq} AS latq)))"
+    )
+
+
 def cell_parent_expr(cell: Column, res: int) -> Column:
     """Parent cell at res-1 (tile-grid packing): unpack, shift, repack."""
     x = F.shiftright(cell, res)
