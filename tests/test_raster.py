@@ -157,3 +157,78 @@ def test_raster_overscale_spark(spark):
     assert coords == {(4, 4, 10), (4, 5, 10), (4, 4, 11), (4, 5, 11)}
     child = next(r for r in out if (r.x, r.y) == (5, 10))
     assert (decode_image(bytes(child.bytes)) == overscale_kernel(img, 1, 0, 2)).all()
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics
+# ---------------------------------------------------------------------------
+
+
+def test_zonal_stats_matches_bruteforce(spark):
+    import numpy as np
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.raster import zonal_stats
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=2, partitions=4)  # 1024px world
+    # zones: inside one tile, straddling tiles, full-world, and 1px
+    zdefs = [
+        (0, 10, 10, 60, 40),
+        (1, 200, 200, 400, 300),    # crosses the 256 boundary
+        (2, 0, 0, 1024, 1024),      # whole world
+        (3, 511, 511, 512, 512),    # single pixel
+        (4, 700, 100, 1000, 900),   # multi-tile both axes
+    ]
+    import pandas as pd
+
+    zones = spark.createDataFrame(
+        pd.DataFrame(zdefs, columns=["zone_id", "x0", "y0", "x1", "y1"])
+    )
+    got = {
+        r.zone_id: (r.n_px, r.sum_val, r.min_val, r.max_val)
+        for r in zonal_stats(tiles, zones, tile_size=256).collect()
+    }
+    for zid, x0, y0, x1, y1 in zdefs:
+        gx, gy = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
+        v = fixtures.zonal_value(gx, gy).astype(np.int64)
+        assert got[zid] == (v.size, int(v.sum()), int(v.min()), int(v.max())), zid
+    # closed form for the single pixel: (7*511 + 13*511) % 251
+    assert got[3] == (1, (20 * 511) % 251, (20 * 511) % 251, (20 * 511) % 251)
+
+
+def test_zonal_stats_payload_never_in_shuffle(spark):
+    import pandas as pd
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.raster import zonal_stats
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=2, partitions=4)
+    zones = spark.createDataFrame(
+        pd.DataFrame([(0, 0, 0, 100, 100)], columns=["zone_id", "x0", "y0", "x1", "y1"])
+    )
+    plan = (
+        zonal_stats(tiles, zones, tile_size=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"
+
+
+def test_zonal_stats_zone_guard(spark):
+    import pytest as _pytest
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators import raster as R
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=1, partitions=2)
+    zones = spark.range(5).selectExpr(
+        "id AS zone_id", "0 AS x0", "0 AS y0", "10 AS x1", "10 AS y1"
+    )
+    old = R._ZONAL_MAX_ZONES
+    R._ZONAL_MAX_ZONES = 3
+    try:
+        with _pytest.raises(ValueError, match="guard"):
+            R.zonal_stats(tiles, zones)
+    finally:
+        R._ZONAL_MAX_ZONES = old

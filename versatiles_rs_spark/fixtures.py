@@ -281,3 +281,38 @@ def polygons_pdf(n: int = 100) -> pd.DataFrame:
 def polygons_df(spark: SparkSession, n: int = 100) -> DataFrame:
     schema = "poly_id string, rings array<array<array<double>>>, zone string"
     return spark.createDataFrame(polygons_pdf(n), schema=schema)
+
+
+def zonal_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Deterministic per-pixel raster value at global pixel (gx, gy) —
+    (7*gx + 13*gy) % 251. Non-periodic over 256-pixel tiles (251 prime),
+    so tile boundaries can't mask indexing bugs; trivially replayable in
+    SQL for the zonal-stats oracle."""
+    return ((7 * gx + 13 * gy) % 251).astype(np.uint8)
+
+
+def zonal_raster_df(spark: SparkSession, zoom: int = 3, partitions: int = 16) -> DataFrame:
+    """Single-zoom raster tile table (x, y, bytes): REAL PNG tiles whose
+    pixels follow zonal_value on the global pixel grid. Generated
+    distributed (one task group per id range), 256x256 RGB."""
+    n = 1 << zoom
+
+    def gen(batches):
+        from .codecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                x, y = int(i) % n, int(i) // n
+                gx = np.arange(x * 256, (x + 1) * 256, dtype=np.int64)
+                gy = np.arange(y * 256, (y + 1) * 256, dtype=np.int64)
+                v = zonal_value(gx[None, :], gy[:, None])
+                img = np.stack([v, v, v], axis=-1)
+                rows.append((x, y, encode_png(img)))
+            yield pd.DataFrame(rows, columns=["x", "y", "bytes"])
+
+    return (
+        spark.range(n * n)
+        .repartition(partitions)
+        .mapInPandas(gen, schema="x long, y long, bytes binary")
+    )

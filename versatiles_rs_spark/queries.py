@@ -2257,6 +2257,132 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(docs, token_col="n_chars", id_col="doc_id", capacity=2048, shards=8)
 
 
+@register(
+    "corpus_pipeline",
+    f"""
+    WITH keep AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+    ), toks AS (
+      SELECT doc_id, {_DECON_TOKS} AS tk FROM keep
+    ), grams AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) >= 3 THEN
+          list_distinct(list_transform(range(1, len(tk) - 1),
+            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+        ELSE [] END AS gs
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 17 = 0
+    ), dirty AS (
+      SELECT DISTINCT f.doc_id
+      FROM (SELECT doc_id, unnest(gs) AS gram FROM grams WHERE doc_id % 17 <> 0) f
+      JOIN bench b USING (gram)
+    ), clean AS (
+      SELECT k.doc_id, k.n_chars AS n_tokens,
+             CAST(k.doc_id % 8 AS INTEGER) AS shard
+      FROM keep k
+      WHERE k.doc_id % 17 <> 0 AND k.doc_id NOT IN (SELECT doc_id FROM dirty)
+    ), spans AS (
+      SELECT shard, n_tokens,
+        CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+          AS start_tok
+      FROM clean
+    ), ex AS (
+      SELECT shard, start_tok, n_tokens,
+        unnest(range(start_tok // 2048, (start_tok + n_tokens - 1) // 2048 + 1)) AS chunk
+      FROM spans WHERE n_tokens > 0
+    ), chunks AS (
+      SELECT shard, chunk, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(least(start_tok + n_tokens, (chunk + 1) * 2048)
+               - greatest(start_tok, chunk * 2048)) AS BIGINT) AS tok
+      FROM ex GROUP BY 1, 2
+    )
+    SELECT shard, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_docs) AS BIGINT) AS n_doc_slots,
+           CAST(sum(tok) AS BIGINT) AS n_tokens
+    FROM chunks GROUP BY 1
+    """,
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus preparation — the LLM-pipeline flagship
+    composition: exact dedup (keep min-id per distinct text) -> benchmark
+    decontamination (drop any train doc sharing a word-3-gram with the
+    doc_id%17 benchmark split) -> concat-and-chunk packing (8 shards,
+    capacity 2048). Returns the per-shard packed summary.
+
+    Shuffle budget of the whole pipeline: dedup's hash groupBy, decontam's
+    slim per-doc count (bench grams broadcast), packing's per-shard window
+    + chunk rollup — document text crosses an exchange exactly ONCE (the
+    dedup groupBy), everything after moves (id, counts) rows."""
+    from .functions.decontam import ngram_contamination
+    from .functions.dedup import exact_dedup
+    from .functions.packing import pack_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    keep = exact_dedup(docs, text_col="text", id_col="doc_id")
+    bench = keep.filter(F.col("doc_id") % 17 == 0)
+    train = keep.filter(F.col("doc_id") % 17 != 0)
+    contam = ngram_contamination(train, bench, text_col="text", id_col="doc_id", n=3)
+    clean = (
+        train.select("doc_id", "n_chars")
+        .join(contam.filter(F.col("n_hits") == 0).select("doc_id"), on="doc_id")
+    )
+    chunks = pack_chunks(clean, token_col="n_chars", id_col="doc_id", capacity=2048, shards=8)
+    return chunks.groupBy("shard").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_docs").alias("n_doc_slots"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+
+
+@register(
+    "zonal_stats",
+    """
+    WITH zk AS (SELECT unnest(range(0, 24)) AS zone_id),
+    z AS (
+      SELECT zone_id,
+        (zone_id * 37) % 1800 AS x0, (zone_id * 53) % 1800 AS y0,
+        100 + (zone_id * 17) % 200 AS w, 100 + (zone_id * 29) % 200 AS h
+      FROM zk
+    ),
+    gxs AS (SELECT zone_id, unnest(range(x0, x0 + w)) AS gx FROM z),
+    gys AS (SELECT zone_id, unnest(range(y0, y0 + h)) AS gy FROM z),
+    px AS (
+      SELECT gxs.zone_id, (7 * gx + 13 * gy) % 251 AS v
+      FROM gxs JOIN gys USING (zone_id)
+    )
+    SELECT zone_id, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(min(v) AS BIGINT) AS min_val,
+           CAST(max(v) AS BIGINT) AS max_val
+    FROM px GROUP BY 1
+    """,
+)
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics (operators/raster.py::zonal_stats) — per-zone
+    pixel aggregates over a REAL PNG raster (rasterstats/GDAL zonal role):
+    24 rectangle zones over a zoom-3 pyramid level whose pixels follow the
+    deterministic fixtures.zonal_value grid. Tiles decode ONCE in a single
+    Arrow crossing and emit slim partials; zones broadcast; payload never
+    shuffles. The oracle recomputes every zone pixel arithmetically — so a
+    hash match proves the PNG encode/decode round-trip AND the
+    clip/mask/aggregate logic simultaneously."""
+    from . import fixtures
+    from .operators.raster import zonal_stats
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=3, partitions=16)
+    zones = spark.range(24).select(
+        F.col("id").alias("zone_id"),
+        ((F.col("id") * 37) % 1800).alias("x0"),
+        ((F.col("id") * 53) % 1800).alias("y0"),
+        ((F.col("id") * 37) % 1800 + 100 + (F.col("id") * 17) % 200).alias("x1"),
+        ((F.col("id") * 53) % 1800 + 100 + (F.col("id") * 29) % 200).alias("y1"),
+    )
+    return zonal_stats(tiles, zones, tile_size=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
