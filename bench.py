@@ -61,7 +61,7 @@ def main():
     n_flagship = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_N", "100000"))
 
     from versatiles_rs_spark import queries as q
-    from versatiles_rs_spark.pipeline import run_flagship
+    from versatiles_rs_spark.pipeline import run_flagship, run_flagship_scan
     from versatiles_rs_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
@@ -100,6 +100,18 @@ def main():
             fm = fm2
     print(f"# flagship: {fm} (best of {flagship_reps})", file=sys.stderr)
 
+    # deployment shape: the same pipeline READING a stored parquet images
+    # table (the north metric's "Iceberg table (SF-scaled sample)") — the
+    # stored-format encode is one-off ingest cost, materialized+cached
+    # outside the timed window.  Reported alongside the synth-input flagship
+    # (which stays the round-over-round comparable number).
+    fs = run_flagship_scan(spark, n_images=n_flagship)
+    for _ in range(flagship_reps - 1):
+        fs2 = run_flagship_scan(spark, n_images=n_flagship)
+        if fs2["sec"] < fs["sec"]:
+            fs = fs2
+    print(f"# flagship_scan: {fs} (best of {flagship_reps})", file=sys.stderr)
+
     total = round(sum(timings.values()) + fm["sec"], 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -113,6 +125,7 @@ def main():
         "queries": timings,
         "sf": sf,
         "flagship": fm,
+        "flagship_scan": fs,
         "cpus": int(cpus),
     }
     spark.stop()

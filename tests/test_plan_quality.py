@@ -211,3 +211,27 @@ def test_flagship_payload_never_crosses_arrow(spark):
     # (?<![a-z_]) spares nbytes/tile_bytes — only the bare payload attribute
     assert not re.search(r"(?<![a-z_])bytes#", plan), "payload column in plan"
     assert "nbytes" in plan
+
+
+def test_flagship_scan_python_keeps_blobs_out_of_jvm(spark, tmp_path):
+    """Deployment-shaped scan (scan_mode="python"): the JVM plan must carry
+    only file-path strings into the Python stage and slim columns out —
+    the stored `bytes` column is read by pyarrow INSIDE the task and must
+    not appear in any plan node. Exactly one round-robin exchange (the
+    one-file-per-task distribution)."""
+    import re
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.pipeline import flagship_scan
+
+    path = str(tmp_path / "images")
+    fixtures.images_df(spark, 200, partitions=4).write.parquet(path)
+    df = flagship_scan(spark, path, n_polygons=10, scan_mode="python")
+    plan = plan_of(df)
+    assert not re.search(r"(?<![a-z_])bytes#", plan), "payload column in plan"
+    assert "nbytes" in plan
+    # one round-robin exchange distributing file paths (its only column),
+    # one-file-per-task; the PIP join contributes the other Python nodes
+    rr = [ln for ln in plan.splitlines() if "Exchange RoundRobinPartitioning" in ln]
+    assert len(rr) == 1, rr
+    assert "scan(path#" in plan  # the Python stage consumes file paths only
