@@ -50,6 +50,18 @@ HEADLINE = [
     "phash_neardup",
     "dup_clusters",
     "asof_events",
+    "sessionize",
+    "range_join_events",
+    "stratified_sample",
+    "tfidf_topk",
+    "geohash_cells",
+    "decontaminate",
+    "pack_chunks",
+    "corpus_pipeline",
+    "zonal_stats",
+    "repetition_filter",
+    "pii_redact",
+    "domain_cap",
     "tpch_q1",
     "tpch_q3",
 ]

@@ -1,0 +1,138 @@
+"""Brute-force parity + plan gates for the corpus curation family:
+repetition_metrics (Gopher filters), pii_redact, domain_cap."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.corpus import domain_cap
+from versatiles_rs_spark.functions.sessions import (
+    _SAMPLE_ADD,
+    _SAMPLE_MOD,
+    _SAMPLE_MULT,
+)
+from versatiles_rs_spark.functions.text import pii_redact, repetition_metrics
+
+
+def _brute_repetition(text: str) -> dict:
+    words = [w for w in text.split(" ") if w]
+    bigrams = [f"{a} {b}" for a, b in zip(words, words[1:])]
+    n = len(words)
+    top_w = max(Counter(words).values()) if words else 0
+    top_b = max(Counter(bigrams).values()) if bigrams else 0
+    return {
+        "n_words": n,
+        "n_unique": len(set(words)),
+        "top_word_count": top_w,
+        "top_bigram_count": top_b,
+        "keep": 5 * top_w <= n and 5 * top_b <= max(n - 1, 1),
+    }
+
+
+REP_CASES = [
+    ("a b c d e f g h i j", True),            # unique words
+    ("spam spam spam spam a", False),          # word-dominated
+    ("x y x y x y x y z q", False),            # bigram-dominated
+    ("", None),                                # empty text
+    ("one", None),                             # single word
+    ("a  b", None),                            # double space -> empty token
+    ("p q r s t p q u v w x y z a b", None),  # mild repetition
+]
+
+
+def test_repetition_metrics_matches_bruteforce(spark):
+    rows = [(i, t) for i, (t, _) in enumerate(REP_CASES)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_metrics(df).collect()}
+    for i, (t, expect_keep) in enumerate(REP_CASES):
+        want = _brute_repetition(t)
+        g = got[i]
+        for k, v in want.items():
+            assert g[k] == v, (i, t, k, g, want)
+        if expect_keep is not None:
+            assert g["keep"] == expect_keep, (i, t)
+
+
+def test_repetition_metrics_no_shuffle_no_python(spark):
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = repetition_metrics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
+
+
+PII_CASES = [
+    ("mail me at a.b-c_d@ex-1.co and x@y.io now", 2, 0),
+    ("call +1-555-0123 or 44-201-9999 today", 0, 2),
+    ("user@sub.domain.example.com / +421-123-4567", 1, 1),
+    ("no pii here at all", 0, 0),
+    ("almost@an email @ nowhere.x", 0, 0),  # 1-char TLD, bare @ -> no match
+]
+
+
+def test_pii_redact_counts_and_masking(spark):
+    rows = [(i, t) for i, (t, _, _) in enumerate(PII_CASES)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    for i, (t, n_em, n_ph) in enumerate(PII_CASES):
+        assert got[i]["n_emails"] == n_em, (t, got[i])
+        assert got[i]["n_phones"] == n_ph, (t, got[i])
+        red = got[i]["redacted"]
+        if n_em:
+            assert "<EMAIL>" in red and "@" not in red, red
+        if n_ph:
+            assert "<PHONE>" in red
+    # masking is idempotent: redacting redacted text changes nothing
+    red_df = pii_redact(df).select("doc_id", F.col("redacted").alias("text"))
+    twice = {r["doc_id"]: r["redacted"] for r in pii_redact(red_df).collect()}
+    assert twice == {r["doc_id"]: r["redacted"] for r in got.values()}
+
+
+def test_pii_redact_stays_jvm(spark):
+    df = spark.createDataFrame([(1, "x@y.io")], "doc_id long, text string")
+    plan = pii_redact(df)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
+
+
+def _brute_domain_cap(rows, cap, blocklist):
+    out = []
+    by_dom: dict = {}
+    for doc_id, dom in rows:
+        if dom in blocklist:
+            continue
+        by_dom.setdefault(dom, []).append(doc_id)
+    for dom, ids in by_dom.items():
+        ids.sort(key=lambda i: ((i * _SAMPLE_MULT + _SAMPLE_ADD) % _SAMPLE_MOD, i))
+        out.extend((i, dom, rk + 1) for rk, i in enumerate(ids[:cap]))
+    return sorted(out)
+
+
+def test_domain_cap_matches_bruteforce(spark):
+    rows = [(i, f"d{i % 5}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["doc_id"], r["source"], r["rk"])
+        for r in domain_cap(df, cap=7, blocklist=["d2"]).collect()
+    )
+    assert got == _brute_domain_cap(rows, 7, {"d2"})
+    # every surviving domain is exactly at the cap; blocked domain absent
+    doms = Counter(d for _, d, _ in got)
+    assert set(doms) == {"d0", "d1", "d3", "d4"} and set(doms.values()) == {7}
+
+
+def test_domain_cap_under_cap_keeps_all(spark):
+    rows = [(i, "only") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = domain_cap(df, cap=100).collect()
+    assert len(got) == 5 and {r["rk"] for r in got} == {1, 2, 3, 4, 5}
+
+
+def test_domain_cap_blocklist_is_broadcast_anti(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, source string")
+    plan = (
+        domain_cap(df, cap=1, blocklist=["b"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -137,3 +137,98 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "doc_freq", F.round("score", 6).alias("score"), "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021 §A.1.1, public paper):
+# documents dominated by a few repeated words/n-grams are boilerplate.
+# ---------------------------------------------------------------------------
+
+def _max_run_expr(sorted_arr: str, n: str) -> str:
+    """SQL expr: longest run of equal adjacent elements in a SORTED array =
+    max multiplicity of any element. Pure higher-order functions — stays in
+    the JVM, no shuffle, no UDF. Guards the sequence() descending trap
+    (sequence(2,1) counts DOWN) behind a CASE on n < 2."""
+    return f"""
+    CASE WHEN {n} < 2 THEN {n} ELSE aggregate(
+      sequence(2, {n}),
+      named_struct('cur', 1, 'best', 1),
+      (acc, i) -> IF(element_at({sorted_arr}, i) = element_at({sorted_arr}, i - 1),
+                     named_struct('cur', acc.cur + 1,
+                                  'best', greatest(acc.best, acc.cur + 1)),
+                     named_struct('cur', 1, 'best', acc.best)),
+      acc -> acc.best) END
+    """
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition metrics + keep flag, entirely map-side.
+
+    Emits integer counts, never fractions: `5*top_word_count <= n_words`
+    is bit-stable across engines where `top_word_count/n_words <= 0.2`
+    invites an IEEE near-tie flip (same rationale as tfidf_topk's rational
+    score). No shuffle: each doc's metrics derive from its own token array
+    via array_sort + aggregate() — at 100 TB this folds into the scan,
+    unlike the explode -> groupBy(doc, word) formulation which shuffles
+    every token."""
+    words = f"filter(split({text_col}, ' '), w -> w <> '')"
+    d = df.selectExpr(
+        id_col,
+        f"{words} AS _w",
+    ).selectExpr(
+        id_col,
+        "_w",
+        "array_sort(_w) AS _sw",
+        "CASE WHEN size(_w) >= 2 THEN array_sort(transform(sequence(1, size(_w) - 1),"
+        " i -> concat_ws(' ', element_at(_w, i), element_at(_w, i + 1))))"
+        " ELSE cast(array() AS array<string>) END AS _sbg",
+    )
+    return d.selectExpr(
+        id_col,
+        "cast(size(_w) AS bigint) AS n_words",
+        "cast(size(array_distinct(_w)) AS bigint) AS n_unique",
+        f"cast({_max_run_expr('_sw', 'size(_w)')} AS bigint) AS top_word_count",
+        f"cast({_max_run_expr('_sbg', 'size(_sbg)')} AS bigint) AS top_bigram_count",
+    ).selectExpr(
+        id_col,
+        "n_words",
+        "n_unique",
+        "top_word_count",
+        "top_bigram_count",
+        "(5 * top_word_count <= n_words AND"
+        " 5 * top_bigram_count <= greatest(n_words - 1, 1)) AS keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (regex scrub — emails/phones), pure JVM regexp.
+# ---------------------------------------------------------------------------
+
+# character classes + bounded quantifiers only: semantics identical between
+# Java regex (Spark) and RE2 (DuckDB oracle)
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Count + mask emails and phone numbers (JVM regexp_count /
+    regexp_replace — no Python in the path). Emails first: the phone
+    pattern cannot match inside an already-inserted <EMAIL> token, so the
+    two passes compose without interference."""
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(PII_EMAIL_RE)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PII_PHONE_RE)).cast("long"))
+        .withColumn(
+            out_col,
+            F.regexp_replace(
+                F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>"),
+                PII_PHONE_RE,
+                "<PHONE>",
+            ),
+        )
+    )

@@ -2383,6 +2383,139 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_stats(tiles, zones, tile_size=256)
 
 
+@register(
+    "repetition_filter",
+    """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), wf AS (
+      SELECT doc_id, word,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rpos
+      FROM w WHERE word <> ''
+    ), wc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(count(DISTINCT word) AS BIGINT) AS n_unique
+      FROM wf GROUP BY doc_id
+    ), tw AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_word_count
+      FROM (SELECT doc_id, word, count(*) AS c FROM wf GROUP BY doc_id, word)
+      GROUP BY doc_id
+    ), bg AS (
+      SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+      FROM wf a JOIN wf b ON a.doc_id = b.doc_id AND b.rpos = a.rpos + 1
+    ), tb AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count
+      FROM (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram)
+      GROUP BY doc_id
+    )
+    SELECT wc.doc_id, wc.n_words, wc.n_unique, tw.top_word_count,
+           coalesce(tb.top_bigram_count, 0) AS top_bigram_count,
+           (5 * tw.top_word_count <= wc.n_words AND
+            5 * coalesce(tb.top_bigram_count, 0) <= greatest(wc.n_words - 1, 1))
+             AS keep
+    FROM wc JOIN tw USING (doc_id) LEFT JOIN tb USING (doc_id)
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (functions/text.py::
+    repetition_metrics, Rae et al. 2021 §A.1.1): per-doc word/bigram
+    max-multiplicity + keep flag. Spark side is pure map-side higher-order
+    functions (array_sort + aggregate run-length — NO shuffle, folds into
+    the scan at 100 TB); the oracle proves the same semantics through the
+    orthogonal unnest -> groupBy formulation. Integer threshold arithmetic
+    (5*top <= n), never fractions — IEEE near-ties can't flip the flag
+    between engines."""
+    from .functions.text import repetition_metrics
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_metrics(docs, text_col="text", id_col="doc_id")
+
+
+@register(
+    "pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example' || (doc_id % 7)
+                  || '.org or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || CASE WHEN doc_id % 3 = 0
+                          THEN ' cc admin.' || doc_id || '@mail.example.com' ELSE '' END
+               AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.py::pii_redact): count + mask emails
+    and phone numbers, pure JVM regexp (character classes + bounded
+    quantifiers only, so Java regex and the oracle's RE2 agree). The
+    documents fixture is word-salad with no organic PII, so the query
+    plants deterministic emails/phones derived from doc_id (one per doc,
+    a second email for doc_id%3==0) — the hash then verifies detection
+    count AND byte-exact redaction output across engines."""
+    from .functions.text import pii_redact
+
+    docs = load(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".org or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" cc admin."), F.col("doc_id").cast("string"),
+                            F.lit("@mail.example.com"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = pii_redact(aug, text_col="text", out_col="redacted")
+    return red.select(
+        "doc_id", "n_emails", "n_phones", F.md5("redacted").alias("redacted_md5")
+    )
+
+
+@register(
+    "domain_cap",
+    """
+    WITH kept AS (
+      SELECT doc_id, source FROM documents
+      WHERE source NOT IN ('src3', 'src7')
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761 + 1013904223) % 2147483648, doc_id
+             ) AS rk
+      FROM kept
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist + per-domain cap (functions/corpus.py::domain_cap,
+    RefinedWeb/C4-style source curation): drop blocked sources via a
+    broadcast ANTI-join, then keep a deterministic 20-row uniform pick per
+    source (row_number over the repo's 31-bit affine hash — no rand()).
+    One slim (doc_id, source) shuffle; document text never moves."""
+    from .functions.corpus import domain_cap
+
+    docs = load(spark, sf_dir, "documents")
+    return domain_cap(
+        docs, domain_col="source", key_col="doc_id", cap=20,
+        blocklist=["src3", "src7"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
