@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_cosine",
     "ann_ivf",
     "embed_neardup",
+    "semantic_dedup",
     "quality_score",
     "token_count",
     "mvt_tiles",

@@ -393,3 +393,101 @@ def test_cosine_pairs_lsh_subquadratic(spark):
     )
     n_cand = _lsh_candidate_pairs(sig, "vec_id", 2000).count()
     assert n_cand < n * (n - 1) / 2 * 0.3  # way below all-pairs
+
+
+def test_semantic_dedup_semdedup_policy(spark):
+    """SemDeDup semantics on planted clusters (Abbas et al. 2023): a tight
+    duplicate group collapses to ONE keeper — the member with the LOWEST
+    cosine to its cluster centroid — while distant members of the same
+    k-means cluster stay their own singleton components."""
+    from versatiles_rs_spark.functions.ann import train_ivf_centroids
+    from versatiles_rs_spark.functions.semdedup import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    dim, n_groups, per = 16, 6, 5
+    cents = rng.standard_normal((n_groups, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    # per-group: `per` near-identical copies (cos ~> 0.999) + one far outlier
+    # sharing the k-means cluster but below eps
+    rows = []
+    for g in range(n_groups):
+        for j in range(per):
+            rows.append(cents[g] + 0.01 * rng.standard_normal(dim))
+        far = cents[g] + 0.9 * rng.standard_normal(dim)
+        rows.append(far)
+    vecs = np.asarray(rows)
+    n = len(vecs)
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(n), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<float>")
+
+    C = train_ivf_centroids(df, nlist=n_groups, dim=dim, sample_cap=n, iters=8)
+    out = semantic_dedup(
+        df, eps=0.95, nlist=n_groups, dim=dim, centroids=C, block_size=7
+    ).toPandas().set_index("vec_id").sort_index()
+
+    assert len(out) == n  # every row labeled exactly once
+    assert int(out["is_keeper"].sum()) == out["sem_cluster"].nunique()
+
+    # brute-force oracle: same centroids, same policy, numpy end to end
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    d = vecs @ C.T
+    assign = np.argmax(d, axis=1)
+    cent_cos = d.max(axis=1) / np.linalg.norm(vecs, axis=1)
+    sim = m @ m.T
+    # union-find over within-cluster eps pairs
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if assign[i] == assign[j] and sim[i, j] >= 0.95:
+                parent[find(i)] = find(j)
+    comp = {}
+    for i in range(n):
+        comp.setdefault(find(i), []).append(i)
+    for members in comp.values():
+        label = min(members)
+        keeper = min(members, key=lambda i: (cent_cos[i], i))
+        for i in members:
+            assert out.loc[i, "sem_cluster"] == label
+            assert bool(out.loc[i, "is_keeper"]) == (i == keeper)
+            assert out.loc[i, "cluster_size"] == len(members)
+    # the planted structure actually exercised both branches
+    sizes = out.groupby("sem_cluster")["cluster_size"].first()
+    assert (sizes >= per).sum() == n_groups  # one dup group per planted cluster
+    assert (sizes == 1).sum() >= n_groups  # outliers stayed singletons
+
+
+def test_cosine_pairs_blocked_key_restriction(spark, sf_dir):
+    """key_col restricts pairing to same-key rows and matches the brute
+    force exactly (multi-block path: block_size smaller than key groups)."""
+    from versatiles_rs_spark.functions.ann import cosine_expr, cosine_pairs_blocked
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "grp", (F.col("vec_id") % 3).cast("long")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+                   F.col("grp").alias("ga"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+                   F.col("grp").alias("gb"))
+    exact = sorted(
+        (r.id_a, r.id_b)
+        for r in a.join(b, (F.col("id_a") < F.col("id_b")) & (F.col("ga") == F.col("gb")))
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= 0.3)
+        .collect()
+    )
+    got = sorted(
+        (r.id_a, r.id_b)
+        for r in cosine_pairs_blocked(
+            emb, threshold=0.3, block_size=64, key_col="grp"
+        ).collect()
+    )
+    assert len(exact) > 10
+    assert got == exact

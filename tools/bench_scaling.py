@@ -25,28 +25,37 @@ CHILD = r"""
 import json, sys
 sys.path.insert(0, {repo!r})
 from versatiles_rs_spark.session import get_spark
-from versatiles_rs_spark.pipeline import run_flagship
+from versatiles_rs_spark.pipeline import run_flagship, run_flagship_scan
 
 cores = {cores}
 n = {n}
+scan = {scan}
 # fair comparison: each level gets the SAME waves-per-core (4x cores input
 # partitions, shuffle partitions = cores) — the per-cluster tuning a real
 # deployment applies via maxPartitionBytes. Fixed absolute partition counts
 # would penalize the small config with per-task overhead and inflate the
 # efficiency number.
 spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=cores)
-run_flagship(spark, n_images=max(20000, n // 4), partitions=cores * 4)   # warm-up
-best = min(
-    (run_flagship(spark, n_images=n, partitions=cores * 4) for _ in range(3)),
-    key=lambda m: m["sec"],
-)
+if scan:
+    # deployment shape: BOTH levels read the IDENTICAL stored parquet table
+    # (materialized once on disk, reused) via the fused pyarrow scan — "same
+    # job, same input, two cluster sizes" in the rule's own terms.
+    # run_flagship_scan applies the same waves-per-core tuning as the synth
+    # path (maxPartitionBytes sized for ~4 scan tasks/core), i.e. the knob a
+    # real deployment sets per cluster size.
+    run = lambda m: run_flagship_scan(spark, n_images=m)
+    run(max(20000, n // 4))   # warm-up (also materializes the stored table)
+else:
+    run = lambda m: run_flagship(spark, n_images=m, partitions=cores * 4)
+    run(max(20000, n // 4))   # warm-up
+best = min((run(n) for _ in range(3)), key=lambda m: m["sec"])
 spark.stop()
 print("RESULT " + json.dumps(best))
 """
 
 
-def run_level(cores: int, n: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, n=n)
+def run_level(cores: int, n: int, scan: bool = False) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, n=n, scan=scan)
     # pin the whole process tree (JVM + python workers) to exactly `cores`
     # CPUs — otherwise the JVM's GC/shuffle/Arrow threads spill onto the idle
     # cores and flatter the small config, understating scaling efficiency
@@ -62,11 +71,12 @@ def run_level(cores: int, n: int) -> dict:
     raise RuntimeError(f"no RESULT from local[{cores}]:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-def run_pair(lo: int, hi: int, n: int) -> dict:
-    print(f"# flagship scaling run: n_images={n}, local[{lo}] vs local[{hi}]")
-    m_lo = run_level(lo, n)
+def run_pair(lo: int, hi: int, n: int, scan: bool = False) -> dict:
+    shape = "scan" if scan else "synth"
+    print(f"# flagship scaling run ({shape}): n_images={n}, local[{lo}] vs local[{hi}]")
+    m_lo = run_level(lo, n, scan)
     print(f"# local[{lo}]: {m_lo}")
-    m_hi = run_level(hi, n)
+    m_hi = run_level(hi, n, scan)
     print(f"# local[{hi}]: {m_hi}")
     eff = (m_hi["rows_per_sec"] / m_lo["rows_per_sec"]) / (hi / lo)
     return {
@@ -88,7 +98,8 @@ def main():
     for a in sys.argv:
         if a.startswith("--pairs="):  # e.g. --pairs=2:8,4:16
             pairs = [tuple(map(int, p.split(":"))) for p in a[8:].split(",")]
-    results = [run_pair(lo, hi, n) for lo, hi in pairs]
+    scan = "--scan" in sys.argv
+    results = [run_pair(lo, hi, n, scan) for lo, hi in pairs]
     out = {
         "metric": "flagship tiles-encoded+PIP-joined rows/sec scaling N->4N",
         "target": 0.8,

@@ -53,6 +53,7 @@ def cosine_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_size: int = 1024,
+    key_col: str | None = None,
 ) -> DataFrame:
     """All-pairs cosine-similarity join via block-matrix GEMM.
 
@@ -63,37 +64,55 @@ def cosine_pairs_blocked(
     evaluations. 12x faster than the per-pair zip_with/aggregate plan at
     sf0.1 (5k vectors), and the block rows shuffle once.
 
+    With `key_col` (a long column), pairing is restricted to rows sharing
+    the key: blocks are packed per (key, blk) and block pairs join on key
+    equality — the within-cluster pairing shape semantic dedup needs, where
+    the quadratic is bounded per cluster instead of per corpus.
+
     Emits (id_a, id_b) with id_a < id_b and cosine >= threshold.
     """
     import pandas as pd
 
     blk = F.floor(F.col(id_col) / F.lit(block_size)).cast("long").alias("blk")
-    blocks = vectors.select(blk, F.col(id_col), F.col(vec_col))
+    group_cols = ([key_col] if key_col else []) + ["blk"]
+    cols = [blk, F.col(id_col), F.col(vec_col)]
+    if key_col:
+        cols.insert(0, F.col(key_col))
+    blocks = vectors.select(*cols)
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
-        return pd.DataFrame(
-            {
-                "blk": [int(pdf["blk"].iloc[0])],
-                "ids": [pdf[id_col].to_numpy(np.int64).tobytes()],
-                "mat": [m.tobytes()],
-                "n": [len(pdf)],
-            }
-        )
+        out = {
+            "blk": [int(pdf["blk"].iloc[0])],
+            "ids": [pdf[id_col].to_numpy(np.int64).tobytes()],
+            "mat": [m.tobytes()],
+            "n": [len(pdf)],
+        }
+        if key_col:
+            out["key"] = [int(pdf[key_col].iloc[0])]
+        return pd.DataFrame(out)
 
-    packed = blocks.groupBy("blk").applyInPandas(
-        pack, schema="blk long, ids binary, mat binary, n int"
+    key_schema = "key long, " if key_col else ""
+    packed = blocks.groupBy(*group_cols).applyInPandas(
+        pack, schema=f"{key_schema}blk long, ids binary, mat binary, n int"
     )
-    a = packed.select(
+    a_cols = [
         F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
         F.col("mat").alias("mat_a"), F.col("n").alias("n_a"),
-    )
-    b = packed.select(
+    ]
+    b_cols = [
         F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
         F.col("mat").alias("mat_b"), F.col("n").alias("n_b"),
-    )
-    cand = a.join(b, F.col("blk_a") <= F.col("blk_b"))
+    ]
+    if key_col:
+        a_cols.insert(0, F.col("key"))
+        b_cols.insert(0, F.col("key"))
+    a = packed.select(*a_cols)
+    b = packed.select(*b_cols)
+    pair_cond = F.col("blk_a") <= F.col("blk_b")
+    cand = a.join(b, on=["key"] if key_col else None, how="inner").filter(pair_cond) \
+        if key_col else a.join(b, pair_cond)
 
     def gemm(batches):
         for pdf in batches:

@@ -1761,6 +1761,80 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, queries_df, k=5, nlist=16, nprobe=4)
 
 
+def _semantic_dedup_oracle_sql(eps: float = 0.35, nlist: int = 16, dim: int = 64) -> str:
+    """Replay semantic_dedup in SQL: inlined deterministic centroids ->
+    first-argmax cluster assignment + centroid cosine, within-cluster
+    eps-pairs (list_cosine_similarity), recursive-CTE connected components
+    (min reachable id), and the SemDeDup keeper window (cent_cos ASC, id
+    ASC). Float-margin audit: closest pair cosine sits 5e-4 from eps and the
+    tightest within-cluster cent_cos gap is 5e-6 at both gate SFs — orders
+    of magnitude above f64 summation-order noise, so the DuckDB replay
+    cannot flip an assignment, a pair, or a keeper."""
+    from .functions.ann import _ivf_centroids
+
+    C = _ivf_centroids(dim, nlist)
+
+    def dot(vec_col: str, arr) -> str:
+        lit = "[" + ",".join(repr(float(x)) for x in arr) + "]"
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> {vec_col}[i] * ({lit}::DOUBLE[])[i]))"
+        )
+
+    dots = ", ".join(dot("v", C[j]) for j in range(nlist))
+    vv = f"list_sum(list_transform(range(1, {dim + 1}), i -> v[i] * v[i]))"
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), dl AS (
+      SELECT vec_id, v, [{dots}] AS dots FROM e
+    ), assigned AS (
+      SELECT vec_id, v,
+             list_position(dots, list_aggregate(dots, 'max')) - 1 AS sem_list,
+             list_aggregate(dots, 'max') / sqrt({vv}) AS cent_cos
+      FROM dl
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM assigned a JOIN assigned b
+        ON a.sem_list = b.sem_list AND a.vec_id < b.vec_id
+       AND list_cosine_similarity(a.v, b.v) >= {eps}
+    ), edges AS (
+      SELECT id_a AS u, id_b AS w FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), walk(w, l) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.w, k.l FROM walk k JOIN edges e ON e.u = k.w
+    ), comp AS (
+      SELECT w AS id, min(l) AS lbl FROM walk GROUP BY w
+    ), lab AS (
+      SELECT a.vec_id, a.sem_list, a.cent_cos,
+             coalesce(c.lbl, a.vec_id) AS sem_cluster
+      FROM assigned a LEFT JOIN comp c ON c.id = a.vec_id
+    )
+    SELECT vec_id, CAST(sem_list AS BIGINT) AS sem_list, sem_cluster,
+           count(*) OVER (PARTITION BY sem_cluster) AS cluster_size,
+           CAST(row_number() OVER (
+             PARTITION BY sem_cluster ORDER BY cent_cos ASC, vec_id ASC
+           ) = 1 AS INTEGER) AS is_keeper
+    FROM lab
+    """
+
+
+@register("semantic_dedup", _semantic_dedup_oracle_sql())
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023) over the
+    embedding column: coarse k-means clusters -> within-cluster blocked-GEMM
+    eps-similarity pairs -> connected components -> keep the least
+    prototypical member (lowest centroid cosine) per duplicate group
+    (functions/semdedup.py). The corpus-level N^2 shrinks to sum(|c|^2);
+    everything after the packed GEMM blocks shuffles slim (long, long,
+    double) rows only."""
+    from .functions.semdedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, eps=0.35, nlist=16, block_size=64)
+
+
 def _tile_outline_oracle_sql() -> str:
     """Replay the distributed boundary-edge cancellation in SQL: every tile
     emits its 4 directed edges (area-on-the-left convention, outline._DIRS);
