@@ -37,6 +37,7 @@ HEADLINE = [
     "s2_cells",
     "hex_cells",
     "dedup_exact",
+    "duplicate_spans",
     "minhash_lsh",
     "simhash_dup",
     "ann_cosine",

@@ -136,3 +136,83 @@ def test_domain_cap_blocklist_is_broadcast_anti(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (functions/spans.py)
+# ---------------------------------------------------------------------------
+
+
+def _brute_spans(texts: dict[int, str], width: int, min_count: int = 2):
+    """Python oracle: window token-tuples (exact strings, no hashing),
+    corpus-wide counts, islands merge."""
+    toks = {
+        d: [t for t in __import__("re").split(r"[^a-z0-9]+", txt.lower()) if t]
+        for d, txt in texts.items()
+    }
+    wins = {}  # (doc,pos) -> tuple
+    from collections import Counter
+
+    counts = Counter()
+    for d, tk in toks.items():
+        for p in range(len(tk) - width + 1):
+            w = tuple(tk[p : p + width])
+            wins[(d, p)] = w
+            counts[w] += 1
+    marked = sorted((d, p) for (d, p), w in wins.items() if counts[w] >= min_count)
+    spans = []
+    for d in sorted(set(d for d, _ in marked)):
+        ps = [p for dd, p in marked if dd == d]
+        start = prev = ps[0]
+        n = 1
+        for p in ps[1:]:
+            if p - prev > width:
+                spans.append((d, start, prev + width - 1, n))
+                start, n = p, 0
+            prev = p
+            n += 1
+        spans.append((d, start, prev + width - 1, n))
+    return sorted(spans)
+
+
+def test_duplicate_spans_matches_bruteforce(spark):
+    """Planted structure: a boilerplate sentence shared by 3 docs, a
+    partial overlap, an intra-doc repeat, and unique text — spans must
+    match the exact-string brute force (hash fidelity + merge logic)."""
+    from versatiles_rs_spark.functions.spans import duplicate_spans
+
+    boiler = "all rights reserved contact us at example dot com for details"
+    texts = {
+        0: f"unique alpha opening words here. {boiler} trailing unique tail zero",
+        1: f"different beginning text for doc one {boiler} and another ending",
+        2: f"{boiler}",  # exactly the boilerplate
+        3: "totally unrelated content with no repeats at all whatsoever okay",
+        4: "repeat me now please kind sir. repeat me now please kind sir. done",
+        5: "short",  # below width -> no windows
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    width = 4
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_windows)
+        for r in duplicate_spans(df, width=width).collect()
+    )
+    assert got == _brute_spans(texts, width)
+    assert any(d == 4 for d, *_ in got)  # intra-doc repeat detected
+
+
+def test_duplicate_spans_pure_jvm_slim_shuffle(spark):
+    """No Python evaluation anywhere; document text appears in no Exchange
+    (only (wkey, doc_id, pos) longs shuffle)."""
+    from versatiles_rs_spark.functions.spans import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    plan = duplicate_spans(df, width=4)._jdf.queryExecution().executedPlan().toString()
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert bad not in plan, plan
+    import re
+
+    for ex in re.findall(r"Exchange [^\n]*", plan):
+        assert "text" not in ex, ex

@@ -2590,6 +2590,67 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duplicate_spans_oracle_sql(width: int = 8, min_count: int = 2) -> str:
+    """Replay duplicate_spans in SQL: the identical 31-bit polynomial folds
+    (list_reduce with a prepended 0 accumulator == Spark aggregate with a 0
+    init), 62-bit window keys, HAVING count >= min_count, and the same
+    islands-and-gaps merge. Integer arithmetic end to end — no float can
+    flip anything cross-engine."""
+    M = 2_147_483_648
+    sl = f"codes[pos + 1 : pos + {width}]"
+    fold = (
+        lambda mult: f"list_reduce(list_prepend(CAST(0 AS BIGINT), {sl}), "
+        f"(acc, c) -> (acc * {mult} + c) % {M})"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {_DECON_TOKS} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, list_transform(toks, t ->
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(range(1, length(t) + 1), i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+          (acc, ch) -> (acc * 131 + ch) % {M})) AS codes
+      FROM t
+    ), w AS (
+      SELECT doc_id, unnest(range(0, len(codes) - {width} + 1)) AS pos, codes
+      FROM c WHERE len(codes) >= {width}
+    ), keys AS (
+      SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+             {fold(1009)} * CAST({M} AS BIGINT) + {fold(2003)} AS wkey
+      FROM w
+    ), dup AS (
+      SELECT wkey FROM keys GROUP BY wkey HAVING count(*) >= {min_count}
+    ), marked AS (
+      SELECT k.doc_id, k.pos FROM keys k JOIN dup USING (wkey)
+    ), isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {width}
+                  THEN 1 ELSE 0 END AS new_island
+      FROM marked
+    ), grp AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + {width - 1} AS span_end,
+           CAST(count(*) AS BIGINT) AS n_dup_windows
+    FROM grp GROUP BY doc_id, island
+    """
+
+
+@register("duplicate_spans", _duplicate_spans_oracle_sql())
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring REGIONS across the corpus — the
+    Lee et al. 2022 ExactSubstr granularity via Rabin-Karp fingerprinted
+    8-token windows (functions/spans.py::duplicate_spans). Pure JVM: text
+    never leaves the scan task; only (wkey, doc, pos) longs shuffle; the
+    LEFT SEMI mark means a billion-fold boilerplate string costs its row
+    count, not its square."""
+    from .functions.spans import duplicate_spans
+
+    return duplicate_spans(load(spark, sf_dir, "documents"), width=8, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -81,7 +81,11 @@ def read_parquet_pythonside(
     def scan(batches):
         for pdf in batches:
             for f in pdf["path"]:
-                tbl = pq.read_table(f, columns=columns)
+                # use_threads=False: this runs inside one of N parallel
+                # Python workers — pyarrow's default per-call thread pool
+                # (one per CPU) would oversubscribe N x cores. Parallelism
+                # comes from Spark's task fan-out, not intra-file threads.
+                tbl = pq.read_table(f, columns=columns, use_threads=False)
                 out = tbl.to_pandas()
                 yield kernel(out) if kernel is not None else out
 
