@@ -61,6 +61,7 @@ HEADLINE = [
     "pack_chunks",
     "corpus_pipeline",
     "zonal_stats",
+    "rasterize_tiles",
     "repetition_filter",
     "pii_redact",
     "domain_cap",

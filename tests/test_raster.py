@@ -232,3 +232,48 @@ def test_zonal_stats_zone_guard(spark):
             R.zonal_stats(tiles, zones)
     finally:
         R._ZONAL_MAX_ZONES = old
+
+
+def test_rasterize_polygons_pixels_match_bruteforce(spark):
+    """Burned PNG content parity vs a per-pixel numpy oracle: a triangle, a
+    rect with a hole (even-odd), and an overlapping rect (max-value burn);
+    unclosed rings accepted."""
+    import numpy as np
+
+    from versatiles_rs_spark.codecs import decode_image
+    from versatiles_rs_spark.joins.pip import points_in_polygon_multi
+    from versatiles_rs_spark.operators.raster import rasterize_polygons
+
+    ts = 16
+    tri = [[3.0, 2.0], [29.0, 5.0], [10.0, 27.0]]
+    rect_hole = [
+        [[8.0, 8.0], [40.0, 8.0], [40.0, 40.0], [8.0, 40.0]],
+        [[16.0, 16.0], [24.0, 16.0], [24.0, 24.0], [16.0, 24.0]],  # hole
+    ]
+    rect2 = [[20.0, 20.0], [36.0, 20.0], [36.0, 30.0], [20.0, 30.0]]
+    polys = [(0, 90, [tri]), (1, 120, rect_hole), (2, 200, [rect2])]
+
+    out = rasterize_polygons(polys, tile_size=ts, spark=spark).collect()
+    assert {(r.x, r.y) for r in out} == {
+        (x, y) for x in range(0, 3) for y in range(0, 3)
+    }
+
+    def close(r):
+        a = np.asarray(r, float)
+        return a if (a[0] == a[-1]).all() else np.vstack([a, a[:1]])
+
+    for r in out:
+        img = decode_image(bytes(r.bytes))[..., 0]
+        ii, jj = np.meshgrid(np.arange(ts), np.arange(ts))
+        cx = r.x * ts + ii.ravel() + 0.5
+        cy = r.y * ts + jj.ravel() + 0.5
+        want = np.zeros(ts * ts, dtype=np.uint8)
+        for _, val, rings in polys:
+            inside = points_in_polygon_multi(cx, cy, [close(g) for g in rings])
+            want = np.maximum(want, np.where(inside, np.uint8(val), np.uint8(0)))
+        assert (img.ravel() == want).all(), (r.x, r.y)
+        assert r.n_covered == int((want > 0).sum())
+    # hole actually punched: the hole's interior pixels are NOT value-120
+    mid = [t for t in out if (t.x, t.y) == (1, 1)][0]
+    img = decode_image(bytes(mid.bytes))[..., 0]
+    assert img[4, 4] != 120  # global px (20.5, 20.5) sits in the hole (owned by rect2)

@@ -2638,6 +2638,58 @@ def _duplicate_spans_oracle_sql(width: int = 8, min_count: int = 2) -> str:
     """
 
 
+@register(
+    "rasterize_tiles",
+    """
+    WITH zk AS (SELECT unnest(range(0, 24)) AS pid),
+    z AS (
+      SELECT pid,
+        (pid * 37) % 1800 AS x0, (pid * 53) % 1800 AS y0,
+        (pid * 37) % 1800 + 100 + (pid * 17) % 200 AS x1,
+        (pid * 53) % 1800 + 100 + (pid * 29) % 200 AS y1
+      FROM zk
+    ),
+    gx AS (SELECT pid, unnest(range(x0, x1)) AS gx FROM z),
+    gy AS (SELECT pid, unnest(range(y0, y1)) AS gy FROM z),
+    cov AS (SELECT DISTINCT gx.gx, gy.gy FROM gx JOIN gy USING (pid)),
+    tiles AS (
+      SELECT CAST(gx // 64 AS INTEGER) AS x, CAST(gy // 64 AS INTEGER) AS y,
+             CAST(count(*) AS BIGINT) AS n_covered
+      FROM cov GROUP BY 1, 2
+    ),
+    np AS (
+      SELECT t.x, t.y, CAST(count(*) AS INTEGER) AS n_polys
+      FROM tiles t JOIN z
+        ON z.x0 < (t.x + 1) * 64 AND z.x1 > t.x * 64
+       AND z.y0 < (t.y + 1) * 64 AND z.y1 > t.y * 64
+      GROUP BY 1, 2
+    )
+    SELECT t.x, t.y, np.n_polys, t.n_covered
+    FROM tiles t JOIN np USING (x, y)
+    """,
+)
+def q_rasterize_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector -> raster burn (operators/raster.py::rasterize_polygons) —
+    the inverse of zonal_stats, completing the north star's raster<->vector
+    composition: 24 deterministic pixel-space rectangles (the zonal zone
+    arithmetic) rendered into 64px tiles; pixel-CENTER coverage, even-odd
+    fill, max-value painter-free burn. The polygon layer broadcasts; the
+    tile fan-out explodes JVM-side from per-polygon bboxes; payload is
+    produced post-shuffle (emit_bytes=False here — counts only, so the
+    oracle replays coverage exactly as integer grid set algebra; PNG
+    content is pytest-oracled against a numpy brute force)."""
+    from .operators.raster import rasterize_polygons
+
+    polys = []
+    for pid in range(24):
+        x0, y0 = (pid * 37) % 1800, (pid * 53) % 1800
+        x1 = x0 + 100 + (pid * 17) % 200
+        y1 = y0 + 100 + (pid * 29) % 200
+        ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1]]
+        polys.append((pid, 1 + pid % 254, [ring]))
+    return rasterize_polygons(polys, tile_size=64, spark=spark, emit_bytes=False)
+
+
 @register("duplicate_spans", _duplicate_spans_oracle_sql())
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring REGIONS across the corpus — the
