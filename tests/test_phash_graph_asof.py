@@ -81,6 +81,33 @@ def test_phash_plan_is_pure_jvm(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_caption_aware_dedup_semantics(spark):
+    # cluster {1,2,3} visually near-identical (hamming<=1); 1 and 2 share a
+    # caption (modulo case/punct) -> 2 dropped; 3 has a different caption ->
+    # kept. 4 is visually distinct, always kept even with 1's caption.
+    from versatiles_rs_spark.functions.phash import caption_aware_dedup
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "image_id": [1, 2, 3, 4],
+                "phash": [0b1100, 0b1101, 0b0100, 1 << 40],
+                "caption": ["A cat!", "a  cat", "a dog", "A cat!"],
+            }
+        )
+    )
+    rows = {
+        r.image_id: (r.img_cluster, r.n_same_caption, r.n_caption_variants, r.is_keeper)
+        for r in caption_aware_dedup(df, max_hamming=1).collect()
+    }
+    assert rows == {
+        1: (1, 2, 2, 1),
+        2: (1, 2, 2, 0),  # visual dup + same normalized caption: dropped
+        3: (1, 1, 2, 1),  # visual dup but caption-diverse: kept
+        4: (4, 1, 1, 1),  # visually distinct: own cluster
+    }
+
+
 # ---------------------------------------------------------------------------
 # connected components
 # ---------------------------------------------------------------------------

@@ -101,3 +101,68 @@ def phash_neardup_pairs(
     if not pre_collapse:
         return rep_pairs
     return _expand_pairs(rep_pairs, members, id_col, "hamming", 0, max_broadcast_pairs)
+
+
+def caption_aware_dedup(
+    images: DataFrame,
+    caption_col: str = "caption",
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Caption-aware image dedup — the LAION-style curation rule for
+    image+caption corpora (the north-rule input shape): images that are
+    VISUALLY near-identical (phash Hamming cluster) AND carry the same
+    normalized caption are true duplicates (keep the minimum id); visually
+    near-identical images with DIFFERENT captions all survive — caption
+    diversity on the same image is training signal, not redundancy.
+
+    Output: (id, img_cluster, cap_key, n_same_caption, n_caption_variants,
+    is_keeper). img_cluster = phash connected component (min reachable id;
+    singletons label themselves); cap_key = md5 of the normalized caption
+    (lower, non-alnum runs -> single space, trimmed) — md5 is identical in
+    Spark and DuckDB, which is what lets the registry oracle replay the
+    whole composition.
+
+    Plan shape: phash pair join is pure JVM (phash_neardup_pairs);
+    components shuffle (long,long) edges; caption normalization + md5 are
+    map-side JVM expressions; the final counts move (id, cluster, cap_key)
+    rows — image bytes and raw captions never enter a shuffle wider than
+    the 32-char key."""
+    from .graph import connected_components
+
+    pairs = phash_neardup_pairs(
+        images, phash_col=phash_col, id_col=id_col, max_hamming=max_hamming
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+
+    cap_key = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(caption_col)), "[^a-z0-9]+", " "))
+    )
+    labeled = (
+        images.select(F.col(id_col), cap_key.alias("cap_key"))
+        .join(cc, images[id_col] == cc["id"], "left")
+        .select(
+            id_col,
+            "cap_key",
+            F.coalesce(F.col("component"), F.col(id_col)).alias("img_cluster"),
+        )
+    )
+    same = labeled.groupBy("img_cluster", "cap_key").agg(
+        F.count("*").alias("n_same_caption"), F.min(id_col).alias("_keeper")
+    )
+    variants = same.groupBy("img_cluster").agg(
+        F.count("*").alias("n_caption_variants")
+    )
+    return (
+        labeled.join(same, on=["img_cluster", "cap_key"])
+        .join(variants, on="img_cluster")
+        .select(
+            id_col,
+            "img_cluster",
+            "cap_key",
+            "n_same_caption",
+            "n_caption_variants",
+            (F.col(id_col) == F.col("_keeper")).cast("int").alias("is_keeper"),
+        )
+    )

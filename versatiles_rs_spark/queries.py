@@ -1990,6 +1990,64 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "caption_dedup",
+    f"""
+    WITH RECURSIVE {_PH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM ppairs
+      UNION SELECT id_b, id_a FROM ppairs
+    ),
+    walk(v, l) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.v
+    ),
+    comp AS (SELECT v AS id, min(l) AS lbl FROM walk GROUP BY v),
+    caps AS (
+      SELECT doc_id AS image_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS cap_key
+      FROM documents
+    ),
+    lab AS (
+      SELECT c.image_id, c.cap_key,
+             coalesce(k.lbl, c.image_id) AS img_cluster
+      FROM caps c LEFT JOIN comp k ON k.id = c.image_id
+    ),
+    same AS (
+      SELECT img_cluster, cap_key, CAST(count(*) AS BIGINT) AS n_same_caption,
+             min(image_id) AS keeper
+      FROM lab GROUP BY 1, 2
+    ),
+    var AS (
+      SELECT img_cluster, CAST(count(*) AS INTEGER) AS n_caption_variants
+      FROM same GROUP BY 1
+    )
+    SELECT l.image_id, l.img_cluster, l.cap_key, s.n_same_caption,
+           v.n_caption_variants,
+           CAST(l.image_id = s.keeper AS INTEGER) AS is_keeper
+    FROM lab l JOIN same s USING (img_cluster, cap_key)
+    JOIN var v USING (img_cluster)
+    """,
+)
+def q_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-aware image dedup (functions/phash.py::caption_aware_dedup)
+    over the north-rule image+caption shape: phash Hamming clusters, drop
+    only members whose normalized caption also matches (LAION-style —
+    caption diversity on a near-identical image is signal, kept). Composes
+    the pigeonhole phash join, distributed connected components, and
+    JVM-side md5 caption keys; the oracle replays all three stages plus the
+    normalization bit-exactly."""
+    from .functions.phash import caption_aware_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    imgs = _phash_table(spark, sf_dir).join(
+        docs.select(F.col("doc_id").alias("image_id"), F.col("text").alias("caption")),
+        on="image_id",
+    )
+    return caption_aware_dedup(imgs, max_hamming=3)
+
+
+@register(
     "asof_events",
     """
     WITH clicks AS (
