@@ -51,6 +51,7 @@ HEADLINE = [
     "vpl_pipeline",
     "phash_neardup",
     "dup_clusters",
+    "caption_dedup",
     "asof_events",
     "sessionize",
     "range_join_events",
