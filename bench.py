@@ -52,6 +52,7 @@ HEADLINE = [
     "phash_neardup",
     "dup_clusters",
     "caption_dedup",
+    "clip_filter",
     "asof_events",
     "sessionize",
     "range_join_events",

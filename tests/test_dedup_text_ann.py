@@ -491,3 +491,40 @@ def test_cosine_pairs_blocked_key_restriction(spark, sf_dir):
     )
     assert len(exact) > 10
     assert got == exact
+
+
+def test_crossmodal_align_matches_numpy_and_stays_jvm(spark):
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.ann import crossmodal_align
+
+    rng = np.random.RandomState(11)
+    n, dim = 60, 16
+    iv = rng.randn(n, dim).astype(np.float32)
+    tv = rng.randn(n, dim).astype(np.float32)
+    # plant 10 strongly-aligned pairs so both keep branches populate
+    tv[:10] = iv[:10] + 0.05 * tv[:10]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pair_id": np.arange(n),
+                "img_vec": [ [float(x) for x in r] for r in iv ],
+                "txt_vec": [ [float(x) for x in r] for r in tv ],
+            }
+        )
+    )
+    out = crossmodal_align(df, tau=0.28)
+    got = {r.pair_id: (r.align_score, r.keep) for r in out.collect()}
+    dots = np.einsum("ij,ij->i", iv.astype(np.float64), tv.astype(np.float64))
+    cos = dots / (np.linalg.norm(iv, axis=1).astype(np.float64)
+                  * np.linalg.norm(tv, axis=1).astype(np.float64))
+    for i in range(n):
+        exp_score = round(float(cos[i]), 4)
+        assert abs(got[i][0] - exp_score) <= 1e-9, i
+        assert got[i][1] == int(exp_score >= 0.28), i
+    assert 1 <= sum(k for _, k in got.values()) < n  # both branches hit
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # map-side only: scoring adds no shuffle

@@ -490,3 +490,28 @@ def ann_ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", F.col(id_col).alias("neighbor_id"))
     )
+
+
+def crossmodal_align(
+    pairs: DataFrame,
+    img_col: str = "img_vec",
+    txt_col: str = "txt_vec",
+    tau: float = 0.28,
+    score_decimals: int = 4,
+) -> DataFrame:
+    """CLIP-score alignment filter — the core web-curation gate for
+    image+caption corpora (Radford et al. 2021; LAION keeps pairs with
+    CLIP cosine >= 0.28): given one row per candidate pair carrying an
+    image embedding and a caption embedding, append `align_score`
+    (cosine, rounded) and `keep` (score >= tau).
+
+    Scale shape: pure map-side JVM column expressions (zip_with/aggregate
+    in float64) — zero shuffle, zero Python; composes with any upstream
+    join that materialized the two embedding columns. The threshold is
+    applied to the ROUNDED score so an IEEE last-bit disagreement between
+    engines cannot flip `keep` (same trick as repetition_metrics).
+    """
+    score = F.round(cosine_expr(F.col(img_col), F.col(txt_col)), score_decimals)
+    return pairs.withColumn("align_score", score).withColumn(
+        "keep", (F.col("align_score") >= tau).cast("int")
+    )

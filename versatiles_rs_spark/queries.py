@@ -2048,6 +2048,41 @@ def q_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "clip_filter",
+    """
+    SELECT t.vec_id AS pair_id, i.vec_id AS img_id,
+           round(list_cosine_similarity(i.embedding::DOUBLE[], t.embedding::DOUBLE[]), 4)
+             AS align_score,
+           CAST(round(list_cosine_similarity(i.embedding::DOUBLE[], t.embedding::DOUBLE[]), 4)
+                >= 0.05 AS INTEGER) AS keep
+    FROM embeddings t JOIN embeddings i ON i.vec_id = xor(t.vec_id, 1)
+    """,
+)
+def q_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score alignment filter (functions/ann.py::crossmodal_align) —
+    the LAION web-curation gate: cosine between a pair's image embedding
+    and caption embedding, keep at score >= tau. The sandbox has no CLIP
+    model, so the fixture pairs each caption vector with the image vector
+    at vec_id XOR 1 (deterministic, N-free); the OPERATOR is the real
+    artifact — map-side JVM zip_with/aggregate cosine, zero shuffle beyond
+    the pairing join, keep decided on the ROUNDED score so IEEE last-bit
+    noise can't flip it cross-engine. tau=0.05 here so both branches are
+    populated at test scale."""
+    from .functions.ann import crossmodal_align
+
+    emb = load(spark, sf_dir, "embeddings")
+    txt = emb.select(F.col("vec_id").alias("pair_id"), F.col("embedding").alias("txt_vec"))
+    img = emb.select(
+        F.col("vec_id").bitwiseXOR(F.lit(1)).alias("pair_id"),
+        F.col("vec_id").alias("img_id"),
+        F.col("embedding").alias("img_vec"),
+    )
+    return crossmodal_align(txt.join(img, on="pair_id"), tau=0.05).select(
+        "pair_id", "img_id", "align_score", "keep"
+    )
+
+
+@register(
     "asof_events",
     """
     WITH clicks AS (
