@@ -2083,6 +2083,117 @@ def q_clip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "laion_curation",
+    f"""
+    WITH RECURSIVE {_PH_PAIRS_CTES},
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM ppairs
+      UNION SELECT id_b, id_a FROM ppairs
+    ),
+    walk(v, l) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.v, w.l FROM walk w JOIN edges e ON e.u = w.v
+    ),
+    comp AS (SELECT v AS id, min(l) AS lbl FROM walk GROUP BY v),
+    caps AS (
+      SELECT doc_id AS image_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS cap_key
+      FROM documents
+    ),
+    lab AS (
+      SELECT c.image_id, c.cap_key,
+             coalesce(k.lbl, c.image_id) AS img_cluster
+      FROM caps c LEFT JOIN comp k ON k.id = c.image_id
+    ),
+    same AS (
+      SELECT img_cluster, cap_key, min(image_id) AS keeper
+      FROM lab GROUP BY 1, 2
+    ),
+    keepers AS (
+      SELECT l.image_id, CAST(l.image_id = s.keeper AS INTEGER) AS is_keeper
+      FROM lab l JOIN same s USING (img_cluster, cap_key)
+    ),
+    meta AS (
+      SELECT doc_id AS image_id,
+             32 + (doc_id * 2654435761) % 993 AS w,
+             32 + (doc_id * 2246822519) % 993 AS h
+      FROM documents
+    ),
+    clip AS (
+      SELECT t.vec_id AS image_id,
+             CAST(round(list_cosine_similarity(
+                    i.embedding::DOUBLE[], t.embedding::DOUBLE[]), 4)
+                  >= 0.05 AS INTEGER) AS pass_clip
+      FROM embeddings t JOIN embeddings i ON i.vec_id = xor(t.vec_id, 1)
+    )
+    SELECT m.image_id,
+           CAST(m.w >= 64 AND m.h >= 64 AND m.w <= 3 * m.h AND m.h <= 3 * m.w
+                AS INTEGER) AS pass_meta,
+           coalesce(c.pass_clip, 0) AS pass_clip,
+           k.is_keeper,
+           CAST(m.w >= 64 AND m.h >= 64 AND m.w <= 3 * m.h AND m.h <= 3 * m.w
+                AND coalesce(c.pass_clip, 0) = 1 AND k.is_keeper = 1
+                AS INTEGER) AS survives
+    FROM meta m JOIN keepers k USING (image_id)
+    LEFT JOIN clip c USING (image_id)
+    """,
+)
+def q_laion_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LAION-style image+caption curation funnel (Schuhmann et
+    al. 2021 pipeline shape): per-image flags for the metadata gate
+    (min side 64 px, aspect within 3:1 — synthesized deterministically from
+    the id, integer arithmetic only), the CLIP-score gate
+    (crossmodal_align; images with NO embedding fail, LAION semantics),
+    caption-aware visual dedup (caption_aware_dedup keeper), and the
+    composed `survives` bit. One row per corpus image — the funnel a
+    100 TB crawl curation run materializes before training-shard export.
+    Every stage's shuffles move only slim (id, flag/key) columns; the
+    oracle replays all three gates plus the composition bit-exactly."""
+    from .functions.ann import crossmodal_align
+    from .functions.phash import caption_aware_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    imgs = _phash_table(spark, sf_dir).join(
+        docs.select(F.col("doc_id").alias("image_id"), F.col("text").alias("caption")),
+        on="image_id",
+    )
+    keepers = caption_aware_dedup(imgs, max_hamming=3).select("image_id", "is_keeper")
+
+    emb = load(spark, sf_dir, "embeddings")
+    txt = emb.select(F.col("vec_id").alias("pair_id"), F.col("embedding").alias("txt_vec"))
+    img = emb.select(
+        F.col("vec_id").bitwiseXOR(F.lit(1)).alias("pair_id"),
+        F.col("embedding").alias("img_vec"),
+    )
+    clip = crossmodal_align(txt.join(img, on="pair_id"), tau=0.05).select(
+        F.col("pair_id").alias("image_id"), F.col("keep").alias("pass_clip")
+    )
+
+    w = F.lit(32) + F.pmod(F.col("image_id") * F.lit(2654435761), F.lit(993))
+    h = F.lit(32) + F.pmod(F.col("image_id") * F.lit(2246822519), F.lit(993))
+    meta = docs.select(F.col("doc_id").alias("image_id")).withColumn(
+        "pass_meta",
+        ((w >= 64) & (h >= 64) & (w <= 3 * h) & (h <= 3 * w)).cast("int"),
+    )
+    return (
+        meta.join(keepers, on="image_id")
+        .join(clip, on="image_id", how="left")
+        .select(
+            "image_id",
+            "pass_meta",
+            F.coalesce(F.col("pass_clip"), F.lit(0)).alias("pass_clip"),
+            "is_keeper",
+            (
+                (F.col("pass_meta") == 1)
+                & (F.coalesce(F.col("pass_clip"), F.lit(0)) == 1)
+                & (F.col("is_keeper") == 1)
+            ).cast("int").alias("survives"),
+        )
+    )
+
+
+@register(
     "asof_events",
     """
     WITH clicks AS (
