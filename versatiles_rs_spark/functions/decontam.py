@@ -29,18 +29,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _ngram_col(text_col: str, n: int):
-    """Distinct word-n-gram strings of lower(text), split on non-alnum —
-    an array column computed map-side (no UDF)."""
+def _with_ngrams(df: DataFrame, text_col: str, n: int, out_col: str) -> DataFrame:
+    """Append `out_col` = distinct word-n-gram strings of lower(text), split
+    on non-alnum — map-side, no UDF. The token array goes through a
+    single_eval Generate barrier first: projection collapse otherwise
+    inlines the split() back into the per-index slice lambda, re-splitting
+    the string once per n-gram (measured 7x on the gram stage)."""
+    from ..udfs import single_eval
+
     toks = f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')"
     # guarded CASE: Spark's sequence(1, 0) is DESCENDING ([1, 0]), so the
     # short-doc branch must never reach sequence at all
-    return F.expr(
-        f"CASE WHEN size({toks}) >= {n} THEN"
-        f" array_distinct(transform(sequence(1, size({toks}) - {n - 1}),"
-        f" i -> array_join(slice({toks}, i, {n}), ' ')))"
-        f" ELSE cast(array() AS array<string>) END"
-    )
+    return df.withColumn("_tk", single_eval(F.expr(toks))).withColumn(
+        out_col,
+        F.expr(
+            f"CASE WHEN size(_tk) >= {n} THEN"
+            f" array_distinct(transform(sequence(1, size(_tk) - {n - 1}),"
+            f" i -> array_join(slice(_tk, i, {n}), ' ')))"
+            f" ELSE cast(array() AS array<string>) END"
+        ),
+    ).drop("_tk")
 
 
 def ngram_contamination(
@@ -57,14 +65,15 @@ def ngram_contamination(
     float is hash-stable across engines.
     """
     bench_grams = (
-        bench.select(F.explode(_ngram_col(text_col, n)).alias("gram"))
+        _with_ngrams(bench, text_col, n, "gs")
+        .select(F.explode("gs").alias("gram"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     # explode_outer keeps zero-n-gram docs (count(gram) sees only non-null);
     # one scan of train, one slim partially-aggregated shuffle on doc id
-    grams = train.select(
-        F.col(id_col), F.explode_outer(_ngram_col(text_col, n)).alias("gram")
+    grams = _with_ngrams(train, text_col, n, "gs").select(
+        F.col(id_col), F.explode_outer("gs").alias("gram")
     )
     per_doc = (
         grams.join(F.broadcast(bench_grams), on="gram", how="left")

@@ -77,7 +77,14 @@ def duplicate_spans(
     times corpus-wide. span_start/span_end are 0-based token indices
     (inclusive); n_dup_windows counts the duplicated window starts merged
     into the span."""
-    codes = docs.select(F.col(id_col), F.expr(_codes_expr(text_col)).alias("codes"))
+    # single_eval Generate barrier: without it projection collapse inlines
+    # the whole polynomial fold back into every per-window slice lambda
+    # (the window stage references `codes` twice per position)
+    from ..udfs import single_eval
+
+    codes = docs.select(
+        F.col(id_col), single_eval(F.expr(_codes_expr(text_col))).alias("codes")
+    )
     wins = (
         codes.filter(F.expr(f"size(codes) >= {width}"))
         .select(
