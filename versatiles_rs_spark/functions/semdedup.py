@@ -87,6 +87,11 @@ def semantic_dedup(
             }
         )
 
+    # deliberately NOT cached: `assigned` evaluates exactly twice (the pairs
+    # branch is localCheckpointed inside connected_components; the label
+    # branch runs once in the final action), and a cache would pin the full
+    # vector column in executor memory at corpus scale to save one cheap
+    # assignment pass — measured a wash at bench scale
     assigned = (
         vectors.select(id_col, vec_col)
         .withColumn("_a", single_eval(assign_udf(F.col(vec_col))))
