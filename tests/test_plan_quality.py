@@ -235,3 +235,17 @@ def test_flagship_scan_python_keeps_blobs_out_of_jvm(spark, tmp_path):
     rr = [ln for ln in plan.splitlines() if "Exchange RoundRobinPartitioning" in ln]
     assert len(rr) == 1, rr
     assert "scan(path#" in plan  # the Python stage consumes file paths only
+
+
+def test_image_curation_family_pure_jvm_no_text_in_shuffle(spark, sf_dir):
+    """caption_dedup / clip_filter / laion_curation: zero Python nodes, and
+    neither raw caption text nor embedding arrays appear as attributes of
+    any Exchange (shuffles move only ids, flags, and the 32-char cap_key)."""
+    import re
+
+    for name in ["caption_dedup", "clip_filter", "laion_curation"]:
+        plan = plan_of(Q.REGISTRY[name].fn(spark, sf_dir))
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, name
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line:
+                assert not re.search(r"(?<![a-z_])(text|caption)#", line), (name, line[:140])
