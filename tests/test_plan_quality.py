@@ -249,3 +249,16 @@ def test_image_curation_family_pure_jvm_no_text_in_shuffle(spark, sf_dir):
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert not re.search(r"(?<![a-z_])(text|caption)#", line), (name, line[:140])
+
+
+def test_token_arrays_materialized_behind_generate_barrier(spark, sf_dir):
+    """r3 lambda-CSE rule: token/code arrays referenced inside HOF lambdas
+    must come from a single_eval-materialized attribute, never re-inline
+    the producing split/fold expression per lambda index (opt log #9)."""
+    import re
+
+    plan = plan_of(Q.REGISTRY["decontaminate"].fn(spark, sf_dir))
+    assert "_tk#" in plan  # the barrier-materialized token attribute
+    plan2 = plan_of(Q.REGISTRY["duplicate_spans"].fn(spark, sf_dir))
+    assert re.search(r"slice\(codes#\d+", plan2), "window fold lost the codes barrier"
+    assert "slice(transform(filter(split" not in plan2, "fold re-expands the split"
