@@ -139,3 +139,44 @@ class TestCheckpointResume:
         again = build_pyramid_resumable(spark, tiles, base, z_max=4, z_min=3, tile_size=16)
         assert ck.metrics(3)["committed_unix"] == t3
         assert again[3].count() == ck.metrics(3)["n_rows"]
+
+
+class TestCurationJobResume:
+    def test_stagewise_commit_and_resume(self, spark, tmp_path):
+        """curation_job: killed after the dedup stage resumes without
+        recomputing committed stages; funnel output identical to a clean
+        end-to-end run."""
+        import json
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+        import curation_job
+
+        clean = str(tmp_path / "clean")
+        _, m_clean = curation_job.run(spark, 400, clean, n_shards=4)
+
+        # "killed" run: commit stages 1-2 then die before the gate stage —
+        # simulate by running fully and deleting stage 3+4 commits
+        resumed = str(tmp_path / "resumed")
+        curation_job.run(spark, 400, resumed, n_shards=4)
+        import shutil
+
+        for lvl in (3, 4):
+            shutil.rmtree(os.path.join(resumed, "stages", f"level={lvl}"))
+        with open(os.path.join(resumed, "stages", "level=2", "_metrics.json")) as f:
+            committed_at = json.load(f)["committed_unix"]
+
+        _, m_resumed = curation_job.run(spark, 400, resumed, n_shards=4)
+        assert m_resumed == m_clean
+        assert m_clean["n_visual_keepers"] == 100  # one keeper per group of 4
+        assert 0 < m_clean["n_exported"] <= m_clean["n_visual_keepers"]
+        # committed stage untouched by the resume
+        with open(os.path.join(resumed, "stages", "level=2", "_metrics.json")) as f:
+            assert json.load(f)["committed_unix"] == committed_at
+        # export is laid out by shard
+        shards = [
+            d for d in os.listdir(os.path.join(resumed, "stages", "level=4"))
+            if d.startswith("shard=")
+        ]
+        assert 1 <= len(shards) <= 4

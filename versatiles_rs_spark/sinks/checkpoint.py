@@ -29,15 +29,12 @@ def partition_lineage(df: DataFrame, payload: str | None = "bytes") -> DataFrame
     """Per-partition lineage + metrics rows: partition id, row count, payload
     bytes, key ranges. Computed with spark_partition_id() — one pass, no extra
     shuffle — and written alongside each committed level."""
-    aggs = [
-        F.count("*").alias("n_rows"),
-        F.min("z").alias("z_min"),
-        F.max("z").alias("z_max"),
-        F.min("x").alias("x_min"),
-        F.max("x").alias("x_max"),
-        F.min("y").alias("y_min"),
-        F.max("y").alias("y_max"),
-    ]
+    aggs = [F.count("*").alias("n_rows")]
+    # key-range lineage for whichever partition keys the stage table carries
+    # (tile stages: z/x/y; curation stages: id/shard)
+    for key in ("z", "x", "y", "id", "shard"):
+        if key in df.columns:
+            aggs += [F.min(key).alias(f"{key}_min"), F.max(key).alias(f"{key}_max")]
     if payload and payload in df.columns:
         aggs.append(F.sum(F.length(payload)).alias("payload_bytes"))
     return df.withColumn("part_id", F.spark_partition_id()).groupBy("part_id").agg(*aggs)
@@ -72,11 +69,20 @@ class LevelCheckpointer:
                     out.append(int(name.split("=")[1]))
         return sorted(out)
 
-    def checkpoint(self, level: int, df: DataFrame, payload: str | None = "bytes") -> DataFrame:
+    def checkpoint(
+        self,
+        level: int,
+        df: DataFrame,
+        payload: str | None = "bytes",
+        partition_by: str | None = None,
+    ) -> DataFrame:
         d = self.level_dir(level)
         if not self.is_committed(level):
             t0 = time.time()
-            df.write.mode("overwrite").parquet(d)
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(partition_by)
+            w.parquet(d)
             lineage = partition_lineage(self.spark.read.parquet(d), payload).toPandas()
             metrics = {
                 "job_id": self.job_id,
