@@ -1761,6 +1761,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, queries_df, k=5, nlist=16, nprobe=4)
 
 
+@register(
+    "ann_recall",
+    f"""
+    WITH exact_tk AS ({REGISTRY["ann_cosine"].oracle}),
+    approx_tk AS ({REGISTRY["ann_ivf"].oracle})
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) * 1.0 / count(*), 4) AS recall
+    FROM exact_tk e
+    LEFT JOIN approx_tk a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the IVF scale path against the exact GEMM baseline, as a
+    first-class measurable query (the no-silent-caps rule applied to ANN
+    quality: the approximation's recall is itself a verified output, not a
+    docstring claim). Per query: exact top-k size, how many of those the
+    IVF probe recovered, and the fraction. The oracle composes the two
+    existing full SQL replays (brute-force cosine rank + inlined-centroid
+    IVF probe) and re-derives the overlap independently."""
+    from .functions.ann import ann_bruteforce_topk, ann_ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    exact = ann_bruteforce_topk(emb, queries_df, k=5)
+    # both sides derive from `emb` (self-join lineage) — rename the approx
+    # columns so the join condition can't resolve ambiguously
+    approx = ann_ivf_topk(emb, queries_df, k=5, nlist=16, nprobe=4).select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("a_neighbor").alias("n_hits"),
+            F.round(F.count("a_neighbor") / F.count("*"), 4).alias("recall"),
+        )
+    )
+
+
 def _semantic_dedup_oracle_sql(eps: float = 0.35, nlist: int = 16, dim: int = 64) -> str:
     """Replay semantic_dedup in SQL: inlined deterministic centroids ->
     first-argmax cluster assignment + centroid cosine, within-cluster
