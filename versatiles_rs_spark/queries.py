@@ -2958,6 +2958,47 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(load(spark, sf_dir, "documents"), width=8, min_count=2)
 
 
+def _epoch_shards_oracle_sql() -> str:
+    from .sinks.webdataset import wds_key_sql
+
+    key = wds_key_sql("doc_id", epoch=2, div="//")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, length(text) AS cap_len, {key} AS wds_key
+      FROM documents
+    )
+    SELECT CAST(wds_key % 16 AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(cap_len) AS BIGINT) AS caption_bytes,
+           min(wds_key) AS key_lo, max(wds_key) AS key_hi
+    FROM keyed GROUP BY 1
+    """
+
+
+@register("epoch_shards", _epoch_shards_oracle_sql())
+def q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-shuffle shard manifest for WebDataset training
+    export (sinks/webdataset.py): every sample gets a 62-bit two-round
+    affine mix of (id, epoch) as its shuffle key, shard = key % n_shards;
+    the manifest aggregates per-shard sample count / caption bytes / key
+    range. Pure JVM column arithmetic (the key folds into the scan — the
+    groupBy on the slim (shard, len) pair is the only exchange); the oracle
+    replays the identical 31-bit-lane arithmetic in DuckDB, hash-verifying
+    the exact shard assignment the tar writer uses."""
+    from .sinks.webdataset import assign_shards
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("cap_len")
+    )
+    keyed = assign_shards(docs, key_col="doc_id", n_shards=16, epoch=2)
+    return keyed.groupBy("shard").agg(
+        F.count("*").alias("n_samples"),
+        F.sum("cap_len").alias("caption_bytes"),
+        F.min("wds_key").alias("key_lo"),
+        F.max("wds_key").alias("key_hi"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
