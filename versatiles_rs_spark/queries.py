@@ -2999,6 +2999,37 @@ def q_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _aspect_buckets_oracle() -> str:
+    from .functions.buckets import aspect_buckets_oracle_sql
+
+    dims = (
+        "dims AS (SELECT doc_id AS image_id, "
+        "256 + (doc_id * 197) % 1793 AS w, "
+        "256 + (doc_id * 311) % 1793 AS h FROM documents)"
+    )
+    return aspect_buckets_oracle_sql(dims, batch_size=8, n_shards=4, epoch=1)
+
+
+@register("aspect_buckets", _aspect_buckets_oracle())
+def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SDXL-style aspect-ratio bucketing + deterministic batch assembly
+    (functions/buckets.py): closest-aspect bucket via exact rational
+    comparison (JVM array_min over literal bucket structs, no UDF), batch
+    ids from a (bucket, shard)-partitioned window in wds_key epoch order —
+    ONE slim shuffle, image bytes never in the plan. The oracle replays
+    score division, key arithmetic, and windows identically in DuckDB."""
+    from .functions.buckets import assign_aspect_buckets, bucket_batches
+
+    dims = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"),
+        (F.lit(256) + F.pmod(F.col("doc_id") * 197, F.lit(1793))).cast("long").alias("w"),
+        (F.lit(256) + F.pmod(F.col("doc_id") * 311, F.lit(1793))).cast("long").alias("h"),
+    )
+    return bucket_batches(
+        assign_aspect_buckets(dims), id_col="image_id", batch_size=8, n_shards=4, epoch=1
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
