@@ -3030,6 +3030,57 @@ def q_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "image_sniff",
+    """
+    SELECT doc_id AS image_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpg' ELSE 'webp' END
+             AS sniff_fmt,
+           CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS sniff_w,
+           CAST(16 + (doc_id * 11) % 48 AS INTEGER) AS sniff_h
+    FROM documents
+    """,
+)
+def q_image_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only image validation (functions/sniff.py): dimensions + real
+    format read from container magic bytes (PNG IHDR / JPEG SOFn / WebP
+    VP8|VP8L|VP8X), no decode. The Spark side runs the FULL loop — real
+    libjpeg/libwebp/stdlib-PNG encode then header sniff, fused in one
+    mapInPandas so payload bytes never cross a stage boundary — while the
+    oracle is pure arithmetic over the declared dims: a bug in either the
+    encoders' headers or the sniffer breaks the hash. No shuffle anywhere."""
+    import pandas as pd
+
+    def kernel(batches):
+        import numpy as np
+
+        from .codecs import encode_image
+        from .functions.sniff import sniff_header
+
+        fmts = ["png", "jpg", "webp"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 16 + (did * 7) % 48, 16 + (did * 11) % 48
+                yy, xx = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(xx * 3 + did) % 256, (yy * 5 + did) % 256, (xx + yy) % 256],
+                    axis=-1,
+                ).astype(np.uint8)
+                blob = encode_image(img, fmts[did % 3], quality=90)
+                fmt_s, w_s, h_s = sniff_header(blob)
+                rows.append((did, fmt_s, w_s, h_s))
+            yield pd.DataFrame(
+                rows, columns=["image_id", "sniff_fmt", "sniff_w", "sniff_h"]
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        kernel, schema="image_id long, sniff_fmt string, sniff_w int, sniff_h int"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
