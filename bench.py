@@ -68,6 +68,10 @@ HEADLINE = [
     "repetition_filter",
     "pii_redact",
     "domain_cap",
+    "epoch_shards",
+    "aspect_buckets",
+    "image_sniff",
+    "caption_cap",
     "tpch_q1",
     "tpch_q3",
 ]
@@ -145,6 +149,9 @@ def main():
         "flagship": fm,
         "flagship_scan": fs,
         "cpus": int(cpus),
+        # headline-set size grows round over round — totals are only
+        # comparable per query (BENCH.md keeps the history)
+        "n_queries": len(HEADLINE),
     }
     spark.stop()
     print(json.dumps(result))

@@ -216,3 +216,36 @@ def test_duplicate_spans_pure_jvm_slim_shuffle(spark):
 
     for ex in re.findall(r"Exchange [^\n]*", plan):
         assert "text" not in ex, ex
+
+
+def test_caption_frequency_cap_matches_bruteforce(spark):
+    from versatiles_rs_spark.functions.corpus import caption_frequency_cap
+
+    # 3 normalized-equal spellings of one caption + distinct singletons
+    rows = [(i, "A  Red--Car!") for i in range(6)] + [
+        (10 + i, f"unique caption {i}") for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "image_id long, caption string")
+    out = {r.image_id: r for r in caption_frequency_cap(df, cap=2).collect()}
+    assert len(out) == 10
+    dup_keys = {out[i].cap_key for i in range(6)}
+    assert len(dup_keys) == 1  # normalization collapses punctuation/case/spacing
+    assert sum(out[i].keep for i in range(6)) == 2  # capped at 2
+    assert all(out[i].n_caption == 6 for i in range(6))
+    # kept pair = lowest affine-hash ids (deterministic pick)
+    order = sorted(range(6), key=lambda i: ((i * _SAMPLE_MULT + _SAMPLE_ADD) % _SAMPLE_MOD, i))
+    assert {i for i in range(6) if out[i].keep} == set(order[:2])
+    for i in range(4):
+        assert out[10 + i].keep == 1 and out[10 + i].n_caption == 1
+
+
+def test_caption_frequency_cap_single_exchange_no_text_shuffled(spark):
+    import re
+
+    from versatiles_rs_spark.functions.corpus import caption_frequency_cap
+
+    df = spark.createDataFrame([(1, "x"), (2, "x")], "image_id long, caption string")
+    plan = caption_frequency_cap(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    for ex in re.findall(r"Exchange [^\n]*", plan):
+        assert "caption#" not in ex, ex

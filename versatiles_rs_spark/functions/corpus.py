@@ -49,3 +49,37 @@ def domain_cap(
         .filter(F.col("rk") <= cap)
         .select(key_col, domain_col, "rk")
     )
+
+
+def caption_frequency_cap(
+    df: DataFrame,
+    caption_col: str = "caption",
+    key_col: str = "image_id",
+    cap: int = 8,
+) -> DataFrame:
+    """LAION-style spam-caption curation: the same caption appearing on many
+    images is boilerplate ("image may contain ...", SEO titles, watermark
+    text), so keep at most `cap` images per normalized caption — a
+    deterministic uniform pick via the repo's affine hash. Returns every row
+    with (cap_key, n_caption, rk, keep) so downstream composes the flag.
+
+    100 TB shape: captions never shuffle — the 32-char md5 of the normalized
+    caption is computed map-side (same normalization as
+    functions/phash.py::caption_aware_dedup, so the two stages share keys),
+    and both windows ride ONE exchange on (id, cap_key) rows.
+    """
+    cap_key = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(caption_col)), "[^a-z0-9]+", " "))
+    )
+    out = df.select(F.col(key_col), cap_key.alias("cap_key"))
+    hk = F.pmod(
+        F.col(key_col).cast("long") * F.lit(_SAMPLE_MULT) + F.lit(_SAMPLE_ADD),
+        F.lit(_SAMPLE_MOD),
+    )
+    w = Window.partitionBy("cap_key").orderBy(hk.asc(), F.col(key_col).asc())
+    wc = Window.partitionBy("cap_key")
+    return (
+        out.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("n_caption", F.count("*").over(wc))
+        .withColumn("keep", (F.col("rk") <= cap).cast("int"))
+    )

@@ -3081,6 +3081,41 @@ def q_image_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "caption_cap",
+    """
+    WITH caps AS (
+      SELECT doc_id AS image_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS cap_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT image_id, cap_key,
+             row_number() OVER (PARTITION BY cap_key ORDER BY
+               (image_id * 2654435761 + 1013904223) % 2147483648, image_id) AS rk,
+             CAST(count(*) OVER (PARTITION BY cap_key) AS BIGINT) AS n_caption
+      FROM caps
+    )
+    SELECT image_id, cap_key, CAST(rk AS BIGINT) AS rk, n_caption,
+           CAST(rk <= 2 AS INTEGER) AS keep
+    FROM ranked
+    """,
+)
+def q_caption_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spam-caption frequency cap (functions/corpus.py::caption_frequency_cap)
+    — the LAION curation step that demotes boilerplate captions repeated
+    across many images: keep at most `cap` per normalized caption,
+    deterministic affine-hash pick. Text never shuffles (map-side md5 key);
+    ONE window exchange. cap=2 at test scale so both keep branches carry
+    rows; the oracle replays normalization, hash order, and both windows."""
+    from .functions.corpus import caption_frequency_cap
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("image_id"), F.col("text").alias("caption")
+    )
+    return caption_frequency_cap(docs, cap=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
