@@ -42,6 +42,7 @@ HEADLINE = [
     "simhash_dup",
     "ann_cosine",
     "ann_ivf",
+    "ann_pq",
     "ann_recall",
     "embed_neardup",
     "semantic_dedup",

@@ -3116,6 +3116,127 @@ def q_caption_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_frequency_cap(docs, cap=2)
 
 
+def _ann_pq_oracle_sql(
+    k: int = 5, nlist: int = 16, nprobe: int = 4, m: int = 8, ksub: int = 16, dim: int = 64
+) -> str:
+    """Full SQL replay of IVFPQ (functions/pq.py): normalization, coarse
+    assignment, per-subspace PQ encoding (integer-packed via an inlined
+    codebook VALUES table — argmax by row_number, code sum order-free),
+    probe ranking, and ADC scoring as fixed-order CASE-chain sums matching
+    adc_score_expr's left-associative addition."""
+    from .functions.ann import _ivf_centroids
+    from .functions.pq import pq_codebooks
+
+    dsub = dim // m
+    B = pq_codebooks(dim, m, ksub)
+    C = _ivf_centroids(dim, nlist)
+
+    def _d(x) -> str:
+        # exponent form: DuckDB parses it as DOUBLE (a plain decimal literal
+        # would be DECIMAL, whose fixed-point arithmetic overflows/diverges)
+        return f"{float(x):.17e}"
+
+    rows = []
+    for j in range(m):
+        for t in range(ksub):
+            cs = ", ".join(_d(x) for x in B[j, t])
+            cc = _d((B[j, t] * B[j, t]).sum())
+            rows.append(f"({j}, {t}, {cc}, {cs})")
+    ccols = ", ".join(f"c{i}" for i in range(1, dsub + 1))
+    books = f"books(j, t, cc, {ccols}) AS (VALUES {', '.join(rows)})"
+
+    def dot(vec: str, base: str, arr) -> str:
+        # fixed-order left-assoc chain — matches the numpy/JVM side's term order
+        return " + ".join(
+            f"{_d(arr[i])} * {vec}[{base} + {i + 1}]" for i in range(len(arr))
+        )
+
+    cdots = ", ".join(dot("vn", "0", C[l]) for l in range(nlist))
+    sub_dot = " + ".join(f"c{i + 1} * vn[j * {dsub} + {i + 1}]" for i in range(dsub))
+    adc_terms = []
+    for j in range(m):
+        arms = " ".join(
+            f"WHEN {t} THEN ({dot('qn', str(j * dsub), B[j, t])})" for t in range(ksub)
+        )
+        adc_terms.append(f"(CASE ((pq_code >> {4 * j}) & {ksub - 1}) {arms} END)")
+    adc = " + ".join(adc_terms)
+
+    return f"""
+    WITH {books},
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(
+               list_sum(list_transform(range(1, {dim + 1}), i -> v[i] * v[i])))) AS vn
+      FROM e
+    ),
+    assigned AS (
+      SELECT vec_id, vn,
+             list_position([{cdots}],
+               list_aggregate([{cdots}], 'max')) - 1 AS ivf_list
+      FROM n
+    ),
+    vsub AS (SELECT vec_id, vn, unnest(range(0, {m})) AS j FROM n),
+    scored AS (
+      SELECT vec_id, j, t,
+             row_number() OVER (PARTITION BY vec_id, j
+               ORDER BY ({sub_dot}) - 0.5 * cc DESC, t ASC) AS rk
+      FROM vsub JOIN books USING (j)
+    ),
+    packed AS (
+      SELECT vec_id, CAST(sum(CAST(t AS BIGINT) << (4 * j)) AS BIGINT) AS pq_code
+      FROM scored WHERE rk = 1 GROUP BY vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, vn AS qn FROM n WHERE vec_id < 3),
+    qd AS (
+      SELECT query_id, qn, unnest(range(0, {nlist})) AS cidx,
+             unnest([{cdots.replace("vn[", "qn[")}]) AS d
+      FROM q
+    ),
+    probes AS (
+      SELECT query_id, qn, cidx AS ivf_list FROM (
+        SELECT query_id, qn, cidx, row_number() OVER (
+          PARTITION BY query_id ORDER BY d DESC, cidx ASC) AS pr FROM qd
+      ) WHERE pr <= {nprobe}
+    ),
+    cand AS (
+      SELECT p.query_id, p.qn, a.vec_id, pk.pq_code
+      FROM probes p
+      JOIN assigned a USING (ivf_list)
+      JOIN packed pk ON pk.vec_id = a.vec_id
+      WHERE a.vec_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY ({adc}) DESC, vec_id ASC) AS rank
+      FROM cand
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@register("ann_pq", _ann_pq_oracle_sql())
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN (functions/pq.py::ann_ivfpq_topk) — product-quantized
+    embeddings (m=8 subspaces x 16 centroids = one packed 32-bit code, a
+    64x compression of the 64-dim float64 input) scored by asymmetric
+    distance (ADC): the query carries an (m x ksub) LUT array; every
+    candidate scores as 8 JVM element_at lookups over the packed BIGINT —
+    embeddings never leave the fused encode task and never shuffle. The
+    deterministic codebooks let the ENTIRE pipeline (normalize, coarse
+    assign, encode, probe, ADC rank) replay in DuckDB; data-adaptive
+    train_pq_codebooks + the FAISS-style exact-refine stage are
+    recall-tested in pytest against the exact GEMM baseline."""
+    from .functions.pq import ann_ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_ivfpq_topk(emb, queries_df, k=5, nlist=16, nprobe=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
