@@ -48,6 +48,7 @@ HEADLINE = [
     "semantic_dedup",
     "quality_score",
     "token_count",
+    "profile_docs",
     "mvt_tiles",
     "raster_pyramid",
     "vpl_pipeline",

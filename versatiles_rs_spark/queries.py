@@ -3116,6 +3116,62 @@ def q_caption_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_frequency_cap(docs, cap=2)
 
 
+_PROFILE_ORACLE = """
+    WITH s AS (
+      SELECT
+        CAST(count(*) AS DOUBLE) AS rows_all,
+        CAST(count(n_chars) AS DOUBLE) AS nc_count,
+        CAST(count(*) - count(n_chars) AS DOUBLE) AS nc_nulls,
+        CAST(count(DISTINCT n_chars) AS DOUBLE) AS nc_nd,
+        CAST(min(n_chars) AS DOUBLE) AS nc_min,
+        CAST(max(n_chars) AS DOUBLE) AS nc_max,
+        CAST(round(avg(n_chars), 4) AS DOUBLE) AS nc_mean,
+        CAST(round(quantile_cont(n_chars, 0.5), 4) AS DOUBLE) AS nc_p50,
+        CAST(round(quantile_cont(n_chars, 0.95), 4) AS DOUBLE) AS nc_p95,
+        CAST(count(*) - count(text) AS DOUBLE) AS tx_nulls,
+        CAST(min(length(text)) AS DOUBLE) AS tx_len_min,
+        CAST(max(length(text)) AS DOUBLE) AS tx_len_max,
+        CAST(round(avg(length(text)), 4) AS DOUBLE) AS tx_len_avg,
+        CAST(count(*) - count(lang) AS DOUBLE) AS lg_nulls,
+        CAST(count(DISTINCT lang) AS DOUBLE) AS lg_nd,
+        CAST(count(*) - count(source) AS DOUBLE) AS sr_nulls,
+        CAST(count(DISTINCT source) AS DOUBLE) AS sr_nd
+      FROM documents
+    )
+    SELECT col, stat, value FROM s, LATERAL (VALUES
+      ('*', 'rows', rows_all),
+      ('n_chars', 'count', nc_count), ('n_chars', 'nulls', nc_nulls),
+      ('n_chars', 'n_distinct', nc_nd), ('n_chars', 'min', nc_min),
+      ('n_chars', 'max', nc_max), ('n_chars', 'mean', nc_mean),
+      ('n_chars', 'p50', nc_p50), ('n_chars', 'p95', nc_p95),
+      ('text', 'nulls', tx_nulls), ('text', 'len_min', tx_len_min),
+      ('text', 'len_max', tx_len_max), ('text', 'len_avg', tx_len_avg),
+      ('lang', 'nulls', lg_nulls), ('lang', 'n_distinct', lg_nd),
+      ('source', 'nulls', sr_nulls), ('source', 'n_distinct', sr_nd)
+    ) v(col, stat, value)
+    """
+
+
+@register("profile_docs", _PROFILE_ORACLE)
+def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profiler (functions/profile.py::profile_table) —
+    the curation pre-step: row count, nulls, exact distincts, min/max/mean
+    and exact interpolated p50/p95 for numerics, length stats for strings,
+    all in a SINGLE df.agg (one partial-agg pass, one 1-row shuffle, then a
+    stack() unpivot).  `exact=False` flips distincts to HLL sketches and
+    percentiles to approx_percentile digests for corpus scale (the exact
+    forms are the oracle-parity path).  Sibling of tools/probe.py, which
+    profiles tile containers the same way."""
+    from .functions.profile import profile_table
+
+    return profile_table(
+        load(spark, sf_dir, "documents"),
+        numeric=["n_chars"],
+        strings=["text"],
+        categorical=["lang", "source"],
+    )
+
+
 def _ann_pq_oracle_sql(
     k: int = 5, nlist: int = 16, nprobe: int = 4, m: int = 8, ksub: int = 16, dim: int = 64
 ) -> str:
