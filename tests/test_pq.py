@@ -94,6 +94,43 @@ def test_ivfpq_trained_recall(spark):
     assert _recall(raw, brute, k) >= 0.5
 
 
+def test_ivfpq_residual_encoding_recall(spark):
+    """FAISS residual structure: quantizing x - centroid spends the same 4
+    bits/subspace on a much smaller vector, so pure-ADC recall (no refine)
+    must beat raw-vector encoding on clustered data; full probe + refine
+    still reproduces brute force (the qc term only shifts the shortlist)."""
+    from versatiles_rs_spark.functions.ann import train_ivf_centroids
+
+    df, _ = _blob_df(spark, n_per=40, dim=32, seed=13)
+    q = df.filter(F.col("vec_id") % 64 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    k = 10
+    brute = ann_bruteforce_topk(df, q, k=k).collect()
+    C = train_ivf_centroids(df, nlist=8, dim=32, sample_cap=320, iters=8)
+    books_raw = train_pq_codebooks(df, dim=32, m=8, ksub=16, sample_cap=320, iters=6)
+    books_res = train_pq_codebooks(
+        df, dim=32, m=8, ksub=16, sample_cap=320, iters=6, ivf_centroids=C
+    )
+    kw = dict(k=k, nlist=8, nprobe=8, dim=32, ivf_centroids=C)
+    raw = ann_ivfpq_topk(df, q, codebooks=books_raw, **kw).collect()
+    res = ann_ivfpq_topk(df, q, codebooks=books_res, residual=True, **kw).collect()
+    r_raw, r_res = _recall(raw, brute, k), _recall(res, brute, k)
+    assert r_res >= r_raw + 0.05, (r_raw, r_res)  # materially finer, not a tie
+    # pure 4-bit ADC can't separate near-tie neighbors inside a tight blob;
+    # a 3k refine shortlist (the standard FAISS deployment) must
+    refined = ann_ivfpq_topk(
+        df, q, codebooks=books_res, residual=True, refine=3 * k, **kw
+    ).collect()
+    assert _recall(refined, brute, k) >= 0.9
+    # exactness under full probe + full refine is metric-independent
+    full = ann_ivfpq_topk(
+        df, q, k=k, nlist=4, nprobe=4, dim=32, residual=True, refine=400
+    ).collect()
+    bf = sorted((r.query_id, r.rank, r.neighbor_id) for r in ann_bruteforce_topk(df, q, k=k).collect())
+    assert sorted((r.query_id, r.rank, r.neighbor_id) for r in full) == bf
+
+
 def test_ivfpq_plan_slim_codes_no_vector_shuffle(spark, sf_dir):
     """100 TB shape: embeddings are consumed inside the two Arrow encode
     tasks and never appear in any Exchange; the candidate join moves only

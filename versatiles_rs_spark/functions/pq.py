@@ -52,10 +52,13 @@ def train_pq_codebooks(
     id_col: str = "vec_id",
     sample_cap: int = 20_000,
     iters: int = 10,
+    ivf_centroids: np.ndarray | None = None,
 ) -> np.ndarray:
     """Per-subspace Lloyd k-means on a deterministic hash-ordered sample
     (same sampling contract as train_ivf_centroids): data-adaptive
-    codebooks for real recall.  Pure function of the data — no RNG."""
+    codebooks for real recall.  Pure function of the data — no RNG.
+    With `ivf_centroids`, trains on coarse residuals (x - centroid), the
+    distribution the residual-encoding path actually quantizes."""
     rows = (
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .orderBy(F.hash(F.col("_id")), F.col("_id"))
@@ -64,6 +67,8 @@ def train_pq_codebooks(
     )
     mviews = np.vstack([np.asarray(r._v, dtype=np.float64) for r in rows])
     mviews /= np.maximum(np.linalg.norm(mviews, axis=1, keepdims=True), 1e-300)
+    if ivf_centroids is not None:
+        mviews = mviews - ivf_centroids[np.argmax(mviews @ ivf_centroids.T, axis=1)]
     dsub = dim // m
     books = []
     for j in range(m):
@@ -99,23 +104,36 @@ def pq_encode(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     ivf_centroids: np.ndarray | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """(id, pq_code[, ivf_list]) in ONE Arrow pass — vectors are normalized,
     coarse-assigned (optional), and PQ-encoded in the same Python task, so
-    embedding floats never reach the JVM side of this plan."""
+    embedding floats never reach the JVM side of this plan.
+
+    `residual=True` (requires ivf_centroids) quantizes x - centroid[list]
+    instead of x — FAISS IVFPQ's actual structure.  Residuals are much
+    smaller than raw vectors, so the same 4 bits/subspace land far finer;
+    scoring adds the q.centroid term back JVM-side (see ann_ivfpq_topk)."""
     books = codebooks
     C = ivf_centroids
+    if residual and C is None:
+        raise ValueError("residual encoding requires ivf_centroids")
     out_schema = f"{id_col} long, pq_code long" + (", ivf_list long" if C is not None else "")
 
     def kernel(batches):
         for pdf in batches:
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-300)
-            cols = {id_col: pdf[id_col], "pq_code": _encode_batch(mat, books)}
+            cols = {id_col: pdf[id_col]}
             if C is not None:
-                cols["ivf_list"] = np.argmax(mat @ C.T, axis=1).astype(np.int64)
-            yield pd.DataFrame(cols)
+                assign = np.argmax(mat @ C.T, axis=1)
+                cols["ivf_list"] = assign.astype(np.int64)
+                if residual:
+                    mat = mat - C[assign]
+            cols["pq_code"] = _encode_batch(mat, books)
+            yield pd.DataFrame(cols)[list(out_schema_cols)]
 
+    out_schema_cols = [c.split()[0] for c in out_schema.split(", ")]
     return df.mapInPandas(kernel, schema=out_schema)
 
 
@@ -154,13 +172,25 @@ def _query_side(
                     qid_col: pdf[qid_col],
                     "lut": luts,
                     "probe_lists": list(probes.astype(np.int64)),
+                    # q . centroid per probe — the residual-mode score base
+                    "probe_qc": list(np.take_along_axis(d, probes, axis=1)),
                 }
             )
 
     out = queries.mapInPandas(
-        kernel, schema=f"{qid_col} long, lut array<double>, probe_lists array<long>"
+        kernel,
+        schema=(
+            f"{qid_col} long, lut array<double>, "
+            "probe_lists array<long>, probe_qc array<double>"
+        ),
     )
-    return out.withColumn("ivf_list", F.explode("probe_lists")).drop("probe_lists")
+    pr = F.explode(F.arrays_zip("probe_lists", "probe_qc")).alias("p")
+    return (
+        out.select(qid_col, "lut", pr)
+        .withColumn("ivf_list", F.col("p.probe_lists"))
+        .withColumn("qc", F.col("p.probe_qc"))
+        .drop("p")
+    )
 
 
 def adc_score_expr(code_col: str, lut_col: str, m: int = 8, ksub: int = 16) -> F.Column:
@@ -195,21 +225,30 @@ def ann_ivfpq_topk(
     codebooks: np.ndarray | None = None,
     ivf_centroids: np.ndarray | None = None,
     refine: int = 0,
+    residual: bool = False,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """FAISS-style IVFPQ top-k: coarse probe -> ADC scoring over packed
     codes -> per-query window.  `refine` > 0 re-ranks the top `refine` ADC
     candidates by exact cosine (joins the embeddings back for only those
-    rows — the FAISS refine stage).  Tie-breaks: (score DESC, id ASC)."""
+    rows — the FAISS refine stage).  `residual=True` quantizes coarse
+    residuals and scores q.x ~ q.centroid + q.residual~ — the q.centroid
+    term rides the probe row (`qc`), the LUT is unchanged, and the plan
+    stays identical (one extra double per candidate row).  Tie-breaks:
+    (score DESC, id ASC)."""
     from .ann import _ivf_centroids
 
     books = codebooks if codebooks is not None else pq_codebooks(dim, m, ksub)
     C = ivf_centroids if ivf_centroids is not None else _ivf_centroids(dim, nlist)
-    enc = pq_encode(vectors, books, vec_col=vec_col, id_col=id_col, ivf_centroids=C)
+    enc = pq_encode(
+        vectors, books, vec_col=vec_col, id_col=id_col, ivf_centroids=C, residual=residual
+    )
     qs = _query_side(queries, books, C, nprobe)
     cand = enc.join(qs, on="ivf_list").filter(F.col(id_col) != F.col("query_id"))
     score = adc_score_expr("pq_code", "lut", m=m, ksub=ksub)
+    if residual:
+        score = score + F.col("qc")
     w = Window.partitionBy("query_id").orderBy(score.desc(), F.col(id_col).asc())
     topk = (
         cand.withColumn("rank", F.row_number().over(w))
