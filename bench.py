@@ -51,6 +51,7 @@ HEADLINE = [
     "profile_docs",
     "mvt_tiles",
     "raster_pyramid",
+    "tile_diff",
     "vpl_pipeline",
     "phash_neardup",
     "dup_clusters",

@@ -3116,6 +3116,56 @@ def q_caption_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_frequency_cap(docs, cap=2)
 
 
+_TILE_DIFF_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_id, {_EV_X8} AS x, {_EV_Y8} AS y FROM events
+    ),
+    o AS (
+      SELECT x, y, md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS h
+      FROM ev WHERE event_id % 7 != 0 GROUP BY x, y
+    ),
+    n AS (
+      SELECT x, y, md5(string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)) AS h
+      FROM ev WHERE event_id % 5 != 0 GROUP BY x, y
+    )
+    SELECT 8 AS z, coalesce(o.x, n.x) AS x, coalesce(o.y, n.y) AS y,
+           CASE WHEN o.h IS NULL THEN 'added'
+                WHEN n.h IS NULL THEN 'removed'
+                WHEN o.h != n.h THEN 'changed' END AS change
+    FROM o FULL OUTER JOIN n ON o.x = n.x AND o.y = n.y
+    WHERE o.h IS NULL OR n.h IS NULL OR o.h != n.h
+    """
+
+
+@register("tile_diff", _TILE_DIFF_ORACLE)
+def q_tile_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental tileset diff (operators/diff.py::tile_diff) — the
+    changed-tile work-list between two pyramid versions, so a 100 TB
+    refresh re-encodes only what moved (the reference's convert path
+    rewrites whole containers).  Payloads are fingerprinted map-side (the
+    join moves only z,x,y,hash); output = added/removed/changed keys.
+    Versions here are two deterministic event subsets (%7 vs %5) tiled at
+    z=8 with a sorted-id payload, so all three change classes occur."""
+    from .operators.diff import tile_diff
+
+    base = _events_with_tiles(spark, sf_dir, 8)
+
+    def tiles(version: DataFrame) -> DataFrame:
+        return version.groupBy("z", "x", "y").agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("event_id")),
+                    lambda v: v.cast("string"),
+                ),
+            ).alias("payload")
+        )
+
+    old = tiles(base.filter(F.col("event_id") % 7 != 0))
+    new = tiles(base.filter(F.col("event_id") % 5 != 0))
+    return tile_diff(old, new, fingerprint=F.md5)
+
+
 _PROFILE_ORACLE = """
     WITH s AS (
       SELECT
