@@ -49,6 +49,7 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "profile_docs",
+    "heavy_hitters",
     "mvt_tiles",
     "raster_pyramid",
     "tile_diff",

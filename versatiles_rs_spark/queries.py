@@ -3116,6 +3116,28 @@ def q_caption_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_frequency_cap(docs, cap=2)
 
 
+@register(
+    "heavy_hitters",
+    """
+    WITH c AS (SELECT user_id AS value, count(*) AS n FROM events GROUP BY 1),
+    r AS (SELECT value, n, row_number() OVER (ORDER BY n DESC, value ASC) AS rank FROM c)
+    SELECT value, n, CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= 10
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k frequent values (functions/heavy.py::heavy_hitters) —
+    Misra-Gries per-partition summaries (fixed `capacity` counters, one
+    Arrow pass) + exact recount over the broadcast candidate union.  The
+    scale point vs a plain groupBy+orderBy: at near-unique key cardinality
+    the shuffle carries <= capacity x partitions candidate keys instead of
+    one row per distinct key; the result is still EXACT (capacity >= N/f_k
+    guarantee — see module docstring; the pytest stresses the sub-distinct
+    capacity path the toy gate can't)."""
+    from .functions.heavy import heavy_hitters
+
+    return heavy_hitters(load(spark, sf_dir, "events"), "user_id", k=10)
+
+
 _TILE_DIFF_ORACLE = f"""
     WITH ev AS (
       SELECT event_id, {_EV_X8} AS x, {_EV_Y8} AS y FROM events
