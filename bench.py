@@ -50,6 +50,7 @@ HEADLINE = [
     "token_count",
     "profile_docs",
     "heavy_hitters",
+    "lm_score",
     "mvt_tiles",
     "raster_pyramid",
     "tile_diff",

@@ -3117,6 +3117,42 @@ def q_caption_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_score",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    b AS (SELECT doc_id, w FROM t WHERE len(w) >= 3),
+    tri AS (
+      SELECT doc_id,
+             w[u.i] || ' ' || w[u.i + 1] || ' ' || w[u.i + 2] AS tri,
+             w[u.i] || ' ' || w[u.i + 1] AS ctx
+      FROM b, LATERAL (SELECT unnest(generate_series(1, len(w) - 2)) AS i) u
+    ),
+    tc AS (SELECT tri, count(*) AS c_tri FROM tri GROUP BY 1),
+    cc AS (SELECT ctx, count(*) AS c_ctx FROM tri GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS v FROM (SELECT unnest(w) AS tok FROM b))
+    SELECT doc_id, count(*) AS n_trigrams,
+           round(avg(ln((c_tri + 1.0) / (c_ctx + v))), 4) AS avg_logp
+    FROM tri JOIN tc USING (tri) JOIN cc USING (ctx), v
+    GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM quality score (functions/lm.py) — add-one
+    smoothed trigram log-likelihood under counts trained on the corpus
+    itself (Wenzek et al. 2020's perplexity gate, self-contained).  Gram
+    strings are hashed map-side (xxhash64) so no text enters any shuffle;
+    the hashed trigram table is cached across its three consumers."""
+    from .functions.lm import ngram_logprob_score
+
+    return ngram_logprob_score(load(spark, sf_dir, "documents"))
+
+
+@register(
     "heavy_hitters",
     """
     WITH c AS (SELECT user_id AS value, count(*) AS n FROM events GROUP BY 1),
