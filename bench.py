@@ -51,6 +51,7 @@ HEADLINE = [
     "profile_docs",
     "heavy_hitters",
     "lm_score",
+    "snapshot_changes",
     "mvt_tiles",
     "raster_pyramid",
     "tile_diff",

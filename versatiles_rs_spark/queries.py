@@ -3117,6 +3117,37 @@ def q_caption_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_changes",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events WHERE event_id % 3 != 0
+    GROUP BY event_type
+    """,
+)
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned table layer (sinks/snapshots.py) — the
+    Iceberg-shaped commit architecture the north rule names: three atomic
+    append commits of event batches (%3 == 0, 1, 2), then an INCREMENTAL
+    read of everything added after v0 (`changes(0)`) aggregated per type.
+    Readers plan scans from a snapshot's explicit file list (one small
+    JSON at 100 TB — no directory listing), commits publish via one atomic
+    HEAD swap, re-running a commit_id is a no-op (resume contract)."""
+    import tempfile
+
+    from .sinks.snapshots import SnapshotTable
+
+    ev = load(spark, sf_dir, "events")
+    t = SnapshotTable(spark, tempfile.mkdtemp(prefix="snap_q_"))
+    for i in range(3):
+        t.commit_append(ev.filter(F.col("event_id") % 3 == i), commit_id=f"batch{i}")
+    return (
+        t.changes(0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "lm_score",
     """
     WITH t AS (
