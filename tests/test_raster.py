@@ -277,3 +277,55 @@ def test_rasterize_polygons_pixels_match_bruteforce(spark):
     mid = [t for t in out if (t.x, t.y) == (1, 1)][0]
     img = decode_image(bytes(mid.bytes))[..., 0]
     assert img[4, 4] != 120  # global px (20.5, 20.5) sits in the hole (owned by rect2)
+
+
+def test_incremental_pyramid_equals_full_rebuild(spark):
+    """Dirty-propagation refresh (incremental_pyramid_update): change 3 of
+    16 base tiles, propagate; every level's merged table (delta overriding
+    the old level) must equal a full rebuild of the new base BYTE-exactly,
+    and each delta must touch only the changed tiles' ancestors."""
+    import pandas as pd
+
+    from versatiles_rs_spark.operators.raster import (
+        build_pyramid,
+        incremental_pyramid_update,
+    )
+
+    def base_df(bump):
+        rows = []
+        for x in range(4):
+            for y in range(4):
+                seed = x * 4 + y + (100 if (x, y) in bump else 0)
+                rows.append((2, x, y, encode_image(make_pixels(seed, 64), "png"), "png"))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["z", "x", "y", "bytes", "fmt"]),
+            schema="z int, x long, y long, bytes binary, fmt string",
+        )
+
+    changed_keys = {(0, 0), (3, 2), (3, 3)}
+    v1, v2 = base_df(set()), base_df(changed_keys)
+    old_levels = {z: df.cache() for z, df in build_pyramid(v1, z_max=2, z_min=0).items()}
+    full_v2 = build_pyramid(v2, z_max=2, z_min=0)
+
+    changed = v2.join(
+        spark.createDataFrame(
+            pd.DataFrame(sorted(changed_keys), columns=["x", "y"]),
+            schema="x long, y long",
+        ),
+        on=["x", "y"],
+        how="left_semi",
+    )
+    deltas = incremental_pyramid_update(old_levels, changed, z_max=2, z_min=0)
+
+    # deltas touch exactly the ancestors: z2 3 tiles -> z1 {(0,0),(1,1)} -> z0 root
+    assert {(r.x, r.y) for r in deltas[1].select("x", "y").collect()} == {(0, 0), (1, 1)}
+    assert deltas[0].count() == 1
+
+    for z in (2, 1, 0):
+        keys = deltas[z].select("z", "x", "y")
+        merged = deltas[z].unionByName(
+            old_levels[z].join(keys, on=["z", "x", "y"], how="left_anti")
+        )
+        got = {(r.x, r.y): bytes(r.bytes) for r in merged.collect()}
+        want = {(r.x, r.y): bytes(r.bytes) for r in full_v2[z].collect()}
+        assert got == want, f"level {z} diverged"

@@ -286,6 +286,63 @@ def build_pyramid(
     return levels
 
 
+def incremental_pyramid_update(
+    levels_old: dict[int, DataFrame],
+    changed: DataFrame,
+    z_max: int,
+    z_min: int = 0,
+    tile_size: int = 64,
+    payload: str = "bytes",
+    fmt: str = "png",
+    broadcast_dirty: bool = True,
+) -> dict[int, DataFrame]:
+    """Dirty-propagation pyramid refresh: recompute ONLY the ancestors of
+    upserted base tiles instead of rebuilding the pyramid.
+
+    `levels_old` is the committed pyramid (z -> tile DataFrame, e.g. per
+    level SnapshotTable.read()); `changed` holds the new/replaced tiles at
+    z_max.  Per level going up: the dirty parent set is the changed tiles'
+    parents; their sibling children are fetched from the OLD level (semi
+    join), changed tiles override old at equal keys (anti join), and one
+    build_overview_level mosaics the union.  Returns z -> per-level DELTA
+    (changed tiles only) — commit each as a SnapshotTable append/overwrite
+    or LevelCheckpointer level, and merge-on-read stays trivial because a
+    parent key appears in at most one delta.
+
+    Work/shuffle is O(|changed| x levels), not O(pyramid): at 100 TB a
+    0.1% daily refresh touches ~0.4% of tiles (4 ancestors per change).
+    The dirty-key and changed-key relations are broadcast by default (the
+    delta is the small side by contract — a refresh, not a rebuild); pass
+    broadcast_dirty=False for rebuild-sized deltas and the joins fall back
+    to hash shuffles of slim keys (old payload columns still only shuffle
+    in the mosaic groupBy, same as a full build)."""
+    maybe_b = F.broadcast if broadcast_dirty else (lambda d: d)
+    deltas = {z_max: changed}
+    cur = changed
+    for z in range(z_max - 1, z_min - 1, -1):
+        old = levels_old[z + 1]
+        dirty = maybe_b(
+            cur.select(
+                F.shiftright("x", 1).alias("_px"), F.shiftright("y", 1).alias("_py")
+            ).distinct()
+        )
+        siblings = (
+            old.withColumn("_px", F.shiftright("x", 1))
+            .withColumn("_py", F.shiftright("y", 1))
+            .join(dirty, on=["_px", "_py"], how="left_semi")
+            .drop("_px", "_py")
+        )
+        replaced = maybe_b(cur.select("z", "x", "y"))
+        kids = cur.unionByName(
+            siblings.join(replaced, on=["z", "x", "y"], how="left_anti")
+        )
+        cur = build_overview_level(kids, tile_size, payload=payload, fmt=fmt).drop(
+            "n_children"
+        )
+        deltas[z] = cur
+    return deltas
+
+
 _ZONAL_MAX_ZONES = 200_000  # broadcast guard: ~5 ints/zone -> a few MB
 
 
