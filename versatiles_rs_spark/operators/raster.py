@@ -295,9 +295,16 @@ def incremental_pyramid_update(
     payload: str = "bytes",
     fmt: str = "png",
     broadcast_dirty: bool = True,
+    checkpoint_fn=None,
 ) -> dict[int, DataFrame]:
     """Dirty-propagation pyramid refresh: recompute ONLY the ancestors of
     upserted base tiles instead of rebuilding the pyramid.
+
+    `checkpoint_fn(z, delta) -> DataFrame` (same contract as
+    build_pyramid) commits each level's delta and returns the read-back
+    relation — REQUIRED for multi-level runs with per-level sinks, or the
+    lazy lineage re-executes every upstream mosaic once per level commit
+    (O(levels^2) decode work, measured 4x on the refresh job).
 
     `levels_old` is the committed pyramid (z -> tile DataFrame, e.g. per
     level SnapshotTable.read()); `changed` holds the new/replaced tiles at
@@ -317,8 +324,8 @@ def incremental_pyramid_update(
     to hash shuffles of slim keys (old payload columns still only shuffle
     in the mosaic groupBy, same as a full build)."""
     maybe_b = F.broadcast if broadcast_dirty else (lambda d: d)
-    deltas = {z_max: changed}
-    cur = changed
+    cur = changed if checkpoint_fn is None else checkpoint_fn(z_max, changed)
+    deltas = {z_max: cur}
     for z in range(z_max - 1, z_min - 1, -1):
         old = levels_old[z + 1]
         dirty = maybe_b(
@@ -339,6 +346,8 @@ def incremental_pyramid_update(
         cur = build_overview_level(kids, tile_size, payload=payload, fmt=fmt).drop(
             "n_children"
         )
+        if checkpoint_fn is not None:
+            cur = checkpoint_fn(z, cur)
         deltas[z] = cur
     return deltas
 
