@@ -76,3 +76,48 @@ def test_snapshot_changes_registry_query(spark, sf_dir):
         .collect()
     }
     assert rows == want
+
+
+def test_zone_map_pruning(spark, tmp_path):
+    """Per-file min/max from parquet footers prune the planned file set;
+    pruned reads stay correct and files without stats are never pruned."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), stat_cols=["z", "x"])
+    for z in (4, 5, 6):
+        t.commit_append(
+            spark.range(10).select(
+                F.lit(z).alias("z"), F.col("id").alias("x"), (F.col("id") * 2).alias("v")
+            ).coalesce(1),
+            commit_id=f"z{z}",
+        )
+    all_files = t.plan_files()
+    assert len(all_files) == 3
+    planned = t.plan_files(prune={"z": 5})
+    assert len(planned) == 1
+    got = t.read(prune={"z": 5}).filter(F.col("z") == 5)
+    assert got.count() == 10
+    assert sorted(r.x for r in got.collect()) == list(range(10))
+    # range prune + conservative keep
+    assert len(t.plan_files(prune={"z": (5, 6)})) == 2
+    assert len(t.plan_files(prune={"x": (3, 4)})) == 3  # every file overlaps x 0-9
+    assert len(t.plan_files(prune={"z": 9})) == 0
+    assert t.read(prune={"z": 9}).count() == 0  # empty relation, no error
+    assert len(t.plan_files(prune={"unstatted_col": 1})) == 3  # never prune blind
+
+
+def test_vacuum_retention(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(_df(spark, 0, 5).coalesce(1), commit_id="a")
+    t.commit_overwrite(_df(spark, 5, 9).coalesce(1), commit_id="b")
+    t.commit_append(_df(spark, 9, 12).coalesce(1), commit_id="c")
+    v0_files = t.snapshot(0).files
+    stats = t.vacuum(retain_last=2)
+    assert stats == {"expired_snapshots": 1, "deleted_files": 1}
+    assert all(not os.path.exists(f) for f in v0_files)  # v0-only data gone
+    assert sorted(r.id for r in t.read().collect()) == list(range(5, 12))
+    assert sorted(r.id for r in t.read(version=1).collect()) == list(range(5, 9))
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)  # expired: outside the retention window
+    assert [s.version for s in t.history()] == [1, 2]
+    assert t.find_commit("a") is None  # resume window == retention window
+    # vacuum is idempotent
+    assert t.vacuum(retain_last=2) == {"expired_snapshots": 0, "deleted_files": 0}

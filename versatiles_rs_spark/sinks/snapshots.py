@@ -26,6 +26,15 @@ the same metadata architecture, sized to what the engine's jobs need:
 - **Idempotent commits**: pass a stable commit_id (stage name, pyramid
   level) and re-running the commit is a no-op returning the committed
   version — the same contract LevelCheckpointer uses for resume.
+- **Zone-map pruning**: commits record per-file min/max for `stat_cols`
+  (read from the parquet FOOTERS — no data scan), and
+  `read(prune={col: (lo, hi)})` drops files whose range can't overlap —
+  Iceberg's data-skipping core.  At 100 TB with tile-key-clustered writes
+  (the Hilbert/block sinks), a bbox read plans a scan over only the files
+  that can contain it.
+- **Retention**: `vacuum(retain_last=k)` expires old snapshots and deletes
+  data files no retained snapshot references; the resume (commit_id)
+  window shrinks to the retention window, by design.
 
 Determinism: no wall clock anywhere (CLAUDE.md rule) — versions are dense
 integers, commit ids are caller-supplied or content-derived.
@@ -52,11 +61,37 @@ class Snapshot:
     commit_id: str
     files: list[str]
     summary: dict
+    file_stats: dict | None = None  # path -> {col: [min, max]}
+
+
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """Per-column [min, max] from the parquet footer (metadata only)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {}
+    for c in cols:
+        if c not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                ok = False  # a stat-less row group: this col must never prune
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            out[c] = [lo, hi]
+    return out
 
 
 class SnapshotTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, stat_cols: list[str] | None = None):
         self.spark = spark
+        self.stat_cols = stat_cols or []
         self.path = path
         self.meta_dir = os.path.join(path, "meta")
         self.data_dir = os.path.join(path, "data")
@@ -110,9 +145,13 @@ class SnapshotTable:
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         )
-        base = [] if (operation == "overwrite" or parent_v is None) else self.snapshot(
-            parent_v
-        ).files
+        if operation == "overwrite" or parent_v is None:
+            base, base_stats = [], {}
+        else:
+            p = self.snapshot(parent_v)
+            base, base_stats = p.files, dict(p.file_stats or {})
+        if self.stat_cols:
+            base_stats.update({f: _footer_stats(f, self.stat_cols) for f in new_files})
         snap = Snapshot(
             version=new_v,
             parent=parent_v,
@@ -120,6 +159,7 @@ class SnapshotTable:
             commit_id=commit_id,
             files=base + new_files,
             summary={"added_files": len(new_files), "total_files": len(base) + len(new_files)},
+            file_stats=base_stats or None,
         )
         meta_path = os.path.join(self.meta_dir, f"v{new_v}.json")
         try:
@@ -144,10 +184,67 @@ class SnapshotTable:
 
     # -- read path -----------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, prune: dict | None = None
+    ) -> DataFrame:
         """Scan pinned to one snapshot's explicit file list (time travel);
-        no directory listing, so concurrent commits never tear a read."""
-        return self.spark.read.parquet(*self.snapshot(version).files)
+        no directory listing, so concurrent commits never tear a read.
+
+        `prune` maps column -> value or (lo, hi): files whose recorded
+        min/max can't overlap are dropped from the plan (zone-map skip).
+        Conservative by construction — a file without stats for a pruned
+        column is always kept; callers still apply the real filter."""
+        files = self.plan_files(version, prune)
+        if not files:  # everything pruned: empty relation, original schema
+            return self.spark.read.parquet(*self.snapshot(version).files).limit(0)
+        return self.spark.read.parquet(*files)
+
+    def plan_files(self, version: int | None = None, prune: dict | None = None) -> list[str]:
+        snap = self.snapshot(version)
+        files = snap.files
+        if not prune:
+            return files
+        stats = snap.file_stats or {}
+        out = []
+        for f in files:
+            st = stats.get(f, {})
+            keep = True
+            for col, bound in prune.items():
+                if col not in st:
+                    continue  # no stats: can't prove absence
+                lo, hi = bound if isinstance(bound, (tuple, list)) else (bound, bound)
+                flo, fhi = st[col]
+                if (lo is not None and fhi < lo) or (hi is not None and flo > hi):
+                    keep = False
+                    break
+            if keep:
+                out.append(f)
+        return out
+
+    def vacuum(self, retain_last: int = 2) -> dict:
+        """Expire all but the newest `retain_last` snapshots and delete
+        data files none of them references.  The oldest retained snapshot
+        becomes the new history root (parent=None); commit_id resume and
+        time travel windows shrink to the retention window, by design."""
+        head = self.current_version()
+        if head is None:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        retained = [s for s in self.history() if s.version > head - retain_last]
+        live = {f for s in retained for f in s.files}
+        expired = [s for s in self.history() if s.version <= head - retain_last]
+        deleted = 0
+        for s in expired:
+            for f in s.files:
+                if f not in live and os.path.exists(f):
+                    os.remove(f)
+                    deleted += 1
+            os.remove(os.path.join(self.meta_dir, f"v{s.version}.json"))
+        if expired and retained:
+            root = retained[0]
+            root.parent = None
+            with open(os.path.join(self.meta_dir, f"v{root.version}.json"), "w") as f:
+                json.dump(root.__dict__, f)
+        return {"expired_snapshots": len(expired), "deleted_files": deleted}
 
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows in files ADDED strictly after `from_version` up to
