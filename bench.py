@@ -43,6 +43,7 @@ HEADLINE = [
     "ann_cosine",
     "ann_ivf",
     "ann_pq",
+    "ann_pq_refine",
     "ann_recall",
     "embed_neardup",
     "semantic_dedup",

@@ -3312,13 +3312,21 @@ def q_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ann_pq_oracle_sql(
-    k: int = 5, nlist: int = 16, nprobe: int = 4, m: int = 8, ksub: int = 16, dim: int = 64
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    refine: int = 0,
 ) -> str:
     """Full SQL replay of IVFPQ (functions/pq.py): normalization, coarse
     assignment, per-subspace PQ encoding (integer-packed via an inlined
     codebook VALUES table — argmax by row_number, code sum order-free),
     probe ranking, and ADC scoring as fixed-order CASE-chain sums matching
-    adc_score_expr's left-associative addition."""
+    adc_score_expr's left-associative addition.  `refine` > 0 appends the
+    FAISS exact-refine stage: the top-`refine` ADC shortlist re-ranked by
+    exact cosine over the normalized vectors."""
     from .functions.ann import _ivf_centroids
     from .functions.pq import pq_codebooks
 
@@ -3345,6 +3353,25 @@ def _ann_pq_oracle_sql(
         return " + ".join(
             f"{_d(arr[i])} * {vec}[{base} + {i + 1}]" for i in range(len(arr))
         )
+
+    if refine:
+        rerank = f""",
+    shortlist AS (SELECT query_id, vec_id FROM ranked WHERE rank <= {refine}),
+    rr AS (
+      SELECT s.query_id, s.vec_id, row_number() OVER (
+        PARTITION BY s.query_id ORDER BY
+          list_sum(list_transform(range(1, {dim + 1}), i -> nq.vn[i] * nv.vn[i])) DESC,
+          s.vec_id ASC) AS rank
+      FROM shortlist s
+      JOIN n nv ON nv.vec_id = s.vec_id
+      JOIN n nq ON nq.vec_id = s.query_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id
+    FROM rr WHERE rank <= {k}"""
+    else:
+        rerank = f"""
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id
+    FROM ranked WHERE rank <= {k}"""
 
     cdots = ", ".join(dot("vn", "0", C[l]) for l in range(nlist))
     sub_dot = " + ".join(f"c{i + 1} * vn[j * {dsub} + {i + 1}]" for i in range(dsub))
@@ -3405,9 +3432,7 @@ def _ann_pq_oracle_sql(
       SELECT query_id, vec_id, row_number() OVER (
         PARTITION BY query_id ORDER BY ({adc}) DESC, vec_id ASC) AS rank
       FROM cand
-    )
-    SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id AS neighbor_id
-    FROM ranked WHERE rank <= {k}
+    ){rerank}
     """
 
 
@@ -3430,6 +3455,22 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     return ann_ivfpq_topk(emb, queries_df, k=5, nlist=16, nprobe=4)
+
+
+@register("ann_pq_refine", _ann_pq_oracle_sql(refine=20))
+def q_ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ + FAISS exact-refine (the production default): the top-20 ADC
+    shortlist re-ranked by exact cosine — embeddings rejoin for only
+    \\|Q\\| x 20 rows, so the quantization error affects shortlist MEMBERSHIP
+    but never the served ranking.  The oracle replays ADC shortlisting and
+    the exact-cosine re-rank end to end."""
+    from .functions.pq import ann_ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ann_ivfpq_topk(emb, queries_df, k=5, nlist=16, nprobe=4, refine=20)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
