@@ -67,6 +67,7 @@ HEADLINE = [
     "stratified_sample",
     "tfidf_topk",
     "geohash_cells",
+    "simplify_lines",
     "decontaminate",
     "pack_chunks",
     "corpus_pipeline",

@@ -3116,6 +3116,86 @@ def q_caption_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caption_frequency_cap(docs, cap=2)
 
 
+_SIMPLIFY_EPS = 0.35  # degrees; z1-ish generalization for the synthetic tracks
+_SIMPLIFY_ORACLE = f"""
+    WITH pts AS (
+      SELECT event_id % 16 AS line_id, event_id AS ord,
+             {_EV_LON} AS x, {_EV_LAT} AS y
+      FROM events
+    ),
+    lines AS (
+      SELECT line_id, list(x ORDER BY ord) AS xs, list(y ORDER BY ord) AS ys
+      FROM pts GROUP BY line_id
+    ),
+    intervals AS (
+      WITH RECURSIVE r(line_id, lo, hi) AS (
+        SELECT line_id, 1, len(xs) FROM lines WHERE len(xs) >= 2
+        UNION ALL
+        SELECT s.line_id,
+               CASE br.side WHEN 0 THEN s.lo ELSE s.mid END,
+               CASE br.side WHEN 0 THEN s.mid ELSE s.hi END
+        FROM (
+          SELECT r.line_id, r.lo, r.hi,
+                 r.lo + list_position(d, list_aggregate(d, 'max')) AS mid,
+                 list_aggregate(d, 'max') AS md
+          FROM (
+            SELECT r.line_id, r.lo, r.hi, l.xs, l.ys,
+              list_transform(range(r.lo + 1, r.hi), i ->
+                CASE WHEN sqrt((l.xs[r.hi] - l.xs[r.lo]) * (l.xs[r.hi] - l.xs[r.lo])
+                            + (l.ys[r.hi] - l.ys[r.lo]) * (l.ys[r.hi] - l.ys[r.lo])) = 0.0
+                  THEN sqrt((l.xs[i] - l.xs[r.lo]) * (l.xs[i] - l.xs[r.lo])
+                          + (l.ys[i] - l.ys[r.lo]) * (l.ys[i] - l.ys[r.lo]))
+                  ELSE abs((l.xs[r.hi] - l.xs[r.lo]) * (l.ys[r.lo] - l.ys[i])
+                         - (l.xs[r.lo] - l.xs[i]) * (l.ys[r.hi] - l.ys[r.lo]))
+                     / sqrt((l.xs[r.hi] - l.xs[r.lo]) * (l.xs[r.hi] - l.xs[r.lo])
+                          + (l.ys[r.hi] - l.ys[r.lo]) * (l.ys[r.hi] - l.ys[r.lo]))
+                END) AS d
+            FROM r JOIN lines l USING (line_id)
+            WHERE r.hi - r.lo >= 2
+          ) r
+        ) s, (VALUES (0), (1)) br(side)
+        WHERE s.md > {_SIMPLIFY_EPS!r}
+      )
+      SELECT * FROM r
+    )
+    SELECT line_id, CAST(point_idx AS BIGINT) AS point_idx
+    FROM (
+      SELECT DISTINCT line_id, lo AS point_idx FROM intervals
+      UNION
+      SELECT DISTINCT line_id, hi AS point_idx FROM intervals
+    )
+    """
+
+
+@register("simplify_lines", _SIMPLIFY_ORACLE)
+def q_simplify_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker polyline simplification (functions/simplify.py) —
+    per-zoom vector generalization.  16 synthetic tracks assembled from
+    events (JVM sort_array(collect_list) — one shuffle, Python only in the
+    per-line kernel); kept-vertex set replayed in DuckDB as a RECURSIVE
+    CTE over (line, lo, hi) split intervals whose DISTINCT endpoints ARE
+    the DP output."""
+    from .functions.simplify import simplify_lines
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("event_id") % 16).alias("line_id"),
+        F.struct(
+            F.col("event_id").alias("ord"),
+            derived_lon_expr(F.col("event_id")).alias("x"),
+            derived_lat_expr(F.col("event_id")).alias("y"),
+        ).alias("p"),
+    )
+    lines = pts.groupBy("line_id").agg(
+        F.sort_array(F.collect_list("p")).alias("ps")
+    ).select(
+        "line_id",
+        F.col("ps.x").alias("xs"),
+        F.col("ps.y").alias("ys"),
+    )
+    return simplify_lines(lines, eps=_SIMPLIFY_EPS)
+
+
 @register(
     "snapshot_changes",
     """
