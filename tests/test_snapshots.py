@@ -121,3 +121,30 @@ def test_vacuum_retention(spark, tmp_path):
     assert t.find_commit("a") is None  # resume window == retention window
     # vacuum is idempotent
     assert t.vacuum(retain_last=2) == {"expired_snapshots": 0, "deleted_files": 0}
+
+
+def test_compact_is_logical_noop_and_vacuumable(spark, tmp_path):
+    """Compaction rewrites many small files into few, changes() reports no
+    phantom rows across it, appends after it keep flowing, and vacuum
+    reclaims the replaced small files."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    for i in range(4):
+        t.commit_append(_df(spark, i * 5, i * 5 + 5).repartition(4), commit_id=f"b{i}")
+    assert len(t.snapshot().files) >= 8  # many small files (AQE may merge some)
+    pre_files = set(t.snapshot().files)
+
+    snap = t.compact(n_files=2)
+    assert snap.operation == "compact" and len(snap.files) <= 2
+    assert sorted(r.id for r in t.read().collect()) == list(range(20))
+    # change feed across the compaction: nothing new
+    assert t.changes(snap.parent).count() == 0
+    # append post-compaction: only the append shows in the feed
+    t.commit_append(_df(spark, 20, 23).coalesce(1), commit_id="b4")
+    assert sorted(r.id for r in t.changes(snap.parent).collect()) == [20, 21, 22]
+    # feed spanning appends AND the compaction still reports only real rows
+    assert sorted(r.id for r in t.changes(1).collect()) == list(range(10, 23))
+
+    # vacuum down to the post-compaction suffix reclaims the small files
+    t.vacuum(retain_last=2)
+    assert all(not os.path.exists(f) for f in pre_files)
+    assert sorted(r.id for r in t.read().collect()) == list(range(23))

@@ -145,8 +145,8 @@ class SnapshotTable:
             for f in os.listdir(out_dir)
             if f.endswith(".parquet")
         )
-        if operation == "overwrite" or parent_v is None:
-            base, base_stats = [], {}
+        if operation in ("overwrite", "compact") or parent_v is None:
+            base, base_stats = [], {}  # replace semantics: new file list only
         else:
             p = self.snapshot(parent_v)
             base, base_stats = p.files, dict(p.file_stats or {})
@@ -246,11 +246,32 @@ class SnapshotTable:
                 json.dump(root.__dict__, f)
         return {"expired_snapshots": len(expired), "deleted_files": deleted}
 
+    def compact(self, n_files: int = 4, version_suffix: str | None = None) -> Snapshot:
+        """Rewrite the current snapshot's (possibly many small) files into
+        `n_files` — the maintenance op streaming appends need.  The commit
+        carries operation='compact': a LOGICAL no-op, so `changes()` skips
+        it (downstream consumers see no phantom rows) and `vacuum` later
+        reclaims the replaced small files."""
+        head = self.current_version()
+        cid = f"compact-v{head}" + (f"-{version_suffix}" if version_suffix else "")
+        return self._commit(self.read().coalesce(n_files), "compact", cid)
+
     def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
-        """Rows in files ADDED strictly after `from_version` up to
-        `to_version` — the incremental-consumption read (append-only)."""
-        old = set(self.snapshot(from_version).files)
-        new = [f for f in self.snapshot(to_version).files if f not in old]
+        """Rows LOGICALLY added strictly after `from_version` up to
+        `to_version` — the incremental-consumption read.  Walks the
+        snapshot chain and unions each commit's own added files, skipping
+        operation='compact' commits (rewrites of existing data, not new
+        rows) — a set-difference of file lists would misreport a
+        compaction as a full re-insert."""
+        to_v = self.current_version() if to_version is None else to_version
+        new: list[str] = []
+        v: int | None = to_v
+        while v is not None and v > from_version:
+            s = self.snapshot(v)
+            if s.operation != "compact":
+                prior = set(self.snapshot(s.parent).files) if s.parent is not None else set()
+                new.extend(f for f in s.files if f not in prior)
+            v = s.parent
         if not new:
-            return self.read(from_version).limit(0)
+            return self.read(to_v).limit(0)
         return self.spark.read.parquet(*new)
