@@ -148,3 +148,12 @@ def test_compact_is_logical_noop_and_vacuumable(spark, tmp_path):
     t.vacuum(retain_last=2)
     assert all(not os.path.exists(f) for f in pre_files)
     assert sorted(r.id for r in t.read().collect()) == list(range(23))
+
+
+def test_commit_lineage_metrics(spark, tmp_path):
+    """Every commit records rows/bytes lineage from footers alone."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    s = t.commit_append(_df(spark, 0, 7).coalesce(1), commit_id="a")
+    assert s.summary["added_rows"] == 7 and s.summary["added_bytes"] > 0
+    s2 = t.commit_append(_df(spark, 7, 10).coalesce(1), commit_id="b")
+    assert s2.summary["added_rows"] == 3

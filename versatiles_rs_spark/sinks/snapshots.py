@@ -152,13 +152,24 @@ class SnapshotTable:
             base, base_stats = p.files, dict(p.file_stats or {})
         if self.stat_cols:
             base_stats.update({f: _footer_stats(f, self.stat_cols) for f in new_files})
+        import pyarrow.parquet as _pq
+
+        # per-commit lineage from footers + fs only (no data scan): the
+        # metrics rows the north rule wants attached to every commit
+        added_rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in new_files)
+        added_bytes = sum(os.path.getsize(f) for f in new_files)
         snap = Snapshot(
             version=new_v,
             parent=parent_v,
             operation=operation,
             commit_id=commit_id,
             files=base + new_files,
-            summary={"added_files": len(new_files), "total_files": len(base) + len(new_files)},
+            summary={
+                "added_files": len(new_files),
+                "total_files": len(base) + len(new_files),
+                "added_rows": added_rows,
+                "added_bytes": added_bytes,
+            },
             file_stats=base_stats or None,
         )
         meta_path = os.path.join(self.meta_dir, f"v{new_v}.json")
