@@ -7,6 +7,9 @@ dev_tools/measure_tile_sizes.rs:36).
     python tools/probe.py /path/to/tile_table_or_levels_dir
     python tools/probe.py tiles.{versatiles,pmtiles,mbtiles,tar}   # containers
     python tools/probe.py http(s)://.../tiles.pmtiles              # remote
+    python tools/probe.py /path/to/snapshot_table                  # meta/HEAD dir:
+        prints the commit history (op, commit_id, lineage rows/bytes) and
+        reads the CURRENT snapshot for the tile stats
 """
 
 from __future__ import annotations
@@ -53,6 +56,19 @@ def main():
         from versatiles_rs_spark.sources.tar import read_tar
 
         df = read_tar(spark, path)
+    elif os.path.exists(os.path.join(path, "meta", "HEAD")):
+        from versatiles_rs_spark.sinks.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, path)
+        header = {
+            "current_version": t.current_version(),
+            "history": [
+                {"version": s.version, "op": s.operation, "commit_id": s.commit_id,
+                 **s.summary}
+                for s in t.history()
+            ],
+        }
+        df = t.read()
     else:
         df = spark.read.option("recursiveFileLookup", "true").parquet(path)
     payload = "bytes" if "bytes" in df.columns else None
