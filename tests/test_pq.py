@@ -131,6 +131,58 @@ def test_ivfpq_residual_encoding_recall(spark):
     assert sorted((r.query_id, r.rank, r.neighbor_id) for r in full) == bf
 
 
+def _pq_mse(X, books, R=None):
+    """Mean reconstruction error — the objective OPQ minimizes."""
+    Y = X @ R if R is not None else X
+    codes = _encode_batch(Y, books)
+    m, ksub, dsub = books.shape
+    Q = np.empty_like(Y)
+    for j in range(m):
+        t = (codes >> (4 * j)) & (ksub - 1)
+        Q[:, j * dsub : (j + 1) * dsub] = books[j][t]
+    return float(((Y - Q) ** 2).sum(axis=1).mean())
+
+
+def test_opq_rotation_cuts_quantization_error(spark):
+    """OPQ (Ge et al. 2013) on a low-dimensional latent manifold smeared
+    across all PQ subspaces (the construction that breaks PQ's
+    independence assumption): the learned rotation must cut reconstruction
+    MSE — the paper's objective — by >=2x vs plain trained PQ (measured
+    5.5x here), with no ADC recall regression; R must be orthogonal and a
+    deterministic function of the data."""
+    from versatiles_rs_spark.functions.pq import train_opq
+
+    rng = np.random.default_rng(31)
+    dim, latent, n = 32, 6, 400
+    Z = rng.standard_normal((n, latent)) * np.array([8, 5, 3, 2, 1.5, 1])
+    W = np.linalg.qr(rng.standard_normal((dim, dim)))[0][:latent]
+    vecs = Z @ W + 0.05 * rng.standard_normal((n, dim))
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "embedding": list(map(list, vecs))})
+    df = spark.createDataFrame(pdf, schema="vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    k = 10
+    brute = ann_bruteforce_topk(df, q, k=k).collect()
+
+    plain_books = train_pq_codebooks(df, dim=dim, m=8, ksub=16, sample_cap=n, iters=6)
+    R, opq_books = train_opq(df, dim=dim, m=8, ksub=16, sample_cap=n,
+                             outer_iters=6, inner_iters=4)
+    R2, _ = train_opq(df, dim=dim, m=8, ksub=16, sample_cap=n,
+                      outer_iters=6, inner_iters=4)
+    assert np.allclose(R, R2)  # pure function of the data
+    assert np.allclose(R @ R.T, np.eye(dim), atol=1e-9)  # orthogonal
+
+    Xn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    mse_plain, mse_opq = _pq_mse(Xn, plain_books), _pq_mse(Xn, opq_books, R)
+    assert mse_opq * 2 <= mse_plain, (mse_plain, mse_opq)
+
+    kw = dict(k=k, nlist=4, nprobe=4, dim=dim)
+    plain = ann_ivfpq_topk(df, q, codebooks=plain_books, **kw).collect()
+    opq = ann_ivfpq_topk(df, q, codebooks=opq_books, rotation=R, **kw).collect()
+    assert _recall(opq, brute, k) >= _recall(plain, brute, k) - 0.05
+
+
 def test_ivfpq_plan_slim_codes_no_vector_shuffle(spark, sf_dir):
     """100 TB shape: embeddings are consumed inside the two Arrow encode
     tasks and never appear in any Exchange; the candidate join moves only

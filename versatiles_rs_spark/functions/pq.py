@@ -85,6 +85,67 @@ def train_pq_codebooks(
     return np.stack(books)
 
 
+def train_opq(
+    vectors: DataFrame,
+    dim: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_cap: int = 20_000,
+    outer_iters: int = 6,
+    inner_iters: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """OPQ (Ge et al., CVPR 2013, non-parametric): alternate between
+    per-subspace k-means on the rotated sample and the orthogonal
+    Procrustes solve R = U V^T of X^T Q(XR), so the learned rotation packs
+    correlated dimensions into balanced subspaces before quantization —
+    PQ's independence assumption holds MUCH better on rotated data.
+
+    Returns (R, codebooks); apply via ann_ivfpq_topk(rotation=R,
+    codebooks=books).  Deterministic: hash-ordered sample, k-means seeded
+    from the first ksub rows, and the Procrustes product U V^T is
+    sign-invariant, so R is a pure function of the data."""
+    rows = (
+        vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.hash(F.col("_id")), F.col("_id"))
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.vstack([np.asarray(r._v, dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    dsub = dim // m
+    R = np.eye(dim)
+    books = None
+    for _ in range(outer_iters):
+        Y = X @ R
+        books = []
+        for j in range(m):
+            s = Y[:, j * dsub : (j + 1) * dsub]
+            c = s[:ksub].copy()
+            for _ in range(inner_iters):
+                d2 = ((s[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for t in range(ksub):
+                    sel = s[assign == t]
+                    if len(sel):
+                        c[t] = sel.mean(axis=0)
+            books.append(c)
+        books = np.stack(books)
+        # reconstruct the quantized rotated sample, then Procrustes
+        Q = np.empty_like(Y)
+        codes = _encode_batch(Y, books)
+        for j in range(m):
+            t = (codes >> (4 * j)) & (books.shape[1] - 1)
+            Q[:, j * dsub : (j + 1) * dsub] = books[j][t]
+        # orthogonal Procrustes: R = U V^T (sign-invariant — flipping a
+        # matched U/V column pair cancels in the product; LAPACK SVD is
+        # deterministic for a given input, so R is a pure function of X)
+        U, _, Vt = np.linalg.svd(X.T @ Q)
+        R = U @ Vt
+    return R, books
+
+
 def _encode_batch(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
     """Packed PQ codes for normalized rows of `mat`.  Per subspace the
     argmax of (s.c - |c|^2/2) — the L2 argmin in dot form; FIRST argmax on
@@ -105,6 +166,7 @@ def pq_encode(
     id_col: str = "vec_id",
     ivf_centroids: np.ndarray | None = None,
     residual: bool = False,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(id, pq_code[, ivf_list]) in ONE Arrow pass — vectors are normalized,
     coarse-assigned (optional), and PQ-encoded in the same Python task, so
@@ -113,9 +175,13 @@ def pq_encode(
     `residual=True` (requires ivf_centroids) quantizes x - centroid[list]
     instead of x — FAISS IVFPQ's actual structure.  Residuals are much
     smaller than raw vectors, so the same 4 bits/subspace land far finer;
-    scoring adds the q.centroid term back JVM-side (see ann_ivfpq_topk)."""
+    scoring adds the q.centroid term back JVM-side (see ann_ivfpq_topk).
+
+    `rotation` (OPQ, train_opq) rotates before everything else; queries
+    rotate the same way, so all dot products are preserved exactly."""
     books = codebooks
     C = ivf_centroids
+    R = rotation
     if residual and C is None:
         raise ValueError("residual encoding requires ivf_centroids")
     out_schema = f"{id_col} long, pq_code long" + (", ivf_list long" if C is not None else "")
@@ -124,6 +190,8 @@ def pq_encode(
         for pdf in batches:
             mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-300)
+            if R is not None:
+                mat = mat @ R
             cols = {id_col: pdf[id_col]}
             if C is not None:
                 assign = np.argmax(mat @ C.T, axis=1)
@@ -144,6 +212,7 @@ def _query_side(
     nprobe: int,
     qvec_col: str = "qv",
     qid_col: str = "query_id",
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """(query_id, lut: array<double>, ivf_list exploded x nprobe) — LUT[j*ksub+t]
     = dot(normalized-q subvector j, codebook[j][t]).  Queries are
@@ -157,6 +226,8 @@ def _query_side(
         for pdf in batches:
             mat = np.vstack(pdf[qvec_col].to_numpy()).astype(np.float64)
             mat /= np.maximum(np.sqrt((mat * mat).sum(axis=1, keepdims=True)), 1e-300)
+            if rotation is not None:
+                mat = mat @ rotation
             luts = []
             for q in mat:
                 lut = np.empty(m * ksub)
@@ -226,6 +297,7 @@ def ann_ivfpq_topk(
     ivf_centroids: np.ndarray | None = None,
     refine: int = 0,
     residual: bool = False,
+    rotation: np.ndarray | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -242,9 +314,10 @@ def ann_ivfpq_topk(
     books = codebooks if codebooks is not None else pq_codebooks(dim, m, ksub)
     C = ivf_centroids if ivf_centroids is not None else _ivf_centroids(dim, nlist)
     enc = pq_encode(
-        vectors, books, vec_col=vec_col, id_col=id_col, ivf_centroids=C, residual=residual
+        vectors, books, vec_col=vec_col, id_col=id_col, ivf_centroids=C,
+        residual=residual, rotation=rotation,
     )
-    qs = _query_side(queries, books, C, nprobe)
+    qs = _query_side(queries, books, C, nprobe, rotation=rotation)
     cand = enc.join(qs, on="ivf_list").filter(F.col(id_col) != F.col("query_id"))
     score = adc_score_expr("pq_code", "lut", m=m, ksub=ksub)
     if residual:
