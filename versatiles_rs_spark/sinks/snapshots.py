@@ -243,6 +243,16 @@ class SnapshotTable:
         retained = [s for s in self.history() if s.version > head - retain_last]
         live = {f for s in retained for f in s.files}
         expired = [s for s in self.history() if s.version <= head - retain_last]
+        # re-root FIRST: if we crashed after deleting an expired v{N}.json
+        # but before rewriting the root's parent pointer, history() would
+        # walk into the missing file and the metadata chain would be broken
+        if expired and retained:
+            root = retained[0]
+            root.parent = None
+            tmp = os.path.join(self.meta_dir, f".v{root.version}.json")
+            with open(tmp, "w") as f:
+                json.dump(root.__dict__, f)
+            os.replace(tmp, os.path.join(self.meta_dir, f"v{root.version}.json"))
         deleted = 0
         for s in expired:
             for f in s.files:
@@ -250,11 +260,6 @@ class SnapshotTable:
                     os.remove(f)
                     deleted += 1
             os.remove(os.path.join(self.meta_dir, f"v{s.version}.json"))
-        if expired and retained:
-            root = retained[0]
-            root.parent = None
-            with open(os.path.join(self.meta_dir, f"v{root.version}.json"), "w") as f:
-                json.dump(root.__dict__, f)
         return {"expired_snapshots": len(expired), "deleted_files": deleted}
 
     def compact(self, n_files: int = 4, version_suffix: str | None = None) -> Snapshot:
@@ -264,6 +269,8 @@ class SnapshotTable:
         it (downstream consumers see no phantom rows) and `vacuum` later
         reclaims the replaced small files."""
         head = self.current_version()
+        if head is None:
+            raise FileNotFoundError(f"{self.path}: nothing to compact (no snapshot)")
         cid = f"compact-v{head}" + (f"-{version_suffix}" if version_suffix else "")
         return self._commit(self.read().coalesce(n_files), "compact", cid)
 
