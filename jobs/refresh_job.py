@@ -79,7 +79,13 @@ def run(spark, out: str, z_max: int = 3, z_min: int = 0, versions: int = 1,
     from versatiles_rs_spark.operators.raster import build_pyramid, incremental_pyramid_update
     from versatiles_rs_spark.sinks.snapshots import SnapshotTable
 
-    tables = {z: SnapshotTable(spark, f"{out}/z{z}") for z in range(z_min, z_max + 1)}
+    # stat_cols: commits record per-file z/x/y zone maps, so the serving
+    # path (server.serve_snapshot_tiles) plans point lookups over only the
+    # files that can contain the requested tile
+    tables = {
+        z: SnapshotTable(spark, f"{out}/z{z}", stat_cols=["z", "x", "y"])
+        for z in range(z_min, z_max + 1)
+    }
     all_metrics = []
 
     def committer(version: int, op: str):

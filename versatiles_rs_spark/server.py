@@ -66,6 +66,7 @@ class TileHandler(BaseHTTPRequestHandler):
     tile_codec = "none"  # stored compression of self.df's tile payloads
     static: dict[str, bytes] = {}
     sources: dict = {}  # name -> (df, tilejson, codec) for config-driven multi-source
+    snap = None  # SnapshotTable: versioned serving (merge-on-read + ?v= time travel)
     extra_headers: dict[str, str] = {}
     cors_origins: list[str] = []
     cors_max_age: int = 0
@@ -122,6 +123,29 @@ class TileHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         from .sources.containers import get_tile
 
+        # snapshot-table mode: /z/x/y[?v=N] — merge-on-read point lookup,
+        # file set zone-map-pruned per request, ?v= pins a past snapshot
+        if self.snap is not None:
+            path, _, qs = self.path.partition("?")
+            m = _TILE_RE.match(path)
+            if m:
+                z, x, y = map(int, m.groups())
+                version = None
+                vm = re.search(r"(?:^|&)v=(\d+)", qs)
+                if vm:
+                    version = int(vm.group(1))
+                try:
+                    row = get_tile_snapshot(self.snap, z, x, y, version=version)
+                except FileNotFoundError:
+                    self.send_error(404, "no such snapshot version")
+                    return
+                if row is None:
+                    self.send_error(404, "tile not found")
+                    return
+                self._send(bytes(row.bytes), _CTYPE.get(self.tile_fmt, _CTYPE["bin"]),
+                           self.tile_codec)
+                return
+
         # config mode: /tiles/{name}/{z}/{x}/{y} + /tiles/{name}/tiles.json
         m = re.match(r"^/tiles/(\w+)/(\d+)/(\d+)/(\d+)(?:\.\w+)?$", self.path)
         if m and m.group(1) in self.sources:
@@ -150,7 +174,9 @@ class TileHandler(BaseHTTPRequestHandler):
                 self.tile_codec,
             )
             return
-        if self.path in ("/tiles.json", "/tiles/tiles.json") and self.df is not None:
+        if self.path in ("/tiles.json", "/tiles/tiles.json") and (
+            self.df is not None or self.snap is not None
+        ):
             self._send(json.dumps(self.tilejson).encode(), "application/json")
             return
         name = self.path.lstrip("/")
@@ -161,6 +187,54 @@ class TileHandler(BaseHTTPRequestHandler):
             self._send(self.static[name], ctype)
             return
         self.send_error(404)
+
+
+def get_tile_snapshot(table, z: int, x: int, y: int, version: int | None = None):
+    """Point lookup against ONE snapshot: the scan plans only the files
+    whose zone-map can contain (z,x,y) (plan_files prune), and when
+    appended deltas carry a _v column the newest version of the tile wins
+    (merge-on-read at lookup granularity)."""
+    from pyspark.sql import functions as F
+
+    df = table.read(version=version, prune={"z": z, "x": x, "y": y})
+    hit = df.filter((F.col("z") == z) & (F.col("x") == x) & (F.col("y") == y))
+    if "_v" in df.columns:
+        hit = hit.orderBy(F.col("_v").desc())
+    rows = hit.limit(1).collect()
+    return rows[0] if rows else None
+
+
+def serve_snapshot_tiles(
+    spark,
+    table_path: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    tile_fmt: str = "png",
+    tile_codec: str = "none",
+):
+    """Serve a SnapshotTable (e.g. one jobs/refresh_job.py level): current
+    tiles at /z/x/y, any retained past version at /z/x/y?v=N.  The serving
+    loop of the incremental pipeline — refresh commits land atomically and
+    the next request sees them; old versions stay addressable until
+    vacuumed."""
+    from .sinks.snapshots import SnapshotTable
+    from .sources.containers import tilejson_for
+
+    t = SnapshotTable(spark, table_path)
+    handler = type(
+        "SnapshotTileHandler",
+        (TileHandler,),
+        {
+            "snap": t,
+            "tilejson": tilejson_for(t.read()),
+            "tile_fmt": tile_fmt,
+            "tile_codec": tile_codec,
+        },
+    )
+    srv = ThreadingHTTPServer((host, port), handler)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    return srv, f"http://{host}:{srv.server_address[1]}"
 
 
 def serve_tiles(
