@@ -157,3 +157,57 @@ def test_commit_lineage_metrics(spark, tmp_path):
     assert s.summary["added_rows"] == 7 and s.summary["added_bytes"] > 0
     s2 = t.commit_append(_df(spark, 7, 10).coalesce(1), commit_id="b")
     assert s2.summary["added_rows"] == 3
+
+
+def test_model_based_random_op_sequences(spark, tmp_path):
+    """Model-based check: random append/overwrite/compact/vacuum sequences
+    mirrored against a plain-python model; after every op, read() at every
+    retained version and the change feed from every retained version must
+    match the model exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(91)
+    for trial in range(3):
+        t = SnapshotTable(spark, str(tmp_path / f"m{trial}"))
+        model: list[dict] = []  # per version: {"rows": set, "op": str}
+        next_id = 0
+        expired_below = 0
+        for step in range(8):
+            op = rng.choice(["append", "append", "overwrite", "compact", "vacuum"])
+            if op in ("append", "overwrite") or not model:
+                k = int(rng.integers(1, 5))
+                lo, next_id = next_id, next_id + k
+                rows = set(range(lo, next_id))
+                df = _df(spark, lo, next_id).coalesce(1)
+                if op == "overwrite" or not model:
+                    t.commit_overwrite(df, commit_id=f"s{step}")
+                    model.append({"rows": rows, "op": "overwrite", "delta": rows})
+                else:
+                    t.commit_append(df, commit_id=f"s{step}")
+                    model.append(
+                        {"rows": model[-1]["rows"] | rows, "op": "append", "delta": rows}
+                    )
+            elif op == "compact":
+                t.compact(n_files=1)
+                model.append(
+                    {"rows": model[-1]["rows"], "op": "compact", "delta": set()}
+                )
+            else:  # vacuum
+                keep = int(rng.integers(1, 3))
+                t.vacuum(retain_last=keep)
+                expired_below = max(expired_below, len(model) - keep)
+
+            head = len(model) - 1
+            assert t.current_version() == head
+            for v in range(expired_below, head + 1):
+                got = {r.id for r in t.read(version=v).collect()}
+                assert got == model[v]["rows"], (trial, step, v)
+            for v in range(expired_below, head + 1):
+                feed = {r.id for r in t.changes(v).collect()}
+                want = set()
+                for m in model[v + 1 : head + 1]:
+                    if m["op"] == "overwrite":
+                        want = set(m["delta"])
+                    elif m["op"] == "append":
+                        want |= m["delta"]
+                assert feed == want, (trial, step, v)

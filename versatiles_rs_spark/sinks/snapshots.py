@@ -286,6 +286,12 @@ class SnapshotTable:
         v: int | None = to_v
         while v is not None and v > from_version:
             s = self.snapshot(v)
+            if s.operation == "overwrite":
+                # a replace supersedes everything below it: its full file
+                # set is the delta, and older appends must NOT resurface
+                # (model-based test caught the walk-past-overwrite bug)
+                new.extend(s.files)
+                break
             if s.operation != "compact":
                 prior = set(self.snapshot(s.parent).files) if s.parent is not None else set()
                 new.extend(f for f in s.files if f not in prior)
