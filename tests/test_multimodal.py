@@ -91,3 +91,44 @@ def test_video_container_demux_is_stubbed(spark):
     )
     with pytest.raises(Exception, match="video codec"):
         sample_frames(df).collect()
+
+
+def test_image_quality_gates(spark):
+    """Blur score separates sharp from box-blurred, exposure stats flag
+    solid fills, entropy flags synthetic flatness — on real encoded PNGs
+    through the fused decode pass."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.codecs import encode_image
+    from versatiles_rs_spark.multimodal import blur_kernel, image_quality
+
+    rng = np.random.default_rng(7)
+    sharp = (rng.integers(0, 256, (64, 64, 3))).astype(np.uint8)  # white noise: max detail
+    g = sharp.astype(np.float64)
+    k = 5  # heavy box blur
+    blurred = np.cumsum(np.cumsum(g, axis=0), axis=1)
+    pad = np.zeros((64 + 1, 64 + 1, 3))
+    pad[1:, 1:] = blurred
+    box = (pad[k:, k:] - pad[:-k, k:] - pad[k:, :-k] + pad[:-k, :-k]) / (k * k)
+    blurred_img = np.clip(box, 0, 255).astype(np.uint8)
+    solid = np.full((64, 64, 3), 250, dtype=np.uint8)  # near-white fill
+
+    pdf = pd.DataFrame(
+        {
+            "id": [0, 1, 2],
+            "bytes": [
+                encode_image(sharp, "png"),
+                encode_image(blurred_img, "png"),
+                encode_image(solid, "png"),
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf, schema="id long, bytes binary")
+    rows = {r.id: r for r in image_quality(df).collect()}
+    assert rows[0].blur_score > 10 * rows[1].blur_score  # sharp >> blurred
+    assert rows[2].blur_score == 0.0 and rows[2].luma_std == 0.0
+    assert rows[2].luma_mean == 250.0 and rows[2].entropy == 0.0
+    assert rows[0].entropy > 7.0  # white noise: near-8-bit-max entropy
+    # kernel parity with a direct numpy evaluation
+    assert abs(rows[0].blur_score - blur_kernel(sharp.astype(np.float64).mean(axis=2))) < 1e-9
