@@ -65,6 +65,7 @@ HEADLINE = [
     "sessionize",
     "range_join_events",
     "stratified_sample",
+    "mixture_sample",
     "tfidf_topk",
     "geohash_cells",
     "simplify_lines",

@@ -2415,6 +2415,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TARGETS = {"en": 0.5, "de": 0.25, "es": 0.25}  # exact binary fractions
+
+
+@register(
+    "mixture_sample",
+    f"""
+    WITH tgt(domain, share) AS (VALUES
+      {", ".join(f"('{d}', {s:.17e})" for d, s in sorted(_MIX_TARGETS.items()))}),
+    cnt AS (SELECT lang AS domain, count(*) AS n FROM documents GROUP BY 1),
+    j AS (SELECT t.domain, t.share, c.n FROM tgt t JOIN cnt c USING (domain) WHERE c.n > 0),
+    nout AS (SELECT floor(min(n / share)) AS n_out FROM j),
+    thr AS (
+      SELECT domain, CAST(floor(share * n_out / n * 2147483648.0) AS BIGINT) AS th
+      FROM j, nout
+    )
+    SELECT d.doc_id, d.lang FROM documents d JOIN thr ON thr.domain = d.lang
+    WHERE ((doc_id * 2654435761 + 1013904223) % 2147483648) < th
+    """,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-proportion data mixing (functions/mixing.py::mixture_sample)
+    — DoReMi/DCLM-style: acceptance rates derived FROM the data's domain
+    counts so the OUTPUT hits the prescribed mixture (en:de:es = 2:1:1) at
+    the max downsample-only size; the binding domain keeps rate 1.0.  Two
+    passes: one slim count agg + a scan-folded deterministic hash gate (no
+    rand(), no shuffle on the gate).  The oracle recomputes counts, the
+    feasibility floor, per-domain thresholds, and the gate bit-exactly."""
+    from .functions.mixing import mixture_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(docs, "lang", _MIX_TARGETS, key_col="doc_id")
+
+
 @register(
     "tfidf_topk",
     """
