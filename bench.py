@@ -73,6 +73,7 @@ HEADLINE = [
     "pack_chunks",
     "corpus_pipeline",
     "zonal_stats",
+    "poly_metrics",
     "rasterize_tiles",
     "repetition_filter",
     "pii_redact",

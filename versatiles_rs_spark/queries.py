@@ -2415,6 +2415,78 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _poly_metrics_oracle() -> str:
+    import math
+
+    s = f"{math.sqrt(3.0) / 2.0:.17e}"
+    cosk = ["1.0", "0.5", "-0.5", "-1.0", "-0.5", "0.5"]
+    sink = ["0.0", s, s, "0.0", f"-{s}", f"-{s}"]
+    xs = ", ".join(f"cx + r * {c}" for c in cosk)
+    ys = ", ".join(f"cy + r * {c}" for c in sink)
+    cross = (
+        "x[i] * y[(i % 6) + 1] - x[(i % 6) + 1] * y[i]"
+    )
+    return f"""
+    WITH e AS (
+      SELECT event_id, {_EV_LON} AS cx, {_EV_LAT} AS cy,
+             0.01 + (event_id % 7) * 0.001 AS r
+      FROM events WHERE event_id % 17 = 0
+    ),
+    hexes AS (SELECT event_id, [{xs}] AS x, [{ys}] AS y FROM e),
+    m AS (
+      SELECT event_id,
+        list_sum(list_transform(range(1, 7), i -> {cross})) AS a2,
+        list_sum(list_transform(range(1, 7), i ->
+          sqrt(pow(x[(i % 6) + 1] - x[i], 2.0) + pow(y[(i % 6) + 1] - y[i], 2.0)))) AS perim,
+        list_sum(list_transform(range(1, 7), i ->
+          (x[i] + x[(i % 6) + 1]) * ({cross}))) AS sx,
+        list_sum(list_transform(range(1, 7), i ->
+          (y[i] + y[(i % 6) + 1]) * ({cross}))) AS sy
+      FROM hexes
+    )
+    SELECT event_id, round(abs(a2) / 2, 6) AS area, round(perim, 6) AS perimeter,
+           round(sx / (3.0 * a2), 6) AS cx, round(sy / (3.0 * a2), 6) AS cy
+    FROM m
+    """
+
+
+@register("poly_metrics", _poly_metrics_oracle())
+def q_poly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Area / ST_Perimeter / ST_Centroid tier (functions/geometry.py) —
+    shoelace area, edge-length sum, and area-weighted centroid over ring
+    arrays as PURE JVM higher-order expressions (transform/aggregate —
+    whole-stage codegen, no Python worker, plan-gated).  Rings here are
+    deterministic hexagons centered on event-derived lon/lat; the oracle
+    replays vertex generation and all three folds in list_transform SQL."""
+    from .functions.geometry import area_expr, centroid_exprs, perimeter_expr
+
+    import math
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    e = ev.select(
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("cx"),
+        derived_lat_expr(F.col("event_id")).alias("cy"),
+        (F.lit(0.01) + (F.col("event_id") % 7) * F.lit(0.001)).alias("r"),
+    )
+    s = math.sqrt(3.0) / 2.0
+    cosk = [1.0, 0.5, -0.5, -1.0, -0.5, 0.5]
+    sink = [0.0, s, s, 0.0, -s, -s]
+    hexes = e.select(
+        "event_id",
+        F.array(*[F.col("cx") + F.col("r") * F.lit(c) for c in cosk]).alias("x"),
+        F.array(*[F.col("cy") + F.col("r") * F.lit(c) for c in sink]).alias("y"),
+    )
+    cx, cy = centroid_exprs(F.col("x"), F.col("y"))
+    return hexes.select(
+        "event_id",
+        F.round(area_expr(F.col("x"), F.col("y")), 6).alias("area"),
+        F.round(perimeter_expr(F.col("x"), F.col("y")), 6).alias("perimeter"),
+        F.round(cx, 6).alias("cx"),
+        F.round(cy, 6).alias("cy"),
+    )
+
+
 _MIX_TARGETS = {"en": 0.5, "de": 0.25, "es": 0.25}  # exact binary fractions
 
 
