@@ -64,6 +64,7 @@ HEADLINE = [
     "asof_events",
     "sessionize",
     "range_join_events",
+    "fence_crossings",
     "stratified_sample",
     "mixture_sample",
     "tfidf_topk",

@@ -2487,6 +2487,87 @@ def q_poly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fence_vertices() -> list[tuple[int, list[float], list[float]]]:
+    import math
+
+    s = math.sqrt(3.0) / 2.0
+    cosk = [1.0, 0.5, -0.5, -1.0, -0.5, 0.5]
+    sink = [0.0, s, s, 0.0, -s, -s]
+    fences = []
+    for fid, (cx, cy, r) in enumerate([(0.0, 0.0, 30.0), (90.0, 30.0, 20.0)]):
+        fences.append(
+            (fid, [cx + r * c for c in cosk], [cy + r * c for c in sink])
+        )
+    return fences
+
+
+def _fence_crossings_oracle() -> str:
+    edge_rows = []
+    for fid, xs, ys in _fence_vertices():
+        for i in range(6):
+            j = (i + 1) % 6
+            edge_rows.append(
+                f"({fid}, {i + 1}, {xs[i]:.17e}, {ys[i]:.17e}, {xs[j]:.17e}, {ys[j]:.17e})"
+            )
+
+    def orient(ax, ay, bx, by, px, py):
+        return f"(({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax}))"
+
+    d1 = orient("x1", "y1", "x2", "y2", "ex1", "ey1")
+    d2 = orient("x1", "y1", "x2", "y2", "ex2", "ey2")
+    d3 = orient("ex1", "ey1", "ex2", "ey2", "x1", "y1")
+    d4 = orient("ex1", "ey1", "ex2", "ey2", "x2", "y2")
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, {_EV_LON} AS lon, {_EV_LAT} AS lat
+      FROM events WHERE event_id % 5 = 0
+    ),
+    segs AS (
+      SELECT user_id, event_id,
+             lag(lon) OVER (PARTITION BY user_id ORDER BY event_id) AS x1,
+             lag(lat) OVER (PARTITION BY user_id ORDER BY event_id) AS y1,
+             lon AS x2, lat AS y2
+      FROM pts
+    ),
+    edges(fence_id, edge_idx, ex1, ey1, ex2, ey2) AS (VALUES {", ".join(edge_rows)})
+    SELECT s.user_id, s.event_id, e.fence_id, CAST(e.edge_idx AS BIGINT) AS edge_idx
+    FROM segs s, edges e
+    WHERE s.x1 IS NOT NULL
+      AND {d1} * {d2} < 0 AND {d3} * {d4} < 0
+    """
+
+
+@register("fence_crossings", _fence_crossings_oracle())
+def q_fence_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence crossing detection (joins/crossings.py) — the movement
+    sibling of the PIP join: per-user trajectory segments (ONE lag-window
+    shuffle) tested against broadcast fence edges with the classic
+    proper-intersection orientation predicate (four cross products, pure
+    JVM).  Output = only crossing rows.  The oracle replays the lag
+    window, the inlined hexagon edges, and the strict-sign predicate."""
+    from .joins.crossings import fence_crossings, polygon_edges, segments
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    segs = segments(pts, "user_id", "event_id")
+    import pandas as pd
+
+    fences = spark.createDataFrame(
+        pd.DataFrame(_fence_vertices(), columns=["fence_id", "xs", "ys"]),
+        schema="fence_id int, xs array<double>, ys array<double>",
+    )
+    edges = polygon_edges(fences)
+    hits = fence_crossings(segs, edges)
+    return hits.select(
+        "user_id", "event_id", "fence_id", F.col("edge_idx").cast("long").alias("edge_idx")
+    )
+
+
 _MIX_TARGETS = {"en": 0.5, "de": 0.25, "es": 0.25}  # exact binary fractions
 
 
