@@ -211,3 +211,18 @@ def test_model_based_random_op_sequences(spark, tmp_path):
                     elif m["op"] == "append":
                         want |= m["delta"]
                 assert feed == want, (trial, step, v)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appends may add columns; merge_schema=True reads the union (older
+    rows null), the default read keeps the fast single-schema plan."""
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_append(_df(spark, 0, 3).coalesce(1), commit_id="a")
+    t.commit_append(
+        _df(spark, 3, 5).withColumn("lang", F.lit("en")).coalesce(1), commit_id="b"
+    )
+    merged = t.read(merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "lang"}
+    got = {r.id: r.lang for r in merged.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: "en", 4: "en"}
+    assert merged.count() == 5

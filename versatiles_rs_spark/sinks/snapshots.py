@@ -196,7 +196,10 @@ class SnapshotTable:
     # -- read path -----------------------------------------------------------
 
     def read(
-        self, version: int | None = None, prune: dict | None = None
+        self,
+        version: int | None = None,
+        prune: dict | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Scan pinned to one snapshot's explicit file list (time travel);
         no directory listing, so concurrent commits never tear a read.
@@ -204,11 +207,18 @@ class SnapshotTable:
         `prune` maps column -> value or (lo, hi): files whose recorded
         min/max can't overlap are dropped from the plan (zone-map skip).
         Conservative by construction — a file without stats for a pruned
-        column is always kept; callers still apply the real filter."""
+        column is always kept; callers still apply the real filter.
+
+        `merge_schema=True` unions column sets across commits (schema
+        evolution: appends may add columns; older files read them as
+        null) — opt-in because the footer-merge pass costs at plan time."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
         files = self.plan_files(version, prune)
         if not files:  # everything pruned: empty relation, original schema
-            return self.spark.read.parquet(*self.snapshot(version).files).limit(0)
-        return self.spark.read.parquet(*files)
+            return reader.parquet(*self.snapshot(version).files).limit(0)
+        return reader.parquet(*files)
 
     def plan_files(self, version: int | None = None, prune: dict | None = None) -> list[str]:
         snap = self.snapshot(version)
