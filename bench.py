@@ -65,6 +65,7 @@ HEADLINE = [
     "sessionize",
     "range_join_events",
     "fence_crossings",
+    "fence_dwell",
     "stratified_sample",
     "mixture_sample",
     "tfidf_topk",

@@ -74,3 +74,38 @@ def test_poly_metrics_plan_pure_jvm(spark, sf_dir):
     df = REGISTRY["poly_metrics"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan  # scan -> project only
+
+
+def test_point_in_ring_expr_matches_numpy_kernel(spark):
+    """The JVM crossing-number expression agrees with joins/pip.py's
+    vectorized numpy ray-cast on random points, incl. a concave ring."""
+    import numpy as np
+
+    from versatiles_rs_spark.functions.geometry import point_in_ring_expr
+    from versatiles_rs_spark.joins.pip import points_in_polygon
+
+    rng = np.random.default_rng(41)
+    ring = np.array(
+        [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (2.0, 1.5), (0.0, 4.0)]  # concave
+    )
+    px, py = rng.uniform(-1, 5, 300), rng.uniform(-1, 5, 300)
+    # pip.py's kernel takes EXPLICITLY closed rings; the expr closes implicitly
+    want = points_in_polygon(px, py, np.vstack([ring, ring[:1]]))
+    pdf = pd.DataFrame({"i": range(300), "x": px, "y": py})
+    df = spark.createDataFrame(pdf, schema="i long, x double, y double")
+    got = df.select(
+        "i",
+        point_in_ring_expr(
+            F.col("x"), F.col("y"), list(ring[:, 0]), list(ring[:, 1])
+        ).alias("inside"),
+    ).collect()
+    assert all(r.inside == bool(want[r.i]) for r in got)
+
+
+def test_fence_dwell_plan_single_shuffle_no_python(spark, sf_dir):
+    from versatiles_rs_spark.queries import REGISTRY
+
+    df = REGISTRY["fence_dwell"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the per-user window

@@ -57,6 +57,33 @@ def perimeter_expr(xs: Column, ys: Column) -> Column:
     return F.aggregate(edges, F.lit(0.0), lambda a, b: a + b)
 
 
+def point_in_ring_expr(px: Column, py: Column, xs: list[float], ys: list[float]) -> Column:
+    """Crossing-number inside test against a FIXED ring whose vertices are
+    inlined at plan time — fully JVM column algebra (the numpy probe in
+    joins/pip.py is for polygon LAYERS; this is the single-fence hot
+    path).  Half-open edge rule: strictly-above vs not-above, so edge
+    touches resolve deterministically.  Horizontal edges are inert: the
+    `!=` gate is false on both sides, and `false AND x` is false in both
+    Spark (x = ±inf comparison) and DuckDB (x = NULL from /0) — the
+    division's engine-specific 0-denominator value never matters."""
+    n = len(xs)
+    terms = []
+    for i in range(n):
+        j = (i + 1) % n
+        crosses = (F.lit(ys[i]) > py) != (F.lit(ys[j]) > py)
+        xcut = (
+            (F.lit(xs[j]) - F.lit(xs[i]))
+            * (py - F.lit(ys[i]))
+            / (F.lit(ys[j]) - F.lit(ys[i]))
+            + F.lit(xs[i])
+        )
+        terms.append(F.when(crosses & (px < xcut), 1).otherwise(0))
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    return F.pmod(s, F.lit(2)) == 1
+
+
 def centroid_exprs(xs: Column, ys: Column) -> tuple[Column, Column]:
     """Area-weighted polygon centroid (the standard 1/(6A) cross-weighted
     vertex sum); exact for any simple ring, unlike a vertex mean."""

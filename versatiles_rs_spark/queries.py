@@ -2568,6 +2568,94 @@ def q_fence_crossings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fence_dwell_oracle() -> str:
+    _, xs, ys = _fence_vertices()[0]  # hexagon at (0,0) r=30
+    terms = []
+    for i in range(6):
+        j = (i + 1) % 6
+        terms.append(
+            f"(CASE WHEN (({ys[i]:.17e} > lat) != ({ys[j]:.17e} > lat))"
+            f" AND (lon < ({xs[j]:.17e} - {xs[i]:.17e}) * (lat - {ys[i]:.17e})"
+            f" / ({ys[j]:.17e} - {ys[i]:.17e}) + {xs[i]:.17e}) THEN 1 ELSE 0 END)"
+        )
+    inside = f"(({' + '.join(terms)}) % 2 = 1)"
+    return f"""
+    WITH pts AS (
+      SELECT user_id, event_id, {_EV_LON} AS lon, {_EV_LAT} AS lat
+      FROM events WHERE event_id % 3 = 0
+    ),
+    flagged AS (
+      SELECT user_id, event_id, CASE WHEN {inside} THEN 1 ELSE 0 END AS inside
+      FROM pts
+    ),
+    runs AS (
+      SELECT user_id, event_id, inside,
+             CASE WHEN inside = 1 AND coalesce(lag(inside) OVER
+               (PARTITION BY user_id ORDER BY event_id), 0) = 0
+               THEN 1 ELSE 0 END AS entered
+      FROM flagged
+    ),
+    visits AS (
+      SELECT user_id, event_id, inside,
+             sum(entered) OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS UNBOUNDED PRECEDING) AS visit
+      FROM runs
+    )
+    SELECT user_id, CAST(visit AS BIGINT) AS visit,
+           count(*) AS n_points,
+           min(event_id) AS enter_event, max(event_id) AS exit_event
+    FROM visits WHERE inside = 1 GROUP BY user_id, visit
+    """
+
+
+@register("fence_dwell", _fence_dwell_oracle())
+def q_fence_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell sessions inside a geofence — the PIP x sessionize composition:
+    each trajectory point gets a pure-JVM crossing-number inside flag
+    (geometry.point_in_ring_expr, fence vertices inlined at plan time),
+    consecutive inside-runs become visits via one lag + running-sum window,
+    and the output is per-visit stats.  ONE shuffle (the per-user window);
+    no Python anywhere.  The oracle replays the crossing-number arithmetic
+    and both windows."""
+    from pyspark.sql import Window
+
+    from .functions.geometry import point_in_ring_expr
+
+    _, xs, ys = _fence_vertices()[0]
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 3 == 0)
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    flagged = pts.select(
+        "user_id",
+        "event_id",
+        F.when(point_in_ring_expr(F.col("lon"), F.col("lat"), xs, ys), 1)
+        .otherwise(0)
+        .alias("inside"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    entered = F.when(
+        (F.col("inside") == 1) & (F.coalesce(F.lag("inside").over(w), F.lit(0)) == 0),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    visits = flagged.withColumn("entered", entered).withColumn(
+        "visit", F.sum("entered").over(run)
+    )
+    return (
+        visits.filter(F.col("inside") == 1)
+        .groupBy("user_id", "visit")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("event_id").alias("enter_event"),
+            F.max("event_id").alias("exit_event"),
+        )
+    )
+
+
 _MIX_TARGETS = {"en": 0.5, "de": 0.25, "es": 0.25}  # exact binary fractions
 
 
