@@ -70,6 +70,8 @@ def point_in_ring_expr(px: Column, py: Column, xs: list[float], ys: list[float])
     terms = []
     for i in range(n):
         j = (i + 1) % n
+        if ys[i] == ys[j]:
+            continue  # horizontal edge: the crossing gate is identically false
         crosses = (F.lit(ys[i]) > py) != (F.lit(ys[j]) > py)
         xcut = (
             (F.lit(xs[j]) - F.lit(xs[i]))
