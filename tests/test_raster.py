@@ -329,3 +329,62 @@ def test_incremental_pyramid_equals_full_rebuild(spark):
         got = {(r.x, r.y): bytes(r.bytes) for r in merged.collect()}
         want = {(r.x, r.y): bytes(r.bytes) for r in full_v2[z].collect()}
         assert got == want, f"level {z} diverged"
+
+
+def test_hillshade_and_slope_kernels():
+    """gdaldem-parity properties: flat terrain -> uniform cos(zenith)
+    illumination and zero slope; an inclined plane matches the closed-form
+    slope/illumination; flipping the sun 180 degrees darkens a lit slope."""
+    import numpy as np
+
+    from versatiles_rs_spark.operators.raster import hillshade_kernel, slope_kernel
+
+    flat = np.full((16, 16), 100.0)
+    sh = hillshade_kernel(flat, azimuth_deg=315, altitude_deg=45)
+    assert sh.shape == (14, 14)
+    assert (sh == int(np.cos(np.deg2rad(45)) * 255)).all()
+    assert (slope_kernel(flat) == 0).all()
+
+    g = 0.5  # dz/dx
+    y, x = np.mgrid[0:16, 0:16]
+    plane = g * x.astype(np.float64)
+    s = slope_kernel(plane)
+    assert np.allclose(s, np.rad2deg(np.arctan(g)))
+    # closed form for a pure-x gradient: aspect = atan2(0, -g) = pi
+    zen = np.deg2rad(45.0)
+    az = np.deg2rad(360.0 - 315.0 + 90.0)
+    slope = np.arctan(g)
+    want = np.cos(zen) * np.cos(slope) + np.sin(zen) * np.sin(slope) * np.cos(az - np.pi)
+    sh = hillshade_kernel(plane, azimuth_deg=315, altitude_deg=45)
+    assert (sh == int(np.clip(want * 255, 0, 255))).all()
+    # the same slope lit from the opposite azimuth is darker
+    dark = hillshade_kernel(plane, azimuth_deg=135, altitude_deg=45)
+    assert dark.mean() < sh.mean()
+
+
+def test_dem_hillshade_spark(spark):
+    """Encoded DEM tiles -> hillshade tiles through the fused pass: a
+    uniform inclined plane yields one uniform illumination value that
+    matches the kernel run directly on the decoded heights."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.codecs import decode_image, encode_dem, encode_image
+    from versatiles_rs_spark.operators.raster import dem_hillshade, hillshade_kernel
+
+    y, x = np.mgrid[0:32, 0:32]
+    heights = 10.0 + 0.25 * x + 0.25 * y
+    dem_rgb = encode_dem(heights, schema="terrarium")
+    pdf = pd.DataFrame(
+        {"z": [3], "x": [1], "y": [2], "bytes": [encode_image(dem_rgb, "png")],
+         "fmt": ["png"]}
+    )
+    df = spark.createDataFrame(pdf, schema="z int, x long, y long, bytes binary, fmt string")
+    out = dem_hillshade(df, schema="terrarium").collect()
+    assert len(out) == 1 and out[0].fmt == "png"
+    img = decode_image(bytes(out[0].bytes))
+    # terrarium quantizes to 1/256 m — the decoded plane is uniform enough
+    # that every interior pixel shades identically
+    want = hillshade_kernel(heights)
+    assert img.shape[0] == 30 and (img[:, :, 0] == img[:, :, 1]).all()
+    assert np.abs(img[:, :, 0].astype(int) - want.astype(int)).max() <= 1

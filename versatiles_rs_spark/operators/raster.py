@@ -286,6 +286,86 @@ def build_pyramid(
     return levels
 
 
+def hillshade_kernel(
+    heights: np.ndarray,
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    cellsize: float = 1.0,
+    z_factor: float = 1.0,
+) -> np.ndarray:
+    """Horn (1981) hillshade over an elevation grid -> uint8 (H-2, W-2).
+
+    Gradients from the 3x3 Horn stencil; illumination = cos(zenith)cos(slope)
+    + sin(zenith)sin(slope)cos(azimuth - aspect), clamped to [0, 1] and
+    scaled to 255 — the formula GDAL's gdaldem uses.  The 1-pixel border is
+    dropped (no neighbor); tile pipelines render with 1px overlap buffers."""
+    h = heights.astype(np.float64) * z_factor
+    dzdx = (
+        (h[:-2, 2:] + 2 * h[1:-1, 2:] + h[2:, 2:])
+        - (h[:-2, :-2] + 2 * h[1:-1, :-2] + h[2:, :-2])
+    ) / (8.0 * cellsize)
+    dzdy = (
+        (h[2:, :-2] + 2 * h[2:, 1:-1] + h[2:, 2:])
+        - (h[:-2, :-2] + 2 * h[:-2, 1:-1] + h[:-2, 2:])
+    ) / (8.0 * cellsize)
+    slope = np.arctan(np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    az = np.deg2rad(360.0 - azimuth_deg + 90.0)
+    zen = np.deg2rad(90.0 - altitude_deg)
+    shade = np.cos(zen) * np.cos(slope) + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+    return np.clip(shade * 255.0, 0, 255).astype(np.uint8)
+
+
+def slope_kernel(heights: np.ndarray, cellsize: float = 1.0, z_factor: float = 1.0) -> np.ndarray:
+    """Slope in degrees (Horn stencil), (H-2, W-2) float64."""
+    h = heights.astype(np.float64) * z_factor
+    dzdx = (
+        (h[:-2, 2:] + 2 * h[1:-1, 2:] + h[2:, 2:])
+        - (h[:-2, :-2] + 2 * h[1:-1, :-2] + h[2:, :-2])
+    ) / (8.0 * cellsize)
+    dzdy = (
+        (h[2:, :-2] + 2 * h[2:, 1:-1] + h[2:, 2:])
+        - (h[:-2, :-2] + 2 * h[:-2, 1:-1] + h[:-2, 2:])
+    ) / (8.0 * cellsize)
+    return np.rad2deg(np.arctan(np.hypot(dzdx, dzdy)))
+
+
+def dem_hillshade(
+    df: DataFrame,
+    schema: str = "mapbox",
+    azimuth_deg: float = 315.0,
+    altitude_deg: float = 45.0,
+    cellsize: float = 1.0,
+    payload: str = "bytes",
+    out_fmt: str = "png",
+) -> DataFrame:
+    """DEM tile table -> hillshade tile table in ONE fused Arrow pass:
+    decode the RGB-encoded elevations (codecs.decode_dem), shade with the
+    Horn kernel, re-encode grayscale PNG.  gdaldem-hillshade semantics,
+    Spark-shaped: payload crosses Arrow once, no shuffle at all."""
+    from ..codecs import decode_dem, decode_image, encode_image
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload]:
+                rgb = decode_image(bytes(blob))[:, :, :3]
+                heights = decode_dem(rgb, schema=schema)
+                sh = hillshade_kernel(
+                    heights, azimuth_deg=azimuth_deg, altitude_deg=altitude_deg,
+                    cellsize=cellsize,
+                )
+                out.append(encode_image(np.repeat(sh[:, :, None], 3, axis=2), out_fmt))
+            pdf = pdf.copy()
+            pdf[payload] = out
+            pdf["fmt"] = out_fmt
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
 def incremental_pyramid_update(
     levels_old: dict[int, DataFrame],
     changed: DataFrame,
