@@ -280,3 +280,30 @@ def test_reference_gdal_raster_vpl(spark):
     for k, expect in want.items():
         avg = rows[k][:, :, :3].reshape(-1, 3).mean(axis=0)
         assert np.abs(avg - np.array(expect)).max() <= 6
+
+
+def test_vpl_raster_hillshade(spark, tmp_path):
+    """Engine-extension op in the pipeline language: a DEM directory source
+    piped through raster_hillshade yields Horn-shaded tiles matching the
+    kernel run directly."""
+    import numpy as np
+
+    from versatiles_rs_spark.codecs import decode_image, encode_dem, encode_image
+    from versatiles_rs_spark.operators.raster import hillshade_kernel
+    from versatiles_rs_spark.plans.vpl import run_vpl
+
+    y, x = np.mgrid[0:32, 0:32]
+    heights = 5.0 + 0.5 * x
+    d = tmp_path / "dem" / "3" / "1"
+    d.mkdir(parents=True)
+    (d / "2.png").write_bytes(bytes(encode_image(encode_dem(heights, "terrarium"), "png")))
+    df = run_vpl(
+        spark,
+        f'from_container filename="{tmp_path / "dem"}" | '
+        'raster_hillshade dem_schema="terrarium" azimuth="315" altitude="45"',
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    img = decode_image(bytes(rows[0].bytes))
+    want = hillshade_kernel(heights)
+    assert np.abs(img[:, :, 0].astype(int) - want.astype(int)).max() <= 1

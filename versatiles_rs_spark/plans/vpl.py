@@ -390,6 +390,19 @@ def _raster_flatten(df, color="255,255,255", **kw):
     return raster_flatten(df, color=c)
 
 
+@transform("raster_hillshade")
+def _raster_hillshade(df, dem_schema="mapbox", azimuth="315", altitude="45",
+                      cellsize="1.0", **kw):
+    """Engine extension (not in the reference's VPL): DEM tiles -> Horn
+    hillshade tiles in the pipeline language."""
+    from ..operators.raster import dem_hillshade
+
+    return dem_hillshade(
+        df, schema=dem_schema, azimuth_deg=float(azimuth),
+        altitude_deg=float(altitude), cellsize=float(cellsize),
+    )
+
+
 @transform("raster_format")
 def _raster_format(df, format: str = "png", quality="85", **kw):
     from ..operators.raster import raster_format
