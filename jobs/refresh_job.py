@@ -59,16 +59,7 @@ def make_base(spark, z_max: int, content_version: int, refresh_mod: int, tile_si
 
 def read_latest(table):
     """Merge-on-read over appended deltas: newest _v wins per tile key."""
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    df = table.read()
-    w = Window.partitionBy("z", "x", "y").orderBy(F.col("_v").desc())
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk", "_v")
-    )
+    return table.read_merged(["z", "x", "y"])
 
 
 def run(spark, out: str, z_max: int = 3, z_min: int = 0, versions: int = 1,

@@ -94,3 +94,30 @@ def test_convert_versatiles_roundtrip(spark, tmp_path):
     a = {(r.z, r.x, r.y): bytes(r.bytes) for r in read_versatiles(spark, vt).collect()}
     b = {(r.z, r.x, r.y): bytes(r.bytes) for r in spark.read.parquet(pq).select("z","x","y","bytes").collect()}
     assert a == b
+
+
+@pytest.mark.slow
+def test_convert_snapshot_table_to_pmtiles(spark, tmp_path):
+    """A refresh-pipeline snapshot level converts straight to a container:
+    the CLI reads the merged (newest-_v) view, so the published archive
+    reflects the refresh, not the stale base tile."""
+    import pandas as pd
+
+    from versatiles_rs_spark.sinks.snapshots import SnapshotTable
+    from versatiles_rs_spark.sources.pmtiles import read_pmtiles
+
+    def tiles(rows, v):
+        pdf = pd.DataFrame(rows, columns=["z", "x", "y", "bytes", "fmt"])
+        return spark.createDataFrame(
+            pdf, schema="z int, x long, y long, bytes binary, fmt string"
+        ).withColumn("_v", F.lit(v))
+
+    t = SnapshotTable(spark, str(tmp_path / "t"))
+    t.commit_overwrite(
+        tiles([(2, 1, 1, b"old", "png"), (2, 2, 2, b"keep", "png")], 0), commit_id="base"
+    )
+    t.commit_append(tiles([(2, 1, 1, b"NEW", "png")], 1), commit_id="r1")
+    dst = str(tmp_path / "out.pmtiles")
+    run_convert(str(tmp_path / "t"), dst)
+    got = {(r.z, r.x, r.y): bytes(r.bytes) for r in read_pmtiles(spark, dst).collect()}
+    assert got == {(2, 1, 1): b"NEW", (2, 2, 2): b"keep"}

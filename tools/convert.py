@@ -82,6 +82,12 @@ def main(argv=None):
         from versatiles_rs_spark.sources.tar import read_tar
 
         df = read_tar(spark, args.src)
+    elif os.path.exists(os.path.join(args.src, "meta", "HEAD")):
+        # snapshot table (e.g. a refresh_job level): publish the CURRENT
+        # merged view — newest _v wins per tile
+        from versatiles_rs_spark.sinks.snapshots import SnapshotTable
+
+        df = SnapshotTable(spark, args.src).read_merged(["z", "x", "y"])
     elif os.path.isdir(args.src) and not any(
         name.endswith(".parquet") for name in os.listdir(args.src)
     ):

@@ -242,6 +242,28 @@ class SnapshotTable:
                 out.append(f)
         return out
 
+    def read_merged(
+        self,
+        key_cols: list[str],
+        version_col: str = "_v",
+        version: int | None = None,
+    ) -> DataFrame:
+        """Merge-on-read view over appended upsert deltas: newest
+        `version_col` wins per key; the version column is dropped.  The
+        read shape behind the refresh pipeline and the versioned server."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = self.read(version)
+        if version_col not in df.columns:
+            return df
+        w = Window.partitionBy(*key_cols).orderBy(F.col(version_col).desc())
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk", version_col)
+        )
+
     def vacuum(self, retain_last: int = 2) -> dict:
         """Expire all but the newest `retain_last` snapshots and delete
         data files none of them references.  The oldest retained snapshot
