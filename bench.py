@@ -72,6 +72,7 @@ HEADLINE = [
     "geohash_cells",
     "simplify_lines",
     "decontaminate",
+    "bloom_decontam",
     "pack_chunks",
     "corpus_pipeline",
     "zonal_stats",

@@ -2824,6 +2824,99 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_decontam",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DECON_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id,
+        CASE WHEN len(tk) >= 3 THEN
+          list_distinct(list_transform(range(1, len(tk) - 1),
+            i -> array_to_string(list_slice(tk, i, i + 2), ' ')))
+        ELSE [] END AS gs
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE doc_id % 17 = 0
+    ), mm AS (
+      SELECT greatest(1, (10 * count(*) + 31) // 32) * 32 AS m_bits FROM bench
+    ), bh AS (
+      SELECT gram,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          (acc, c) -> (acc * 1009 + c) % 2147483648) AS h1,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          (acc, c) -> (acc * 2003 + c) % 2147483648) AS h2
+      FROM (SELECT gram, list_transform(range(1, length(gram) + 1),
+              i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT)) AS codes
+            FROM bench)
+    ), bpos AS (
+      SELECT DISTINCT (h1 + i * (2 * h2 + 1)) % m_bits AS pos
+      FROM bh, mm, range(0, 5) t(i)
+    ), words AS (
+      SELECT pos // 32 AS w,
+             bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS wb
+      FROM bpos GROUP BY 1
+    ), train AS (
+      SELECT doc_id, gs FROM grams WHERE doc_id % 17 <> 0
+    ), flat AS (
+      SELECT doc_id, unnest(gs) AS gram FROM train
+    ), th AS (
+      SELECT doc_id, gram,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          (acc, c) -> (acc * 1009 + c) % 2147483648) AS h1,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          (acc, c) -> (acc * 2003 + c) % 2147483648) AS h2
+      FROM (SELECT doc_id, gram, list_transform(range(1, length(gram) + 1),
+              i -> CAST(ascii(substr(gram, i, 1)) AS BIGINT)) AS codes
+            FROM flat)
+    ), tpos AS (
+      SELECT doc_id, gram, (h1 + i * (2 * h2 + 1)) % m_bits AS pos
+      FROM th, mm, range(0, 5) t(i)
+    ), probe AS (
+      SELECT t.doc_id, t.gram,
+        count(*) FILTER (WHERE
+          ((coalesce(w2.wb, 0) >> CAST(t.pos % 32 AS INTEGER)) & 1) = 1) AS nset
+      FROM tpos t LEFT JOIN words w2 ON t.pos // 32 = w2.w
+      GROUP BY 1, 2
+    ), bl AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom
+      FROM probe WHERE nset = 5 GROUP BY 1
+    ), ex AS (
+      SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM flat f JOIN bench b USING (gram) GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(len(t.gs) AS BIGINT) AS n_grams,
+           coalesce(bl.n_bloom, 0) AS n_bloom,
+           coalesce(ex.n_exact, 0) AS n_exact
+    FROM train t
+    LEFT JOIN bl USING (doc_id)
+    LEFT JOIN ex USING (doc_id)
+    """,
+)
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (functions/bloom.py): the same
+    word-3-gram contamination check as `decontaminate`, but the benchmark
+    gram set is compiled into a 10-bits/key Bloom bitmap (two 31-bit
+    polynomial folds + Kirsch-Mitzenmacher double hashing, 32-bit words in
+    one array<long> row) and every training gram probes the broadcast
+    bitmap in pure JVM column algebra before the exact verify join. Per
+    doc: total grams, bloom-surviving grams, exact benchmark hits —
+    n_bloom - n_exact is the filter's deterministic false-positive count,
+    reported per row (no-silent-caps rule). At a benchmark scale where the
+    raw gram strings stop broadcasting (~100M grams), the bitmap still
+    fits (~10 bits/key) and the exact join shrinks to the FP-thin
+    survivor stream. The oracle replays every bit: folds, positions, word
+    or-fold, probe, and both counts."""
+    from .functions.bloom import bloom_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    return bloom_contamination(
+        train, bench, text_col="text", id_col="doc_id", n=3, k=5, bits_per_key=10
+    )
+
+
+@register(
     "pack_chunks",
     """
     WITH d AS (
