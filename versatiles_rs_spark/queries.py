@@ -2824,6 +2824,86 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dbscan_events",
+    f"""
+    WITH RECURSIVE pts AS (
+      SELECT event_id AS id, {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+    ), cells AS (
+      SELECT id, lon, lat,
+             CAST(floor(lon / 6.00000000000000000e+00) AS BIGINT) AS cx,
+             CAST(floor(lat / 6.00000000000000000e+00) AS BIGINT) AS cy
+      FROM pts
+    ), pairs AS (
+      SELECT a.id AS ia, b.id AS ib
+      FROM cells a JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat)
+         <= 6.00000000000000000e+00 * 6.00000000000000000e+00
+    ), cnt AS (
+      SELECT ia AS id, count(*) AS n FROM pairs GROUP BY 1
+    ), mp AS (
+      SELECT CAST(floor(avg(CAST(n AS DOUBLE))) AS BIGINT) + 1 AS v FROM cnt
+    ), cores AS (
+      SELECT id FROM cnt WHERE n >= (SELECT v FROM mp)
+    ), eedges AS (
+      SELECT ia AS u, ib AS v FROM pairs
+      WHERE ia <> ib
+        AND ia IN (SELECT id FROM cores) AND ib IN (SELECT id FROM cores)
+    ), walk(v, l) AS (
+      SELECT u, u FROM eedges
+      UNION
+      SELECT e.v, w.l FROM walk w JOIN eedges e ON e.u = w.v
+    ), comp AS (
+      SELECT v AS id, min(l) AS cluster FROM walk GROUP BY v
+    ), corec AS (
+      SELECT c.id, coalesce(k.cluster, c.id) AS cluster
+      FROM cores c LEFT JOIN comp k USING (id)
+    ), border AS (
+      SELECT p.ia AS id, min(cc.cluster) AS cluster
+      FROM pairs p JOIN corec cc ON p.ib = cc.id
+      WHERE p.ia <> p.ib AND p.ia NOT IN (SELECT id FROM cores)
+      GROUP BY 1
+    )
+    SELECT id AS event_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(2 AS INTEGER) AS role FROM corec
+    UNION ALL
+    SELECT id, CAST(cluster AS BIGINT), 1 FROM border
+    UNION ALL
+    SELECT id, CAST(-1 AS BIGINT), 0 FROM pts
+    WHERE id NOT IN (SELECT id FROM corec)
+      AND id NOT IN (SELECT id FROM border)
+    """,
+)
+def q_dbscan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell DBSCAN (joins/dbscan.py) over the derived event point
+    layer: eps = 6 degrees, min_pts self-tuned to floor(mean |N_eps|) + 1
+    (above-average-density cores — the k-dist-knee heuristic in its
+    cheapest deterministic form, so the query exercises all three roles at
+    every SF instead of saturating). One row per event: cluster = min core
+    event_id of its density-connected component (-1 noise), role 2/1/0 =
+    core/border/noise; border points take the minimum neighbor cluster
+    (the deterministic stand-in for sequential DBSCAN's order-dependent
+    border assignment). Grid-pruned neighbor join (9 candidate cells per
+    point, long keys only in every Exchange), large-star/small-star
+    connected components. Oracle: full replay — BETWEEN cell-adjacency
+    join, identical avg/floor threshold, recursive-CTE min-label
+    reachability."""
+    from .joins.dbscan import grid_dbscan
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return grid_dbscan(
+        ev, id_col="event_id", lon_col="lon", lat_col="lat", eps=6.0, min_pts=None
+    ).select(F.col("id").alias("event_id"), "cluster", "role")
+
+
+@register(
     "bloom_decontam",
     f"""
     WITH toks AS (
