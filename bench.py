@@ -76,6 +76,7 @@ HEADLINE = [
     "pack_chunks",
     "corpus_pipeline",
     "zonal_stats",
+    "hotspots_gi",
     "poly_metrics",
     "rasterize_tiles",
     "repetition_filter",

@@ -1,0 +1,120 @@
+"""Getis-Ord Gi* hotspot detection over the web-mercator tile grid.
+
+The classic local spatial-autocorrelation statistic (Getis & Ord 1992;
+Ord & Getis 1995) that GIS suites ship as "hotspot analysis": for each
+cell i with binary weights over its 3x3 tile neighborhood,
+
+    Gi* = (S_i - xbar * W_i) / (S * sqrt((n*W_i - W_i^2) / (n - 1)))
+
+where S_i = sum of neighbor-cell values (self included), W_i = number of
+in-bounds neighbor cells (8 interior, fewer at the grid edge — no
+antimeridian wrap, matching the engine's tile algebra), n = total cells
+in the study area (the full 2^z x 2^z zoom grid; empty cells are zeros),
+xbar and S the global mean / population std-dev. |Gi*| > ~2 flags a
+statistically dense (hot) or sparse (cold) neighborhood.
+
+Determinism / cross-engine contract: cell VALUES here are event COUNTS,
+so every aggregate the statistic needs (totals, sum of squares, neighbor
+sums, W_i) is exact 64-bit integer arithmetic — no float ever enters a
+shuffle, and the final Gi* is one fixed expression over exact integers
+(identical IEEE evaluation in Spark and DuckDB), rounded to 6 places for
+the hash gate. This is the same trick as tfidf_topk's rational idf: keep
+the distributed part integer-exact, spend floats only in a deterministic
+scalar epilogue.
+
+100 TB shape: one slim (cell, count) aggregation over the point table;
+contributions explode x<=9 on the AGGREGATED cell relation (bounded by
+occupied cells, not points); global stats ride a broadcast one-row cross
+join. Skewed hot cells are exactly what the statistic is for — they are
+single rows after the first aggregation, so no skew mitigation is needed
+past it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..udfs import tile_x_expr, tile_y_expr
+
+
+def getis_ord_hotspots(
+    points: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zoom: int = 6,
+) -> DataFrame:
+    """(x, y, cnt, nbr_sum, wi, gi) for every OCCUPIED cell at `zoom`
+    (empty cells enter the statistic as zeros but emit no row). gi is
+    rounded to 6 places; sort by gi desc for the hot list."""
+    dim = 1 << zoom
+    n_cells = dim * dim
+
+    cells = (
+        points.select(
+            tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("x"),
+            tile_y_expr(F.col(lat_col), F.lit(zoom)).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+
+    # exact global stats of the full zoom grid (empties are zeros):
+    # sum x_j = total points, sum x_j^2 = sum over occupied cells
+    stats = cells.agg(
+        F.sum("cnt").alias("tot"), F.sum(F.col("cnt") * F.col("cnt")).alias("tot2")
+    )
+
+    # neighbor contributions: each occupied cell donates its count to the
+    # <=9 in-bounds cells of its 3x3 block, aggregated on the target cell;
+    # only occupied targets are kept (inner join) — their neighbor sums
+    # are complete because empty cells donate nothing
+    contrib = (
+        cells.select(
+            "cnt",
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.struct(
+                                (F.col("x") + F.lit(dx)).alias("tx"),
+                                (F.col("y") + F.lit(dy)).alias("ty"),
+                            )
+                            for dx in (-1, 0, 1)
+                            for dy in (-1, 0, 1)
+                        ]
+                    ),
+                    lambda c: (c["tx"] >= 0)
+                    & (c["tx"] < dim)
+                    & (c["ty"] >= 0)
+                    & (c["ty"] < dim),
+                )
+            ).alias("t"),
+        )
+        .groupBy(F.col("t.tx").alias("x"), F.col("t.ty").alias("y"))
+        .agg(F.sum("cnt").alias("nbr_sum"))
+    )
+
+    # W_i from grid position alone (3 - clamp per axis, multiplied)
+    wx = F.lit(3) - (F.col("x") == 0).cast("int") - (F.col("x") == dim - 1).cast("int")
+    wy = F.lit(3) - (F.col("y") == 0).cast("int") - (F.col("y") == dim - 1).cast("int")
+
+    out = (
+        cells.join(contrib, on=["x", "y"])
+        .withColumn("wi", (wx * wy).cast("long"))
+        .crossJoin(F.broadcast(stats))
+    )
+    n = F.lit(float(n_cells))
+    xbar = F.col("tot") / n
+    s2 = F.col("tot2") / n - xbar * xbar
+    denom = F.sqrt(s2) * F.sqrt(
+        (n * F.col("wi") - F.col("wi") * F.col("wi")) / (n - F.lit(1.0))
+    )
+    gi = (F.col("nbr_sum") - xbar * F.col("wi")) / denom
+    # a zero-variance field (every cell identical) has no hotspots and an
+    # undefined z-score — define Gi* = 0 there instead of dividing by zero
+    gi = F.when(s2 > F.lit(0.0), gi).otherwise(F.lit(0.0))
+    return out.select(
+        "x", "y", "cnt", "nbr_sum", "wi", F.round(gi, 6).alias("gi")
+    )

@@ -2824,6 +2824,78 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hotspots_gi",
+    f"""
+    WITH pts AS (
+      SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+    ), cells AS (
+      SELECT {tile_xy_sql('lon', 'lat', 6)[0]} AS x,
+             {tile_xy_sql('lon', 'lat', 6)[1]} AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2
+    ), stats AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(sum(cnt * cnt) AS BIGINT) AS tot2
+      FROM cells
+    ), contrib AS (
+      SELECT c.x + dx.v AS x, c.y + dy.v AS y,
+             CAST(sum(c.cnt) AS BIGINT) AS nbr_sum
+      FROM cells c,
+           (VALUES (-1), (0), (1)) dx(v),
+           (VALUES (-1), (0), (1)) dy(v)
+      WHERE c.x + dx.v BETWEEN 0 AND 63 AND c.y + dy.v BETWEEN 0 AND 63
+      GROUP BY 1, 2
+    )
+    SELECT c.x, c.y, c.cnt, k.nbr_sum,
+           CAST((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
+                   - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
+              * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
+                   - CASE WHEN c.y = 63 THEN 1 ELSE 0 END) AS BIGINT) AS wi,
+           round(
+             CASE WHEN s.tot2 / 4096.0 - (s.tot / 4096.0) * (s.tot / 4096.0) <= 0.0
+             THEN 0.0 ELSE
+             (k.nbr_sum - (s.tot / 4096.0) * ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
+                   - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
+              * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
+                   - CASE WHEN c.y = 63 THEN 1 ELSE 0 END)))
+             / (sqrt(s.tot2 / 4096.0 - (s.tot / 4096.0) * (s.tot / 4096.0))
+                * sqrt((4096.0 * ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
+                     - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
+                 * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
+                     - CASE WHEN c.y = 63 THEN 1 ELSE 0 END))
+                 - ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
+                     - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
+                 * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
+                     - CASE WHEN c.y = 63 THEN 1 ELSE 0 END))
+                 * ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
+                     - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
+                 * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
+                     - CASE WHEN c.y = 63 THEN 1 ELSE 0 END)))
+                 / (4096.0 - 1.0))) END, 6) AS gi
+    FROM cells c
+    JOIN contrib k USING (x, y)
+    CROSS JOIN stats s
+    """,
+)
+def q_hotspots_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Getis-Ord Gi* hotspot analysis (functions/hotspots.py) of the
+    derived event points on the zoom-6 tile grid: per occupied cell, the
+    3x3-neighborhood count sum and its Gi* z-score against the full
+    64x64 study grid. Every distributed aggregate is exact 64-bit integer
+    arithmetic (counts, neighbor sums, sums of squares); the float
+    statistic is one deterministic scalar epilogue rounded to 6 places.
+    Oracle: identical integer CTEs + the same IEEE expression inlined."""
+    from .functions.hotspots import getis_ord_hotspots
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return getis_ord_hotspots(ev, lon_col="lon", lat_col="lat", zoom=6)
+
+
+@register(
     "dbscan_events",
     f"""
     WITH RECURSIVE pts AS (
