@@ -77,6 +77,7 @@ HEADLINE = [
     "corpus_pipeline",
     "zonal_stats",
     "hotspots_gi",
+    "emerging_hotspots",
     "poly_metrics",
     "rasterize_tiles",
     "repetition_filter",

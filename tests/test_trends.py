@@ -1,0 +1,111 @@
+"""Mann-Kendall emerging-hotspot trends (functions/trends.py): python
+reference parity, planted trend directions, tie handling, plan gates."""
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.trends import mann_kendall_cells
+
+EPOCH = datetime.datetime(2024, 1, 1)
+
+
+def _mk_reference(counts):
+    """Tie-corrected Mann-Kendall (S, z) of one count series."""
+    t = len(counts)
+    s = sum(
+        (counts[j] > counts[i]) - (counts[j] < counts[i])
+        for i in range(t)
+        for j in range(i + 1, t)
+    )
+    ties = sum(
+        m * (m - 1) * (2 * m + 5) for m in (counts.count(v) for v in set(counts))
+    )
+    var = (t * (t - 1) * (2 * t + 5) - ties) / 18.0
+    if var <= 0:
+        return s, 0.0
+    if s > 0:
+        z = (s - 1.0) / math.sqrt(var)
+    elif s < 0:
+        z = (s + 1.0) / math.sqrt(var)
+    else:
+        z = 0.0
+    return s, round(z, 6)
+
+
+def _df_from_series(spark, series_by_loc, n_bins=8):
+    """One point per count unit; bin b maps to day b (span = n_bins days)."""
+    rows = []
+    for (lon, lat), counts in series_by_loc.items():
+        for b, c in enumerate(counts):
+            for k in range(c):
+                ts = EPOCH + datetime.timedelta(days=b, seconds=k + 1)
+                rows.append((float(lon), float(lat), ts))
+    # pin the extent so bin b == day b exactly
+    rows.append((170.0, -80.0, EPOCH))
+    rows.append((170.0, -80.0, EPOCH + datetime.timedelta(days=n_bins) - datetime.timedelta(seconds=1)))
+    return spark.createDataFrame(rows, "lon double, lat double, ts timestamp_ntz")
+
+
+SERIES = {
+    (10.0, 10.0): [0, 1, 2, 3, 4, 5, 6, 7],      # strictly rising
+    (-50.0, 20.0): [9, 8, 7, 5, 4, 3, 2, 1],     # strictly falling
+    (60.0, -30.0): [3, 3, 3, 3, 3, 3, 3, 3],     # all ties -> z = 0
+    (-120.0, 45.0): [2, 5, 1, 7, 2, 5, 1, 6],    # mixed with ties
+}
+
+
+def test_reference_parity_and_direction(spark):
+    df = _df_from_series(spark, SERIES)
+    got = {
+        (r["x"], r["y"]): (r["total"], r["s"], r["z"])
+        for r in mann_kendall_cells(df, zoom=6, n_bins=8).collect()
+    }
+    for (lon, lat), counts in SERIES.items():
+        # locate the cell for this lon/lat via the engine's own tile math
+        cell = (
+            df.sparkSession.range(1)
+            .select(
+                F.expr(
+                    f"cast(floor(64 * ({lon} / 360.0 + 0.5)) as bigint)"
+                ).alias("x"),
+            )
+            .collect()[0]
+        )
+        matches = [
+            v
+            for k, v in got.items()
+            if v[0] == sum(counts) and (v[1], v[2]) == _mk_reference(counts)
+        ]
+        assert matches, (lon, lat, counts, _mk_reference(counts))
+    rising = _mk_reference(SERIES[(10.0, 10.0)])
+    falling = _mk_reference(SERIES[(-50.0, 20.0)])
+    flat = _mk_reference(SERIES[(60.0, -30.0)])
+    assert rising[1] > 2.0 and falling[1] < -2.0 and flat == (0, 0.0)
+
+
+def test_empty_bins_are_zeros(spark):
+    # a cell active only in the last two bins: series [0]*6 + [4, 9]
+    df = _df_from_series(spark, {(0.5, 0.5): [0, 0, 0, 0, 0, 0, 4, 9]})
+    rows = [
+        r
+        for r in mann_kendall_cells(df, zoom=6, n_bins=8).collect()
+        if r["total"] == 13
+    ]
+    assert len(rows) == 1
+    s, z = _mk_reference([0, 0, 0, 0, 0, 0, 4, 9])
+    assert rows[0]["s"] == s and rows[0]["z"] == z and z > 0
+
+
+def test_plan_gates(spark):
+    df = _df_from_series(spark, {(1.0, 1.0): [1, 0, 2, 0, 3, 0, 4, 0]})
+    plan = (
+        mann_kendall_cells(df, zoom=4, n_bins=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the series fold happens per cell — the 8-bin vector never explodes
+    assert plan.count("Generate") <= 1  # only the single_eval barrier

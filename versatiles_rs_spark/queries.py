@@ -2823,6 +2823,78 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, bench, text_col="text", id_col="doc_id", n=3)
 
 
+def _mk_trend_sql(zoom: int = 6, n_bins: int = 8) -> str:
+    """Oracle for emerging_hotspots: exact integer bin/count/S/tie CTEs +
+    the identical z expression (queries/functions/trends.py contract)."""
+    s_terms = " + ".join(
+        f"(CASE WHEN cs[{j + 1}] > cs[{i + 1}] THEN 1 WHEN cs[{j + 1}] < cs[{i + 1}] THEN -1 ELSE 0 END)"
+        for i in range(n_bins)
+        for j in range(i + 1, n_bins)
+    )
+    t = n_bins
+    const = t * (t - 1) * (2 * t + 5)
+    return f"""
+    WITH pts AS (
+      SELECT {tile_xy_sql(_EV_LON, _EV_LAT, zoom)[0]} AS x,
+             {tile_xy_sql(_EV_LON, _EV_LAT, zoom)[1]} AS y,
+             epoch_us(ts) AS us
+      FROM events
+    ), ext AS (
+      SELECT min(us) AS t0, max(us) - min(us) + 1 AS span FROM pts
+    ), binned AS (
+      SELECT x, y, CAST((us - e.t0) * {n_bins} // e.span AS INTEGER) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts, ext e GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT DISTINCT x, y FROM binned
+    ), dense AS (
+      SELECT g.x, g.y, b.v AS bin, coalesce(n.cnt, CAST(0 AS BIGINT)) AS cnt
+      FROM grid g
+      CROSS JOIN (SELECT CAST(unnest(range(0, {n_bins})) AS INTEGER) AS v) b
+      LEFT JOIN binned n ON n.x = g.x AND n.y = g.y AND n.bin = b.v
+    ), series AS (
+      SELECT x, y, list(cnt ORDER BY bin) AS cs,
+             CAST(sum(cnt) AS BIGINT) AS total
+      FROM dense GROUP BY 1, 2
+    ), scored AS (
+      SELECT x, y, total,
+             CAST({s_terms} AS BIGINT) AS s,
+             (CAST({const} AS BIGINT) - list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_distinct(cs),
+                    v -> CAST(len(list_filter(cs, x2 -> x2 = v)) AS BIGINT))),
+                (a, m) -> a + m * (m - 1) * (2 * m + 5))) / 18.0 AS v
+      FROM series
+    )
+    SELECT x, y, total, s,
+           round(CASE WHEN v <= 0.0 THEN 0.0
+                      WHEN s > 0 THEN (s - 1.0) / sqrt(v)
+                      WHEN s < 0 THEN (s + 1.0) / sqrt(v)
+                      ELSE 0.0 END, 6) AS z
+    FROM scored
+    """
+
+
+@register("emerging_hotspots", _mk_trend_sql())
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging-hotspot trend scan (functions/trends.py): Mann-Kendall
+    monotonic-trend z-score of each zoom-6 cell's 8-bin activity series
+    over the event stream's time extent (tie-corrected variance; empty
+    bins are real zeros). Bin assignment, counts, S and the tie term are
+    exact int64 end to end; z is one deterministic float expression
+    rounded to 6 places. One slim (cell,bin,count) shuffle + one per-cell
+    fold — the series never explodes and the points are read once."""
+    from .functions.trends import mann_kendall_cells
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+        F.col("ts"),
+    )
+    return mann_kendall_cells(ev, zoom=6, n_bins=8)
+
+
 @register(
     "hotspots_gi",
     f"""
