@@ -78,6 +78,7 @@ HEADLINE = [
     "zonal_stats",
     "hotspots_gi",
     "emerging_hotspots",
+    "emerging_gi",
     "poly_metrics",
     "rasterize_tiles",
     "repetition_filter",

@@ -15,7 +15,7 @@ def _mk_reference(counts):
     """Tie-corrected Mann-Kendall (S, z) of one count series."""
     t = len(counts)
     s = sum(
-        (counts[j] > counts[i]) - (counts[j] < counts[i])
+        int(counts[j] > counts[i]) - int(counts[j] < counts[i])
         for i in range(t)
         for j in range(i + 1, t)
     )
@@ -109,3 +109,65 @@ def test_plan_gates(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # the series fold happens per cell — the 8-bin vector never explodes
     assert plan.count("Generate") <= 1  # only the single_eval barrier
+
+
+def test_emerging_gi_reference_parity(spark):
+    """Composition check: per-bin Gi* surfaces + MK on the Gi* series vs a
+    dense numpy replay, with a planted intensifying hotspot."""
+    import numpy as np
+
+    from versatiles_rs_spark.functions.trends import emerging_gi_cells
+
+    zoom, n_bins, dim = 4, 8, 16
+    rng = np.random.RandomState(3)
+    series_by_loc = {}
+    # background cells with flat-ish noise
+    for k in range(12):
+        lon, lat = float(rng.uniform(-160, 160)), float(rng.uniform(-70, 70))
+        series_by_loc[(lon, lat)] = list(rng.randint(0, 3, n_bins))
+    # a hotspot that ramps up hard
+    series_by_loc[(40.0, 40.0)] = [0, 0, 1, 2, 4, 8, 16, 32]
+    df = _df_from_series(spark, series_by_loc, n_bins=n_bins)
+    got = {
+        (r["x"], r["y"]): (r["total"], r["gi_last"], r["mk_s"], r["mk_z"])
+        for r in emerging_gi_cells(df, zoom=zoom, n_bins=n_bins).collect()
+    }
+
+    # numpy replay over the dense cube (pins counts AND the float pipeline)
+    pdf = df.toPandas()
+    xs = np.clip(np.floor(dim * (pdf["lon"] / 360.0 + 0.5)), 0, dim - 1).astype(int)
+    lat = pdf["lat"].to_numpy()
+    yf = dim * (0.5 - 0.5 * np.log(np.tan(lat * np.pi / 360.0 + np.pi / 4.0)) / np.pi)
+    ys = np.clip(np.floor(yf), 0, dim - 1).astype(int)
+    us = pdf["ts"].astype("int64").to_numpy() // 1000
+    us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+    t0, span = us.min(), us.max() - us.min() + 1
+    bins = (us - t0) * n_bins // span
+    cube = np.zeros((dim, dim, n_bins), dtype=np.int64)
+    np.add.at(cube, (xs, ys, bins), 1)
+    n = float(dim * dim)
+    for (x, y), (total, gi_last, mk_s, mk_z) in got.items():
+        assert total == int(cube[x, y].sum())
+        gis = []
+        for b in range(n_bins):
+            g = cube[:, :, b]
+            tot, tot2 = g.sum(), (g.astype(float) ** 2).sum()
+            xbar, s2 = tot / n, (g.astype(float) ** 2).sum() / n - (tot / n) ** 2
+            x0, x1 = max(0, x - 1), min(dim - 1, x + 1)
+            y0, y1 = max(0, y - 1), min(dim - 1, y + 1)
+            wi = (x1 - x0 + 1) * (y1 - y0 + 1)
+            nbr = g[x0 : x1 + 1, y0 : y1 + 1].sum()
+            if s2 <= 0:
+                gis.append(0.0)
+            else:
+                gis.append(
+                    (nbr - xbar * wi)
+                    / (math.sqrt(s2) * math.sqrt((n * wi - wi * wi) / (n - 1.0)))
+                )
+        s_ref, z_ref = _mk_reference(gis)
+        assert mk_s == s_ref, (x, y)
+        assert abs(mk_z - z_ref) <= 1e-6, (x, y)
+        assert abs(gi_last - round(gis[-1], 6)) <= 1e-6
+    # the planted ramp is flagged as a strongly emerging hotspot
+    ramp = [v for v in got.values() if v[0] == 63]
+    assert ramp and ramp[0][3] > 2.5

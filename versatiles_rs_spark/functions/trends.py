@@ -76,6 +76,16 @@ def mann_kendall_cells(
         lambda b: F.coalesce(F.element_at("mp", b), F.lit(0).cast("long")),
     )
     series = series.withColumn("cs", single_eval(cs)).drop("mp")
+    out = _mk_scored(series, n_bins)
+    return out.select("x", "y", "total", "s", F.round(F.col("_z"), 6).alias("z"))
+
+
+def _mk_scored(series: DataFrame, n_bins: int) -> DataFrame:
+    """Append `s` (Mann-Kendall S, int64) and `_z` (unrounded tie-corrected
+    score) to a frame carrying a `cs` array column of n_bins values. Works
+    for integer and float series alike: S is sign comparisons either way,
+    and the tie fold counts exact value equality (float series here are
+    bit-identical deterministic expressions, so ties are well-defined)."""
 
     def el(i: int):
         return F.element_at("cs", i + 1)
@@ -101,4 +111,129 @@ def mann_kendall_cells(
         .when(F.col("s") < 0, (F.col("s") + F.lit(1.0)) / F.sqrt(F.col("_var")))
         .otherwise(F.lit(0.0))
     )
-    return out.select("x", "y", "total", "s", F.round(z, 6).alias("z"))
+    return out.withColumn("_z", z)
+
+
+def emerging_gi_cells(
+    points: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+    zoom: int = 6,
+    n_bins: int = 8,
+) -> DataFrame:
+    """Full emerging-hotspot analysis (the ArcGIS space-time-cube recipe):
+    per time bin, a Getis-Ord Gi* surface of the (cell, bin) counts
+    against that bin's full-grid statistics; then the Mann-Kendall trend
+    of each occupied cell's n_bins-long Gi* SERIES. A cell that is not
+    merely busy but whose *neighborhood z-score keeps climbing* is an
+    emerging hotspot (mk_z > 0 strong), a fading one has mk_z < 0.
+
+    Output: (x, y, total, gi_last, mk_s, mk_z) — gi_last is the final
+    bin's Gi* (current heat), mk_s/mk_z the trend over the series.
+
+    Determinism: counts, neighbor sums, per-bin totals and sums of squares
+    are exact int64; each gi value is one fixed float expression over
+    those integers (identical IEEE in both engines), so the float SERIES
+    is bit-identical cross-engine and the MK sign/tie arithmetic on it is
+    exact. gi values enter the series unrounded; only the two output
+    scores are rounded (6 places).
+
+    Plan shape: one (cell,bin,count) shuffle; neighbor contributions
+    explode <=9x on that AGGREGATED relation; per-bin global stats are an
+    n_bins-row broadcast; the dense (occupied cell x n_bins) grid comes
+    from one sequence explode; one final per-cell fold. The point table
+    is scanned once."""
+    dim = 1 << zoom
+    n_cells = dim * dim
+    us = F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+    )
+    pts = points.select(
+        tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("x"),
+        tile_y_expr(F.col(lat_col), F.lit(zoom)).alias("y"),
+        us.alias("us"),
+    )
+    ext = pts.agg(F.min("us").alias("t0"), F.max("us").alias("t1")).collect()[0]
+    t0, span = ext["t0"], (ext["t1"] - ext["t0"]) + 1
+
+    binned = (
+        pts.withColumn("bin", F.expr(f"(us - {t0}) * {n_bins} div {span}").cast("int"))
+        .groupBy("x", "y", "bin")
+        .agg(F.count("*").alias("cnt"))
+        .cache()
+    )
+    stats = binned.groupBy("bin").agg(
+        F.sum("cnt").alias("tot"), F.sum(F.col("cnt") * F.col("cnt")).alias("tot2")
+    )
+    contrib = (
+        binned.select(
+            "cnt",
+            "bin",
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.struct(
+                                (F.col("x") + F.lit(dx)).alias("tx"),
+                                (F.col("y") + F.lit(dy)).alias("ty"),
+                            )
+                            for dx in (-1, 0, 1)
+                            for dy in (-1, 0, 1)
+                        ]
+                    ),
+                    lambda c: (c["tx"] >= 0)
+                    & (c["tx"] < dim)
+                    & (c["ty"] >= 0)
+                    & (c["ty"] < dim),
+                )
+            ).alias("t"),
+        )
+        .groupBy(F.col("t.tx").alias("x"), F.col("t.ty").alias("y"), "bin")
+        .agg(F.sum("cnt").alias("nbr_sum"))
+    )
+    occupied = binned.groupBy("x", "y").agg(F.sum("cnt").alias("total"))
+    dense = (
+        occupied.select(
+            "x",
+            "y",
+            "total",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"),
+        )
+        .join(contrib, on=["x", "y", "bin"], how="left")
+        .withColumn("nbr_sum", F.coalesce("nbr_sum", F.lit(0).cast("long")))
+        .join(F.broadcast(stats), on="bin", how="left")
+        .withColumn("tot", F.coalesce("tot", F.lit(0).cast("long")))
+        .withColumn("tot2", F.coalesce("tot2", F.lit(0).cast("long")))
+    )
+    wx = F.lit(3) - (F.col("x") == 0).cast("int") - (F.col("x") == dim - 1).cast("int")
+    wy = F.lit(3) - (F.col("y") == 0).cast("int") - (F.col("y") == dim - 1).cast("int")
+    dense = dense.withColumn("wi", (wx * wy).cast("long"))
+    n = F.lit(float(n_cells))
+    xbar = F.col("tot") / n
+    s2 = F.col("tot2") / n - xbar * xbar
+    denom = F.sqrt(s2) * F.sqrt(
+        (n * F.col("wi") - F.col("wi") * F.col("wi")) / (n - F.lit(1.0))
+    )
+    gi = F.when(
+        s2 > F.lit(0.0), (F.col("nbr_sum") - xbar * F.col("wi")) / denom
+    ).otherwise(F.lit(0.0))
+    per_bin = dense.select("x", "y", "total", "bin", gi.alias("gi"))
+
+    series = per_bin.groupBy("x", "y", "total").agg(
+        F.map_from_entries(F.collect_list(F.struct("bin", "gi"))).alias("mp")
+    )
+    cs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bins - 1)),
+        lambda b: F.element_at("mp", b),
+    )
+    series = series.withColumn("cs", single_eval(cs)).drop("mp")
+    out = _mk_scored(series, n_bins)
+    return out.select(
+        "x",
+        "y",
+        "total",
+        F.round(F.element_at("cs", n_bins), 6).alias("gi_last"),
+        F.col("s").alias("mk_s"),
+        F.round(F.col("_z"), 6).alias("mk_z"),
+    )

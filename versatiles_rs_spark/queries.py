@@ -2875,6 +2875,110 @@ def _mk_trend_sql(zoom: int = 6, n_bins: int = 8) -> str:
     """
 
 
+def _mk_emerging_gi_sql(zoom: int = 6, n_bins: int = 8) -> str:
+    """Oracle for emerging_gi: per-bin Gi* surfaces composed with the
+    Mann-Kendall trend of each cell's Gi* series (functions/trends.py::
+    emerging_gi_cells contract — integer CTEs, identical float exprs)."""
+    dim = 1 << zoom
+    nc = float(dim * dim)
+    mx = dim - 1
+    s_terms = " + ".join(
+        f"(CASE WHEN cs[{j + 1}] > cs[{i + 1}] THEN 1 WHEN cs[{j + 1}] < cs[{i + 1}] THEN -1 ELSE 0 END)"
+        for i in range(n_bins)
+        for j in range(i + 1, n_bins)
+    )
+    t = n_bins
+    const = t * (t - 1) * (2 * t + 5)
+    return f"""
+    WITH pts AS (
+      SELECT {tile_xy_sql(_EV_LON, _EV_LAT, zoom)[0]} AS x,
+             {tile_xy_sql(_EV_LON, _EV_LAT, zoom)[1]} AS y,
+             epoch_us(ts) AS us
+      FROM events
+    ), ext AS (
+      SELECT min(us) AS t0, max(us) - min(us) + 1 AS span FROM pts
+    ), binned AS (
+      SELECT x, y, CAST((us - e.t0) * {n_bins} // e.span AS INTEGER) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts, ext e GROUP BY 1, 2, 3
+    ), stats AS (
+      SELECT bin, CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(sum(cnt * cnt) AS BIGINT) AS tot2
+      FROM binned GROUP BY 1
+    ), contrib AS (
+      SELECT c.x + dx.v AS x, c.y + dy.v AS y, c.bin,
+             CAST(sum(c.cnt) AS BIGINT) AS nbr_sum
+      FROM binned c,
+           (VALUES (-1), (0), (1)) dx(v),
+           (VALUES (-1), (0), (1)) dy(v)
+      WHERE c.x + dx.v BETWEEN 0 AND {mx} AND c.y + dy.v BETWEEN 0 AND {mx}
+      GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT x, y, CAST(sum(cnt) AS BIGINT) AS total FROM binned GROUP BY 1, 2
+    ), dense AS (
+      SELECT g.x, g.y, g.total, b.v AS bin,
+             coalesce(k.nbr_sum, CAST(0 AS BIGINT)) AS nbr_sum,
+             coalesce(s.tot, CAST(0 AS BIGINT)) AS tot,
+             coalesce(s.tot2, CAST(0 AS BIGINT)) AS tot2,
+             CAST((3 - CASE WHEN g.x = 0 THEN 1 ELSE 0 END
+                     - CASE WHEN g.x = {mx} THEN 1 ELSE 0 END)
+                * (3 - CASE WHEN g.y = 0 THEN 1 ELSE 0 END
+                     - CASE WHEN g.y = {mx} THEN 1 ELSE 0 END) AS BIGINT) AS wi
+      FROM grid g
+      CROSS JOIN (SELECT CAST(unnest(range(0, {n_bins})) AS INTEGER) AS v) b
+      LEFT JOIN contrib k ON k.x = g.x AND k.y = g.y AND k.bin = b.v
+      LEFT JOIN stats s ON s.bin = b.v
+    ), gi AS (
+      SELECT x, y, total, bin,
+        CASE WHEN tot2 / {nc!r} - (tot / {nc!r}) * (tot / {nc!r}) <= 0.0 THEN 0.0
+        ELSE (nbr_sum - (tot / {nc!r}) * wi)
+             / (sqrt(tot2 / {nc!r} - (tot / {nc!r}) * (tot / {nc!r}))
+                * sqrt(({nc!r} * wi - wi * wi) / ({nc!r} - 1.0)))
+        END AS g
+      FROM dense
+    ), series AS (
+      SELECT x, y, total, list(g ORDER BY bin) AS cs FROM gi GROUP BY 1, 2, 3
+    ), scored AS (
+      SELECT x, y, total, cs,
+             CAST({s_terms} AS BIGINT) AS s,
+             (CAST({const} AS BIGINT) - list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_distinct(cs),
+                    v -> CAST(len(list_filter(cs, x2 -> x2 = v)) AS BIGINT))),
+                (a, m) -> a + m * (m - 1) * (2 * m + 5))) / 18.0 AS v
+      FROM series
+    )
+    SELECT x, y, total, round(cs[{n_bins}], 6) AS gi_last, s AS mk_s,
+           round(CASE WHEN v <= 0.0 THEN 0.0
+                      WHEN s > 0 THEN (s - 1.0) / sqrt(v)
+                      WHEN s < 0 THEN (s + 1.0) / sqrt(v)
+                      ELSE 0.0 END, 6) AS mk_z
+    FROM scored
+    """
+
+
+@register("emerging_gi", _mk_emerging_gi_sql())
+def q_emerging_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full emerging-hotspot analysis (functions/trends.py::
+    emerging_gi_cells): per-time-bin Getis-Ord Gi* surfaces of the zoom-6
+    grid composed with the Mann-Kendall trend of each occupied cell's Gi*
+    series — cells whose NEIGHBORHOOD z-score keeps climbing are emerging
+    hotspots, falling ones are fading. All distributed aggregates stay
+    int64; each gi is one fixed float expression over exact integers, so
+    the float series is bit-identical cross-engine and the MK sign/tie
+    arithmetic on it is exact. Oracle: the two verified building blocks'
+    CTEs composed."""
+    from .functions.trends import emerging_gi_cells
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+        F.col("ts"),
+    )
+    return emerging_gi_cells(ev, zoom=6, n_bins=8)
+
+
 @register("emerging_hotspots", _mk_trend_sql())
 def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Emerging-hotspot trend scan (functions/trends.py): Mann-Kendall
