@@ -1,0 +1,65 @@
+"""analyze CLI: the spatial-analytics toolbox over a parquet point table."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def pts_parquet(spark, sf_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.udfs import derived_lat_expr, derived_lon_expr
+
+    out = str(tmp_path_factory.mktemp("analyze") / "pts.parquet")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            derived_lon_expr(F.col("event_id")).alias("lon"),
+            derived_lat_expr(F.col("event_id")).alias("lat"),
+            "ts",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def run_analyze(*argv):
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "analyze.py"), *argv,
+         "--master", "local[4]"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    return json.loads([l for l in res.stdout.splitlines() if l.startswith("{")][0])
+
+
+@pytest.mark.slow
+def test_analyze_all(pts_parquet):
+    out = run_analyze("all", pts_parquet, "--zoom", "5", "--eps", "6.0",
+                      "--top", "3", "--id", "event_id")
+    assert out["n_points"] == 1000
+    hs = out["hotspots"]
+    assert hs["cells"] > 0 and len(hs["top"]) == 3
+    # top list is sorted by gi desc and every z-significant cell is counted
+    gis = [r["gi"] for r in hs["top"]]
+    assert gis == sorted(gis, reverse=True) and hs["significant"] > 0
+    tr = out["trends"]
+    assert tr["cells"] == hs["cells"]  # same occupied-cell set at same zoom
+    em = out["emerging"]
+    assert em["cells"] == hs["cells"]
+    db = out["dbscan"]
+    assert db["core"] + db["border"] + db["noise"] == 1000
+    assert db["min_pts"] >= 1  # adaptive threshold resolved and reported
+    if db["clusters"]:
+        assert db["largest"][0]["size"] >= 1

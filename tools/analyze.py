@@ -1,0 +1,135 @@
+"""Spatial-analytics CLI — the engine's point-analysis toolbox over any
+parquet point table (the analytics counterpart of tools/convert and
+tools/probe; the reference's toolbox stops at convert/probe/serve, this
+command exposes the engine-side analyses the reference has no analog for).
+
+    python tools/analyze.py hotspots  pts.parquet [--zoom 6] [--top 10]
+    python tools/analyze.py trends    pts.parquet [--zoom 6] [--bins 8] [--top 10]
+    python tools/analyze.py emerging  pts.parquet [--zoom 6] [--bins 8] [--top 10]
+    python tools/analyze.py dbscan    pts.parquet [--eps 2.0] [--min-pts N]
+    python tools/analyze.py all       pts.parquet
+
+Expected columns: lon/lat (double); trends/emerging also need ts
+(timestamp); dbscan needs an id column (--id, default the first column).
+Every command prints a compact JSON summary to stdout (machine-friendly,
+one object per analysis) and a short human table to stderr.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _top_rows(df, order_col, top, ascending=False):
+    col = df[order_col] if ascending else df[order_col].desc()
+    return [r.asDict() for r in df.orderBy(col).limit(top).collect()]
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="analyze")
+    ap.add_argument("command", choices=["hotspots", "trends", "emerging", "dbscan", "all"])
+    ap.add_argument("table")
+    ap.add_argument("--zoom", type=int, default=6)
+    ap.add_argument("--bins", type=int, default=8)
+    ap.add_argument("--eps", type=float, default=2.0)
+    ap.add_argument("--min-pts", type=int, default=None)
+    ap.add_argument("--id", dest="id_col", default=None)
+    ap.add_argument("--lon", default="lon")
+    ap.add_argument("--lat", default="lat")
+    ap.add_argument("--ts", dest="ts_col", default="ts")
+    ap.add_argument("--top", type=int, default=10)
+    ap.add_argument("--master", default="local[8]")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.session import get_spark
+
+    spark = get_spark(app_name="analyze", master=args.master, shuffle_partitions=8)
+    pts = spark.read.parquet(args.table)
+    out: dict = {"table": args.table, "n_points": pts.count()}
+
+    cmds = (
+        ["hotspots", "trends", "emerging", "dbscan"]
+        if args.command == "all"
+        else [args.command]
+    )
+    for cmd in cmds:
+        if cmd == "hotspots":
+            from versatiles_rs_spark.functions.hotspots import getis_ord_hotspots
+
+            df = getis_ord_hotspots(pts, args.lon, args.lat, zoom=args.zoom).cache()
+            out["hotspots"] = {
+                "zoom": args.zoom,
+                "cells": df.count(),
+                "significant": df.filter(F.abs("gi") > 1.96).count(),
+                "top": _top_rows(df, "gi", args.top),
+            }
+        elif cmd == "trends":
+            from versatiles_rs_spark.functions.trends import mann_kendall_cells
+
+            df = mann_kendall_cells(
+                pts, args.lon, args.lat, args.ts_col, zoom=args.zoom, n_bins=args.bins
+            ).cache()
+            out["trends"] = {
+                "zoom": args.zoom,
+                "bins": args.bins,
+                "cells": df.count(),
+                "rising": df.filter(F.col("z") > 1.96).count(),
+                "falling": df.filter(F.col("z") < -1.96).count(),
+                "top": _top_rows(df, "z", args.top),
+            }
+        elif cmd == "emerging":
+            from versatiles_rs_spark.functions.trends import emerging_gi_cells
+
+            df = emerging_gi_cells(
+                pts, args.lon, args.lat, args.ts_col, zoom=args.zoom, n_bins=args.bins
+            ).cache()
+            out["emerging"] = {
+                "zoom": args.zoom,
+                "bins": args.bins,
+                "cells": df.count(),
+                "emerging": df.filter(F.col("mk_z") > 1.96).count(),
+                "fading": df.filter(F.col("mk_z") < -1.96).count(),
+                "top": _top_rows(df, "mk_z", args.top),
+            }
+        elif cmd == "dbscan":
+            from versatiles_rs_spark.joins.dbscan import grid_dbscan
+
+            id_col = args.id_col or pts.columns[0]
+            metrics: dict = {}
+            df = grid_dbscan(
+                pts, id_col, args.lon, args.lat, eps=args.eps,
+                min_pts=args.min_pts, metrics=metrics,
+            ).cache()
+            roles = {r["role"]: r["cnt"] for r in
+                     df.groupBy("role").agg(F.count("*").alias("cnt")).collect()}
+            sizes = (
+                df.filter("cluster >= 0").groupBy("cluster")
+                .agg(F.count("*").alias("size"))
+            )
+            out["dbscan"] = {
+                "eps": args.eps,
+                "min_pts": metrics.get("min_pts", args.min_pts),
+                "core": roles.get(2, 0),
+                "border": roles.get(1, 0),
+                "noise": roles.get(0, 0),
+                "clusters": sizes.count(),
+                "largest": [r.asDict() for r in
+                            sizes.orderBy(F.col("size").desc()).limit(args.top).collect()],
+            }
+    for k, v in out.items():
+        if isinstance(v, dict) and "top" in v:
+            print(f"# {k}: {len(v['top'])} top rows of {v.get('cells', '?')} cells",
+                  file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
