@@ -1,0 +1,76 @@
+"""Streaming hotspots (streaming/analytics.py): windowed cell counts ->
+snapshot commits -> per-window Gi* parity with the batch statistic."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.hotspots import getis_ord_hotspots
+from versatiles_rs_spark.sinks.snapshots import SnapshotTable
+from versatiles_rs_spark.streaming.analytics import (
+    stream_counts_to_snapshot,
+    stream_window_cell_counts,
+    window_hotspots,
+)
+
+T0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _mk_points(spark, path):
+    """3 hours of points; hour 1 concentrates into one hot box."""
+    rows = []
+    k = 0
+    for h in range(3):
+        for i in range(40):
+            k += 1
+            lon = -150.0 + (k * 37 % 300)
+            lat = -70.0 + (k * 53 % 140)
+            rows.append((float(lon), float(lat), T0 + datetime.timedelta(hours=h, seconds=i)))
+        if h == 1:
+            for i in range(30):
+                rows.append((20.0 + i * 0.01, 20.0 + i * 0.01,
+                             T0 + datetime.timedelta(hours=1, minutes=30, seconds=i)))
+    df = spark.createDataFrame(rows, "lon double, lat double, ts timestamp_ntz")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    return df
+
+
+def test_streamed_window_gi_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "pts")
+    batch_pts = _mk_points(spark, src)
+
+    stream = (
+        spark.readStream.schema("lon double, lat double, ts timestamp_ntz")
+        .parquet(src)
+    )
+    counts = stream_window_cell_counts(stream, zoom=5, window="1 hour",
+                                       watermark="0 seconds")
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), stat_cols=["win_start"])
+    q = stream_counts_to_snapshot(counts, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    stored = table.read()
+    wins = [r["win_start"] for r in stored.select("win_start").distinct().collect()]
+    # availableNow + watermark: all sealed windows committed exactly once
+    assert len(wins) >= 2
+    for w in sorted(wins):
+        streamed = {
+            (r["x"], r["y"]): (r["cnt"], r["nbr_sum"], r["wi"], r["gi"])
+            for r in window_hotspots(table, w, zoom=5).collect()
+        }
+        w_end = w + datetime.timedelta(hours=1)
+        batch = {
+            (r["x"], r["y"]): (r["cnt"], r["nbr_sum"], r["wi"], r["gi"])
+            for r in getis_ord_hotspots(
+                batch_pts.filter((F.col("ts") >= F.lit(w)) & (F.col("ts") < F.lit(w_end))),
+                zoom=5,
+            ).collect()
+        }
+        assert streamed == batch, w
+    # the hour-1 hot box is the global gi max across all windows
+    best = None
+    for w in wins:
+        for r in window_hotspots(table, w, zoom=5).collect():
+            if best is None or r["gi"] > best[0]:
+                best = (r["gi"], w)
+    assert best[1].hour == 1 and best[0] > 2.0

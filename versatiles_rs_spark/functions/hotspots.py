@@ -47,9 +47,6 @@ def getis_ord_hotspots(
     """(x, y, cnt, nbr_sum, wi, gi) for every OCCUPIED cell at `zoom`
     (empty cells enter the statistic as zeros but emit no row). gi is
     rounded to 6 places; sort by gi desc for the hot list."""
-    dim = 1 << zoom
-    n_cells = dim * dim
-
     cells = (
         points.select(
             tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("x"),
@@ -57,8 +54,19 @@ def getis_ord_hotspots(
         )
         .groupBy("x", "y")
         .agg(F.count("*").alias("cnt"))
-        .cache()
     )
+    return getis_ord_from_counts(cells, zoom)
+
+
+def getis_ord_from_counts(cells: DataFrame, zoom: int = 6) -> DataFrame:
+    """Gi* over a pre-aggregated (x, y, cnt) cell relation — the entry
+    point when counts already exist (a streaming windowed aggregation, a
+    stored rollup table, a snapshot-table change feed) so the statistic
+    composes with the engine's incremental layers without re-scanning
+    points."""
+    dim = 1 << zoom
+    n_cells = dim * dim
+    cells = cells.select("x", "y", F.col("cnt").cast("long").alias("cnt")).cache()
 
     # exact global stats of the full zoom grid (empties are zeros):
     # sum x_j = total points, sum x_j^2 = sum over occupied cells
