@@ -123,3 +123,21 @@ def test_plan_gates(spark, bitmap):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "gram#" not in m.group(1), m.group(0)
+
+
+def test_exact_join_sees_only_survivors(spark, sf_dir):
+    # the verify join's input must be filtered to bloom hits — the whole
+    # point of the operator (code-review r3 session-4 finding)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    out = bloom_contamination(
+        docs.filter("doc_id % 17 <> 0"), docs.filter("doc_id % 17 = 0"),
+        bits_per_key=10,
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the optimizer inlines bh's defining expression into the Filter, so
+    # look for the probe bit test (element_at on the bitmap) in a Filter
+    # feeding the gram equi-join
+    assert any(
+        "Filter" in line and "element_at(bits#" in line
+        for line in plan.splitlines()
+    ), "exact verify join is not restricted to bloom survivors"

@@ -169,3 +169,13 @@ def test_plan_gates(spark):
     # pure JVM pair generation, grid hash join — no Python, no cartesian
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_small_eps_packing_guard(spark):
+    # eps below the +-2^20 cell-offset capacity must raise, not silently
+    # fuse far-apart cells through packed-key collisions
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, lon double, lat double")
+    with pytest.raises(ValueError, match="2\\^20"):
+        eps_neighbor_pairs(df, eps=1e-4).count()
+    # the documented smallest supported eps still works
+    assert eps_neighbor_pairs(df, eps=3e-4).count() == 1

@@ -63,22 +63,23 @@ def test_reference_parity_and_direction(spark):
         for r in mann_kendall_cells(df, zoom=6, n_bins=8).collect()
     }
     for (lon, lat), counts in SERIES.items():
-        # locate the cell for this lon/lat via the engine's own tile math
+        # bind the assertion to the exact cell of the planted lon/lat
+        # (engine tile math), so a coordinate swap or bin-to-cell drift
+        # can't pass by matching some other cell's scores
         cell = (
             df.sparkSession.range(1)
-            .select(
-                F.expr(
-                    f"cast(floor(64 * ({lon} / 360.0 + 0.5)) as bigint)"
-                ).alias("x"),
+            .selectExpr(
+                f"cast(floor(64 * ({lon} / 360.0 + 0.5)) as bigint) as x",
+                "cast(floor(64 * (0.5 - 0.5 * ln(tan("
+                f"{lat} * pi() / 360.0 + pi() / 4.0)) / pi())) as bigint) as y",
             )
             .collect()[0]
         )
-        matches = [
-            v
-            for k, v in got.items()
-            if v[0] == sum(counts) and (v[1], v[2]) == _mk_reference(counts)
-        ]
-        assert matches, (lon, lat, counts, _mk_reference(counts))
+        key = (cell["x"], cell["y"])
+        assert key in got, (lon, lat, key)
+        total, s, z = got[key]
+        assert total == sum(counts), key
+        assert (s, z) == _mk_reference(counts), (key, counts)
     rising = _mk_reference(SERIES[(10.0, 10.0)])
     falling = _mk_reference(SERIES[(-50.0, 20.0)])
     flat = _mk_reference(SERIES[(60.0, -30.0)])
@@ -139,7 +140,6 @@ def test_emerging_gi_reference_parity(spark):
     lat = pdf["lat"].to_numpy()
     yf = dim * (0.5 - 0.5 * np.log(np.tan(lat * np.pi / 360.0 + np.pi / 4.0)) / np.pi)
     ys = np.clip(np.floor(yf), 0, dim - 1).astype(int)
-    us = pdf["ts"].astype("int64").to_numpy() // 1000
     us = pdf["ts"].values.astype("datetime64[us]").astype("int64")
     t0, span = us.min(), us.max() - us.min() + 1
     bins = (us - t0) * n_bins // span
@@ -171,3 +171,11 @@ def test_emerging_gi_reference_parity(spark):
     # the planted ramp is flagged as a strongly emerging hotspot
     ramp = [v for v in got.values() if v[0] == 63]
     assert ramp and ramp[0][3] > 2.5
+
+
+def test_empty_input_returns_empty(spark):
+    from versatiles_rs_spark.functions.trends import emerging_gi_cells, mann_kendall_cells
+
+    empty = spark.createDataFrame([], "lon double, lat double, ts timestamp_ntz")
+    assert mann_kendall_cells(empty).count() == 0
+    assert emerging_gi_cells(empty).count() == 0

@@ -177,30 +177,44 @@ def bloom_contamination(
         _with_ngrams(bench, text_col, n, "gs")
         .select(F.explode("gs").alias("gram"))
         .distinct()
+        .cache()  # consumed twice: bitmap build + exact verify join
     )
     if m_words is None:
         # size the filter to the key set (classic m = bits_per_key * n):
         # one count job over the slim distinct-gram relation — the same
         # count is replayed inside the SQL oracle so both engines derive
         # the identical bit width
-        bench_grams = bench_grams.cache()
         m_words = max(1, (bits_per_key * bench_grams.count() + 31) // 32)
     bitmap = bloom_bitmap(bench_grams, "gram", m_words, k)
     grams = _with_ngrams(train, text_col, n, "gs").select(
         F.col(id_col), F.explode_outer("gs").alias("gram")
     )
     probed = with_bloom_hit(grams, "gram", bitmap, m_words, k, out="bh")
-    verified = probed.join(
-        F.broadcast(bench_grams.withColumn("_ex", F.lit(1))), on="gram", how="left"
-    )
-    return (
-        verified.groupBy(id_col)
+    # the exact verify join sees ONLY bloom survivors (no false negatives,
+    # so the result is identical to verifying everything) — this is the
+    # operator's whole point: the expensive membership join runs over the
+    # FP-thin survivor stream, not the full gram stream. No broadcast hint:
+    # at test scale AQE broadcasts anyway; at the benchmark-gram scale
+    # where the raw strings stop broadcasting, Catalyst keeps it a shuffle
+    # join of two already-thin relations.
+    survivors = probed.filter(F.col("bh")).select(id_col, "gram")
+    exact = (
+        survivors.join(bench_grams.withColumn("_ex", F.lit(1)), on="gram", how="left")
+        .groupBy(id_col)
         .agg(
-            F.count("gram").alias("n_grams"),
-            F.sum(F.when(F.col("bh"), 1).otherwise(0)).cast("long").alias("n_bloom"),
+            F.count("gram").cast("long").alias("n_bloom"),
             F.sum(F.when(F.col("_ex").isNotNull(), 1).otherwise(0))
             .cast("long")
             .alias("n_exact"),
         )
-        .select(id_col, "n_grams", "n_bloom", "n_exact")
+    )
+    totals = probed.groupBy(id_col).agg(F.count("gram").alias("n_grams"))
+    return (
+        totals.join(exact, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_bloom", F.lit(0).cast("long")).alias("n_bloom"),
+            F.coalesce("n_exact", F.lit(0).cast("long")).alias("n_exact"),
+        )
     )

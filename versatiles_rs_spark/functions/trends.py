@@ -57,6 +57,10 @@ def mann_kendall_cells(
         us.alias("us"),
     )
     ext = pts.agg(F.min("us").alias("t0"), F.max("us").alias("t1")).collect()[0]
+    if ext["t0"] is None:  # empty input: no cells, not a None-arithmetic crash
+        return pts.sparkSession.createDataFrame(
+            [], "x long, y long, total bigint, s bigint, z double"
+        )
     t0, t1 = ext["t0"], ext["t1"]
     span = (t1 - t0) + 1  # +1 so the max timestamp lands in the last bin
 
@@ -155,6 +159,11 @@ def emerging_gi_cells(
         us.alias("us"),
     )
     ext = pts.agg(F.min("us").alias("t0"), F.max("us").alias("t1")).collect()[0]
+    if ext["t0"] is None:  # empty input: no cells, not a None-arithmetic crash
+        return pts.sparkSession.createDataFrame(
+            [],
+            "x long, y long, total bigint, gi_last double, mk_s bigint, mk_z double",
+        )
     t0, span = ext["t0"], (ext["t1"] - ext["t0"]) + 1
 
     binned = (

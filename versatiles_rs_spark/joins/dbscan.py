@@ -76,6 +76,18 @@ def eps_neighbor_pairs(
     (ca, cb) for the supernode contraction. Grid-pruned: the 5x5 cell
     block bounds the eps ball of a probe point."""
     side = eps / math.sqrt(2.0)
+    # packing capacity guard: cell indexes must fit the +-2^20 offset or
+    # cx*2^21+cy silently collides distant cells into one supernode and
+    # the contraction would FUSE unrelated clusters (the pairwise distance
+    # filter stays exact, so the bug would be silent wrong clustering).
+    # 180/side is the largest |floor(coord/side)| for lon/lat input;
+    # side > ~1.72e-4 deg (~19 m cells) keeps it under 2^20 - 2.
+    if 180.0 / side + 2 >= _CELL_OFF:
+        raise ValueError(
+            f"eps={eps} packs grid cells past the +-2^20 offset "
+            f"(cell side {side:.2e} deg); smallest supported eps is "
+            f"~{180.0 * math.sqrt(2.0) / (_CELL_OFF - 2):.1e} deg"
+        )
     slim = points.select(
         F.col(id_col).cast("long").alias("id"),
         F.col(lon_col).cast("double").alias("lon"),

@@ -867,9 +867,9 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            round((
-             (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.0 END)
+             (CASE WHEN length(text) BETWEEN 50 AND 100000 THEN 1.0 ELSE 0.00000000000000000e+00 END)
              + (CASE WHEN length(text) * 1.0 / (length(text) - length(replace(text, ' ', '')) + 1)
-                      BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+                      BETWEEN 3 AND 12 THEN 1.0 ELSE 0.00000000000000000e+00 END)
              + length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
            ) / 3.0, 4) AS quality
     FROM documents
@@ -2802,7 +2802,7 @@ _DECON_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -
     SELECT t.doc_id, CAST(len(t.gs) AS BIGINT) AS n_grams,
            coalesce(h.n_hits, 0) AS n_hits,
            round(CASE WHEN len(t.gs) > 0
-                 THEN coalesce(h.n_hits, 0) / len(t.gs) ELSE 0.0 END, 6)
+                 THEN coalesce(h.n_hits, 0) / len(t.gs) ELSE 0.00000000000000000e+00 END, 6)
              AS contaminated_frac
     FROM train t LEFT JOIN hits h USING (doc_id)
     """,
@@ -2863,14 +2863,14 @@ def _mk_trend_sql(zoom: int = 6, n_bins: int = 8) -> str:
                 list_prepend(CAST(0 AS BIGINT),
                   list_transform(list_distinct(cs),
                     v -> CAST(len(list_filter(cs, x2 -> x2 = v)) AS BIGINT))),
-                (a, m) -> a + m * (m - 1) * (2 * m + 5))) / 18.0 AS v
+                (a, m) -> a + m * (m - 1) * (2 * m + 5))) / 1.80000000000000000e+01 AS v
       FROM series
     )
     SELECT x, y, total, s,
-           round(CASE WHEN v <= 0.0 THEN 0.0
-                      WHEN s > 0 THEN (s - 1.0) / sqrt(v)
-                      WHEN s < 0 THEN (s + 1.0) / sqrt(v)
-                      ELSE 0.0 END, 6) AS z
+           round(CASE WHEN v <= 0.00000000000000000e+00 THEN 0.00000000000000000e+00
+                      WHEN s > 0 THEN (s - 1.00000000000000000e+00) / sqrt(v)
+                      WHEN s < 0 THEN (s + 1.00000000000000000e+00) / sqrt(v)
+                      ELSE 0.00000000000000000e+00 END, 6) AS z
     FROM scored
     """
 
@@ -2881,6 +2881,7 @@ def _mk_emerging_gi_sql(zoom: int = 6, n_bins: int = 8) -> str:
     emerging_gi_cells contract — integer CTEs, identical float exprs)."""
     dim = 1 << zoom
     nc = float(dim * dim)
+    ncs = f"{nc:.17e}"
     mx = dim - 1
     s_terms = " + ".join(
         f"(CASE WHEN cs[{j + 1}] > cs[{i + 1}] THEN 1 WHEN cs[{j + 1}] < cs[{i + 1}] THEN -1 ELSE 0 END)"
@@ -2930,10 +2931,10 @@ def _mk_emerging_gi_sql(zoom: int = 6, n_bins: int = 8) -> str:
       LEFT JOIN stats s ON s.bin = b.v
     ), gi AS (
       SELECT x, y, total, bin,
-        CASE WHEN tot2 / {nc!r} - (tot / {nc!r}) * (tot / {nc!r}) <= 0.0 THEN 0.0
-        ELSE (nbr_sum - (tot / {nc!r}) * wi)
-             / (sqrt(tot2 / {nc!r} - (tot / {nc!r}) * (tot / {nc!r}))
-                * sqrt(({nc!r} * wi - wi * wi) / ({nc!r} - 1.0)))
+        CASE WHEN tot2 / {ncs} - (tot / {ncs}) * (tot / {ncs}) <= 0.00000000000000000e+00 THEN 0.00000000000000000e+00
+        ELSE (nbr_sum - (tot / {ncs}) * wi)
+             / (sqrt(tot2 / {ncs} - (tot / {ncs}) * (tot / {ncs}))
+                * sqrt(({ncs} * wi - wi * wi) / ({ncs} - 1.00000000000000000e+00)))
         END AS g
       FROM dense
     ), series AS (
@@ -2945,14 +2946,14 @@ def _mk_emerging_gi_sql(zoom: int = 6, n_bins: int = 8) -> str:
                 list_prepend(CAST(0 AS BIGINT),
                   list_transform(list_distinct(cs),
                     v -> CAST(len(list_filter(cs, x2 -> x2 = v)) AS BIGINT))),
-                (a, m) -> a + m * (m - 1) * (2 * m + 5))) / 18.0 AS v
+                (a, m) -> a + m * (m - 1) * (2 * m + 5))) / 1.80000000000000000e+01 AS v
       FROM series
     )
     SELECT x, y, total, round(cs[{n_bins}], 6) AS gi_last, s AS mk_s,
-           round(CASE WHEN v <= 0.0 THEN 0.0
-                      WHEN s > 0 THEN (s - 1.0) / sqrt(v)
-                      WHEN s < 0 THEN (s + 1.0) / sqrt(v)
-                      ELSE 0.0 END, 6) AS mk_z
+           round(CASE WHEN v <= 0.00000000000000000e+00 THEN 0.00000000000000000e+00
+                      WHEN s > 0 THEN (s - 1.00000000000000000e+00) / sqrt(v)
+                      WHEN s < 0 THEN (s + 1.00000000000000000e+00) / sqrt(v)
+                      ELSE 0.00000000000000000e+00 END, 6) AS mk_z
     FROM scored
     """
 
@@ -3028,14 +3029,14 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
               * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
                    - CASE WHEN c.y = 63 THEN 1 ELSE 0 END) AS BIGINT) AS wi,
            round(
-             CASE WHEN s.tot2 / 4096.0 - (s.tot / 4096.0) * (s.tot / 4096.0) <= 0.0
-             THEN 0.0 ELSE
-             (k.nbr_sum - (s.tot / 4096.0) * ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
+             CASE WHEN s.tot2 / 4.09600000000000000e+03 - (s.tot / 4.09600000000000000e+03) * (s.tot / 4.09600000000000000e+03) <= 0.00000000000000000e+00
+             THEN 0.00000000000000000e+00 ELSE
+             (k.nbr_sum - (s.tot / 4.09600000000000000e+03) * ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
                    - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
               * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
                    - CASE WHEN c.y = 63 THEN 1 ELSE 0 END)))
-             / (sqrt(s.tot2 / 4096.0 - (s.tot / 4096.0) * (s.tot / 4096.0))
-                * sqrt((4096.0 * ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
+             / (sqrt(s.tot2 / 4.09600000000000000e+03 - (s.tot / 4.09600000000000000e+03) * (s.tot / 4.09600000000000000e+03))
+                * sqrt((4.09600000000000000e+03 * ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
                      - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
                  * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
                      - CASE WHEN c.y = 63 THEN 1 ELSE 0 END))
@@ -3047,7 +3048,7 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
                  * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
                      - CASE WHEN c.y = 63 THEN 1 ELSE 0 END)))
-                 / (4096.0 - 1.0))) END, 6) AS gi
+                 / (4.09600000000000000e+03 - 1.00000000000000000e+00))) END, 6) AS gi
     FROM cells c
     JOIN contrib k USING (x, y)
     CROSS JOIN stats s

@@ -64,6 +64,25 @@ class Snapshot:
     file_stats: dict | None = None  # path -> {col: [min, max]}
 
 
+def _stat_value(v):
+    """Normalize a footer stat to a JSON-safe, order-preserving value.
+    TIMESTAMP_MICROS footers surface datetime min/max — isoformat strings
+    compare lexicographically == chronologically (uniform format), and
+    json.dump of the snapshot metadata must never crash on a stat value.
+    (INT96 timestamp footers carry no min/max at all — has_min_max is
+    false — so such columns simply never prune; store epoch-long columns
+    when timestamp pruning matters, e.g. streaming/analytics win_us.)"""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:  # footer stats may come back tz-aware
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
 def _footer_stats(path: str, cols: list[str]) -> dict:
     """Per-column [min, max] from the parquet footer (metadata only)."""
     import pyarrow.parquet as pq
@@ -84,7 +103,7 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
         if ok and lo is not None:
-            out[c] = [lo, hi]
+            out[c] = [_stat_value(lo), _stat_value(hi)]
     return out
 
 
@@ -234,6 +253,7 @@ class SnapshotTable:
                 if col not in st:
                     continue  # no stats: can't prove absence
                 lo, hi = bound if isinstance(bound, (tuple, list)) else (bound, bound)
+                lo, hi = _stat_value(lo), _stat_value(hi)  # datetime bounds -> iso
                 flo, fhi = st[col]
                 if (lo is not None and fhi < lo) or (hi is not None and flo > hi):
                     keep = False

@@ -54,6 +54,10 @@ def stream_window_cell_counts(
         .select(
             F.col("win.start").alias("win_start"),
             F.col("win.end").alias("win_end"),
+            # epoch-micros long twin of win_start: parquet long footers
+            # carry real min/max (INT96 timestamp footers don't), so this
+            # is the column the snapshot zone maps prune on
+            F.unix_micros(F.col("win.start")).alias("win_us"),
             "x",
             "y",
             "cnt",
@@ -89,14 +93,18 @@ def window_hotspots(
     zoom: int = 6,
 ) -> DataFrame:
     """Gi* surface of one committed window: read the snapshot table's
-    current version (zone-map pruned on win_start), slice the window,
-    score with the shared batch statistic
+    current version (zone-map pruned on the epoch-long `win_us` twin —
+    timestamp columns carry no parquet footer min/max under INT96), slice
+    the window, score with the shared batch statistic
     (functions/hotspots.getis_ord_from_counts)."""
+    import calendar
+
     from ..functions.hotspots import getis_ord_from_counts
 
+    us = calendar.timegm(win_start.timetuple()) * 1_000_000 + win_start.microsecond
     cells = (
-        table.read(prune={"win_start": win_start})
-        .filter(F.col("win_start") == F.lit(win_start))
+        table.read(prune={"win_us": us})
+        .filter(F.col("win_us") == F.lit(us))
         .select("x", "y", "cnt")
     )
     return getis_ord_from_counts(cells, zoom)
