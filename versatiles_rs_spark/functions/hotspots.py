@@ -58,29 +58,16 @@ def getis_ord_hotspots(
     return getis_ord_from_counts(cells, zoom)
 
 
-def getis_ord_from_counts(cells: DataFrame, zoom: int = 6) -> DataFrame:
-    """Gi* over a pre-aggregated (x, y, cnt) cell relation — the entry
-    point when counts already exist (a streaming windowed aggregation, a
-    stored rollup table, a snapshot-table change feed) so the statistic
-    composes with the engine's incremental layers without re-scanning
-    points."""
-    dim = 1 << zoom
-    n_cells = dim * dim
-    cells = cells.select("x", "y", F.col("cnt").cast("long").alias("cnt")).cache()
-
-    # exact global stats of the full zoom grid (empties are zeros):
-    # sum x_j = total points, sum x_j^2 = sum over occupied cells
-    stats = cells.agg(
-        F.sum("cnt").alias("tot"), F.sum(F.col("cnt") * F.col("cnt")).alias("tot2")
-    )
-
-    # neighbor contributions: each occupied cell donates its count to the
-    # <=9 in-bounds cells of its 3x3 block, aggregated on the target cell;
-    # only occupied targets are kept (inner join) — their neighbor sums
-    # are complete because empty cells donate nothing
-    contrib = (
+def neighbor_contrib(cells: DataFrame, dim: int, extra_cols: tuple = ()) -> DataFrame:
+    """Neighbor contributions: each cell donates its count to the <=9
+    in-bounds cells of its 3x3 block, aggregated on the target cell (per
+    `extra_cols` slice, e.g. a time bin). Shared by the batch Gi* and the
+    space-time emerging analysis — the explode runs on the AGGREGATED
+    cell relation, never on points."""
+    return (
         cells.select(
             "cnt",
+            *extra_cols,
             F.explode(
                 F.filter(
                     F.array(
@@ -100,19 +87,24 @@ def getis_ord_from_counts(cells: DataFrame, zoom: int = 6) -> DataFrame:
                 )
             ).alias("t"),
         )
-        .groupBy(F.col("t.tx").alias("x"), F.col("t.ty").alias("y"))
+        .groupBy(F.col("t.tx").alias("x"), F.col("t.ty").alias("y"), *extra_cols)
         .agg(F.sum("cnt").alias("nbr_sum"))
     )
 
-    # W_i from grid position alone (3 - clamp per axis, multiplied)
+
+def wi_col(dim: int):
+    """W_i (in-bounds 3x3 neighbor count) from grid position alone."""
     wx = F.lit(3) - (F.col("x") == 0).cast("int") - (F.col("x") == dim - 1).cast("int")
     wy = F.lit(3) - (F.col("y") == 0).cast("int") - (F.col("y") == dim - 1).cast("int")
+    return (wx * wy).cast("long")
 
-    out = (
-        cells.join(contrib, on=["x", "y"])
-        .withColumn("wi", (wx * wy).cast("long"))
-        .crossJoin(F.broadcast(stats))
-    )
+
+def gi_expr(n_cells: int):
+    """The guarded Gi* float expression over (nbr_sum, tot, tot2, wi)
+    columns — ONE definition so the batch query, the streaming read path
+    and the space-time series all evaluate byte-identical doubles (the
+    cross-engine hash contract depends on this expression's exact shape;
+    its SQL twin is queries._gi_sql_expr)."""
     n = F.lit(float(n_cells))
     xbar = F.col("tot") / n
     s2 = F.col("tot2") / n - xbar * xbar
@@ -122,7 +114,30 @@ def getis_ord_from_counts(cells: DataFrame, zoom: int = 6) -> DataFrame:
     gi = (F.col("nbr_sum") - xbar * F.col("wi")) / denom
     # a zero-variance field (every cell identical) has no hotspots and an
     # undefined z-score — define Gi* = 0 there instead of dividing by zero
-    gi = F.when(s2 > F.lit(0.0), gi).otherwise(F.lit(0.0))
+    return F.when(s2 > F.lit(0.0), gi).otherwise(F.lit(0.0))
+
+
+def getis_ord_from_counts(cells: DataFrame, zoom: int = 6) -> DataFrame:
+    """Gi* over a pre-aggregated (x, y, cnt) cell relation — the entry
+    point when counts already exist (a streaming windowed aggregation, a
+    stored rollup table, a snapshot-table change feed) so the statistic
+    composes with the engine's incremental layers without re-scanning
+    points."""
+    dim = 1 << zoom
+    cells = cells.select("x", "y", F.col("cnt").cast("long").alias("cnt")).cache()
+
+    # exact global stats of the full zoom grid (empties are zeros):
+    # sum x_j = total points, sum x_j^2 = sum over occupied cells
+    stats = cells.agg(
+        F.sum("cnt").alias("tot"), F.sum(F.col("cnt") * F.col("cnt")).alias("tot2")
+    )
+    # only occupied targets are kept (inner join) — their neighbor sums
+    # are complete because empty cells donate nothing
+    out = (
+        cells.join(neighbor_contrib(cells, dim), on=["x", "y"])
+        .withColumn("wi", wi_col(dim))
+        .crossJoin(F.broadcast(stats))
+    )
     return out.select(
-        "x", "y", "cnt", "nbr_sum", "wi", F.round(gi, 6).alias("gi")
+        "x", "y", "cnt", "nbr_sum", "wi", F.round(gi_expr(dim * dim), 6).alias("gi")
     )

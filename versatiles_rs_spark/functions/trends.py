@@ -172,35 +172,12 @@ def emerging_gi_cells(
         .agg(F.count("*").alias("cnt"))
         .cache()
     )
+    from .hotspots import gi_expr, neighbor_contrib, wi_col
+
     stats = binned.groupBy("bin").agg(
         F.sum("cnt").alias("tot"), F.sum(F.col("cnt") * F.col("cnt")).alias("tot2")
     )
-    contrib = (
-        binned.select(
-            "cnt",
-            "bin",
-            F.explode(
-                F.filter(
-                    F.array(
-                        *[
-                            F.struct(
-                                (F.col("x") + F.lit(dx)).alias("tx"),
-                                (F.col("y") + F.lit(dy)).alias("ty"),
-                            )
-                            for dx in (-1, 0, 1)
-                            for dy in (-1, 0, 1)
-                        ]
-                    ),
-                    lambda c: (c["tx"] >= 0)
-                    & (c["tx"] < dim)
-                    & (c["ty"] >= 0)
-                    & (c["ty"] < dim),
-                )
-            ).alias("t"),
-        )
-        .groupBy(F.col("t.tx").alias("x"), F.col("t.ty").alias("y"), "bin")
-        .agg(F.sum("cnt").alias("nbr_sum"))
-    )
+    contrib = neighbor_contrib(binned, dim, extra_cols=("bin",))
     occupied = binned.groupBy("x", "y").agg(F.sum("cnt").alias("total"))
     dense = (
         occupied.select(
@@ -214,20 +191,11 @@ def emerging_gi_cells(
         .join(F.broadcast(stats), on="bin", how="left")
         .withColumn("tot", F.coalesce("tot", F.lit(0).cast("long")))
         .withColumn("tot2", F.coalesce("tot2", F.lit(0).cast("long")))
+        .withColumn("wi", wi_col(dim))
     )
-    wx = F.lit(3) - (F.col("x") == 0).cast("int") - (F.col("x") == dim - 1).cast("int")
-    wy = F.lit(3) - (F.col("y") == 0).cast("int") - (F.col("y") == dim - 1).cast("int")
-    dense = dense.withColumn("wi", (wx * wy).cast("long"))
-    n = F.lit(float(n_cells))
-    xbar = F.col("tot") / n
-    s2 = F.col("tot2") / n - xbar * xbar
-    denom = F.sqrt(s2) * F.sqrt(
-        (n * F.col("wi") - F.col("wi") * F.col("wi")) / (n - F.lit(1.0))
+    per_bin = dense.select(
+        "x", "y", "total", "bin", gi_expr(n_cells).alias("gi")
     )
-    gi = F.when(
-        s2 > F.lit(0.0), (F.col("nbr_sum") - xbar * F.col("wi")) / denom
-    ).otherwise(F.lit(0.0))
-    per_bin = dense.select("x", "y", "total", "bin", gi.alias("gi"))
 
     series = per_bin.groupBy("x", "y", "total").agg(
         F.map_from_entries(F.collect_list(F.struct("bin", "gi"))).alias("mp")

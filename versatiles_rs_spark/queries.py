@@ -2823,16 +2823,60 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_contamination(train, bench, text_col="text", id_col="doc_id", n=3)
 
 
-def _mk_trend_sql(zoom: int = 6, n_bins: int = 8) -> str:
-    """Oracle for emerging_hotspots: exact integer bin/count/S/tie CTEs +
-    the identical z expression (queries/functions/trends.py contract)."""
-    s_terms = " + ".join(
+def _mk_s_terms_sql(n_bins: int) -> str:
+    """Unrolled Mann-Kendall sign terms over a 1-based `cs` list column —
+    ONE definition shared by every MK oracle (the cross-engine contract
+    depends on the Spark twin trends._mk_scored staying shape-identical)."""
+    return " + ".join(
         f"(CASE WHEN cs[{j + 1}] > cs[{i + 1}] THEN 1 WHEN cs[{j + 1}] < cs[{i + 1}] THEN -1 ELSE 0 END)"
         for i in range(n_bins)
         for j in range(i + 1, n_bins)
     )
+
+
+def _mk_var_sql(n_bins: int) -> str:
+    """Tie-corrected MK variance over `cs` (shared fragment)."""
     t = n_bins
     const = t * (t - 1) * (2 * t + 5)
+    return f"""(CAST({const} AS BIGINT) - list_reduce(
+                list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_distinct(cs),
+                    v -> CAST(len(list_filter(cs, x2 -> x2 = v)) AS BIGINT))),
+                (a, m) -> a + m * (m - 1) * (2 * m + 5))) / 1.80000000000000000e+01"""
+
+
+def _mk_z_case_sql() -> str:
+    """The z CASE over columns (s, v) — shared fragment."""
+    return f"""CASE WHEN v <= 0.00000000000000000e+00 THEN 0.00000000000000000e+00
+                      WHEN s > 0 THEN (s - 1.00000000000000000e+00) / sqrt(v)
+                      WHEN s < 0 THEN (s + 1.00000000000000000e+00) / sqrt(v)
+                      ELSE 0.00000000000000000e+00 END"""
+
+
+def _wi_sql(alias: str, mx: int) -> str:
+    """W_i (in-bounds 3x3 neighbor count) from grid position — SQL twin of
+    hotspots.wi_col."""
+    return (
+        f"CAST((3 - CASE WHEN {alias}.x = 0 THEN 1 ELSE 0 END"
+        f" - CASE WHEN {alias}.x = {mx} THEN 1 ELSE 0 END)"
+        f" * (3 - CASE WHEN {alias}.y = 0 THEN 1 ELSE 0 END"
+        f" - CASE WHEN {alias}.y = {mx} THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+
+
+def _gi_sql_expr(ncs: str) -> str:
+    """The guarded Gi* expression over (nbr_sum, tot, tot2, wi) columns —
+    SQL twin of hotspots.gi_expr (byte-identical double pipeline)."""
+    return f"""CASE WHEN tot2 / {ncs} - (tot / {ncs}) * (tot / {ncs}) <= 0.00000000000000000e+00 THEN 0.00000000000000000e+00
+        ELSE (nbr_sum - (tot / {ncs}) * wi)
+             / (sqrt(tot2 / {ncs} - (tot / {ncs}) * (tot / {ncs}))
+                * sqrt(({ncs} * wi - wi * wi) / ({ncs} - 1.00000000000000000e+00)))
+        END"""
+
+
+def _mk_trend_sql(zoom: int = 6, n_bins: int = 8) -> str:
+    """Oracle for emerging_hotspots: exact integer bin/count/S/tie CTEs +
+    the identical z expression (queries/functions/trends.py contract)."""
     return f"""
     WITH pts AS (
       SELECT {tile_xy_sql(_EV_LON, _EV_LAT, zoom)[0]} AS x,
@@ -2858,19 +2902,12 @@ def _mk_trend_sql(zoom: int = 6, n_bins: int = 8) -> str:
       FROM dense GROUP BY 1, 2
     ), scored AS (
       SELECT x, y, total,
-             CAST({s_terms} AS BIGINT) AS s,
-             (CAST({const} AS BIGINT) - list_reduce(
-                list_prepend(CAST(0 AS BIGINT),
-                  list_transform(list_distinct(cs),
-                    v -> CAST(len(list_filter(cs, x2 -> x2 = v)) AS BIGINT))),
-                (a, m) -> a + m * (m - 1) * (2 * m + 5))) / 1.80000000000000000e+01 AS v
+             CAST({_mk_s_terms_sql(n_bins)} AS BIGINT) AS s,
+             {_mk_var_sql(n_bins)} AS v
       FROM series
     )
     SELECT x, y, total, s,
-           round(CASE WHEN v <= 0.00000000000000000e+00 THEN 0.00000000000000000e+00
-                      WHEN s > 0 THEN (s - 1.00000000000000000e+00) / sqrt(v)
-                      WHEN s < 0 THEN (s + 1.00000000000000000e+00) / sqrt(v)
-                      ELSE 0.00000000000000000e+00 END, 6) AS z
+           round({_mk_z_case_sql()}, 6) AS z
     FROM scored
     """
 
@@ -2883,13 +2920,6 @@ def _mk_emerging_gi_sql(zoom: int = 6, n_bins: int = 8) -> str:
     nc = float(dim * dim)
     ncs = f"{nc:.17e}"
     mx = dim - 1
-    s_terms = " + ".join(
-        f"(CASE WHEN cs[{j + 1}] > cs[{i + 1}] THEN 1 WHEN cs[{j + 1}] < cs[{i + 1}] THEN -1 ELSE 0 END)"
-        for i in range(n_bins)
-        for j in range(i + 1, n_bins)
-    )
-    t = n_bins
-    const = t * (t - 1) * (2 * t + 5)
     return f"""
     WITH pts AS (
       SELECT {tile_xy_sql(_EV_LON, _EV_LAT, zoom)[0]} AS x,
@@ -2921,39 +2951,25 @@ def _mk_emerging_gi_sql(zoom: int = 6, n_bins: int = 8) -> str:
              coalesce(k.nbr_sum, CAST(0 AS BIGINT)) AS nbr_sum,
              coalesce(s.tot, CAST(0 AS BIGINT)) AS tot,
              coalesce(s.tot2, CAST(0 AS BIGINT)) AS tot2,
-             CAST((3 - CASE WHEN g.x = 0 THEN 1 ELSE 0 END
-                     - CASE WHEN g.x = {mx} THEN 1 ELSE 0 END)
-                * (3 - CASE WHEN g.y = 0 THEN 1 ELSE 0 END
-                     - CASE WHEN g.y = {mx} THEN 1 ELSE 0 END) AS BIGINT) AS wi
+             {_wi_sql("g", mx)} AS wi
       FROM grid g
       CROSS JOIN (SELECT CAST(unnest(range(0, {n_bins})) AS INTEGER) AS v) b
       LEFT JOIN contrib k ON k.x = g.x AND k.y = g.y AND k.bin = b.v
       LEFT JOIN stats s ON s.bin = b.v
     ), gi AS (
       SELECT x, y, total, bin,
-        CASE WHEN tot2 / {ncs} - (tot / {ncs}) * (tot / {ncs}) <= 0.00000000000000000e+00 THEN 0.00000000000000000e+00
-        ELSE (nbr_sum - (tot / {ncs}) * wi)
-             / (sqrt(tot2 / {ncs} - (tot / {ncs}) * (tot / {ncs}))
-                * sqrt(({ncs} * wi - wi * wi) / ({ncs} - 1.00000000000000000e+00)))
-        END AS g
+        {_gi_sql_expr(ncs)} AS g
       FROM dense
     ), series AS (
       SELECT x, y, total, list(g ORDER BY bin) AS cs FROM gi GROUP BY 1, 2, 3
     ), scored AS (
       SELECT x, y, total, cs,
-             CAST({s_terms} AS BIGINT) AS s,
-             (CAST({const} AS BIGINT) - list_reduce(
-                list_prepend(CAST(0 AS BIGINT),
-                  list_transform(list_distinct(cs),
-                    v -> CAST(len(list_filter(cs, x2 -> x2 = v)) AS BIGINT))),
-                (a, m) -> a + m * (m - 1) * (2 * m + 5))) / 1.80000000000000000e+01 AS v
+             CAST({_mk_s_terms_sql(n_bins)} AS BIGINT) AS s,
+             {_mk_var_sql(n_bins)} AS v
       FROM series
     )
     SELECT x, y, total, round(cs[{n_bins}], 6) AS gi_last, s AS mk_s,
-           round(CASE WHEN v <= 0.00000000000000000e+00 THEN 0.00000000000000000e+00
-                      WHEN s > 0 THEN (s - 1.00000000000000000e+00) / sqrt(v)
-                      WHEN s < 0 THEN (s + 1.00000000000000000e+00) / sqrt(v)
-                      ELSE 0.00000000000000000e+00 END, 6) AS mk_z
+           round({_mk_z_case_sql()}, 6) AS mk_z
     FROM scored
     """
 
@@ -3022,36 +3038,16 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
            (VALUES (-1), (0), (1)) dy(v)
       WHERE c.x + dx.v BETWEEN 0 AND 63 AND c.y + dy.v BETWEEN 0 AND 63
       GROUP BY 1, 2
+    ), j AS (
+      SELECT c.x, c.y, c.cnt, k.nbr_sum, {_wi_sql("c", 63)} AS wi,
+             s.tot, s.tot2
+      FROM cells c
+      JOIN contrib k USING (x, y)
+      CROSS JOIN stats s
     )
-    SELECT c.x, c.y, c.cnt, k.nbr_sum,
-           CAST((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
-                   - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
-              * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
-                   - CASE WHEN c.y = 63 THEN 1 ELSE 0 END) AS BIGINT) AS wi,
-           round(
-             CASE WHEN s.tot2 / 4.09600000000000000e+03 - (s.tot / 4.09600000000000000e+03) * (s.tot / 4.09600000000000000e+03) <= 0.00000000000000000e+00
-             THEN 0.00000000000000000e+00 ELSE
-             (k.nbr_sum - (s.tot / 4.09600000000000000e+03) * ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
-                   - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
-              * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
-                   - CASE WHEN c.y = 63 THEN 1 ELSE 0 END)))
-             / (sqrt(s.tot2 / 4.09600000000000000e+03 - (s.tot / 4.09600000000000000e+03) * (s.tot / 4.09600000000000000e+03))
-                * sqrt((4.09600000000000000e+03 * ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
-                     - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
-                 * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
-                     - CASE WHEN c.y = 63 THEN 1 ELSE 0 END))
-                 - ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
-                     - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
-                 * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
-                     - CASE WHEN c.y = 63 THEN 1 ELSE 0 END))
-                 * ((3 - CASE WHEN c.x = 0 THEN 1 ELSE 0 END
-                     - CASE WHEN c.x = 63 THEN 1 ELSE 0 END)
-                 * (3 - CASE WHEN c.y = 0 THEN 1 ELSE 0 END
-                     - CASE WHEN c.y = 63 THEN 1 ELSE 0 END)))
-                 / (4.09600000000000000e+03 - 1.00000000000000000e+00))) END, 6) AS gi
-    FROM cells c
-    JOIN contrib k USING (x, y)
-    CROSS JOIN stats s
+    SELECT x, y, cnt, nbr_sum, wi,
+           round({_gi_sql_expr(f"{4096.0:.17e}")}, 6) AS gi
+    FROM j
     """,
 )
 def q_hotspots_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
