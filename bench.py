@@ -63,6 +63,7 @@ HEADLINE = [
     "clip_filter",
     "asof_events",
     "sessionize",
+    "od_flows",
     "range_join_events",
     "fence_crossings",
     "fence_dwell",

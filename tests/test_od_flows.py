@@ -1,0 +1,72 @@
+"""OD flow matrix (functions/sessions.py::od_flows): planted-trajectory
+parity, tie-break determinism, self-flow diagonal, plan gates."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.sessions import od_flows
+
+T0 = datetime.datetime(2024, 5, 1, 8, 0, 0)
+
+
+def _mk(spark, rows):
+    """rows: (event_id, user_id, minutes_offset, lon, lat)"""
+    data = [
+        (eid, uid, T0 + datetime.timedelta(minutes=m), float(lon), float(lat))
+        for eid, uid, m, lon, lat in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp_ntz, lon double, lat double"
+    )
+
+
+def _flows(df, zoom=3):
+    return {
+        (r["o_x"], r["o_y"], r["d_x"], r["d_y"]): (r["n_trips"], r["n_users"])
+        for r in od_flows(df, zoom=zoom).collect()
+    }
+
+
+def test_planted_trips(spark):
+    # user 1: one session moving from west (-90) to east (+90); a >30 min
+    # gap then a second session staying east (self flow).
+    # user 2: one west->east trip in a single session.
+    rows = [
+        (1, 1, 0, -90.0, 0.0),
+        (2, 1, 10, 0.0, 0.0),
+        (3, 1, 20, 90.0, 0.0),
+        (4, 1, 60, 90.0, 0.0),   # gap 40 min -> new session, single event
+        (5, 2, 0, -90.0, 0.0),
+        (6, 2, 15, 90.0, 0.0),
+    ]
+    got = _flows(_mk(spark, rows), zoom=3)
+    # zoom 3: lon -90 -> x=2, lon 90 -> x=6; lat 0 -> y=4
+    assert got[(2, 4, 6, 4)] == (2, 2)  # west->east by both users
+    assert got[(6, 4, 6, 4)] == (1, 1)  # user 1's second-session self flow
+    assert len(got) == 2
+
+
+def test_tied_timestamps_resolve_by_event_id(spark):
+    # two events at the identical timestamp: (us, event_id) ordering makes
+    # the smaller id the origin and the larger the destination
+    rows = [
+        (10, 7, 0, -90.0, 0.0),
+        (11, 7, 0, 90.0, 0.0),
+    ]
+    got = _flows(_mk(spark, rows), zoom=3)
+    assert got == {(2, 4, 6, 4): (1, 1)}
+
+
+def test_single_event_sessions_are_diagonal(spark):
+    rows = [(i, i, 0, 45.0, 45.0) for i in range(5)]
+    got = _flows(_mk(spark, rows), zoom=3)
+    ((o_x, o_y, d_x, d_y), (n_trips, n_users)), = got.items()
+    assert (o_x, o_y) == (d_x, d_y) and n_trips == 5 and n_users == 5
+
+
+def test_plan_gates(spark):
+    df = _mk(spark, [(1, 1, 0, 0.0, 0.0), (2, 1, 5, 10.0, 10.0)])
+    plan = od_flows(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -95,3 +95,75 @@ def stratified_sample(
         F.col(key_col), default_fraction
     )
     return df.filter(gate | rest if gate is not None else rest)
+
+
+def od_flows(
+    df,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    by: Sequence[str] = ("user_id",),
+    gap_seconds: int = 1800,
+    zoom: int = 6,
+):
+    """Origin-destination flow matrix — the classic mobility-analytics
+    aggregate: sessionize each user's event stream (gap rule), take the
+    FIRST and LAST event's tile cell per session as the trip's origin and
+    destination, and count trips and distinct users per (origin, dest)
+    cell pair. Self-flows (origin == destination) are kept — they are the
+    'stayed in the area' diagonal a flow matrix needs.
+
+    Determinism: rows within a session are ordered by (epoch micros,
+    id_col), so equal-timestamp endpoints resolve identically in Spark
+    and the SQL oracle. All outputs are integer counts.
+
+    Plan shape: sessionize's per-user window, one more window keyed
+    (user, session) for the endpoint row_numbers, a self-join of the slim
+    endpoint rows on (user, session), and the final flow groupBy — every
+    exchange carries longs only; no payload, no text.
+    """
+    from ..udfs import tile_x_expr, tile_y_expr
+
+    sess = sessionize(df, ts_col=ts_col, by=by, gap_seconds=gap_seconds)
+    dtype = dict(df.dtypes)[ts_col]
+    if dtype in ("timestamp", "timestamp_ntz"):
+        kind = "TIMESTAMP_NTZ" if dtype == "timestamp_ntz" else "TIMESTAMP"
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, {kind} '1970-01-01 00:00:00', {ts_col})"
+        )
+    else:
+        us = F.col(ts_col).cast("long")
+    by = list(by)
+    slim = sess.select(
+        *by,
+        "session_seq",
+        us.alias("_us"),
+        F.col(id_col).alias("_id"),
+        tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("_cx"),
+        tile_y_expr(F.col(lat_col), F.lit(zoom)).alias("_cy"),
+    )
+    w = Window.partitionBy(*by, "session_seq").orderBy(
+        F.col("_us").asc(), F.col("_id").asc()
+    )
+    ranked = slim.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_rx", F.row_number().over(
+            Window.partitionBy(*by, "session_seq").orderBy(
+                F.col("_us").desc(), F.col("_id").desc()
+            )
+        )
+    )
+    origin = ranked.filter(F.col("_rn") == 1).select(
+        *by, "session_seq", F.col("_cx").alias("o_x"), F.col("_cy").alias("o_y")
+    )
+    dest = ranked.filter(F.col("_rx") == 1).select(
+        *by, "session_seq", F.col("_cx").alias("d_x"), F.col("_cy").alias("d_y")
+    )
+    trips = origin.join(dest, on=by + ["session_seq"])
+    return (
+        trips.groupBy("o_x", "o_y", "d_x", "d_y")
+        .agg(
+            F.count("*").alias("n_trips"),
+            F.countDistinct(*by).cast("long").alias("n_users"),
+        )
+    )

@@ -2341,6 +2341,66 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "od_flows",
+    f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             {tile_xy_sql(_EV_LON, _EV_LAT, 6)[0]} AS cx,
+             {tile_xy_sql(_EV_LON, _EV_LAT, 6)[1]} AS cy
+      FROM events
+    ), flag AS (
+      SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ), seq AS (
+      SELECT *, CAST(sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING
+      ) AS BIGINT) AS session_seq
+      FROM flag
+    ), ranked AS (
+      SELECT *,
+        row_number() OVER (PARTITION BY user_id, session_seq
+                           ORDER BY us ASC, event_id ASC) AS rn,
+        row_number() OVER (PARTITION BY user_id, session_seq
+                           ORDER BY us DESC, event_id DESC) AS rx
+      FROM seq
+    )
+    SELECT o.cx AS o_x, o.cy AS o_y, d.cx AS d_x, d.cy AS d_y,
+           CAST(count(*) AS BIGINT) AS n_trips,
+           CAST(count(DISTINCT o.user_id) AS BIGINT) AS n_users
+    FROM (SELECT * FROM ranked WHERE rn = 1) o
+    JOIN (SELECT * FROM ranked WHERE rx = 1) d
+      USING (user_id, session_seq)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Origin-destination flow matrix (functions/sessions.py::od_flows):
+    30-min-gap sessions per user over the event stream; each session's
+    first/last event cells at zoom 6 become a trip's origin/destination;
+    flows aggregate trip and distinct-user counts per cell pair (self
+    flows kept — the matrix diagonal). Endpoint picks order by (micros,
+    event_id) so ties resolve identically cross-engine; every exchange
+    moves longs only. Oracle: the sessionize window replay + endpoint
+    row_numbers + the same flow aggregation."""
+    from .functions.sessions import od_flows
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return od_flows(
+        ev, lon_col="lon", lat_col="lat", ts_col="ts", id_col="event_id",
+        by=("user_id",), gap_seconds=1800, zoom=6,
+    )
+
+
+@register(
     "range_join_events",
     """
     WITH s AS (
