@@ -78,6 +78,7 @@ HEADLINE = [
     "corpus_pipeline",
     "zonal_stats",
     "hotspots_gi",
+    "hotspot_tiles",
     "emerging_hotspots",
     "emerging_gi",
     "poly_metrics",

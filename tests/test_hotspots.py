@@ -98,3 +98,47 @@ def test_plan_gates(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     # global stats ride a broadcast, not a shuffle of the cell relation
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_choropleth_tiles_payload_roundtrip(spark):
+    """cells_to_choropleth_tiles: exact square polygons, value props,
+    deterministic bytes, parent-tile grouping."""
+    from versatiles_rs_spark.vector_tile import (
+        cells_to_choropleth_tiles,
+        decode_vector_tile,
+    )
+
+    cells = spark.createDataFrame(
+        [(0, 0, 1.5), (1, 0, -0.25), (5, 6, 3.125), (63, 63, 0.0)],
+        "x long, y long, gi double",
+    )
+    tiles = cells_to_choropleth_tiles(cells, cell_zoom=6, render_zoom=4)
+    rows = {(r["z"], r["x"], r["y"]): r for r in tiles.collect()}
+    # cells (0,0),(1,0) -> tile (4,0,0); (5,6) -> (4,1,1); (63,63) -> (4,15,15)
+    assert set(rows) == {(4, 0, 0), (4, 1, 1), (4, 15, 15)}
+    assert rows[(4, 0, 0)]["n_features"] == 2
+    layers = decode_vector_tile(bytes(rows[(4, 0, 0)]["bytes"]))
+    assert len(layers) == 1 and layers[0]["name"] == "cells"
+    feats = layers[0]["features"]
+    assert len(feats) == 2
+    # cell (0,0): 1024px square at origin (extent 4096, dz=2)
+    f0 = feats[0]
+    ring = f0["geometry"][0]
+    assert set(ring[:4]) == {(0, 0), (1024, 0), (1024, 1024), (0, 1024)}
+    assert f0["props"]["gi"] == "1.5"
+    # cell (1,0) sits one cell east
+    assert (2048, 0) in feats[1]["geometry"][0]
+    # determinism: rebuilding yields identical bytes
+    again = {
+        (r["z"], r["x"], r["y"]): bytes(r["bytes"]) for r in tiles.collect()
+    }
+    assert again[(4, 0, 0)] == bytes(rows[(4, 0, 0)]["bytes"])
+
+
+def test_choropleth_guard_rails(spark):
+    from versatiles_rs_spark.vector_tile import cells_to_choropleth_tiles
+    import pytest as _pytest
+
+    cells = spark.createDataFrame([(0, 0, 1.0)], "x long, y long, gi double")
+    with _pytest.raises(ValueError):
+        cells_to_choropleth_tiles(cells, cell_zoom=4, render_zoom=6)

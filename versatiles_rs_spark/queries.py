@@ -3076,6 +3076,88 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall_cells(ev, zoom=6, n_bins=8)
 
 
+def _hotspot_tiles_sql() -> str:
+    """Oracle for hotspot_tiles: the hotspots_gi pipeline grouped into
+    zoom-4 parent tiles (per-tile feature count + significant-cell count;
+    the MVT payload bytes stay pytest-verified, as for mvt_tiles)."""
+    sig = f"{1.96:.17e}"
+    return f"""
+    WITH pts AS (
+      SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+    ), cells AS (
+      SELECT {tile_xy_sql('lon', 'lat', 6)[0]} AS x,
+             {tile_xy_sql('lon', 'lat', 6)[1]} AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2
+    ), stats AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(sum(cnt * cnt) AS BIGINT) AS tot2
+      FROM cells
+    ), contrib AS (
+      SELECT c.x + dx.v AS x, c.y + dy.v AS y,
+             CAST(sum(c.cnt) AS BIGINT) AS nbr_sum
+      FROM cells c,
+           (VALUES (-1), (0), (1)) dx(v),
+           (VALUES (-1), (0), (1)) dy(v)
+      WHERE c.x + dx.v BETWEEN 0 AND 63 AND c.y + dy.v BETWEEN 0 AND 63
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT c.x, c.y, c.cnt, k.nbr_sum, {_wi_sql("c", 63)} AS wi,
+             s.tot, s.tot2
+      FROM cells c
+      JOIN contrib k USING (x, y)
+      CROSS JOIN stats s
+    ), g AS (
+      SELECT x, y, round({_gi_sql_expr(f"{4096.0:.17e}")}, 6) AS gi FROM j
+    )
+    SELECT CAST(4 AS INTEGER) AS z, x // 4 AS x, y // 4 AS y,
+           CAST(count(*) AS INTEGER) AS n_features,
+           CAST(count(*) FILTER (WHERE gi > {sig}) AS BIGINT) AS hot_cells
+    FROM g GROUP BY 1, 2, 3
+    """
+
+
+@register("hotspot_tiles", _hotspot_tiles_sql())
+def q_hotspot_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-to-serving composition: the Gi* hotspot surface rendered
+    as an MVT choropleth (vector_tile.cells_to_choropleth_tiles) — each
+    zoom-6 cell becomes one exact-integer square polygon with its gi as a
+    property, grouped into zoom-4 tiles whose rows flow straight into the
+    engine's sinks/containers/serve shim. The driver oracle verifies the
+    per-tile feature and significant-cell (|gi| threshold 1.96) counts;
+    payload bytes are pytest-verified by decode round-trip (same split as
+    mvt_tiles)."""
+    from .functions.hotspots import getis_ord_hotspots
+    from .udfs import derived_lat_expr, derived_lon_expr
+    from .vector_tile import cells_to_choropleth_tiles
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    cells = getis_ord_hotspots(ev, lon_col="lon", lat_col="lat", zoom=6).cache()
+    tiles = cells_to_choropleth_tiles(
+        cells.select("x", "y", "gi"), cell_zoom=6, render_zoom=4
+    )
+    hot = (
+        cells.select(
+            F.shiftright(F.col("x"), 2).alias("x"),
+            F.shiftright(F.col("y"), 2).alias("y"),
+            F.when(F.col("gi") > F.lit(1.96), 1).otherwise(0).alias("h"),
+        )
+        .groupBy("x", "y")
+        .agg(F.sum("h").cast("long").alias("hot_cells"))
+    )
+    # payload never enters a join/shuffle (repo invariant): project the
+    # stats before joining the slim hot-cell counts
+    return (
+        tiles.select("z", "x", "y", "n_features")
+        .join(hot, on=["x", "y"])
+        .select("z", "x", "y", "n_features", "hot_cells")
+    )
+
+
+
 @register(
     "hotspots_gi",
     f"""

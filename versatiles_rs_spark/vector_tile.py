@@ -412,3 +412,73 @@ def merge_vector_payloads(sources: list, keys=("z", "x", "y"), payload: str = "b
         return pd.DataFrame(row)
 
     return u.groupBy(*keys).applyInPandas(merge, schema=out_schema)
+
+
+def cells_to_choropleth_tiles(
+    cells,
+    cell_zoom: int,
+    render_zoom: int,
+    value_cols: tuple = ("gi",),
+    layer: str = "cells",
+    extent: int = 4096,
+):
+    """Render a (x, y, value...) cell relation — a Gi* hotspot surface, a
+    count rollup, any zoom-grid analytic — as an MVT choropleth: each cell
+    becomes one square polygon feature in its parent tile at
+    `render_zoom`, with the value columns as string properties. This is
+    the analytics->serving composition: the output rows are ordinary tile
+    rows, so they flow straight into the engine's sinks/containers/serve
+    shim.
+
+    Exact-integer geometry: with dz = cell_zoom - render_zoom, each cell
+    spans extent >> dz tile-local pixels (extent and the grids are powers
+    of two, so corners are exact). One shuffle on the parent tile key;
+    features sort by (x, y) inside the kernel so payload bytes are
+    deterministic."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    dz = cell_zoom - render_zoom
+    if dz < 0:
+        raise ValueError("render_zoom must be <= cell_zoom")
+    if extent % (1 << dz) != 0:
+        raise ValueError("extent must be divisible by 2^(cell_zoom - render_zoom)")
+    side = extent >> dz
+    df = (
+        cells.withColumn("pz", F.lit(int(render_zoom)).cast("int"))
+        .withColumn("px", F.shiftright(F.col("x").cast("long"), dz))
+        .withColumn("py", F.shiftright(F.col("y").cast("long"), dz))
+        .withColumn("lx", ((F.col("x") - F.shiftleft(F.col("px"), dz)) * side).cast("int"))
+        .withColumn("ly", ((F.col("y") - F.shiftleft(F.col("py"), dz)) * side).cast("int"))
+    )
+    vcols = list(value_cols)
+    out_schema = "z int, x long, y long, bytes binary, n_features int"
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["x", "y"])
+        feats = []
+        for r in pdf.itertuples():
+            x0, y0 = int(r.lx), int(r.ly)
+            ring = [(x0, y0), (x0 + side, y0), (x0 + side, y0 + side), (x0, y0 + side)]
+            feats.append(
+                {
+                    "id": int(r.x) * (1 << (cell_zoom + 1)) + int(r.y),
+                    "type": POLYGON,
+                    "geometry": [ring],
+                    "props": {c: repr(getattr(r, c)) for c in vcols},
+                }
+            )
+        blob = encode_vector_tile(
+            [{"name": layer, "extent": extent, "features": feats}]
+        )
+        return pd.DataFrame(
+            {
+                "z": [int(pdf["pz"].iloc[0])],
+                "x": [int(pdf["px"].iloc[0])],
+                "y": [int(pdf["py"].iloc[0])],
+                "bytes": [blob],
+                "n_features": [len(feats)],
+            }
+        )
+
+    return df.groupBy("pz", "px", "py").applyInPandas(build, schema=out_schema)
