@@ -64,6 +64,7 @@ HEADLINE = [
     "asof_events",
     "sessionize",
     "od_flows",
+    "flow_tiles",
     "range_join_events",
     "fence_crossings",
     "fence_dwell",

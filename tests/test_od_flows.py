@@ -70,3 +70,43 @@ def test_plan_gates(spark):
     plan = od_flows(df)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_flow_tiles_payload_roundtrip(spark):
+    """flows_to_vector_tiles: exact cell-center lines, dual-tile emission,
+    out-of-bounds far endpoints, self-flow tick, deterministic bytes."""
+    from versatiles_rs_spark.vector_tile import (
+        decode_vector_tile,
+        flows_to_vector_tiles,
+    )
+
+    flows = spark.createDataFrame(
+        [
+            (0, 0, 5, 6, 3, 2),     # crosses tiles (4,0,0) -> (4,1,1)
+            (2, 2, 2, 2, 1, 1),     # self flow inside (4,0,0)
+            (63, 63, 63, 60, 2, 2), # within tile (4,15,15)
+        ],
+        "o_x long, o_y long, d_x long, d_y long, n_trips long, n_users long",
+    )
+    rows = {
+        (r["z"], r["x"], r["y"]): r
+        for r in flows_to_vector_tiles(flows, cell_zoom=6, render_zoom=4).collect()
+    }
+    assert set(rows) == {(4, 0, 0), (4, 1, 1), (4, 15, 15)}
+    # the crossing flow appears in BOTH endpoint tiles
+    assert rows[(4, 0, 0)]["n_features"] == 2  # crossing + self
+    assert rows[(4, 1, 1)]["n_features"] == 1
+    layers = decode_vector_tile(bytes(rows[(4, 0, 0)]["bytes"]))
+    feats = layers[0]["features"]
+    # flow (0,0)->(5,6): centers at 1024-px cells, half = 512
+    line = feats[0]["geometry"][0]
+    assert line == [(512, 512), (5 * 1024 + 512, 6 * 1024 + 512)]
+    assert feats[0]["props"]["n_trips"] == "3"
+    # in tile (4,1,1) the same flow's origin is OUT OF BOUNDS (negative)
+    far = decode_vector_tile(bytes(rows[(4, 1, 1)]["bytes"]))[0]["features"][0]
+    (ox, oy), (dx_, dy_) = far["geometry"][0]
+    assert ox < 0 and oy < 0 and 0 <= dx_ <= 4096
+    # self flow renders a 1px tick, not a zero-length line
+    self_line = feats[1]["geometry"][0]
+    assert self_line[0] != self_line[1]
+    assert abs(self_line[1][0] - self_line[0][0]) == 1

@@ -2340,9 +2340,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "od_flows",
-    f"""
+def _od_flows_sql() -> str:
+    """od_flows oracle body — also reused by flow_tiles (the rendered
+    flow-line tiles verify against the same flow matrix)."""
+    return f"""
     WITH t AS (
       SELECT user_id, event_id, epoch_us(ts) AS us,
              {tile_xy_sql(_EV_LON, _EV_LAT, 6)[0]} AS cx,
@@ -2373,8 +2374,85 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN (SELECT * FROM ranked WHERE rx = 1) d
       USING (user_id, session_seq)
     GROUP BY 1, 2, 3, 4
-    """,
-)
+    """
+
+
+def _flow_tiles_sql() -> str:
+    """Oracle for flow_tiles: the od_flows matrix assigned to BOTH
+    endpoints' zoom-4 parent tiles (dedup when they coincide), per-tile
+    feature count + trip-weight sum; the MVT line payload stays
+    pytest-verified (same split as mvt_tiles / hotspot_tiles)."""
+    return f"""
+    WITH flows AS ({_od_flows_sql()}),
+    ex AS (
+      SELECT DISTINCT o_x, o_y, d_x, d_y, n_trips, px, py FROM (
+        SELECT f.*, f.o_x // 4 AS px, f.o_y // 4 AS py FROM flows f
+        UNION ALL
+        SELECT f.*, f.d_x // 4 AS px, f.d_y // 4 AS py FROM flows f
+      )
+    )
+    SELECT CAST(4 AS INTEGER) AS z, px AS x, py AS y,
+           CAST(count(*) AS INTEGER) AS n_features,
+           CAST(sum(n_trips) AS BIGINT) AS n_trips
+    FROM ex GROUP BY 1, 2, 3
+    """
+
+
+@register("flow_tiles", _flow_tiles_sql())
+def q_flow_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow-map rendering: the OD matrix drawn as MVT LINESTRING tiles
+    (vector_tile.flows_to_vector_tiles) — each flow is a line between its
+    cell centers, emitted into both endpoints' zoom-4 parent tiles
+    (out-of-bounds far endpoints are legal MVT; renderers clip). The
+    oracle verifies per-tile feature counts and trip-weight sums against
+    the same flow matrix; line payload bytes are pytest-verified. Stats
+    are computed from the slim flow relation and joined after projecting
+    the payload away (bytes never shuffle)."""
+    from .functions.sessions import od_flows
+    from .udfs import derived_lat_expr, derived_lon_expr
+    from .vector_tile import flows_to_vector_tiles
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    flows = od_flows(
+        ev, lon_col="lon", lat_col="lat", ts_col="ts", id_col="event_id",
+        by=("user_id",), gap_seconds=1800, zoom=6,
+    ).cache()
+    tiles = flows_to_vector_tiles(flows, cell_zoom=6, render_zoom=4)
+    stats = (
+        flows.select(
+            "n_trips",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.struct(
+                            F.shiftright(F.col("o_x"), 2).alias("x"),
+                            F.shiftright(F.col("o_y"), 2).alias("y"),
+                        ),
+                        F.struct(
+                            F.shiftright(F.col("d_x"), 2).alias("x"),
+                            F.shiftright(F.col("d_y"), 2).alias("y"),
+                        ),
+                    )
+                )
+            ).alias("t"),
+        )
+        .groupBy(F.col("t.x").alias("x"), F.col("t.y").alias("y"))
+        .agg(F.sum("n_trips").cast("long").alias("n_trips"))
+    )
+    return (
+        tiles.select("z", "x", "y", "n_features")
+        .join(stats, on=["x", "y"])
+        .select("z", "x", "y", "n_features", "n_trips")
+    )
+
+
+@register("od_flows", _od_flows_sql())
 def q_od_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Origin-destination flow matrix (functions/sessions.py::od_flows):
     30-min-gap sessions per user over the event stream; each session's

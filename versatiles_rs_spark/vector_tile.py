@@ -482,3 +482,97 @@ def cells_to_choropleth_tiles(
         )
 
     return df.groupBy("pz", "px", "py").applyInPandas(build, schema=out_schema)
+
+
+def flows_to_vector_tiles(
+    flows,
+    cell_zoom: int,
+    render_zoom: int,
+    weight_cols: tuple = ("n_trips", "n_users"),
+    layer: str = "flows",
+    extent: int = 4096,
+):
+    """Render an OD flow matrix (o_x, o_y, d_x, d_y, weights...) as MVT
+    LINESTRING tiles: each flow becomes a line between its origin and
+    destination CELL CENTERS, emitted into BOTH endpoints' parent tiles at
+    `render_zoom` (coordinates relative to each tile; the far endpoint may
+    fall outside [0, extent] — the MVT spec allows out-of-bounds geometry,
+    renderers clip). Weights ride as string properties.
+
+    Exact-integer geometry: cell centers sit at half-cell offsets and the
+    per-cell pixel side (extent >> dz) is even, so every coordinate is an
+    exact int. Features sort by (o, d) so payload bytes are deterministic.
+    One explode (x2) + one shuffle on the parent tile key."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    dz = cell_zoom - render_zoom
+    if dz < 0:
+        raise ValueError("render_zoom must be <= cell_zoom")
+    side = extent >> dz
+    if side % 2 != 0:
+        raise ValueError("extent >> (cell_zoom - render_zoom) must be even")
+    vcols = list(weight_cols)
+
+    tiles = flows.select(
+        "o_x",
+        "o_y",
+        "d_x",
+        "d_y",
+        *vcols,
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.struct(
+                        F.shiftright(F.col("o_x").cast("long"), dz).alias("px"),
+                        F.shiftright(F.col("o_y").cast("long"), dz).alias("py"),
+                    ),
+                    F.struct(
+                        F.shiftright(F.col("d_x").cast("long"), dz).alias("px"),
+                        F.shiftright(F.col("d_y").cast("long"), dz).alias("py"),
+                    ),
+                )
+            )
+        ).alias("t"),
+    ).select("o_x", "o_y", "d_x", "d_y", *vcols, "t.px", "t.py")
+
+    out_schema = "z int, x long, y long, bytes binary, n_features int"
+    half = side // 2
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["o_x", "o_y", "d_x", "d_y"])
+        px, py = int(pdf["px"].iloc[0]), int(pdf["py"].iloc[0])
+        feats = []
+        for r in pdf.itertuples():
+            ox = (int(r.o_x) - (px << dz)) * side + half
+            oy = (int(r.o_y) - (py << dz)) * side + half
+            dx_ = (int(r.d_x) - (px << dz)) * side + half
+            dy_ = (int(r.d_y) - (py << dz)) * side + half
+            if (ox, oy) == (dx_, dy_):
+                # self flow: zero-length lines are invalid MVT — render a
+                # minimal tick so the diagonal stays visible
+                dx_, dy_ = ox + 1, oy
+            feats.append(
+                {
+                    "id": ((int(r.o_x) * (1 << (cell_zoom + 1)) + int(r.o_y))
+                           * (1 << (cell_zoom + 1)) + int(r.d_x))
+                          * (1 << (cell_zoom + 1)) + int(r.d_y),
+                    "type": LINESTRING,
+                    "geometry": [[(ox, oy), (dx_, dy_)]],
+                    "props": {c: repr(getattr(r, c)) for c in vcols},
+                }
+            )
+        blob = encode_vector_tile(
+            [{"name": layer, "extent": extent, "features": feats}]
+        )
+        return pd.DataFrame(
+            {
+                "z": [int(render_zoom)],
+                "x": [px],
+                "y": [py],
+                "bytes": [blob],
+                "n_features": [len(feats)],
+            }
+        )
+
+    return tiles.groupBy("px", "py").applyInPandas(build, schema=out_schema)
