@@ -21,6 +21,7 @@ def pts_parquet(spark, sf_dir, tmp_path_factory):
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .select(
             "event_id",
+            "user_id",
             derived_lon_expr(F.col("event_id")).alias("lon"),
             derived_lat_expr(F.col("event_id")).alias("lat"),
             "ts",
@@ -58,6 +59,10 @@ def test_analyze_all(pts_parquet):
     assert tr["cells"] == hs["cells"]  # same occupied-cell set at same zoom
     em = out["emerging"]
     assert em["cells"] == hs["cells"]
+    od = out["od"]
+    assert od["flows"] > 0 and od["self_flows"] <= od["flows"]
+    trips = [r["n_trips"] for r in od["top"]]
+    assert trips == sorted(trips, reverse=True)
     db = out["dbscan"]
     assert db["core"] + db["border"] + db["noise"] == 1000
     assert db["min_pts"] >= 1  # adaptive threshold resolved and reported

@@ -7,6 +7,7 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py trends    pts.parquet [--zoom 6] [--bins 8] [--top 10]
     python tools/analyze.py emerging  pts.parquet [--zoom 6] [--bins 8] [--top 10]
     python tools/analyze.py dbscan    pts.parquet [--eps 2.0] [--min-pts N]
+    python tools/analyze.py od        pts.parquet [--by user_id] [--zoom 6]
     python tools/analyze.py all       pts.parquet
 
 Expected columns: lon/lat (double); trends/emerging also need ts
@@ -32,13 +33,17 @@ def _top_rows(df, order_col, top, ascending=False):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="analyze")
-    ap.add_argument("command", choices=["hotspots", "trends", "emerging", "dbscan", "all"])
+    ap.add_argument(
+        "command", choices=["hotspots", "trends", "emerging", "dbscan", "od", "all"]
+    )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
     ap.add_argument("--bins", type=int, default=8)
     ap.add_argument("--eps", type=float, default=2.0)
     ap.add_argument("--min-pts", type=int, default=None)
     ap.add_argument("--id", dest="id_col", default=None)
+    ap.add_argument("--by", dest="by_col", default="user_id",
+                    help="trajectory grouping column for the od command")
     ap.add_argument("--lon", default="lon")
     ap.add_argument("--lat", default="lat")
     ap.add_argument("--ts", dest="ts_col", default="ts")
@@ -55,7 +60,7 @@ def main(argv=None):
     out: dict = {"table": args.table, "n_points": pts.count()}
 
     cmds = (
-        ["hotspots", "trends", "emerging", "dbscan"]
+        ["hotspots", "trends", "emerging", "dbscan", "od"]
         if args.command == "all"
         else [args.command]
     )
@@ -97,6 +102,26 @@ def main(argv=None):
                 "emerging": df.filter(F.col("mk_z") > 1.96).count(),
                 "fading": df.filter(F.col("mk_z") < -1.96).count(),
                 "top": _top_rows(df, "mk_z", args.top),
+            }
+        elif cmd == "od":
+            from versatiles_rs_spark.functions.sessions import od_flows
+
+            user_col = args.by_col
+            if user_col not in pts.columns or args.ts_col not in pts.columns:
+                out["od"] = {"skipped": f"needs {user_col} and {args.ts_col} columns"}
+                continue
+            ev_id = "event_id" if "event_id" in pts.columns else user_col
+            df = od_flows(
+                pts, args.lon, args.lat, args.ts_col, id_col=ev_id,
+                by=(user_col,), zoom=args.zoom,
+            ).cache()
+            out["od"] = {
+                "zoom": args.zoom,
+                "flows": df.count(),
+                "self_flows": df.filter(
+                    (F.col("o_x") == F.col("d_x")) & (F.col("o_y") == F.col("d_y"))
+                ).count(),
+                "top": _top_rows(df, "n_trips", args.top),
             }
         elif cmd == "dbscan":
             from versatiles_rs_spark.joins.dbscan import grid_dbscan
