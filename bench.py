@@ -65,6 +65,7 @@ HEADLINE = [
     "sessionize",
     "od_flows",
     "flow_tiles",
+    "flow_pagerank",
     "range_join_events",
     "fence_crossings",
     "fence_dwell",

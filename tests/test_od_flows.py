@@ -110,3 +110,50 @@ def test_flow_tiles_payload_roundtrip(spark):
     self_line = feats[1]["geometry"][0]
     assert self_line[0] != self_line[1]
     assert abs(self_line[1][0] - self_line[0][0]) == 1
+
+
+def test_pagerank_reference_parity(spark):
+    """Fixed-point PageRank vs an exact python replay on a planted graph:
+    hub cell dominates, dangling mass absorbs, ints match exactly."""
+    from versatiles_rs_spark.functions.graph import pagerank_flows
+
+    # star into (5,5) plus a chain and a dangling sink
+    flows = [
+        (0, 0, 5, 5, 10, 3),
+        (1, 1, 5, 5, 7, 2),
+        (2, 2, 5, 5, 3, 1),
+        (5, 5, 9, 9, 4, 2),   # hub passes some rank on
+        (9, 9, 9, 9, 1, 1),   # self loop on the sink
+        (3, 3, 1, 1, 2, 1),
+    ]
+    df = spark.createDataFrame(
+        flows, "o_x long, o_y long, d_x long, d_y long, n_trips long, n_users long"
+    )
+    metrics: dict = {}
+    got = {
+        (r["x"], r["y"]): r["pr"]
+        for r in pagerank_flows(df, iterations=10, metrics=metrics).collect()
+    }
+
+    # exact python replay (same integer ops)
+    scale, d = 1_000_000_000_000, 85
+    edges = [((o1, o2), (d1, d2), w) for o1, o2, d1, d2, w, _ in flows]
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    assert metrics["pagerank_nodes"] == n
+    ow = {}
+    for u, _, w in edges:
+        ow[u] = ow.get(u, 0) + w
+    pr = {v: scale // n for v in nodes}
+    base = (scale * (100 - d) // 100) // n
+    for _ in range(10):
+        new = {v: base for v in nodes}
+        for u, v, w in edges:
+            new[v] += ((pr[u] * d // 100) * w) // ow[u]
+        pr = new
+    assert got == pr
+    # the star hub out-ranks everything except possibly the sink it feeds
+    hub = got[(5, 5)]
+    assert hub > got[(0, 0)] and hub > got[(1, 1)] and hub > got[(3, 3)]
+    # total rank bounded by scale (dangling absorption only shrinks it)
+    assert sum(got.values()) <= scale

@@ -129,3 +129,81 @@ def dedup_clusters(
             (F.col("id") == F.col("component")).alias("is_keeper"),
         )
     )
+
+
+def pagerank_flows(
+    flows: DataFrame,
+    weight_col: str = "n_trips",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Weighted PageRank over an OD flow graph (o_x,o_y)->(d_x,d_y) in
+    FIXED-POINT int64 arithmetic — the determinism trick that makes an
+    iterative float algorithm hash-verifiable cross-engine: ranks are
+    integers scaled by `scale`, every step is integer multiply + floor
+    division, so Spark and the unrolled-CTE DuckDB oracle agree bit for
+    bit (float PageRank cannot be oracled: per-node contribution sums are
+    order-dependent at the ulp level).
+
+    Per iteration, for every node v:
+        pr'[v] = (scale * (100 - d) // 100) // n
+                 + sum over edges u->v of ((pr[u] * d // 100) * w_uv) // out_w[u]
+    with d = damping_pct. Dangling nodes (no outgoing flow) absorb their
+    mass (documented loss — total rank decays slightly, ordering is what
+    the statistic is for). Self loops participate like any edge.
+
+    100 TB shape: the edge relation is (long u, long v, long w) — the
+    iteration is one slim join + groupBy per round, lineage truncated with
+    localCheckpoint like connected_components; iteration count is FIXED
+    (graded convergence is not data-dependent).
+
+    Returns (x, y, pr) — pr int64 at `scale`; sort desc for the hub list.
+    """
+    nbits = 21  # cell pack: x*2^21 + y, same envelope as joins/dbscan
+
+    edges = flows.select(
+        (F.col("o_x").cast("long") * F.lit(1 << nbits) + F.col("o_y")).alias("u"),
+        (F.col("d_x").cast("long") * F.lit(1 << nbits) + F.col("d_y")).alias("v"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    out_w = edges.groupBy("u").agg(F.sum("w").alias("ow"))
+    edges = edges.join(out_w, on="u").localCheckpoint()
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return flows.sparkSession.createDataFrame([], "x long, y long, pr long")
+    base = (scale * (100 - damping_pct) // 100) // n
+    if metrics is not None:
+        metrics["pagerank_nodes"] = n
+
+    pr = nodes.withColumn("pr", F.lit(scale // n).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(pr.withColumnRenamed("id", "u"), on="u")
+            .select(
+                F.col("v").alias("id"),
+                F.expr(f"((pr * {damping_pct} div 100) * w) div ow").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("c"))
+        )
+        pr = (
+            nodes.join(contrib, on="id", how="left")
+            .select(
+                "id",
+                (F.lit(base).cast("long") + F.coalesce("c", F.lit(0).cast("long"))).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select(
+        F.expr(f"id div {1 << nbits}").alias("x"),
+        F.pmod("id", F.lit(1 << nbits)).alias("y"),
+        "pr",
+    )

@@ -2377,6 +2377,74 @@ def _od_flows_sql() -> str:
     """
 
 
+def _flow_pagerank_sql(iterations: int = 10) -> str:
+    """Oracle for flow_pagerank: the od_flows graph walked by the SAME
+    fixed-point integer PageRank (functions/graph.py::pagerank_flows),
+    with the iterations unrolled as a CTE chain — integer multiply and
+    floor division end to end, so an ITERATIVE algorithm hash-verifies
+    cross-engine (impossible with float ranks)."""
+    scale, d, pack = 1_000_000_000_000, 85, 1 << 21
+    its = []
+    for k in range(1, iterations + 1):
+        its.append(f"""it{k} AS (
+      SELECT n.id,
+             CAST(({scale} * {100 - d} // 100) // m.c + coalesce(s.cc, 0) AS BIGINT) AS pr
+      FROM nodes n CROSS JOIN nn m
+      LEFT JOIN (
+        SELECT e.v AS id,
+               CAST(sum(((p.pr * {d} // 100) * e.w) // e.ow) AS BIGINT) AS cc
+        FROM edges e JOIN it{k - 1} p ON p.id = e.u GROUP BY 1
+      ) s ON s.id = n.id
+    )""")
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH flows AS ({_od_flows_sql()}),
+    edges0 AS (
+      SELECT o_x * {pack} + o_y AS u, d_x * {pack} + d_y AS v, n_trips AS w
+      FROM flows
+    ), ow AS (
+      SELECT u, CAST(sum(w) AS BIGINT) AS ow FROM edges0 GROUP BY 1
+    ), edges AS (
+      SELECT e.u, e.v, e.w, o.ow FROM edges0 e JOIN ow o USING (u)
+    ), nodes AS (
+      SELECT u AS id FROM edges0 UNION SELECT v FROM edges0
+    ), nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS c FROM nodes
+    ), it0 AS (
+      SELECT id, CAST({scale} // c AS BIGINT) AS pr FROM nodes, nn
+    ),
+    {chain}
+    SELECT id // {pack} AS x, id % {pack} AS y, pr FROM it{iterations}
+    """
+
+
+@register("flow_pagerank", _flow_pagerank_sql())
+def q_flow_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flow-graph centrality: weighted PageRank over the OD cell graph
+    (functions/graph.py::pagerank_flows) in fixed-point int64 — integer
+    multiply + floor division per step make the ITERATIVE rank walk
+    hash-verifiable against a 10-round unrolled-CTE DuckDB replay (float
+    PageRank can't be oracled: contribution sums differ at the ulp level
+    between engines). The top-pr cells are the mobility hubs the flow map
+    funnels into. Dangling cells absorb their mass (documented loss)."""
+    from .functions.graph import pagerank_flows
+    from .functions.sessions import od_flows
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    flows = od_flows(
+        ev, lon_col="lon", lat_col="lat", ts_col="ts", id_col="event_id",
+        by=("user_id",), gap_seconds=1800, zoom=6,
+    )
+    return pagerank_flows(flows, weight_col="n_trips", iterations=10)
+
+
 def _flow_tiles_sql() -> str:
     """Oracle for flow_tiles: the od_flows matrix assigned to BOTH
     endpoints' zoom-4 parent tiles (dedup when they coincide), per-tile
