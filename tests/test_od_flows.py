@@ -157,3 +157,52 @@ def test_pagerank_reference_parity(spark):
     assert hub > got[(0, 0)] and hub > got[(1, 1)] and hub > got[(3, 3)]
     # total rank bounded by scale (dangling absorption only shrinks it)
     assert sum(got.values()) <= scale
+
+
+def test_lpa_reference_parity(spark):
+    """Synchronous weighted LPA vs exact python replay: two dense cliques
+    joined by a weak bridge collapse into two communities."""
+    from versatiles_rs_spark.functions.graph import label_propagation_flows
+
+    flows = [
+        # clique A around (0,0)-(1,1) with heavy mutual trips
+        (0, 0, 1, 0, 9, 1), (1, 0, 1, 1, 9, 1), (1, 1, 0, 0, 9, 1),
+        # clique B around (9,9)-(10,10)
+        (9, 9, 10, 9, 9, 1), (10, 9, 10, 10, 9, 1), (10, 10, 9, 9, 9, 1),
+        # weak bridge
+        (1, 1, 9, 9, 1, 1),
+    ]
+    df = spark.createDataFrame(
+        flows, "o_x long, o_y long, d_x long, d_y long, n_trips long, n_users long"
+    )
+    rounds = 5
+    got = {
+        (r["x"], r["y"]): r["community"]
+        for r in label_propagation_flows(df, rounds=rounds).collect()
+    }
+
+    # python replay of the exact update rule
+    pack = 1 << 21
+    sym: dict = {}
+    for o1, o2, d1, d2, w, _ in flows:
+        a, b = o1 * pack + o2, d1 * pack + d2
+        for v, u in ((a, b), (b, a)):
+            sym[(v, u)] = sym.get((v, u), 0) + w
+    nodes = sorted({v for v, _ in sym})
+    lab = {v: v for v in nodes}
+    for _ in range(rounds):
+        new = {}
+        for v in nodes:
+            votes: dict = {}
+            for (vv, u), w in sym.items():
+                if vv == v:
+                    votes[lab[u]] = votes.get(lab[u], 0) + w
+            best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            new[v] = best
+        lab = new
+    want = {(v // pack, v % pack): lab[v] for v in nodes}
+    assert got == want
+    # the two cliques form distinct communities
+    comA = {got[(0, 0)], got[(1, 0)], got[(1, 1)]}
+    comB = {got[(9, 9)], got[(10, 9)], got[(10, 10)]}
+    assert len(comA) == 1 and len(comB) == 1 and comA != comB

@@ -24,7 +24,7 @@ memory envelope, which shrinks geometrically as stars merge.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -206,4 +206,64 @@ def pagerank_flows(
         F.expr(f"id div {1 << nbits}").alias("x"),
         F.pmod("id", F.lit(1 << nbits)).alias("y"),
         "pr",
+    )
+
+
+def label_propagation_flows(
+    flows: DataFrame,
+    weight_col: str = "n_trips",
+    rounds: int = 5,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Community detection on an OD flow graph by SYNCHRONOUS weighted
+    label propagation (Raghavan et al. 2007), made fully deterministic
+    and hash-verifiable: labels start as the node's own packed cell id;
+    each round every node adopts the label with the LARGEST total
+    incident edge weight among its (undirected) neighbors, ties broken by
+    the SMALLEST label — integer votes, integer weights, a fixed number
+    of rounds. Classic async LPA is run-order dependent and synchronous
+    LPA can oscillate on bipartite-ish structure; pinning synchronous
+    updates + K rounds + the min-label tie-break trades convergence
+    guarantees for exact cross-engine replay (the oracle unrolls the
+    rounds as CTEs), which is the right trade for a verified query —
+    callers wanting a fixed point can raise `rounds` and compare.
+
+    Returns (x, y, community) — community is the packed cell id of the
+    adopted label; nodes sharing a community form one mobility basin."""
+    nbits = 21
+
+    e0 = flows.select(
+        (F.col("o_x").cast("long") * F.lit(1 << nbits) + F.col("o_y")).alias("a"),
+        (F.col("d_x").cast("long") * F.lit(1 << nbits) + F.col("d_y")).alias("b"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    sym = (
+        e0.select(F.col("a").alias("v"), F.col("b").alias("u"), "w")
+        .unionByName(e0.select(F.col("b").alias("v"), F.col("a").alias("u"), "w"))
+        .groupBy("v", "u")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()
+    )
+    lab = sym.select(F.col("v").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    if metrics is not None:
+        metrics["lpa_rounds"] = rounds
+    win = Window.partitionBy("v").orderBy(F.col("sw").desc(), F.col("label").asc())
+    for _ in range(rounds):
+        votes = (
+            sym.join(lab.withColumnRenamed("id", "u"), on="u")
+            .groupBy("v", "label")
+            .agg(F.sum("w").alias("sw"))
+        )
+        lab = (
+            votes.withColumn("rn", F.row_number().over(win))
+            .filter(F.col("rn") == 1)
+            .select(F.col("v").alias("id"), "label")
+            .localCheckpoint()
+        )
+    return lab.select(
+        F.expr(f"id div {1 << nbits}").alias("x"),
+        F.pmod("id", F.lit(1 << nbits)).alias("y"),
+        F.col("label").alias("community"),
     )

@@ -2377,6 +2377,42 @@ def _od_flows_sql() -> str:
     """
 
 
+def _flow_communities_sql(rounds: int = 5) -> str:
+    """Oracle for flow_communities: synchronous weighted LPA with the
+    rounds unrolled as CTEs — integer votes, (max weight, min label)
+    tie-break, bit-exact vs functions/graph.py::label_propagation_flows."""
+    pack = 1 << 21
+    its = []
+    for k in range(1, rounds + 1):
+        its.append(f"""lb{k} AS (
+      SELECT v AS id, label FROM (
+        SELECT e.v, l.label, CAST(sum(e.w) AS BIGINT) AS sw,
+               row_number() OVER (PARTITION BY e.v
+                 ORDER BY sum(e.w) DESC, l.label ASC) AS rn
+        FROM sym e JOIN lb{k - 1} l ON l.id = e.u
+        GROUP BY e.v, l.label
+      ) WHERE rn = 1
+    )""")
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH flows AS ({_od_flows_sql()}),
+    e0 AS (
+      SELECT o_x * {pack} + o_y AS a, d_x * {pack} + d_y AS b, n_trips AS w
+      FROM flows
+    ), sym AS (
+      SELECT v, u, CAST(sum(w) AS BIGINT) AS w FROM (
+        SELECT a AS v, b AS u, w FROM e0
+        UNION ALL SELECT b, a, w FROM e0
+      ) GROUP BY 1, 2
+    ), lb0 AS (
+      SELECT DISTINCT v AS id, v AS label FROM sym
+    ),
+    {chain}
+    SELECT id // {pack} AS x, id % {pack} AS y, label AS community
+    FROM lb{rounds}
+    """
+
+
 def _flow_pagerank_sql(iterations: int = 10) -> str:
     """Oracle for flow_pagerank: the od_flows graph walked by the SAME
     fixed-point integer PageRank (functions/graph.py::pagerank_flows),
@@ -2416,6 +2452,32 @@ def _flow_pagerank_sql(iterations: int = 10) -> str:
     {chain}
     SELECT id // {pack} AS x, id % {pack} AS y, pr FROM it{iterations}
     """
+
+
+@register("flow_communities", _flow_communities_sql())
+def q_flow_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mobility basins: synchronous weighted label-propagation communities
+    on the OD cell graph (functions/graph.py::label_propagation_flows) —
+    integer votes over undirected trip weights, (max weight, min label)
+    tie-break, 5 fixed rounds. Fully deterministic, so the iterative
+    community walk hash-verifies against a DuckDB oracle with the rounds
+    unrolled as CTEs (async LPA is run-order dependent and unverifiable)."""
+    from .functions.graph import label_propagation_flows
+    from .functions.sessions import od_flows
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    flows = od_flows(
+        ev, lon_col="lon", lat_col="lat", ts_col="ts", id_col="event_id",
+        by=("user_id",), gap_seconds=1800, zoom=6,
+    )
+    return label_propagation_flows(flows, weight_col="n_trips", rounds=5)
 
 
 @register("flow_pagerank", _flow_pagerank_sql())
