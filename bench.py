@@ -98,6 +98,63 @@ HEADLINE = [
 ]
 
 
+# ~15 representative queries keep the graded "queries" key meaningful without
+# blowing the size budget (headline-set totals are only comparable per query
+# anyway — BENCH.md keeps the history).
+KEY_QUERIES = [
+    "tile_assign", "hilbert_order", "pip_polygons", "knn_kring",
+    "minhash_lsh", "semantic_dedup", "mvt_tiles", "raster_pyramid",
+    "ann_ivf", "dup_clusters", "corpus_pipeline", "hotspot_tiles",
+    "od_flows", "image_sniff", "tpch_q3",
+]
+
+# The driver captures only the last 2,000 chars of bench stdout; 74+
+# per-query timings (~2.5 KB) clipped the head of the r3 line and
+# BENCH_r03.json recorded parsed:null.  The final stdout line must stay a
+# compact headline object — hard budget asserted here and pinned by
+# tests/test_bench_contract.py.
+MAX_LINE_CHARS = 1500
+
+
+def make_result(timings, fm, fs, sf, cpus):
+    """Build (final_stdout_line, full_detail_dict) for a bench run.
+
+    The detail dict (all per-query timings) goes to BENCH_DETAIL.json; the
+    returned line carries only KEY_QUERIES and is guaranteed parseable from
+    the driver's 2,000-char tail capture.
+    """
+    total = round(sum(timings.values()) + fm["sec"], 3)
+    metric = "headline queries + flagship tiles-encoded+PIP-join wall time"
+    detail = {
+        "metric": metric,
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "flagship": fm,
+        "flagship_scan": fs,
+        "cpus": cpus,
+        "n_queries": len(timings),
+    }
+    result = {
+        "metric": metric,
+        "value": total,
+        "unit": "sec",
+        "queries": {k: timings[k] for k in KEY_QUERIES if k in timings},
+        "sf": sf,
+        "flagship": fm,
+        "flagship_scan": fs,
+        "cpus": cpus,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(result)
+    assert len(line) < MAX_LINE_CHARS, (
+        f"final bench line {len(line)} chars >= {MAX_LINE_CHARS}"
+    )
+    return line, detail
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -155,27 +212,20 @@ def main():
             fs = fs2
     print(f"# flagship_scan: {fs} (best of {flagship_reps})", file=sys.stderr)
 
-    total = round(sum(timings.values()) + fm["sec"], 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf = float(sf)
     except ValueError:
         pass
-    result = {
-        "metric": "headline queries + flagship tiles-encoded+PIP-join wall time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "flagship": fm,
-        "flagship_scan": fs,
-        "cpus": int(cpus),
-        # headline-set size grows round over round — totals are only
-        # comparable per query (BENCH.md keeps the history)
-        "n_queries": len(HEADLINE),
-    }
+    line, detail = make_result(timings, fm, fs, sf, int(cpus))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"# per-query timings written to {detail_path}", file=sys.stderr)
     spark.stop()
-    print(json.dumps(result))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -224,3 +224,69 @@ class TestHex7:
         got = sorted(r.cell for r in with_cell_ids(df, res=9, kind="hex7").collect())
         want = sorted(int(c) for c in hex7_cell_id(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 9))
         assert got == want
+
+
+# Published H3 golden vectors (VERDICT r3 item 5). Only vectors whose ids
+# appear verbatim in public, widely-mirrored documentation are pinned —
+# this sandbox has no network and no h3 package, so an id recalled from
+# memory could not be re-verified, and a fabricated golden is worse than a
+# short list (hex7.py's honesty rationale). Sources:
+#   1. H3 core docs, cellToLatLng/cellToBoundary API example: cell
+#      8928308280fffff (res 9) has center (37.77670234943567,
+#      -122.41845932318311) — so latLngToCell(center, 9) == the cell.
+#   2. H3 core docs, cellToLatLng example: cell 85283473fffffff (res 5),
+#      center (37.34579337536848, -121.97637597255124).
+#   3. h3-js README quickstart: latLngToCell(37.3615593, -122.0553238, 7)
+#      == 87283472bffffff.
+H3_GOLDEN = [
+    (37.77670234943567, -122.41845932318311, 9, 0x8928308280FFFFF),
+    (37.34579337536848, -121.97637597255124, 5, 0x85283473FFFFFFF),
+    (37.3615593, -122.0553238, 7, 0x87283472BFFFFFF),
+]
+
+
+@pytest.mark.skipif(not HAS_H3, reason="real h3 package not installed")
+def test_h3_passthrough_matches_published_vectors(spark):
+    """When the real h3 package is present, kind="h3" must emit the exact
+    published ids — bit-for-bit."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [(i, lng, lat, res, want) for i, (lat, lng, res, want) in enumerate(H3_GOLDEN)],
+        columns=["id", "lon", "lat", "res", "want"],
+    )
+    for _, row in pdf.iterrows():
+        df = spark.createDataFrame(pdf[pdf["id"] == row["id"]][["id", "lon", "lat"]])
+        got = with_cell_ids(df, res=int(row["res"]), kind="h3").collect()[0].cell
+        assert got == int(row["want"]), hex(got)
+
+
+def test_hex7_gate_is_honest_on_published_vectors():
+    """hex7 deliberately does NOT claim Uber-H3 bit compatibility
+    (hex7.py docstring; gate at cells.py). Prove the gate honest per
+    published vector: (a) hex7's id differs from the real H3 id (no
+    accidental compatibility claim), (b) the mapping is still a
+    well-defined cell index — deterministic, resolution-tagged, and
+    center-roundtrip-stable (re-indexing the cell's own center returns the
+    same cell). The per-vector delta table is asserted, not narrated."""
+    import numpy as np
+
+    from versatiles_rs_spark.hex7 import (
+        cell_center_lnglat,
+        hex7_cell_id,
+        unpack_cell,
+    )
+
+    for lat, lng, res, h3_id in H3_GOLDEN:
+        cell = int(hex7_cell_id(np.array([lng]), np.array([lat]), res)[0])
+        # delta documented: engine id != Uber id (different orientation AND
+        # different bit layout — [res|face|q|r] vs H3's [mode|res|base|digits])
+        assert cell != h3_id, f"unexpected collision at res {res}"
+        got_res, _face, _q, _r = unpack_cell(np.array([cell], dtype=np.int64))
+        assert int(got_res[0]) == res
+        # center roundtrip: idempotent cell assignment (same partition key)
+        clng, clat = cell_center_lnglat(np.array([cell], dtype=np.int64))
+        again = int(hex7_cell_id(clng, clat, res)[0])
+        assert again == cell
+        # repeat call is bit-identical (pure function of (lng, lat, res))
+        assert int(hex7_cell_id(np.array([lng]), np.array([lat]), res)[0]) == cell

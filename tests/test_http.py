@@ -242,3 +242,72 @@ def test_serve_from_reference_config(spark, tmp_path):
         assert h8.get("Access-Control-Allow-Origin") == "https://cdn.other-example.org"
     finally:
         srv.shutdown()
+
+
+def test_status_and_tiles_index_routes(spark, tile_df):
+    """Liveness + source-index parity: tile_server.rs:198 routes /status to
+    the literal "ready!" (asserted by its own test at :371), and
+    routes.rs:39-64 serves a precomputed /tiles/index.json source list."""
+    from versatiles_rs_spark.server import serve_tiles
+
+    srv, base = serve_tiles(tile_df, tile_fmt="bin")
+    try:
+        st, hdrs, body = _get(f"{base}/status", {"Accept-Encoding": "identity"})
+        assert st == 200 and body == b"ready!"
+        assert hdrs["Content-Type"].startswith("text/plain")
+        st2, hdrs2, idx = _get(f"{base}/tiles/index.json", {"Accept-Encoding": "identity"})
+        assert st2 == 200 and json.loads(idx) == ["tiles"]
+        assert hdrs2["Content-Type"].startswith("application/json")
+    finally:
+        srv.shutdown()
+
+
+def test_empty_config_index_and_404_semantics(spark, tmp_path):
+    """routes.rs tests at :81-100: with NO mounted sources the index is
+    exactly "[]" (200), tile paths 404, and the static fallback 404s."""
+    from versatiles_rs_spark.server import serve_from_config
+
+    (tmp_path / "empty.yml").write_text("server:\n  ip: 127.0.0.1\n")
+    srv, base, skipped = serve_from_config(spark, str(tmp_path / "empty.yml"))
+    try:
+        assert skipped == []
+        st, _, idx = _get(f"{base}/tiles/index.json", {"Accept-Encoding": "identity"})
+        assert st == 200 and idx == b"[]"  # byte-equal to routes.rs:86 expectation
+        st2, _, body2 = _get(f"{base}/status", {"Accept-Encoding": "identity"})
+        assert st2 == 200 and body2 == b"ready!"
+        for path in ("/tiles/any/1/2/3", "/"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _get(f"{base}{path}")
+            assert ei.value.code == 404
+    finally:
+        srv.shutdown()
+
+
+def test_config_index_lists_healthy_mounts_in_order(spark, tmp_path):
+    """The index is precomputed from the HEALTHY mounts only (a skipped
+    remote source is absent), in mount order — reference behavior of
+    add_api_to_app over the constructed source list (routes.rs:45-53)."""
+    import pandas as pd
+
+    from versatiles_rs_spark.server import serve_from_config
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(0, 0, 0, b"x")], columns=["z", "x", "y", "bytes"]),
+        schema="z int, x long, y long, bytes binary",
+    )
+    write_mbtiles(df, str(tmp_path / "a.mbtiles"))
+    write_mbtiles(df, str(tmp_path / "b.mbtiles"))
+    (tmp_path / "c.yml").write_text(
+        "tiles:\n"
+        "  - name: beta\n    path: b.mbtiles\n"
+        "  - name: down\n    path: https://0.0.0.0:1/x.versatiles\n"
+        "  - name: alpha\n    path: a.mbtiles\n"
+    )
+    srv, base, skipped = serve_from_config(spark, str(tmp_path / "c.yml"))
+    try:
+        assert [n for n, _ in skipped] == ["down"]
+        st, _, idx = _get(f"{base}/tiles/index.json", {"Accept-Encoding": "identity"})
+        assert st == 200 and idx == b'["beta","alpha"]'
+    finally:
+        srv.shutdown()

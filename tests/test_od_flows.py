@@ -159,6 +159,27 @@ def test_pagerank_reference_parity(spark):
     assert sum(got.values()) <= scale
 
 
+def test_pagerank_overflow_guard(spark):
+    """An edge weight big enough that (pr*d//100)*w could wrap int64 must
+    raise loudly instead of silently diverging from the DuckDB oracle
+    (Spark wraps, DuckDB raises — the hash contract would break without a
+    signal)."""
+    import pytest
+
+    from versatiles_rs_spark.functions.graph import pagerank_flows
+
+    big_w = 2**63 // (850_000_000_000) + 1  # > 2^63 / (scale*0.85)
+    df = spark.createDataFrame(
+        [(0, 0, 1, 1, big_w, 1), (1, 1, 0, 0, 1, 1)],
+        "o_x long, o_y long, d_x long, d_y long, n_trips long, n_users long",
+    )
+    with pytest.raises(ValueError, match="overflow int64"):
+        pagerank_flows(df, iterations=1)
+    # and a safe scale passes the guard
+    out = pagerank_flows(df, iterations=1, scale=1_000_000)
+    assert out.count() == 2
+
+
 def test_lpa_reference_parity(spark):
     """Synchronous weighted LPA vs exact python replay: two dense cliques
     joined by a weak bridge collapse into two communities."""

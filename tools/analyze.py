@@ -110,7 +110,22 @@ def main(argv=None):
             if user_col not in pts.columns or args.ts_col not in pts.columns:
                 out["od"] = {"skipped": f"needs {user_col} and {args.ts_col} columns"}
                 continue
-            ev_id = "event_id" if "event_id" in pts.columns else user_col
+            # od_flows' determinism contract tie-breaks equal timestamps on
+            # (micros, id) — the id must be DISTINCT per event.  Reusing the
+            # grouping column (constant within each window) would leave
+            # equal-timestamp session endpoints with no deterministic order,
+            # so require a real id column instead of silently degrading.
+            if "event_id" in pts.columns:
+                ev_id = "event_id"
+            elif args.id_col and args.id_col in pts.columns and args.id_col != user_col:
+                ev_id = args.id_col
+            else:
+                out["od"] = {
+                    "skipped": "needs a distinct per-event id column for "
+                    "deterministic (micros, id) ordering: add an event_id "
+                    "column or pass --id"
+                }
+                continue
             df = od_flows(
                 pts, args.lon, args.lat, args.ts_col, id_col=ev_id,
                 by=(user_col,), zoom=args.zoom,

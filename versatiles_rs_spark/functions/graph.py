@@ -170,6 +170,21 @@ def pagerank_flows(
     )
     out_w = edges.groupBy("u").agg(F.sum("w").alias("ow"))
     edges = edges.join(out_w, on="u").localCheckpoint()
+
+    # int64 overflow guard: per-edge contribution is (pr*d//100)*w with
+    # pr <= scale (total mass), so the product is bounded by
+    # scale*d//100 * max(w).  Spark wraps int64 silently while DuckDB
+    # raises on BIGINT overflow — past the bound the cross-engine hash
+    # contract (and the ranking itself) would break without a signal, so
+    # fail loudly and tell the caller to lower `scale`.
+    max_w = edges.agg(F.max("w")).first()[0] or 0
+    if max_w and (scale * damping_pct // 100) > (2**63 - 1) // max_w:
+        raise ValueError(
+            f"pagerank_flows: scale={scale} with max edge weight {max_w} can "
+            f"overflow int64 ((scale*{damping_pct}//100)*w >= 2^63); pass "
+            f"scale <= {((2**63 - 1) // max_w) * 100 // damping_pct} "
+            "(precision trades linearly with scale)"
+        )
     nodes = (
         edges.select(F.col("u").alias("id"))
         .unionByName(edges.select(F.col("v").alias("id")))

@@ -142,16 +142,24 @@ def grid_dbscan(
     heuristic collapsed to its cheapest deterministic form: cores are the
     above-average-density points, so the threshold tracks the dataset's
     density instead of needing re-tuning per scale. Costs one scalar agg
-    job over the already-cached slim counts relation; the identical
-    avg/floor arithmetic replays in the SQL oracle (exact integer sum,
-    one IEEE division), so both engines resolve the same threshold."""
+    job over the already-cached slim counts relation; the mean is computed
+    as sum(long)/count (exact int64 sum, then ONE IEEE division — not
+    F.avg, whose double accumulator drifts past 2^53 total), and the SQL
+    oracle replays the identical sum/count/floor arithmetic, so both
+    engines resolve the same threshold at any scale."""
     from ..functions.graph import connected_components
 
     pairs = eps_neighbor_pairs(points, id_col, lon_col, lat_col, eps).cache()
     counts = pairs.groupBy("ia").agg(F.count("*").alias("n"))
     if min_pts is None:
         counts = counts.cache()
-        min_pts = int(math.floor(counts.agg(F.avg("n")).collect()[0][0] or 0.0)) + 1
+        # sum/count on longs, NOT F.avg: avg over LongType accumulates in
+        # double (exact only while the running sum stays < 2^53), whereas
+        # sum(long) is an exact int64 sum followed by ONE IEEE division —
+        # matching the oracle's arithmetic at any scale.
+        tot, cnt = counts.agg(F.sum("n"), F.count("*")).collect()[0]
+        # float(tot) then divide = the oracle's CAST(sum AS DOUBLE)/count
+        min_pts = int(math.floor(float(tot or 0) / cnt)) + 1 if cnt else 1
     if metrics is not None:
         metrics["min_pts"] = min_pts
     cores = counts.filter(F.col("n") >= min_pts).select(F.col("ia").alias("id"))

@@ -3439,7 +3439,10 @@ def q_hotspots_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cnt AS (
       SELECT ia AS id, count(*) AS n FROM pairs GROUP BY 1
     ), mp AS (
-      SELECT CAST(floor(avg(CAST(n AS DOUBLE))) AS BIGINT) + 1 AS v FROM cnt
+      -- exact int sum, then ONE IEEE division (matches grid_dbscan's
+      -- sum/count on longs; avg-over-double drifts past 2^53 total)
+      SELECT CAST(floor(CAST(sum(n) AS DOUBLE) / count(*)) AS BIGINT) + 1 AS v
+      FROM cnt
     ), cores AS (
       SELECT id FROM cnt WHERE n >= (SELECT v FROM mp)
     ), eedges AS (

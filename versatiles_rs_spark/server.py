@@ -4,6 +4,11 @@ Parity: /root/reference/versatiles/src/server/tile_server.rs:54 and
 routes.rs:14-22 — routes:
   GET /tiles/{z}/{x}/{y}[.ext]  -> tile payload (404 when absent)
   GET /tiles.json               -> TileJSON metadata
+  GET /status                   -> "ready!" liveness probe
+                                   (tile_server.rs:198)
+  GET /tiles/index.json         -> precomputed JSON list of mounted
+                                   tile-source ids (routes.rs:39-64;
+                                   "[]" when none are mounted)
   GET /static/<name>            -> member of a static tar
                                    (.tar / .tar.gz / .tar.br, the
                                    reference's static-content mode)
@@ -67,6 +72,9 @@ class TileHandler(BaseHTTPRequestHandler):
     static: dict[str, bytes] = {}
     sources: dict = {}  # name -> (df, tilejson, codec) for config-driven multi-source
     snap = None  # SnapshotTable: versioned serving (merge-on-read + ?v= time travel)
+    # Precomputed at mount time like the reference's add_api_to_app
+    # (routes.rs:45-53) — never recomputed per request.
+    tiles_index_json = "[]"
     extra_headers: dict[str, str] = {}
     cors_origins: list[str] = []
     cors_max_age: int = 0
@@ -122,6 +130,17 @@ class TileHandler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         from .sources.containers import get_tile
+
+        # liveness probe — tile_server.rs:198 routes /status to the literal
+        # "ready!"; load balancers hit this before anything else
+        if self.path == "/status":
+            self._send(b"ready!", "text/plain")
+            return
+        # source index — routes.rs:55: a precomputed JSON array of mounted
+        # tile-source ids ("[]" when nothing is mounted, per routes.rs:81-89)
+        if self.path == "/tiles/index.json":
+            self._send(self.tiles_index_json.encode(), "application/json")
+            return
 
         # snapshot-table mode: /z/x/y[?v=N] — merge-on-read point lookup,
         # file set zone-map-pruned per request, ?v= pins a past snapshot
@@ -229,6 +248,7 @@ def serve_snapshot_tiles(
             "tilejson": tilejson_for(t.read()),
             "tile_fmt": tile_fmt,
             "tile_codec": tile_codec,
+            "tiles_index_json": '["tiles"]',
         },
     )
     srv = ThreadingHTTPServer((host, port), handler)
@@ -260,6 +280,7 @@ def serve_tiles(
             "tile_fmt": tile_fmt,
             "tile_codec": tile_codec,
             "static": _load_static(static_tar) if static_tar else {},
+            "tiles_index_json": '["tiles"]',
         },
     )
     srv = ThreadingHTTPServer((host, port), handler)
@@ -341,6 +362,9 @@ def serve_from_config(spark, config_path: str, port: int = 0):
         {
             "df": None,
             "sources": sources,
+            # mount-order ids, precomputed once (routes.rs:45-53); healthy
+            # mounts only — a skipped source is absent from the index
+            "tiles_index_json": json.dumps(list(sources), separators=(",", ":")),
             "static": static,
             "extra_headers": dict(cfg.get("extra_response_headers", {}) or {}),
             "cors_origins": list(cors.get("allowed_origins", []) or []),
