@@ -47,6 +47,13 @@ def main(argv=None):
     ap.add_argument("--window", default="6 hours")
     ap.add_argument("--watermark", default="12 hours")
     ap.add_argument("--update-bench-md", action="store_true")
+    ap.add_argument(
+        "--shuffle-partitions", type=int, default=8,
+        help="state-store partition count — the latency knob: micro-batch "
+        "state is tiny per window, so fewer partitions cut per-batch task "
+        "overhead (a throughput-oriented batch job wants cores*1-4; a "
+        "latency-oriented stream wants just enough for its state volume)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
@@ -60,7 +67,9 @@ def main(argv=None):
     from versatiles_rs_spark.udfs import derived_lat_expr, derived_lon_expr
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(
+        master=f"local[{cpus}]", shuffle_partitions=args.shuffle_partitions
+    )
     work = tempfile.mkdtemp(prefix="bench_stream_")
     stage = os.path.join(work, "stage")
     try:
