@@ -1,0 +1,195 @@
+"""Moran's I + LISA (functions/moran.py) and marker clustering
+(functions/clusters.py): numpy reference parity, closed-form weight
+constants vs brute-force weight matrices, quadrant semantics, cluster
+pyramid invariants, plan gates."""
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.clusters import marker_cluster_pyramid
+from versatiles_rs_spark.functions.moran import grid_constants, local_moran, morans_i
+
+
+def _grid(points, zoom):
+    dim = 1 << zoom
+    grid = np.zeros((dim, dim), dtype=np.int64)
+    for lon, lat in points:
+        xf = dim * (lon / 360.0 + 0.5)
+        yf = dim * (
+            0.5 - 0.5 * math.log(math.tan(lat * math.pi / 360.0 + math.pi / 4.0)) / math.pi
+        )
+        grid[min(max(int(math.floor(xf)), 0), dim - 1),
+             min(max(int(math.floor(yf)), 0), dim - 1)] += 1
+    return grid
+
+
+def _brute_moran(grid):
+    """Textbook O(n^2)-free dense reference: explicit queen-weight loops."""
+    dim = grid.shape[0]
+    n = dim * dim
+    x = grid.astype(np.float64)
+    xbar = x.sum() / n
+    dev = x - xbar
+    num = 0.0
+    s0 = 0
+    for i in range(dim):
+        for j in range(dim):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if di == 0 and dj == 0:
+                        continue
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < dim and 0 <= jj < dim:
+                        s0 += 1
+                        num += dev[i, j] * dev[ii, jj]
+    den = (dev * dev).sum()
+    return (n / s0) * num / den, s0
+
+
+def _rng_points(seed=7, n=400):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-179, 179, n)
+    lat = rng.uniform(-80, 80, n)
+    # plant a multi-cell hot blob (sigma ~ a zoom-4 cell) so neighboring
+    # cells are jointly dense and I is decisively positive
+    k = min(120, n // 2)
+    lon[:k] = np.clip(rng.normal(10.0, 14.0, k), -179, 179)
+    lat[:k] = np.clip(rng.normal(20.0, 9.0, k), -80, 80)
+    return list(zip(lon.tolist(), lat.tolist()))
+
+
+def _points_df(spark, pts):
+    return spark.createDataFrame(
+        pd.DataFrame(pts, columns=["lon", "lat"]), schema="lon double, lat double"
+    )
+
+
+def test_grid_constants_match_brute_weights():
+    for zoom in (1, 2, 3):
+        dim = 1 << zoom
+        g = grid_constants(zoom)
+        deg = np.zeros((dim, dim), dtype=np.int64)
+        for i in range(dim):
+            for j in range(dim):
+                for di in (-1, 0, 1):
+                    for dj in (-1, 0, 1):
+                        if (di or dj) and 0 <= i + di < dim and 0 <= j + dj < dim:
+                            deg[i, j] += 1
+        assert g["s0"] == deg.sum()
+        assert g["s1"] == 2 * deg.sum()
+        assert g["s2"] == int((4 * deg.astype(np.int64) ** 2).sum())
+
+
+def test_global_moran_matches_numpy_reference(spark):
+    zoom = 4
+    pts = _rng_points()
+    row = morans_i(_points_df(spark, pts), zoom=zoom).collect()[0]
+    ref_i, ref_s0 = _brute_moran(_grid(pts, zoom))
+    assert row.s0 == ref_s0
+    assert abs(row.i - ref_i) < 1e-6
+    assert row.i > 0.05  # planted blob -> clustered
+    g = grid_constants(zoom)
+    # row.i is rounded to 6 places but z was computed from the unrounded i
+    assert abs(row.z - (row.i - g["e_i"]) / math.sqrt(g["var_i"])) < 2e-5
+
+
+def test_local_moran_matches_numpy_reference(spark):
+    zoom = 4
+    pts = _rng_points(seed=11)
+    rows = {(r.x, r.y): r for r in local_moran(_points_df(spark, pts), zoom=zoom).collect()}
+    grid = _grid(pts, zoom)
+    dim = 1 << zoom
+    n = dim * dim
+    xbar = grid.sum() / n
+    m2 = ((grid.astype(np.float64) - xbar) ** 2).sum() / n  # empties included
+    # m2 over the full grid: occupied dev^2 + empty count * xbar^2
+    occ = grid[grid > 0]
+    m2 = (((occ - xbar) ** 2).sum() + (n - len(occ)) * xbar * xbar) / n
+    seen = 0
+    for i in range(dim):
+        for j in range(dim):
+            if grid[i, j] == 0:
+                continue
+            lag = deg = 0
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if (di or dj) and 0 <= i + di < dim and 0 <= j + dj < dim:
+                        lag += int(grid[i + di, j + dj])
+                        deg += 1
+            r = rows[(i, j)]
+            seen += 1
+            assert r.cnt == grid[i, j] and r.lag == lag and r.deg == deg
+            ref_ii = (grid[i, j] - xbar) * (lag - deg * xbar) / m2
+            assert abs(r.ii - ref_ii) < 1e-5
+            zdev = grid[i, j] - xbar
+            ldev = lag - deg * xbar
+            want = (
+                "HH" if zdev > 0 and ldev > 0
+                else "LL" if zdev < 0 and ldev < 0
+                else "HL" if zdev > 0 and ldev < 0
+                else "LH" if zdev < 0 and ldev > 0
+                else "NS"
+            )
+            assert r.quad == want, (i, j)
+    assert seen == len(rows)
+
+
+def test_lisa_quadrants_on_planted_surface(spark):
+    # hot blob cells should be HH; a lone far-away point is a low-lag cell
+    pts = _rng_points(seed=3)
+    df = local_moran(_points_df(spark, pts), zoom=4).toPandas()
+    hot = df.sort_values("cnt", ascending=False).iloc[0]
+    assert hot.quad == "HH" and hot.ii > 0
+
+
+def test_marker_cluster_pyramid_invariants(spark):
+    pts = _rng_points(seed=5, n=300)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [(i, lon, lat) for i, (lon, lat) in enumerate(pts)],
+            columns=["id", "lon", "lat"],
+        ),
+        schema="id long, lon double, lat double",
+    )
+    out = marker_cluster_pyramid(df, id_col="id", min_zoom=2, max_zoom=6).toPandas()
+    for z, grp in out.groupby("z"):
+        # every zoom partitions all the points
+        assert grp.n_points.sum() == 300
+    # parent count = sum of child counts; parent id = min of child ids
+    kids = out[out.z == 6]
+    parents = out[out.z == 5].set_index(["x", "y"])
+    agg = kids.assign(px=kids.x // 2, py=kids.y // 2).groupby(["px", "py"]).agg(
+        n=("n_points", "sum"), cid=("cluster_id", "min")
+    )
+    for (px, py), row in agg.iterrows():
+        p = parents.loc[(px, py)]
+        assert p.n_points == row.n and p.cluster_id == row.cid
+    # centroid is the quantized weighted mean (floor-division contract)
+    one = kids.sort_values("n_points", ascending=False).iloc[0]
+    members = [
+        (i, lon, lat)
+        for i, (lon, lat) in enumerate(pts)
+        if _grid([(lon, lat)], 6)[int(one.x), int(one.y)] == 1
+    ]
+    assert len(members) == one.n_points
+    sx = sum(math.floor((lon + 180.0) * 1e7) for _, lon, _ in members)
+    sy = sum(math.floor((lat + 90.0) * 1e7) for _, _, lat in members)
+    assert one.lon == (sx // len(members)) / 1e7 - 180.0
+    assert one.lat == (sy // len(members)) / 1e7 - 90.0
+    assert one.cluster_id == min(i for i, _, _ in members)
+
+
+def test_moran_plans_stay_jvm_side(spark):
+    pts = _rng_points(seed=9, n=50)
+    df = _points_df(spark, pts)
+    for frame in (
+        morans_i(df, zoom=4),
+        local_moran(df, zoom=4),
+        marker_cluster_pyramid(df.withColumn("id", F.monotonically_increasing_id()),
+                               id_col="id", min_zoom=3, max_zoom=5),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

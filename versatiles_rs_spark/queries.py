@@ -3418,6 +3418,200 @@ def q_hotspots_gi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return getis_ord_hotspots(ev, lon_col="lon", lat_col="lat", zoom=6)
 
 
+def _moran_ctes(zoom: int = 6) -> str:
+    """Shared oracle CTE prefix for the Moran pair: the hotspots_gi cell /
+    neighbor-contribution structure plus deg = W_i - 1 (self excluded)."""
+    mx = (1 << zoom) - 1
+    return f"""
+    WITH pts AS (
+      SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+    ), cells AS (
+      SELECT {tile_xy_sql('lon', 'lat', zoom)[0]} AS x,
+             {tile_xy_sql('lon', 'lat', zoom)[1]} AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2
+    ), contrib AS (
+      SELECT c.x + dx.v AS x, c.y + dy.v AS y,
+             CAST(sum(c.cnt) AS BIGINT) AS nbr_sum
+      FROM cells c,
+           (VALUES (-1), (0), (1)) dx(v),
+           (VALUES (-1), (0), (1)) dy(v)
+      WHERE c.x + dx.v BETWEEN 0 AND {mx} AND c.y + dy.v BETWEEN 0 AND {mx}
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT c.x, c.y, c.cnt, k.nbr_sum,
+             {_wi_sql("c", mx)} - CAST(1 AS BIGINT) AS deg
+      FROM cells c
+      JOIN contrib k USING (x, y)
+    )"""
+
+
+def _moran_sql(zoom: int = 6) -> str:
+    """Oracle for morans_i: exact-integer A/B/tot/tot2 over the joined
+    cells + the identical float epilogue with Python-literal grid
+    constants (functions/moran.py contract)."""
+    from .functions.moran import grid_constants
+
+    g = grid_constants(zoom)
+    n, s0 = f"{float(g['n']):.17e}", f"{float(g['s0']):.17e}"
+    ratio = f"{float(g['n']) / float(g['s0']):.17e}"
+    e_i = f"{g['e_i']:.17e}"
+    sd = f"{g['var_i'] ** 0.5:.17e}"
+    i_expr = f"""CASE WHEN tot2 - tot * (tot / {n}) <= 0.00000000000000000e+00
+        THEN 0.00000000000000000e+00
+        ELSE {ratio} * (a - 2.00000000000000000e+00 * (tot / {n}) * b
+                          + (tot / {n}) * (tot / {n}) * {s0})
+             / (tot2 - tot * (tot / {n})) END"""
+    return f"""{_moran_ctes(zoom)}, agg AS (
+      SELECT CAST(sum(cnt * (nbr_sum - cnt)) AS BIGINT) AS a,
+             CAST(sum(cnt * deg) AS BIGINT) AS b,
+             CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(sum(cnt * cnt) AS BIGINT) AS tot2
+      FROM j
+    )
+    SELECT CAST({g['n']} AS BIGINT) AS n_cells, CAST({g['s0']} AS BIGINT) AS s0,
+           a, b, tot, tot2,
+           round({i_expr}, 6) AS i,
+           round({e_i}, 6) AS e_i,
+           round(({i_expr} - {e_i}) / {sd}, 6) AS z
+    FROM agg
+    """
+
+
+@register("morans_i", _moran_sql())
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I (functions/moran.py) of the zoom-6 event-count
+    surface: ONE row with the exact-integer cross-product sums (A, B,
+    tot, tot2) and the statistic + normality z-score. Every distributed
+    aggregate is int64; the grid-shape constants (n, S0, S1, S2, E[I],
+    Var[I]) are closed-form Python literals inlined identically into both
+    engines. Same 100 TB shape as hotspots_gi: slim cell agg + bounded
+    explode + one-row epilogue."""
+    from .functions.moran import morans_i
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return morans_i(ev, lon_col="lon", lat_col="lat", zoom=6)
+
+
+def _lisa_sql(zoom: int = 6) -> str:
+    """Oracle for lisa_clusters: per-cell local Moran with the identical
+    float expression and pure-integer quadrant sign tests."""
+    from .functions.moran import grid_constants
+
+    g = grid_constants(zoom)
+    n = f"{float(g['n']):.17e}"
+    n_int = g["n"]
+    m2 = f"(tot2 - tot * (tot / {n})) / {n}"
+    return f"""{_moran_ctes(zoom)}, stats AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(sum(cnt * cnt) AS BIGINT) AS tot2
+      FROM cells
+    ), scored AS (
+      SELECT j.x, j.y, j.cnt, j.nbr_sum, j.deg, s.tot, s.tot2
+      FROM j CROSS JOIN stats s
+    )
+    SELECT x, y, cnt,
+           CAST(nbr_sum - cnt AS BIGINT) AS lag, deg,
+           round(CASE WHEN {m2} <= 0.00000000000000000e+00
+                 THEN 0.00000000000000000e+00
+                 ELSE (cnt - tot / {n})
+                      * ((nbr_sum - cnt) - deg * (tot / {n}))
+                      / ({m2}) END, 6) AS ii,
+           CASE WHEN cnt * {n_int} - tot > 0
+                 AND (nbr_sum - cnt) * {n_int} - deg * tot > 0 THEN 'HH'
+                WHEN cnt * {n_int} - tot < 0
+                 AND (nbr_sum - cnt) * {n_int} - deg * tot < 0 THEN 'LL'
+                WHEN cnt * {n_int} - tot > 0
+                 AND (nbr_sum - cnt) * {n_int} - deg * tot < 0 THEN 'HL'
+                WHEN cnt * {n_int} - tot < 0
+                 AND (nbr_sum - cnt) * {n_int} - deg * tot > 0 THEN 'LH'
+                ELSE 'NS' END AS quad
+    FROM scored
+    """
+
+
+@register("lisa_clusters", _lisa_sql())
+def q_lisa_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anselin local Moran / LISA cluster-and-outlier analysis
+    (functions/moran.py): per occupied zoom-6 cell the local statistic
+    and its HH/LL/HL/LH quadrant. The quadrant labels come from pure
+    int64 sign tests (sign(n*x_i - tot), sign(n*lag_i - deg_i*tot)) so
+    the classification — the part users act on — is exact cross-engine
+    regardless of float formatting; only ii itself is a (deterministic,
+    rounded) float."""
+    from .functions.moran import local_moran
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return local_moran(ev, lon_col="lon", lat_col="lat", zoom=6)
+
+
+def _cluster_markers_sql(min_zoom: int = 4, max_zoom: int = 8) -> str:
+    """Oracle for cluster_markers: the base-zoom cell aggregation with
+    int64 micro-degree centroid sums, re-aggregated per level (unrolled
+    UNION ALL, the pyramid_rollup pattern) with the identical float
+    centroid projection."""
+    q = f"{1e7:.17e}"
+    x8, y8 = tile_xy_sql(_EV_LON, _EV_LAT, max_zoom)
+    levels = []
+    for z in range(max_zoom, min_zoom - 1, -1):
+        k = float(1 << (max_zoom - z))
+        px = f"CAST(floor(x / {k}) AS BIGINT)" if z != max_zoom else "x"
+        py = f"CAST(floor(y / {k}) AS BIGINT)" if z != max_zoom else "y"
+        levels.append(
+            f"""SELECT CAST({z} AS INTEGER) AS z, {px} AS x, {py} AS y,
+           CAST(sum(n) AS BIGINT) AS n_points, min(cid) AS cluster_id,
+           CAST(CAST(sum(sx) AS BIGINT) // CAST(sum(n) AS BIGINT) AS DOUBLE)
+             / {q} - 1.80000000000000000e+02 AS lon,
+           CAST(CAST(sum(sy) AS BIGINT) // CAST(sum(n) AS BIGINT) AS DOUBLE)
+             / {q} - 9.00000000000000000e+01 AS lat
+    FROM base GROUP BY 1, 2, 3"""
+        )
+    union = "\n    UNION ALL\n    ".join(levels)
+    return f"""
+    WITH raw AS (
+      SELECT {x8} AS x, {y8} AS y,
+             CAST(floor((({_EV_LON}) + 1.80000000000000000e+02) * {q}) AS BIGINT) AS qlon,
+             CAST(floor((({_EV_LAT}) + 9.00000000000000000e+01) * {q}) AS BIGINT) AS qlat,
+             event_id
+      FROM events
+    ), base AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qlon) AS BIGINT) AS sx, CAST(sum(qlat) AS BIGINT) AS sy,
+             min(event_id) AS cid
+      FROM raw GROUP BY 1, 2
+    )
+    {union}
+    """
+
+
+@register("cluster_markers", _cluster_markers_sql())
+def q_cluster_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supercluster-style marker clustering (functions/clusters.py): one
+    marker bubble per occupied cell at each zoom 8..4, with exact int64
+    weighted centroids (micro-degree quantization — summation order can't
+    change the result) and min-id stable cluster ids. One point-level
+    shuffle; parents re-aggregate the slim occupied-cell relation."""
+    from .functions.clusters import marker_cluster_pyramid
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+        F.col("event_id"),
+    )
+    return marker_cluster_pyramid(
+        ev, lon_col="lon", lat_col="lat", id_col="event_id", min_zoom=4, max_zoom=8
+    )
+
+
 @register(
     "dbscan_events",
     f"""
