@@ -158,3 +158,47 @@ def test_read_pmtiles_run_length_entries(spark, tmp_path):
     got = sorted((r.z, r.x, r.y, bytes(r.bytes)) for r in read_pmtiles(spark, p).collect())
     want = sorted((int(z), int(x), int(y), blob) for z, x, y in zip(zs, xs, ys))
     assert got == want
+
+
+def test_dedup_and_rle_writer(spark, tmp_path):
+    """Content dedup + run-length coalescing (PMTiles v3 spec features the
+    reference writer skips — writer.rs:140-142 sets all three counts equal):
+    identical payloads share one blob, consecutive identical ids collapse to
+    one rl>1 entry, header counts report the three tiers honestly, and the
+    archive reads back tile-for-tile identical."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark import tile_math as tm
+
+    ocean = b"\x89PNG-ocean-tile-payload"
+    tids = np.arange(100, dtype=np.int64) + 1365  # inside one deep zoom band
+    zs, xs, ys = tm.hilbert_decode(tids)
+    payloads = [
+        ocean if (t // 10) % 2 == 0 else b"unique-%05d" % t for t in tids
+    ]
+    pdf = pd.DataFrame({"z": zs, "x": xs, "y": ys, "bytes": payloads})
+    df = spark.createDataFrame(pdf, schema="z int, x long, y long, bytes binary")
+
+    p_dedup = str(tmp_path / "dedup.pmtiles")
+    p_plain = str(tmp_path / "plain.pmtiles")
+    assert write_pmtiles(df, p_dedup) == 100
+    assert write_pmtiles(df, p_plain, dedup=False) == 100
+
+    h = read_pmtiles_header(p_dedup)
+    hp = read_pmtiles_header(p_plain)
+    n_unique = len(set(payloads))
+    assert h["addressed_tiles"] == 100
+    assert h["tile_contents"] == n_unique
+    assert h["tile_entries"] < 100  # runs of ocean tiles coalesced
+    assert hp["addressed_tiles"] == hp["tile_entries"] == hp["tile_contents"] == 100
+    # dedup'd data section stores the ocean blob once
+    assert h["tile_data"][1] == sum(len(p) for p in set(payloads))
+    assert h["tile_data"][1] < hp["tile_data"][1]
+
+    for p in (p_dedup, p_plain):
+        back = {(r.z, r.x, r.y): bytes(r.bytes) for r in read_pmtiles(spark, p).collect()}
+        want = {
+            (int(z), int(x), int(y)): pl for z, x, y, pl in zip(zs, xs, ys, payloads)
+        }
+        assert back == want

@@ -127,13 +127,23 @@ def write_pmtiles(
     metadata: dict | None = None,
     payload: str = "bytes",
     tile_type: str = "png",
+    dedup: bool = True,
 ) -> int:
     """Export a tile DataFrame as a PMTiles v3 archive. Returns tiles written.
 
     Driver-side single-file EDGE format: Hilbert-clustering the directory
     requires global order, so tiles collect to the driver (the reference is
     single-process here too). Guarded; for cluster-scale output use the
-    partitioned sinks (sinks/writers.py) and convert per shard."""
+    partitioned sinks (sinks/writers.py) and convert per shard.
+
+    `dedup=True` (default) applies the two PMTiles v3 spec compressions the
+    reference writer leaves on the table (writer.rs:140-142 sets all three
+    header counts equal — no dedup, EntriesV3::push never merges runs):
+    identical payloads share one data-section blob (content addressing —
+    think ocean/empty tiles), and consecutive Hilbert ids with identical
+    content collapse into one run-length entry. Our reader (and the spec's
+    find_tile) already resolves rl>1 and shared offsets; the header then
+    reports addressed_tiles >= tile_entries >= tile_contents honestly."""
     from .. import tile_math as tm
     import numpy as np
 
@@ -163,9 +173,29 @@ def write_pmtiles(
     )
     entries = []
     tile_blob = bytearray()
+    blob_off: dict[bytes, int] = {}
     for tid, _, _, _, payload_bytes in keyed:
-        entries.append((tid, len(tile_blob), len(payload_bytes), 1))
-        tile_blob.extend(payload_bytes)
+        if dedup and payload_bytes in blob_off:
+            off = blob_off[payload_bytes]
+        else:
+            off = len(tile_blob)
+            tile_blob.extend(payload_bytes)
+            if dedup:
+                blob_off[payload_bytes] = off
+        ln = len(payload_bytes)
+        if (
+            dedup
+            and entries
+            and entries[-1][0] + entries[-1][3] == tid
+            and entries[-1][1] == off
+            and entries[-1][2] == ln
+        ):
+            last = entries[-1]
+            entries[-1] = (last[0], off, ln, last[3] + 1)
+        else:
+            entries.append((tid, off, ln, 1))
+    n_addressed = sum(e[3] for e in entries)
+    n_contents = len(blob_off) if dedup else len(entries)
     root_bytes, leaves_bytes = _build_directories(entries)
 
     metadata_off = 16384
@@ -190,7 +220,7 @@ def write_pmtiles(
         (tile_data_off, len(tile_blob)),
     ):
         header += struct.pack("<QQ", off, ln)
-    header += struct.pack("<QQQ", len(entries), len(entries), len(entries))
+    header += struct.pack("<QQQ", n_addressed, len(entries), n_contents)
     header += bytes(
         [
             1,  # clustered (ids written in increasing order, contiguous data)
@@ -221,7 +251,7 @@ def write_pmtiles(
         f.write(meta_blob)
         f.write(tile_blob)
         f.write(leaves_bytes)
-    return len(entries)
+    return n_addressed
 
 
 def read_pmtiles_header(path: str) -> dict:
@@ -245,6 +275,8 @@ def parse_pmtiles_header(buf: bytes) -> dict:
         "leaf_dirs": (vals[4], vals[5]),
         "tile_data": (vals[6], vals[7]),
         "addressed_tiles": vals[8],
+        "tile_entries": vals[9],
+        "tile_contents": vals[10],
         "clustered": bool(clustered),
         "internal_compression": internal_c,
         "tile_compression": tile_c,
