@@ -193,3 +193,75 @@ def test_moran_plans_stay_jvm_side(spark):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bivariate_moran_matches_numpy_reference(spark):
+    from versatiles_rs_spark.functions.moran import bivariate_morans_i
+
+    zoom = 4
+    # y = x shifted by one cell -> strong positive cross-autocorrelation
+    ptsx = _rng_points(seed=21, n=300)
+    ptsy = [(min(lon + 22.5, 179.0), lat) for lon, lat in ptsx]
+    row = bivariate_morans_i(
+        _points_df(spark, ptsx), _points_df(spark, ptsy), zoom=zoom
+    ).collect()[0]
+    gx, gy = _grid(ptsx, zoom), _grid(ptsy, zoom)
+    dim = 1 << zoom
+    n = dim * dim
+    xbar, ybar = gx.sum() / n, gy.sum() / n
+    num = 0.0
+    s0 = 0
+    for i in range(dim):
+        for j in range(dim):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if di == 0 and dj == 0:
+                        continue
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < dim and 0 <= jj < dim:
+                        s0 += 1
+                        num += (gx[i, j] - xbar) * (gy[ii, jj] - ybar)
+    denx = ((gx - xbar) ** 2).sum()
+    deny = ((gy - ybar) ** 2).sum()
+    ref = (n / s0) * num / math.sqrt(denx * deny)
+    assert abs(row.i_xy - ref) < 1e-6
+    assert row.i_xy > 0.1  # adjacent-cell shift -> clustered cross-surface
+
+
+def test_kde_heatmap_matches_numpy_convolution(spark):
+    from versatiles_rs_spark.functions.kde import binomial_kernel, kde_heatmap
+
+    zoom, radius = 4, 2
+    pts = _rng_points(seed=31, n=250)
+    out = {(r.x, r.y): r.density for r in kde_heatmap(
+        _points_df(spark, pts), zoom=zoom, radius=radius
+    ).collect()}
+    grid = _grid(pts, zoom)
+    w = np.array(binomial_kernel(radius), dtype=np.int64)
+    kern = np.outer(w, w)
+    dim = 1 << zoom
+    ref = np.zeros((dim, dim), dtype=np.int64)
+    for i in range(dim):
+        for j in range(dim):
+            if grid[i, j] == 0:
+                continue
+            for di in range(-radius, radius + 1):
+                for dj in range(-radius, radius + 1):
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < dim and 0 <= jj < dim:
+                        ref[ii, jj] += grid[i, j] * kern[di + radius, dj + radius]
+    for (x, y), d in out.items():
+        assert ref[x, y] == d
+    assert sum(out.values()) == int(ref.sum())
+    assert len(out) == int((ref > 0).sum())
+
+
+def test_kde_and_bivariate_plans_stay_jvm_side(spark):
+    from versatiles_rs_spark.functions.kde import kde_heatmap
+    from versatiles_rs_spark.functions.moran import bivariate_morans_i
+
+    pts = _rng_points(seed=41, n=60)
+    df = _points_df(spark, pts)
+    for frame in (kde_heatmap(df, zoom=4), bivariate_morans_i(df, df, zoom=4)):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

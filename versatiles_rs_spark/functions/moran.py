@@ -116,6 +116,76 @@ def morans_i(
     )
 
 
+def bivariate_morans_i(
+    points_x: DataFrame,
+    points_y: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zoom: int = 6,
+) -> DataFrame:
+    """Bivariate Moran's I (Wartenberg 1985; GeoDa's cross-autocorrelation):
+    does layer Y cluster AROUND layer X? One row with the exact-integer
+    cross sums and
+
+        I_xy = (n/S0) * sum_ij w_ij (x_i - xbar)(y_j - ybar)
+               / sqrt(sum (x-xbar)^2 * sum (y-ybar)^2)
+
+    over the full grid (empty cells are zeros in both layers). Same
+    integer-core decomposition as the univariate statistic:
+    A_xy = sum_i x_i*(ynbr_i - y_i), B_x = sum x_i deg_i, B_y = sum y_i deg_i
+    are int64; the epilogue is one fixed float expression."""
+    g = grid_constants(zoom)
+    dim = 1 << zoom
+    cx = _cells(points_x, lon_col, lat_col, zoom)
+    cy = _cells(points_y, lon_col, lat_col, zoom).cache()
+    jx = (
+        cx.join(neighbor_contrib(cy, dim), on=["x", "y"], how="left")
+        .join(cy.select("x", "y", F.col("cnt").alias("ycnt")), on=["x", "y"], how="left")
+        .fillna(0, subset=["nbr_sum", "ycnt"])
+        .withColumn("deg", wi_col(dim) - F.lit(1).cast("long"))
+    )
+    aggx = jx.agg(
+        F.sum(F.col("cnt") * (F.col("nbr_sum") - F.col("ycnt"))).alias("axy"),
+        F.sum(F.col("cnt") * F.col("deg")).alias("b_x"),
+        F.sum("cnt").alias("totx"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("totx2"),
+    )
+    aggy = (
+        cy.withColumn("deg", wi_col(dim) - F.lit(1).cast("long"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("deg")).alias("b_y"),
+            F.sum("cnt").alias("toty"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("toty2"),
+        )
+    )
+    n, ratio = float(g["n"]), float(g["n"]) / float(g["s0"])
+    out = aggx.crossJoin(F.broadcast(aggy))
+    xbar = F.col("totx") / F.lit(n)
+    ybar = F.col("toty") / F.lit(n)
+    num = (
+        F.col("axy")
+        - ybar * F.col("b_x")
+        - xbar * F.col("b_y")
+        + xbar * ybar * F.lit(float(g["s0"]))
+    )
+    denx = F.col("totx2") - F.col("totx") * xbar
+    deny = F.col("toty2") - F.col("toty") * ybar
+    i_xy = F.when(denx * deny <= F.lit(0.0), F.lit(0.0)).otherwise(
+        F.lit(ratio) * num / F.sqrt(denx * deny)
+    )
+    return out.select(
+        F.lit(g["n"]).cast("long").alias("n_cells"),
+        F.col("axy").cast("long").alias("axy"),
+        F.col("b_x").cast("long").alias("b_x"),
+        F.col("b_y").cast("long").alias("b_y"),
+        F.col("totx").cast("long").alias("totx"),
+        F.col("toty").cast("long").alias("toty"),
+        F.col("totx2").cast("long").alias("totx2"),
+        F.col("toty2").cast("long").alias("toty2"),
+        F.round(i_xy, 6).alias("i_xy"),
+    )
+
+
 def local_moran(
     points: DataFrame,
     lon_col: str = "lon",

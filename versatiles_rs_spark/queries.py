@@ -3553,6 +3553,137 @@ def q_lisa_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return local_moran(ev, lon_col="lon", lat_col="lat", zoom=6)
 
 
+def _bivariate_moran_sql(zoom: int = 6, type_x: str = "click", type_y: str = "purchase") -> str:
+    """Oracle for bivariate_moran: per-type cell layers, y-neighbor
+    contributions left-joined onto x cells, exact-integer cross sums, one
+    literal-constant float epilogue (functions/moran.py contract)."""
+    from .functions.moran import grid_constants
+
+    g = grid_constants(zoom)
+    mx = (1 << zoom) - 1
+    n = f"{float(g['n']):.17e}"
+    s0 = f"{float(g['s0']):.17e}"
+    ratio = f"{float(g['n']) / float(g['s0']):.17e}"
+    num = (
+        f"axy - (toty / {n}) * b_x - (totx / {n}) * b_y"
+        f" + (totx / {n}) * (toty / {n}) * {s0}"
+    )
+    denx = f"totx2 - totx * (totx / {n})"
+    deny = f"toty2 - toty * (toty / {n})"
+    cell = """SELECT {x} AS x, {y} AS y, CAST(count(*) AS BIGINT) AS cnt
+      FROM pts WHERE event_type = '{t}' GROUP BY 1, 2""".format(
+        x=tile_xy_sql("lon", "lat", zoom)[0],
+        y=tile_xy_sql("lon", "lat", zoom)[1],
+        t="{t}",
+    )
+    return f"""
+    WITH pts AS (
+      SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat, event_type FROM events
+    ), cellsx AS (
+      {cell.format(t=type_x)}
+    ), cellsy AS (
+      {cell.format(t=type_y)}
+    ), contriby AS (
+      SELECT c.x + dx.v AS x, c.y + dy.v AS y,
+             CAST(sum(c.cnt) AS BIGINT) AS nbr_sum
+      FROM cellsy c,
+           (VALUES (-1), (0), (1)) dx(v),
+           (VALUES (-1), (0), (1)) dy(v)
+      WHERE c.x + dx.v BETWEEN 0 AND {mx} AND c.y + dy.v BETWEEN 0 AND {mx}
+      GROUP BY 1, 2
+    ), jx AS (
+      SELECT cx.cnt, coalesce(k.nbr_sum, CAST(0 AS BIGINT)) AS nbr_sum,
+             coalesce(cy2.cnt, CAST(0 AS BIGINT)) AS ycnt,
+             {_wi_sql("cx", mx)} - CAST(1 AS BIGINT) AS deg
+      FROM cellsx cx
+      LEFT JOIN contriby k USING (x, y)
+      LEFT JOIN cellsy cy2 USING (x, y)
+    ), aggx AS (
+      SELECT CAST(sum(cnt * (nbr_sum - ycnt)) AS BIGINT) AS axy,
+             CAST(sum(cnt * deg) AS BIGINT) AS b_x,
+             CAST(sum(cnt) AS BIGINT) AS totx,
+             CAST(sum(cnt * cnt) AS BIGINT) AS totx2
+      FROM jx
+    ), aggy AS (
+      SELECT CAST(sum(cnt * ({_wi_sql("c", mx)} - CAST(1 AS BIGINT))) AS BIGINT) AS b_y,
+             CAST(sum(cnt) AS BIGINT) AS toty,
+             CAST(sum(cnt * cnt) AS BIGINT) AS toty2
+      FROM cellsy c
+    )
+    SELECT CAST({g['n']} AS BIGINT) AS n_cells, axy, b_x, b_y,
+           totx, toty, totx2, toty2,
+           round(CASE WHEN ({denx}) * ({deny}) <= 0.00000000000000000e+00
+                 THEN 0.00000000000000000e+00
+                 ELSE {ratio} * ({num}) / sqrt(({denx}) * ({deny})) END, 6) AS i_xy
+    FROM aggx CROSS JOIN aggy
+    """
+
+
+@register("bivariate_moran", _bivariate_moran_sql())
+def q_bivariate_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Moran's I (functions/moran.py): does the purchase surface
+    cluster around the click surface on the zoom-6 grid? Exact-int64
+    cross sums (A_xy, B_x, B_y, totals) + a one-row literal-constant
+    float epilogue; both layers come from one scan of events filtered by
+    event_type."""
+    from .functions.moran import bivariate_morans_i
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+        F.col("event_type"),
+    )
+    return bivariate_morans_i(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        zoom=6,
+    )
+
+
+def _kde_heatmap_sql(zoom: int = 6, radius: int = 2) -> str:
+    """Oracle for kde_heatmap: the separable binomial convolution replayed
+    with a VALUES weight table — exact int64 everywhere, no float."""
+    from .functions.kde import binomial_kernel
+
+    mx = (1 << zoom) - 1
+    w = binomial_kernel(radius)
+    vals = ", ".join(f"({d - radius}, {w[d]})" for d in range(2 * radius + 1))
+    return f"""
+    WITH pts AS (
+      SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+    ), cells AS (
+      SELECT {tile_xy_sql('lon', 'lat', zoom)[0]} AS x,
+             {tile_xy_sql('lon', 'lat', zoom)[1]} AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT c.x + dx.v AS x, c.y + dy.v AS y,
+           CAST(sum(c.cnt * dx.w * dy.w) AS BIGINT) AS density
+    FROM cells c,
+         (VALUES {vals}) dx(v, w),
+         (VALUES {vals}) dy(v, w)
+    WHERE c.x + dx.v BETWEEN 0 AND {mx} AND c.y + dy.v BETWEEN 0 AND {mx}
+    GROUP BY 1, 2
+    """
+
+
+@register("kde_heatmap", _kde_heatmap_sql())
+def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binomial-kernel density heatmap (functions/kde.py) of the event
+    points on the zoom-6 grid — integer weights x integer counts, the one
+    spatial statistic with zero float anywhere. Explode runs on the
+    aggregated cell relation (25 structs/occupied cell), never points."""
+    from .functions.kde import kde_heatmap
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return kde_heatmap(ev, lon_col="lon", lat_col="lat", zoom=6, radius=2)
+
+
 def _cluster_markers_sql(min_zoom: int = 4, max_zoom: int = 8) -> str:
     """Oracle for cluster_markers: the base-zoom cell aggregation with
     int64 micro-degree centroid sums, re-aggregated per level (unrolled
