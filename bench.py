@@ -95,6 +95,11 @@ HEADLINE = [
     "caption_cap",
     "tpch_q1",
     "tpch_q3",
+    "morans_i",
+    "lisa_clusters",
+    "bivariate_moran",
+    "kde_heatmap",
+    "cluster_markers",
 ]
 
 

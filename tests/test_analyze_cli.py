@@ -68,3 +68,15 @@ def test_analyze_all(pts_parquet):
     assert db["min_pts"] >= 1  # adaptive threshold resolved and reported
     if db["clusters"]:
         assert db["largest"][0]["size"] >= 1
+    mo = out["moran"]
+    assert -1.5 < mo["i"] < 1.5 and set(mo["quadrants"]) <= {"HH", "LL", "HL", "LH", "NS"}
+    assert sum(mo["quadrants"].values()) == hs["cells"]  # LISA rows = occupied cells
+    kd = out["kde"]
+    assert kd["cells"] >= hs["cells"]  # kernel footprint covers occupied cells
+    dens = [r["density"] for r in kd["top"]]
+    assert dens == sorted(dens, reverse=True)
+    cl = out["clusters"]
+    assert cl["zooms"]["5"] > 0  # JSON round-trip stringifies the zoom keys
+    assert sum(r["n_points"] for r in cl["top"]) <= 1000
+    bubbles = [r["n_points"] for r in cl["top"]]
+    assert bubbles == sorted(bubbles, reverse=True)

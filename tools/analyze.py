@@ -8,6 +8,9 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py emerging  pts.parquet [--zoom 6] [--bins 8] [--top 10]
     python tools/analyze.py dbscan    pts.parquet [--eps 2.0] [--min-pts N]
     python tools/analyze.py od        pts.parquet [--by user_id] [--zoom 6]
+    python tools/analyze.py moran     pts.parquet [--zoom 6]         # global I + LISA
+    python tools/analyze.py kde       pts.parquet [--zoom 6] [--radius 2]
+    python tools/analyze.py clusters  pts.parquet [--zoom 6]         # marker bubbles
     python tools/analyze.py all       pts.parquet
 
 Expected columns: lon/lat (double); trends/emerging also need ts
@@ -34,12 +37,16 @@ def _top_rows(df, order_col, top, ascending=False):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="analyze")
     ap.add_argument(
-        "command", choices=["hotspots", "trends", "emerging", "dbscan", "od", "all"]
+        "command",
+        choices=["hotspots", "trends", "emerging", "dbscan", "od",
+                 "moran", "kde", "clusters", "all"],
     )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
     ap.add_argument("--bins", type=int, default=8)
     ap.add_argument("--eps", type=float, default=2.0)
+    ap.add_argument("--radius", type=int, default=2,
+                    help="kernel radius in cells for the kde command")
     ap.add_argument("--min-pts", type=int, default=None)
     ap.add_argument("--id", dest="id_col", default=None)
     ap.add_argument("--by", dest="by_col", default="user_id",
@@ -60,7 +67,7 @@ def main(argv=None):
     out: dict = {"table": args.table, "n_points": pts.count()}
 
     cmds = (
-        ["hotspots", "trends", "emerging", "dbscan", "od"]
+        ["hotspots", "trends", "emerging", "dbscan", "od", "moran", "kde", "clusters"]
         if args.command == "all"
         else [args.command]
     )
@@ -137,6 +144,47 @@ def main(argv=None):
                     (F.col("o_x") == F.col("d_x")) & (F.col("o_y") == F.col("d_y"))
                 ).count(),
                 "top": _top_rows(df, "n_trips", args.top),
+            }
+        elif cmd == "moran":
+            from versatiles_rs_spark.functions.moran import local_moran, morans_i
+
+            g = morans_i(pts, args.lon, args.lat, zoom=args.zoom).collect()[0]
+            lisa = local_moran(pts, args.lon, args.lat, zoom=args.zoom).cache()
+            quads = {r["quad"]: r["cnt"] for r in
+                     lisa.groupBy("quad").agg(F.count("*").alias("cnt")).collect()}
+            out["moran"] = {
+                "zoom": args.zoom,
+                "i": g.i,
+                "e_i": g.e_i,
+                "z": g.z,
+                "quadrants": quads,
+                "top": _top_rows(lisa, "ii", args.top),
+            }
+        elif cmd == "kde":
+            from versatiles_rs_spark.functions.kde import kde_heatmap
+
+            df = kde_heatmap(
+                pts, args.lon, args.lat, zoom=args.zoom, radius=args.radius
+            ).cache()
+            out["kde"] = {
+                "zoom": args.zoom,
+                "radius": args.radius,
+                "cells": df.count(),
+                "top": _top_rows(df, "density", args.top),
+            }
+        elif cmd == "clusters":
+            from versatiles_rs_spark.functions.clusters import marker_cluster_pyramid
+
+            id_col = args.id_col or pts.columns[0]
+            df = marker_cluster_pyramid(
+                pts, args.lon, args.lat, id_col=id_col,
+                min_zoom=max(0, args.zoom - 4), max_zoom=args.zoom,
+            ).cache()
+            per_zoom = {int(r["z"]): r["n"] for r in
+                        df.groupBy("z").agg(F.count("*").alias("n")).collect()}
+            out["clusters"] = {
+                "zooms": per_zoom,
+                "top": _top_rows(df.filter(F.col("z") == args.zoom), "n_points", args.top),
             }
         elif cmd == "dbscan":
             from versatiles_rs_spark.joins.dbscan import grid_dbscan
