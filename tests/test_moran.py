@@ -265,3 +265,52 @@ def test_kde_and_bivariate_plans_stay_jvm_side(spark):
     for frame in (kde_heatmap(df, zoom=4), bivariate_morans_i(df, df, zoom=4)):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_heatmap_and_cluster_tile_payloads_decode(spark):
+    """The serving compositions' MVT payloads round-trip: layer name,
+    feature count, geometry type, and the value property survive decode
+    (the oracle verifies the per-tile stats; this pins the bytes)."""
+    import pandas as pd
+
+    from versatiles_rs_spark.functions.clusters import marker_cluster_pyramid
+    from versatiles_rs_spark.functions.kde import kde_heatmap
+    from versatiles_rs_spark.vector_tile import (
+        POINT,
+        POLYGON,
+        cells_to_choropleth_tiles,
+        decode_tile_payload,
+        points_to_vector_tiles,
+    )
+
+    pts = _rng_points(seed=51, n=200)
+    df = _points_df(spark, pts)
+
+    cells = kde_heatmap(df, zoom=6, radius=2)
+    heat = cells_to_choropleth_tiles(
+        cells.select("x", "y", "density"), cell_zoom=6, render_zoom=4,
+        value_cols=("density",), layer="heat",
+    ).collect()
+    assert heat
+    layers, _fmt = decode_tile_payload(bytes(heat[0].bytes))
+    (layer,) = layers
+    assert layer["name"] == "heat" and len(layer["features"]) == heat[0].n_features
+    f = layer["features"][0]
+    assert f["type"] == POLYGON and int(f["props"]["density"]) > 0
+
+    bubbles = marker_cluster_pyramid(
+        df.withColumn("id", F.monotonically_increasing_id()),
+        id_col="id", min_zoom=8, max_zoom=8,
+    )
+    ctiles = points_to_vector_tiles(
+        bubbles.select(
+            F.col("cluster_id").alias("feature_id"), "lon", "lat",
+            F.create_map(F.lit("n"), F.col("n_points").cast("string")).alias("props"),
+        ),
+        zoom=5, layer="clusters",
+    ).collect()
+    assert ctiles
+    (clayer,), _fmt = decode_tile_payload(bytes(ctiles[0].bytes))
+    assert clayer["name"] == "clusters"
+    cf = clayer["features"][0]
+    assert cf["type"] == POINT and int(cf["props"]["n"]) >= 1

@@ -3743,6 +3743,159 @@ def q_cluster_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _heatmap_tiles_sql(zoom: int = 6, render_zoom: int = 4, radius: int = 2) -> str:
+    """Oracle for heatmap_tiles: the KDE surface grouped into parent tiles
+    (per-tile feature count + max density; payload bytes stay
+    pytest-verified, as for mvt_tiles/hotspot_tiles)."""
+    from .functions.kde import binomial_kernel
+
+    mx = (1 << zoom) - 1
+    k = 1 << (zoom - render_zoom)
+    w = binomial_kernel(radius)
+    vals = ", ".join(f"({d - radius}, {w[d]})" for d in range(2 * radius + 1))
+    return f"""
+    WITH pts AS (
+      SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+    ), cells AS (
+      SELECT {tile_xy_sql('lon', 'lat', zoom)[0]} AS x,
+             {tile_xy_sql('lon', 'lat', zoom)[1]} AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2
+    ), kde AS (
+      SELECT c.x + dx.v AS x, c.y + dy.v AS y,
+             CAST(sum(c.cnt * dx.w * dy.w) AS BIGINT) AS density
+      FROM cells c,
+           (VALUES {vals}) dx(v, w),
+           (VALUES {vals}) dy(v, w)
+      WHERE c.x + dx.v BETWEEN 0 AND {mx} AND c.y + dy.v BETWEEN 0 AND {mx}
+      GROUP BY 1, 2
+    )
+    SELECT CAST({render_zoom} AS INTEGER) AS z, x // {k} AS x, y // {k} AS y,
+           CAST(count(*) AS INTEGER) AS n_features,
+           CAST(max(density) AS BIGINT) AS max_density
+    FROM kde GROUP BY 1, 2, 3
+    """
+
+
+@register("heatmap_tiles", _heatmap_tiles_sql())
+def q_heatmap_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-to-serving composition: the KDE heat surface rendered as
+    an MVT choropleth (cells_to_choropleth_tiles) grouped into zoom-4
+    tiles ready for the engine's sinks/serve shim — the heat-layer twin
+    of hotspot_tiles. Oracle verifies per-tile feature count + max
+    density; payload bytes are pytest-verified by the shared MVT codec
+    suite."""
+    from .functions.kde import kde_heatmap
+    from .udfs import derived_lat_expr, derived_lon_expr
+    from .vector_tile import cells_to_choropleth_tiles
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    cells = kde_heatmap(ev, lon_col="lon", lat_col="lat", zoom=6, radius=2).cache()
+    tiles = cells_to_choropleth_tiles(
+        cells.select("x", "y", "density"),
+        cell_zoom=6,
+        render_zoom=4,
+        value_cols=("density",),
+        layer="heat",
+    )
+    stats = (
+        cells.select(
+            F.shiftright(F.col("x"), 2).alias("x"),
+            F.shiftright(F.col("y"), 2).alias("y"),
+            "density",
+        )
+        .groupBy("x", "y")
+        .agg(F.max("density").cast("long").alias("max_density"))
+    )
+    # payload never enters a join/shuffle (repo invariant)
+    return (
+        tiles.select("z", "x", "y", "n_features")
+        .join(stats, on=["x", "y"])
+        .select("z", "x", "y", "n_features", "max_density")
+    )
+
+
+def _cluster_tiles_sql(bubble_zoom: int = 8, render_zoom: int = 5) -> str:
+    """Oracle for cluster_tiles: the zoom-8 marker bubbles re-binned into
+    render tiles by their CENTROID coordinates (the same deterministic
+    floor-division floats), per-tile bubble count + marker sum."""
+    q = f"{1e7:.17e}"
+    x8, y8 = tile_xy_sql(_EV_LON, _EV_LAT, bubble_zoom)
+    cx, cy = tile_xy_sql("c_lon", "c_lat", render_zoom)
+    return f"""
+    WITH raw AS (
+      SELECT {x8} AS x, {y8} AS y,
+             CAST(floor((({_EV_LON}) + 1.80000000000000000e+02) * {q}) AS BIGINT) AS qlon,
+             CAST(floor((({_EV_LAT}) + 9.00000000000000000e+01) * {q}) AS BIGINT) AS qlat
+      FROM events
+    ), base AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qlon) AS BIGINT) AS sx, CAST(sum(qlat) AS BIGINT) AS sy
+      FROM raw GROUP BY 1, 2
+    ), bubbles AS (
+      SELECT n,
+             CAST(sx // n AS DOUBLE) / {q} - 1.80000000000000000e+02 AS c_lon,
+             CAST(sy // n AS DOUBLE) / {q} - 9.00000000000000000e+01 AS c_lat
+      FROM base
+    )
+    SELECT CAST({render_zoom} AS INTEGER) AS z, {cx} AS x, {cy} AS y,
+           CAST(count(*) AS INTEGER) AS n_features,
+           CAST(sum(n) AS BIGINT) AS n_markers
+    FROM bubbles GROUP BY 1, 2, 3
+    """
+
+
+@register("cluster_tiles", _cluster_tiles_sql())
+def q_cluster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-to-serving composition: the zoom-8 marker-cluster bubbles
+    rendered as POINT-feature MVT tiles at zoom 5 (points_to_vector_tiles
+    — each bubble one point feature with its marker count as a property),
+    the map UI's cluster layer. Oracle re-bins the deterministic centroids
+    and verifies per-tile bubble count + marker sum."""
+    from .functions.clusters import marker_cluster_pyramid
+    from .udfs import derived_lat_expr, derived_lon_expr, with_tile_columns
+    from .vector_tile import points_to_vector_tiles
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+        F.col("event_id"),
+    )
+    bubbles = (
+        marker_cluster_pyramid(
+            ev, lon_col="lon", lat_col="lat", id_col="event_id",
+            min_zoom=8, max_zoom=8,
+        )
+        .select("cluster_id", "n_points", "lon", "lat")
+        .cache()
+    )
+    tiles = points_to_vector_tiles(
+        bubbles.select(
+            F.col("cluster_id").alias("feature_id"),
+            "lon",
+            "lat",
+            F.create_map(
+                F.lit("n"), F.col("n_points").cast("string")
+            ).alias("props"),
+        ),
+        zoom=5,
+        layer="clusters",
+    )
+    stats = (
+        with_tile_columns(bubbles, "lon", "lat", zoom=5)
+        .groupBy("x", "y")
+        .agg(F.sum("n_points").cast("long").alias("n_markers"))
+    )
+    return (
+        tiles.select("z", "x", "y", "n_features")
+        .join(stats, on=["x", "y"])
+        .select("z", "x", "y", "n_features", "n_markers")
+    )
+
+
 @register(
     "dbscan_events",
     f"""
