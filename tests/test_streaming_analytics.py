@@ -111,3 +111,49 @@ def test_timestamp_stat_col_commit_survives_micros_writer(spark, tmp_path):
         assert t.plan_files(prune={"win_start": later}) == []
     finally:
         spark.conf.set("spark.sql.parquet.outputTimestampType", old)
+
+
+def test_streamed_window_heatmap_matches_batch(spark, tmp_path):
+    """The windowed KDE heat surface shares the batch convolution code
+    path: streamed-window density == batch density over the same points,
+    and the hour-1 hot box carries the global density max."""
+    from versatiles_rs_spark.functions.kde import kde_heatmap
+    from versatiles_rs_spark.streaming.analytics import window_heatmap
+
+    src = str(tmp_path / "pts")
+    batch_pts = _mk_points(spark, src)
+
+    stream = (
+        spark.readStream.schema("lon double, lat double, ts timestamp_ntz")
+        .parquet(src)
+    )
+    counts = stream_window_cell_counts(stream, zoom=5, window="1 hour",
+                                       watermark="0 seconds")
+    table = SnapshotTable(spark, str(tmp_path / "tbl"), stat_cols=["win_start"])
+    q = stream_counts_to_snapshot(counts, table, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    wins = sorted(
+        r["win_start"]
+        for r in table.read().select("win_start").distinct().collect()
+    )
+    assert len(wins) >= 2
+    best = None
+    for w in wins:
+        streamed = {
+            (r["x"], r["y"]): r["density"]
+            for r in window_heatmap(table, w, zoom=5, radius=2).collect()
+        }
+        w_end = w + datetime.timedelta(hours=1)
+        batch = {
+            (r["x"], r["y"]): r["density"]
+            for r in kde_heatmap(
+                batch_pts.filter((F.col("ts") >= F.lit(w)) & (F.col("ts") < F.lit(w_end))),
+                zoom=5, radius=2,
+            ).collect()
+        }
+        assert streamed == batch, w
+        m = max(streamed.values())
+        if best is None or m > best[0]:
+            best = (m, w)
+    assert best[1].hour == 1  # the planted hot box dominates the heat layer

@@ -43,8 +43,6 @@ def kde_heatmap(
     """(x, y, density) for every cell within `radius` of an occupied cell:
     density = sum over the (2r+1)^2 neighborhood of count * wx * wy with
     binomial weights — exact int64 end to end."""
-    dim = 1 << zoom
-    w = binomial_kernel(radius)
     cells = (
         points.select(
             tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("x"),
@@ -53,6 +51,18 @@ def kde_heatmap(
         .groupBy("x", "y")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+    return kde_from_counts(cells, zoom, radius)
+
+
+def kde_from_counts(cells: DataFrame, zoom: int = 6, radius: int = 2) -> DataFrame:
+    """The convolution over a pre-aggregated (x, y, cnt) relation — the
+    entry point when counts already exist (a streaming windowed
+    aggregation, a stored rollup, a snapshot change feed), mirroring
+    hotspots.getis_ord_from_counts so streaming and batch heat surfaces
+    share one code path."""
+    dim = 1 << zoom
+    w = binomial_kernel(radius)
+    cells = cells.select("x", "y", F.col("cnt").cast("long").alias("cnt"))
     offsets = [
         (dx, dy, w[dx + radius] * w[dy + radius])
         for dx in range(-radius, radius + 1)

@@ -108,3 +108,26 @@ def window_hotspots(
         .select("x", "y", "cnt")
     )
     return getis_ord_from_counts(cells, zoom)
+
+
+def window_heatmap(
+    table: SnapshotTable,
+    win_start,
+    zoom: int = 6,
+    radius: int = 2,
+) -> DataFrame:
+    """KDE heat surface of one committed window — same snapshot slice as
+    window_hotspots, scored with the shared batch convolution
+    (functions/kde.kde_from_counts), so the streamed heat layer is
+    bit-identical to a batch run over the same points."""
+    import calendar
+
+    from ..functions.kde import kde_from_counts
+
+    us = calendar.timegm(win_start.timetuple()) * 1_000_000 + win_start.microsecond
+    cells = (
+        table.read(prune={"win_us": us})
+        .filter(F.col("win_us") == F.lit(us))
+        .select("x", "y", "cnt")
+    )
+    return kde_from_counts(cells, zoom, radius)
