@@ -90,6 +90,24 @@ def test_relational_queries_have_no_python(spark, sf_dir, name):
     assert "EvalPython" not in plan, f"{name} fell off the JVM path"
 
 
+@pytest.mark.parametrize(
+    "name", ["morans_i", "lisa_clusters", "bivariate_moran", "kde_heatmap",
+             "cluster_markers"]
+)
+def test_spatial_stats_stay_jvm_and_slim(spark, sf_dir, name):
+    """The spatial-statistics family: zero Python nodes, and the explode
+    (neighbor/kernel Generate) sits ABOVE an aggregation — the fan-out runs
+    on the aggregated cell relation, never on raw points (the 100 TB
+    contract of functions/moran.py / kde.py / clusters.py)."""
+    plan = plan_of(Q.REGISTRY[name].fn(spark, sf_dir))
+    assert "EvalPython" not in plan and "PythonUDF" not in plan, name
+    if "Generate" in plan:  # cluster_markers has no explode at all
+        gen = plan.index("Generate")
+        assert "HashAggregate" in plan[gen:], (
+            f"{name}: Generate is not fed by an aggregation"
+        )
+
+
 def test_pyramid_rollup_single_base_shuffle(spark, sf_dir):
     """The multi-level roll-up reuses one aggregated z8 base; it must not
     re-shuffle raw events once per level (exchange count stays bounded)."""
