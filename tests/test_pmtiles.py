@@ -202,3 +202,68 @@ def test_dedup_and_rle_writer(spark, tmp_path):
             (int(z), int(x), int(y)): pl for z, x, y, pl in zip(zs, xs, ys, payloads)
         }
         assert back == want
+
+
+def test_read_foreign_compression_enums(spark, tmp_path):
+    """Spec-valid foreign archives may store directories uncompressed and
+    tiles gzipped (the tippecanoe default for mvt); the reader must honor
+    the header enums instead of assuming the engine's own layout."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark import tile_math as tm
+    from versatiles_rs_spark.sources.pmtiles import _COMPRESSION, read_pmtiles_metadata
+
+    blob = b"raw-tile-payload-0123456789"
+    tids = [5, 6, 9]
+    zs, xs, ys = tm.hilbert_decode(np.array(tids, dtype=np.int64))
+    pdf = pd.DataFrame(
+        {"z": zs, "x": xs, "y": ys, "bytes": [blob + bytes([i]) for i in range(3)]}
+    )
+    df = spark.createDataFrame(pdf, schema="z int, x long, y long, bytes binary")
+    p = str(tmp_path / "foreign.pmtiles")
+    write_pmtiles(df, p, metadata={"name": "foreign"})
+
+    # rewrite: plain (uncompressed) directories + metadata, gzipped tiles
+    raw = open(p, "rb").read()
+    h = read_pmtiles_header(p)
+    entries = deserialize_entries(
+        gzip.decompress(raw[h["root_dir"][0] : sum(h["root_dir"])])
+    )
+    gz_tiles, new_entries, off = [], [], 0
+    t0 = h["tile_data"][0]
+    for tid, toff, tlen, rl in entries:
+        gz = gzip.compress(raw[t0 + toff : t0 + toff + tlen], 6, mtime=0)
+        new_entries.append((tid, off, len(gz), rl))
+        gz_tiles.append(gz)
+        off += len(gz)
+    meta_plain = b'{"name": "foreign"}'
+    root_plain = serialize_entries(new_entries)
+    assert len(root_plain) <= 16384 - HEADER_LEN
+    hdr = bytearray(raw[:HEADER_LEN])
+    nm = 16384
+    nt = nm + len(meta_plain)
+    tile_blob = b"".join(gz_tiles)
+    nl = nt + len(tile_blob)
+    struct.pack_into(
+        "<8Q", hdr, 8,
+        HEADER_LEN, len(root_plain), nm, len(meta_plain), nl, 0, nt, len(tile_blob),
+    )
+    comp_pos = 8 + 11 * 8 + 1  # clustered byte, then internal, then tile enum
+    hdr[comp_pos] = _COMPRESSION["none"]
+    hdr[comp_pos + 1] = _COMPRESSION["gzip"]
+    open(p, "wb").write(
+        bytes(hdr)
+        + root_plain
+        + b"\x00" * (16384 - HEADER_LEN - len(root_plain))
+        + meta_plain
+        + tile_blob
+    )
+
+    assert read_pmtiles_metadata(p) == {"name": "foreign"}
+    got = {(r.z, r.x, r.y): bytes(r.bytes) for r in read_pmtiles(spark, p).collect()}
+    want = {
+        (int(z), int(x), int(y)): blob + bytes([i])
+        for i, (z, x, y) in enumerate(zip(zs, xs, ys))
+    }
+    assert got == want

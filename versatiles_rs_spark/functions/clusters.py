@@ -17,9 +17,12 @@ int64 floor division (identical for non-negative operands across Spark's
 `div` and DuckDB's `//`; no round() call ever runs, so there is no
 half-tie to disagree on). The final lon/lat is the exact float
 reconstruction centroid/1e7 - shift, bit-identical cross-engine.
-Documented bound: points-per-base-cell * 3.6e9 < 2^63, i.e. ~2.5e9
-points in one zoom-8 cell before the centroid sum wraps. The cluster id
-is min(point id): stable, join-backable.
+Documented bound: the sums re-aggregate up the pyramid, so the binding
+constraint is the COARSEST output cell — points-per-min_zoom-cell *
+3.6e9 < 2^63, i.e. ~2.5e9 points under one min_zoom cell before the
+centroid sum wraps (Spark wraps silently, DuckDB raises — the gate
+would catch the divergence, but raise min_zoom rather than rely on it).
+The cluster id is min(point id): stable, join-backable.
 
 100 TB shape: ONE point-level shuffle (the base-zoom cell aggregation);
 every higher zoom re-aggregates the already-slim occupied-cell relation

@@ -38,6 +38,22 @@ from pyspark.sql import functions as F
 from ..udfs import tile_x_expr, tile_y_expr
 
 
+def cell_counts(
+    points: DataFrame, lon_col: str, lat_col: str, zoom: int
+) -> DataFrame:
+    """(x, y, cnt:long) per occupied cell — the shared point-to-cell
+    aggregation every grid statistic starts from (Gi*, Moran/LISA, KDE);
+    one definition so cell derivation can never diverge per operator."""
+    return (
+        points.select(
+            tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("x"),
+            tile_y_expr(F.col(lat_col), F.lit(zoom)).alias("y"),
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
 def getis_ord_hotspots(
     points: DataFrame,
     lon_col: str = "lon",
@@ -47,15 +63,7 @@ def getis_ord_hotspots(
     """(x, y, cnt, nbr_sum, wi, gi) for every OCCUPIED cell at `zoom`
     (empty cells enter the statistic as zeros but emit no row). gi is
     rounded to 6 places; sort by gi desc for the hot list."""
-    cells = (
-        points.select(
-            tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("x"),
-            tile_y_expr(F.col(lat_col), F.lit(zoom)).alias("y"),
-        )
-        .groupBy("x", "y")
-        .agg(F.count("*").alias("cnt"))
-    )
-    return getis_ord_from_counts(cells, zoom)
+    return getis_ord_from_counts(cell_counts(points, lon_col, lat_col, zoom), zoom)
 
 
 def neighbor_contrib(cells: DataFrame, dim: int, extra_cols: tuple = ()) -> DataFrame:

@@ -25,9 +25,6 @@ from math import comb
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..udfs import tile_x_expr, tile_y_expr
-
-
 def binomial_kernel(radius: int) -> list[int]:
     """Pascal row C(2r, 0..2r) — the discrete Gaussian of sigma ~ sqrt(r/2)."""
     return [comb(2 * radius, k) for k in range(2 * radius + 1)]
@@ -43,15 +40,9 @@ def kde_heatmap(
     """(x, y, density) for every cell within `radius` of an occupied cell:
     density = sum over the (2r+1)^2 neighborhood of count * wx * wy with
     binomial weights — exact int64 end to end."""
-    cells = (
-        points.select(
-            tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("x"),
-            tile_y_expr(F.col(lat_col), F.lit(zoom)).alias("y"),
-        )
-        .groupBy("x", "y")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    return kde_from_counts(cells, zoom, radius)
+    from .hotspots import cell_counts
+
+    return kde_from_counts(cell_counts(points, lon_col, lat_col, zoom), zoom, radius)
 
 
 def kde_from_counts(cells: DataFrame, zoom: int = 6, radius: int = 2) -> DataFrame:

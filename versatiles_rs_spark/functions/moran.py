@@ -39,8 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..udfs import tile_x_expr, tile_y_expr
-from .hotspots import neighbor_contrib, wi_col
+from .hotspots import cell_counts, neighbor_contrib, wi_col
 
 
 def grid_constants(zoom: int) -> dict:
@@ -59,15 +58,7 @@ def grid_constants(zoom: int) -> dict:
     return {"d": d, "n": n, "s0": s0, "s1": s1, "s2": s2, "e_i": e_i, "var_i": var_i}
 
 
-def _cells(points: DataFrame, lon_col: str, lat_col: str, zoom: int) -> DataFrame:
-    return (
-        points.select(
-            tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("x"),
-            tile_y_expr(F.col(lat_col), F.lit(zoom)).alias("y"),
-        )
-        .groupBy("x", "y")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+_cells = cell_counts  # shared point-to-cell aggregation (hotspots.py)
 
 
 def _joined_cells(cells: DataFrame, zoom: int) -> DataFrame:
@@ -90,7 +81,10 @@ def morans_i(
     (n_cells, s0, a, b, tot, tot2, i, e_i, z). z is the normality z-score
     — an affine function of i with Python-literal coefficients."""
     g = grid_constants(zoom)
-    j = _joined_cells(_cells(points, lon_col, lat_col, zoom), zoom)
+    # cache before the cells ⋈ neighbor_contrib(cells) self-join: without it
+    # the point scan + aggregation would run once per branch (hotspots.py:127
+    # precedent; the planner does not reliably reuse the identical subtree)
+    j = _joined_cells(_cells(points, lon_col, lat_col, zoom).cache(), zoom)
     agg = j.agg(
         F.sum(F.col("cnt") * (F.col("nbr_sum") - F.col("cnt"))).alias("a"),
         F.sum(F.col("cnt") * F.col("deg")).alias("b"),

@@ -153,16 +153,15 @@ def write_pmtiles(
             f"write_pmtiles collects to the driver; {len(rows)} tiles > 2000000. "
             "Export partitioned (sinks/writers.py) instead."
         )
-    keyed = []
-    for r in rows:
-        tid = int(
-            tm.hilbert_index(
-                np.array([r.z], dtype=np.int64),
-                np.array([r.x], dtype=np.int64),
-                np.array([r.y], dtype=np.int64),
-            )[0]
-        )
-        keyed.append((tid, int(r.z), int(r.x), int(r.y), bytes(r[3])))
+    tids = tm.hilbert_index(
+        np.array([r.z for r in rows], dtype=np.int64),
+        np.array([r.x for r in rows], dtype=np.int64),
+        np.array([r.y for r in rows], dtype=np.int64),
+    ) if rows else np.array([], dtype=np.int64)
+    keyed = [
+        (int(tid), int(r.z), int(r.x), int(r.y), bytes(r[3]))
+        for tid, r in zip(tids, rows)
+    ]
     keyed.sort(key=lambda t: t[0])
     for a, b in zip(keyed, keyed[1:]):  # strict-increasing ids (writer.rs:201-206)
         if a[0] >= b[0]:
@@ -203,13 +202,20 @@ def write_pmtiles(
     leaf_off = tile_data_off + len(tile_blob)
 
     zs = [k[1] for k in keyed]
-    lons, lats = [], []
-    for _, z, x, y, _ in keyed:
-        w, s, e, n = tm.tile_to_geo_bbox(z, np.array([x]), np.array([y]))
-        lons += [float(w[0]), float(e[0])]
-        lats += [float(s[0]), float(n[0])]
-    min_lon, max_lon = (min(lons), max(lons)) if lons else (0.0, 0.0)
-    min_lat, max_lat = (min(lats), max(lats)) if lats else (0.0, 0.0)
+    if keyed:
+        min_lon = max_lon = min_lat = max_lat = None
+        for z in sorted(set(zs)):  # one vectorized bbox call per zoom level
+            xs = np.array([k[2] for k in keyed if k[1] == z])
+            ys = np.array([k[3] for k in keyed if k[1] == z])
+            w, s, e, n = tm.tile_to_geo_bbox(z, xs, ys)
+            lo_x, hi_x = float(w.min()), float(e.max())
+            lo_y, hi_y = float(s.min()), float(n.max())
+            min_lon = lo_x if min_lon is None else min(min_lon, lo_x)
+            max_lon = hi_x if max_lon is None else max(max_lon, hi_x)
+            min_lat = lo_y if min_lat is None else min(min_lat, lo_y)
+            max_lat = hi_y if max_lat is None else max(max_lat, hi_y)
+    else:
+        min_lon = max_lon = min_lat = max_lat = 0.0
 
     header = bytearray()
     header += b"PMTiles" + bytes([3])
@@ -300,10 +306,17 @@ def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
 
     rd = open_range_reader(path)
     h = parse_pmtiles_header(rd.read(0, HEADER_LEN))
+    if h["addressed_tiles"] > 2_000_000:
+        raise ValueError(
+            f"read_pmtiles materializes on the driver; {h['addressed_tiles']} "
+            "tiles > 2000000. Serve point lookups via remote ranges instead."
+        )
 
     def dir_at(rng):
         off, ln = rng
-        return deserialize_entries(gzip.decompress(rd.read(off, ln)))
+        return deserialize_entries(
+            _decompress_section(rd.read(off, ln), h["internal_compression"], "internal")
+        )
 
     entries = []
     for e in dir_at(h["root_dir"]):
@@ -314,14 +327,44 @@ def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
             entries.append(e)
     t0, tlen = h["tile_data"]
     tile_data = rd.read(t0, tlen)
-    rows = []
+    # run_length > 1: spec-compliant archives address rl consecutive Hilbert
+    # tile ids at the same offset/length (pmtiles spec §directories). Expand
+    # the runs, then decode every id in ONE vectorized kernel call.
+    tids, spans = [], []
     for tid, off, ln, rl in entries:
-        # run_length > 1: spec-compliant archives address rl consecutive
-        # Hilbert tile ids at the same offset/length (pmtiles spec §directories)
         for t in range(tid, tid + max(int(rl), 1)):
-            z, x, y = tm.hilbert_decode(np.array([t], dtype=np.int64))
-            rows.append((int(z[0]), int(x[0]), int(y[0]), tile_data[off : off + ln]))
+            tids.append(t)
+            spans.append((off, ln))
+    zs, xs, ys = tm.hilbert_decode(np.array(tids, dtype=np.int64))
+    rows = [
+        (
+            int(z),
+            int(x),
+            int(y),
+            _decompress_section(
+                tile_data[off : off + ln], h["tile_compression"], "tile"
+            ),
+        )
+        for z, x, y, (off, ln) in zip(zs, xs, ys, spans)
+    ]
     return spark.createDataFrame(rows, "z int, x long, y long, bytes binary")
+
+
+_COMP_NAME = {v: k for k, v in _COMPRESSION.items()}
+
+
+def _decompress_section(data: bytes, enum: int, what: str) -> bytes:
+    """Honor the header's compression enums (header_v3.rs semantics): the
+    engine writes internal=gzip/tile=none, but spec-valid foreign archives
+    may use none/gzip/brotli for either section."""
+    if enum == _COMPRESSION["none"]:
+        return data
+    name = _COMP_NAME.get(enum)
+    if name is None:
+        raise ValueError(f"unsupported PMTiles {what} compression enum {enum}")
+    from ..codecs import decompress_blob
+
+    return decompress_blob(data, name)
 
 
 def read_pmtiles_metadata(path: str) -> dict:
@@ -329,4 +372,6 @@ def read_pmtiles_metadata(path: str) -> dict:
 
     rd = open_range_reader(path)
     h = parse_pmtiles_header(rd.read(0, HEADER_LEN))
-    return json.loads(gzip.decompress(rd.read(*h["metadata"])))
+    return json.loads(
+        _decompress_section(rd.read(*h["metadata"]), h["internal_compression"], "internal")
+    )
