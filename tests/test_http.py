@@ -311,3 +311,26 @@ def test_config_index_lists_healthy_mounts_in_order(spark, tmp_path):
         assert st == 200 and idx == b'["beta","alpha"]'
     finally:
         srv.shutdown()
+
+
+def test_default_cache_headers_and_image_incompressible(spark, tmp_path):
+    """handlers.rs:135-147 parity: 200 data responses carry the public
+    28-day Cache-Control + Vary: accept-encoding (config headers override),
+    and image payloads skip compression negotiation entirely — a
+    gzip-accepting client still gets the raw PNG bytes."""
+    from versatiles_rs_spark.server import serve_tiles
+
+    png = b"\x89PNG\r\n\x1a\n" + b"fake-png-body" * 20
+    df = spark.createDataFrame(
+        [(3, 4, 2, png)], "z int, x long, y long, bytes binary"
+    )
+    srv, base = serve_tiles(df, tile_fmt="png")
+    try:
+        st, hdrs, body = _get(f"{base}/tiles/3/4/2", {"Accept-Encoding": "gzip, br"})
+        assert st == 200
+        assert hdrs.get("Cache-Control") == "public, max-age=2419200, no-transform"
+        assert hdrs.get("Vary") == "accept-encoding"
+        assert hdrs.get("Content-Encoding") is None  # image never recompressed
+        assert bytes(body) == png
+    finally:
+        srv.shutdown()

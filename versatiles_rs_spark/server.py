@@ -111,10 +111,24 @@ class TileHandler(BaseHTTPRequestHandler):
         out, codec = optimize_compression(body, codec, accepted)
         return out, {"gzip": "gzip", "brotli": "br"}.get(codec)
 
+    # Binary images are effectively incompressible; the reference skips the
+    # recompression negotiation for them entirely (handlers.rs:135-141).
+    _INCOMPRESSIBLE = {"image/png", "image/jpeg", "image/webp", "image/avif"}
+
     def _send(self, body: bytes, ctype: str, codec: str = "none"):
-        body, encoding = self._negotiate(body, codec)
+        if ctype in self._INCOMPRESSIBLE and codec == "none":
+            encoding = None
+        else:
+            body, encoding = self._negotiate(body, codec)
         self.send_response(200)
         self.send_header("Content-Type", ctype)
+        # handlers.rs:146-147: long-lived public cache, no proxy transforms,
+        # and Vary on the negotiated encoding — config extra_headers override
+        extra_keys = {k.lower() for k in self.extra_headers}
+        if "cache-control" not in extra_keys:
+            self.send_header("Cache-Control", "public, max-age=2419200, no-transform")
+        if "vary" not in extra_keys:
+            self.send_header("Vary", "accept-encoding")
         if encoding:
             self.send_header("Content-Encoding", encoding)
         self.send_header("Content-Length", str(len(body)))
