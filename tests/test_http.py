@@ -138,8 +138,8 @@ def test_serve_threads_stored_container_compression(spark, tmp_path):
     p = str(tmp_path / "t.mbtiles")
     write_mbtiles(df, p, metadata={"format": "pbf"})
 
-    loaded, codec = _load_tile_source(spark, p)
-    assert codec == "gzip"
+    loaded, codec, fmt = _load_tile_source(spark, p)
+    assert codec == "gzip" and fmt == "mvt"
     srv, base = serve_tiles(loaded, tile_fmt="mvt", tile_codec=codec)
     try:
         # gzip client: stored layer passes through untouched, labeled gzip
@@ -332,5 +332,38 @@ def test_default_cache_headers_and_image_incompressible(spark, tmp_path):
         assert hdrs.get("Vary") == "accept-encoding"
         assert hdrs.get("Content-Encoding") is None  # image never recompressed
         assert bytes(body) == png
+    finally:
+        srv.shutdown()
+
+
+def test_accept_encoding_q_zero_is_refusal(spark, tmp_path):
+    """'gzip;q=0' explicitly refuses gzip (RFC 9110 §12.5.3) — the server
+    must not hand such a client a gzip body."""
+    import pandas as pd
+
+    from versatiles_rs_spark.server import _load_tile_source, serve_tiles
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    raw = b"plain-mvt-bytes" * 20
+    stored = gzip.compress(raw)
+    df = spark.createDataFrame(
+        pd.DataFrame([(2, 1, 1, stored)], columns=["z", "x", "y", "bytes"]),
+        schema="z int, x long, y long, bytes binary",
+    )
+    p = str(tmp_path / "q0.mbtiles")
+    write_mbtiles(df, p, metadata={"format": "pbf"})
+    loaded, codec, fmt = _load_tile_source(spark, p)
+    srv, base = serve_tiles(loaded, tile_fmt=fmt, tile_codec=codec)
+    try:
+        _, hdrs, body = _get(
+            f"{base}/tiles/2/1/1", {"Accept-Encoding": "gzip;q=0, identity"}
+        )
+        assert hdrs.get("Content-Encoding") is None and body == raw
+        # and a real q-value still counts as acceptance
+        _, hdrs2, body2 = _get(
+            f"{base}/tiles/2/1/1", {"Accept-Encoding": "gzip;q=0.5"}
+        )
+        assert hdrs2.get("Content-Encoding") == "gzip"
+        assert gzip.decompress(body2) == raw
     finally:
         srv.shutdown()

@@ -261,7 +261,13 @@ def test_read_foreign_compression_enums(spark, tmp_path):
     )
 
     assert read_pmtiles_metadata(p) == {"name": "foreign"}
-    got = {(r.z, r.x, r.y): bytes(r.bytes) for r in read_pmtiles(spark, p).collect()}
+    # tiles come back AS STORED (mbtiles-parity convention); the header's
+    # tile_compression tells callers how to interpret them
+    assert read_pmtiles_header(p)["tile_compression"] == _COMPRESSION["gzip"]
+    got = {
+        (r.z, r.x, r.y): gzip.decompress(bytes(r.bytes))
+        for r in read_pmtiles(spark, p).collect()
+    }
     want = {
         (int(z), int(x), int(y)): blob + bytes([i])
         for i, (z, x, y) in enumerate(zip(zs, xs, ys))

@@ -39,6 +39,7 @@ _CTYPE = {
     "png": "image/png",
     "jpg": "image/jpeg",
     "webp": "image/webp",
+    "avif": "image/avif",
     "mvt": "application/vnd.mapbox-vector-tile",
     "bin": "application/octet-stream",
 }
@@ -60,7 +61,12 @@ def _load_static(path: str) -> dict[str, bytes]:
     with tarfile.open(fileobj=io.BytesIO(raw)) as t:
         for m in t.getmembers():
             if m.isfile():
-                out[m.name.lstrip("./")] = t.extractfile(m).read()
+                # strip only a literal "./" prefix — lstrip("./") would also
+                # mangle dotfile names like .well-known/assetlinks.json
+                name = m.name
+                while name.startswith("./"):
+                    name = name[2:]
+                out[name] = t.extractfile(m).read()
     return out
 
 
@@ -70,7 +76,7 @@ class TileHandler(BaseHTTPRequestHandler):
     tile_fmt = "png"
     tile_codec = "none"  # stored compression of self.df's tile payloads
     static: dict[str, bytes] = {}
-    sources: dict = {}  # name -> (df, tilejson, codec) for config-driven multi-source
+    sources: dict = {}  # name -> (df, tilejson, codec, fmt) for config-driven multi-source
     snap = None  # SnapshotTable: versioned serving (merge-on-read + ?v= time travel)
     # Precomputed at mount time like the reference's add_api_to_app
     # (routes.rs:45-53) — never recomputed per request.
@@ -103,11 +109,17 @@ class TileHandler(BaseHTTPRequestHandler):
         double-compressed) otherwise."""
         from .codecs import optimize_compression
 
-        accepted = {
-            e.split(";")[0].strip()
-            for e in (self.headers.get("Accept-Encoding") or "").split(",")
-            if e.strip()
-        }
+        accepted = set()
+        for e in (self.headers.get("Accept-Encoding") or "").split(","):
+            e = e.strip()
+            if not e:
+                continue
+            name, _, params = e.partition(";")
+            # "gzip;q=0" is an explicit REFUSAL, not an acceptance
+            qm = re.search(r"q\s*=\s*([0-9.]+)", params)
+            if qm and float(qm.group(1)) == 0.0:
+                continue
+            accepted.add(name.strip())
         out, codec = optimize_compression(body, codec, accepted)
         return out, {"gzip": "gzip", "brotli": "br"}.get(codec)
 
@@ -128,7 +140,10 @@ class TileHandler(BaseHTTPRequestHandler):
         if "cache-control" not in extra_keys:
             self.send_header("Cache-Control", "public, max-age=2419200, no-transform")
         if "vary" not in extra_keys:
-            self.send_header("Vary", "accept-encoding")
+            # CORS responses also vary by Origin — a shared cache must not
+            # serve one origin's Access-Control-Allow-Origin to another
+            vary = "accept-encoding, origin" if self.cors_origins else "accept-encoding"
+            self.send_header("Vary", vary)
         if encoding:
             self.send_header("Content-Encoding", encoding)
         self.send_header("Content-Length", str(len(body)))
@@ -156,8 +171,8 @@ class TileHandler(BaseHTTPRequestHandler):
             self._send(self.tiles_index_json.encode(), "application/json")
             return
 
-        # snapshot-table mode: /z/x/y[?v=N] — merge-on-read point lookup,
-        # file set zone-map-pruned per request, ?v= pins a past snapshot
+        # snapshot-table mode: /tiles/z/x/y[?v=N] — merge-on-read point
+        # lookup, file set zone-map-pruned per request, ?v= pins a snapshot
         if self.snap is not None:
             path, _, qs = self.path.partition("?")
             m = _TILE_RE.match(path)
@@ -182,13 +197,16 @@ class TileHandler(BaseHTTPRequestHandler):
         # config mode: /tiles/{name}/{z}/{x}/{y} + /tiles/{name}/tiles.json
         m = re.match(r"^/tiles/(\w+)/(\d+)/(\d+)/(\d+)(?:\.\w+)?$", self.path)
         if m and m.group(1) in self.sources:
-            df, _, codec = self.sources[m.group(1)]
+            df, _, codec, fmt = self.sources[m.group(1)]
             z, x, y = int(m.group(2)), int(m.group(3)), int(m.group(4))
             row = get_tile(df, z, x, y)
             if row is None:
                 self.send_error(404, "tile not found")
                 return
-            self._send(bytes(row.bytes), _CTYPE["bin"], codec)
+            # real MIME from the container's declared format — octet-stream
+            # would both mislabel tiles and defeat the image-incompressible
+            # skip (handlers.rs ok_data sets the true Content-Type)
+            self._send(bytes(row.bytes), _CTYPE.get(fmt, _CTYPE["bin"]), codec)
             return
         m = re.match(r"^/tiles/(\w+)/tiles\.json$", self.path)
         if m and m.group(1) in self.sources:
@@ -246,7 +264,8 @@ def serve_snapshot_tiles(
     tile_codec: str = "none",
 ):
     """Serve a SnapshotTable (e.g. one jobs/refresh_job.py level): current
-    tiles at /z/x/y, any retained past version at /z/x/y?v=N.  The serving
+    tiles at /tiles/z/x/y, any retained past version at /tiles/z/x/y?v=N.
+    The serving
     loop of the incremental pipeline — refresh commits land atomically and
     the next request sees them; old versions stay addressable until
     vacuumed."""
@@ -305,30 +324,35 @@ def serve_tiles(
 
 def _load_tile_source(spark, path: str):
     """Container/VPL dispatch for a config `tiles:` entry. Returns
-    (df, stored_tile_codec) — the codec is read from the container header so
-    the serve path can negotiate from the REAL current compression
-    (server/encoding.rs parity) instead of assuming raw bytes."""
+    (df, stored_tile_codec, tile_fmt) — codec and format come from the
+    container header so the serve path can negotiate from the REAL current
+    compression (server/encoding.rs parity) and label responses with the
+    true MIME instead of octet-stream."""
     if path.endswith(".mbtiles"):
         from .sources.mbtiles import read_mbtiles, read_mbtiles_metadata
 
         # mbtiles convention (spec 1.3): pbf tiles are stored gzip-compressed
         fmt = read_mbtiles_metadata(path).get("format", "")
-        return read_mbtiles(spark, path), "gzip" if fmt in ("pbf", "mvt") else "none"
+        codec = "gzip" if fmt in ("pbf", "mvt") else "none"
+        fmt = "mvt" if fmt == "pbf" else fmt
+        return read_mbtiles(spark, path), codec, fmt
     if path.endswith(".pmtiles"):
         from .sources.pmtiles import read_pmtiles, read_pmtiles_header
 
-        code = read_pmtiles_header(path)["tile_compression"]
-        codec = {1: "none", 2: "gzip", 3: "brotli"}.get(code, "none")
-        return read_pmtiles(spark, path), codec
+        h = read_pmtiles_header(path)
+        codec = {1: "none", 2: "gzip", 3: "brotli"}.get(h["tile_compression"], "none")
+        return read_pmtiles(spark, path), codec, h["tile_type"]
     if path.endswith(".versatiles"):
         from .sources.versatiles import read_versatiles, read_versatiles_header
 
-        comp = read_versatiles_header(path)["compression"]
-        return read_versatiles(spark, path), comp if comp in ("gzip", "brotli") else "none"
+        h = read_versatiles_header(path)
+        comp = h["compression"]
+        codec = comp if comp in ("gzip", "brotli") else "none"
+        return read_versatiles(spark, path), codec, h.get("tile_format", "bin")
     if path.endswith(".vpl"):
         from .plans.vpl import run_vpl_file
 
-        return run_vpl_file(spark, path), "none"
+        return run_vpl_file(spark, path), "none", "bin"
     raise ValueError(f"unsupported tile source {path!r}")
 
 
@@ -355,8 +379,8 @@ def serve_from_config(spark, config_path: str, port: int = 0):
     sources, skipped = {}, []
     for entry in cfg.get("tiles", []) or []:
         try:
-            df, codec = _load_tile_source(spark, resolve(entry["path"]))
-            sources[entry["name"]] = (df, tilejson_for(df), codec)
+            df, codec, fmt = _load_tile_source(spark, resolve(entry["path"]))
+            sources[entry["name"]] = (df, tilejson_for(df), codec, fmt)
         except Exception as e:  # keep serving the healthy mounts
             skipped.append((entry["name"], str(e)[:200]))
 

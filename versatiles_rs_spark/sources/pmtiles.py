@@ -336,15 +336,12 @@ def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
             tids.append(t)
             spans.append((off, ln))
     zs, xs, ys = tm.hilbert_decode(np.array(tids, dtype=np.int64))
+    # tile payloads stay AS STORED (engine convention, mbtiles parity):
+    # the header's tile_compression describes them, and callers thread that
+    # codec (server._load_tile_source) or sniff it (mvt_pbf decode) — only
+    # the engine-internal sections (directories, metadata) are decompressed
     rows = [
-        (
-            int(z),
-            int(x),
-            int(y),
-            _decompress_section(
-                tile_data[off : off + ln], h["tile_compression"], "tile"
-            ),
-        )
+        (int(z), int(x), int(y), tile_data[off : off + ln])
         for z, x, y, (off, ln) in zip(zs, xs, ys, spans)
     ]
     return spark.createDataFrame(rows, "z int, x long, y long, bytes binary")

@@ -87,27 +87,32 @@ def stream_counts_to_snapshot(
     return writer.start()
 
 
+def _window_cells(table: SnapshotTable, win_start) -> DataFrame:
+    """One committed window's (x, y, cnt) slice: zone-map pruned on the
+    epoch-long `win_us` twin (timestamp columns carry no parquet footer
+    min/max under INT96). The ONE definition of the window read — every
+    per-window statistic must go through it so they can never silently
+    read different windows."""
+    import calendar
+
+    us = calendar.timegm(win_start.timetuple()) * 1_000_000 + win_start.microsecond
+    return (
+        table.read(prune={"win_us": us})
+        .filter(F.col("win_us") == F.lit(us))
+        .select("x", "y", "cnt")
+    )
+
+
 def window_hotspots(
     table: SnapshotTable,
     win_start,
     zoom: int = 6,
 ) -> DataFrame:
-    """Gi* surface of one committed window: read the snapshot table's
-    current version (zone-map pruned on the epoch-long `win_us` twin —
-    timestamp columns carry no parquet footer min/max under INT96), slice
-    the window, score with the shared batch statistic
-    (functions/hotspots.getis_ord_from_counts)."""
-    import calendar
-
+    """Gi* surface of one committed window, scored with the shared batch
+    statistic (functions/hotspots.getis_ord_from_counts)."""
     from ..functions.hotspots import getis_ord_from_counts
 
-    us = calendar.timegm(win_start.timetuple()) * 1_000_000 + win_start.microsecond
-    cells = (
-        table.read(prune={"win_us": us})
-        .filter(F.col("win_us") == F.lit(us))
-        .select("x", "y", "cnt")
-    )
-    return getis_ord_from_counts(cells, zoom)
+    return getis_ord_from_counts(_window_cells(table, win_start), zoom)
 
 
 def window_heatmap(
@@ -120,14 +125,6 @@ def window_heatmap(
     window_hotspots, scored with the shared batch convolution
     (functions/kde.kde_from_counts), so the streamed heat layer is
     bit-identical to a batch run over the same points."""
-    import calendar
-
     from ..functions.kde import kde_from_counts
 
-    us = calendar.timegm(win_start.timetuple()) * 1_000_000 + win_start.microsecond
-    cells = (
-        table.read(prune={"win_us": us})
-        .filter(F.col("win_us") == F.lit(us))
-        .select("x", "y", "cnt")
-    )
-    return kde_from_counts(cells, zoom, radius)
+    return kde_from_counts(_window_cells(table, win_start), zoom, radius)
