@@ -96,6 +96,7 @@ HEADLINE = [
     "tpch_q1",
     "tpch_q3",
     "morans_i",
+    "gearys_c",
     "lisa_clusters",
     "bivariate_moran",
     "kde_heatmap",

@@ -314,3 +314,57 @@ def test_heatmap_and_cluster_tile_payloads_decode(spark):
     assert clayer["name"] == "clusters"
     cf = clayer["features"][0]
     assert cf["type"] == POINT and int(cf["props"]["n"]) >= 1
+
+
+def _brute_geary(grid):
+    """Textbook Geary's C: explicit queen-weight difference loops."""
+    dim = grid.shape[0]
+    n = dim * dim
+    x = grid.astype(np.float64)
+    xbar = x.sum() / n
+    num = 0.0
+    s0 = 0
+    for i in range(dim):
+        for j in range(dim):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if di == 0 and dj == 0:
+                        continue
+                    ii, jj = i + di, j + dj
+                    if 0 <= ii < dim and 0 <= jj < dim:
+                        s0 += 1
+                        num += (x[i, j] - x[ii, jj]) ** 2
+    den = ((x - xbar) ** 2).sum()
+    return (n - 1) * num / (2.0 * s0 * den), s0
+
+
+def test_gearys_c_matches_numpy_reference(spark):
+    from versatiles_rs_spark.functions.moran import gearys_c
+
+    zoom = 4
+    pts = _rng_points()
+    row = gearys_c(_points_df(spark, pts), zoom=zoom).collect()[0]
+    ref_c, ref_s0 = _brute_geary(_grid(pts, zoom))
+    assert row.s0 == ref_s0
+    assert abs(row.c - ref_c) < 1e-6
+    assert row.c < 1.0  # planted blob -> clustered -> C below its E[C]=1
+    assert row.z < 0.0
+    # integer identity: sum_ij w_ij (x_i - x_j)^2 = 2*(B2 - A), exact
+    g = _grid(pts, zoom).astype(np.int64)
+    dim = g.shape[0]
+    brute_num = 0
+    for i in range(dim):
+        for j in range(dim):
+            for di in (-1, 0, 1):
+                for dj in (-1, 0, 1):
+                    if (di or dj) and 0 <= i + di < dim and 0 <= j + dj < dim:
+                        brute_num += int(g[i, j] - g[i + di, j + dj]) ** 2
+    assert brute_num == 2 * (row.b2 - row.a)
+
+
+def test_geary_plan_stays_jvm_side(spark):
+    from versatiles_rs_spark.functions.moran import gearys_c
+
+    df = gearys_c(_points_df(spark, _rng_points(n=50)), zoom=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -224,3 +224,60 @@ def local_moran(
         F.round(ii, 6).alias("ii"),
         quad.alias("quad"),
     )
+
+
+def gearys_c(
+    points: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    zoom: int = 6,
+) -> DataFrame:
+    """Global Geary's C (Geary 1954; Cliff & Ord 1981) of the event-count
+    surface at `zoom` — the pairwise-difference complement of Moran's I
+    (C < 1 clustered, C > 1 dispersed, E[C] = 1). ONE row
+    (n_cells, s0, a, b2, tot, tot2, c, z).
+
+    Integer core: with binary queen weights the numerator sum
+        sum_ij w_ij (x_i - x_j)^2 = 2*B2 - 2*A,
+        A  = sum_i x_i (nbr_sum_i - x_i)   (Moran's cross-product sum)
+        B2 = sum_i x_i^2 deg_i
+    so both distributed aggregates are exact int64 (empty cells drop out
+    of every term: x_i = 0 annihilates them). The statistic
+        C = (n-1) * (B2 - A) / (S0 * (tot2 - tot^2/n))
+    is one fixed float expression over exact integers with Python-literal
+    grid constants, identical on the DuckDB side. z uses the normality
+    variance Var(C) = ((2*S1 + S2)(n-1) - 4*S0^2) / (2*(n+1)*S0^2)
+    (Cliff & Ord 1981 eq. 1.43), sign convention z = (C - 1)/sd.
+
+    100 TB shape: identical to morans_i — slim (cell, count) agg, <=9-way
+    explode on the aggregated cell relation, one-row epilogue. Documented
+    bound: max_cell_count^2 * 8 < 2^63 (cnt^2*deg), i.e. ~10^9 points in
+    one cell before overflow — raise `zoom` long before that."""
+    g = grid_constants(zoom)
+    j = _joined_cells(_cells(points, lon_col, lat_col, zoom).cache(), zoom)
+    agg = j.agg(
+        F.sum(F.col("cnt") * (F.col("nbr_sum") - F.col("cnt"))).alias("a"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("deg")).alias("b2"),
+        F.sum("cnt").alias("tot"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("tot2"),
+    )
+    n = float(g["n"])
+    nm1, s0 = float(g["n"] - 1), float(g["s0"])
+    var_c = ((2.0 * g["s1"] + g["s2"]) * (g["n"] - 1) - 4.0 * g["s0"] ** 2) / (
+        2.0 * (g["n"] + 1) * g["s0"] ** 2
+    )
+    sd = var_c ** 0.5
+    den = F.col("tot2") - F.col("tot") * (F.col("tot") / F.lit(n))
+    c = F.when(den <= F.lit(0.0), F.lit(1.0)).otherwise(
+        F.lit(nm1) * (F.col("b2") - F.col("a")) / (F.lit(s0) * den)
+    )
+    return agg.select(
+        F.lit(g["n"]).cast("long").alias("n_cells"),
+        F.lit(g["s0"]).cast("long").alias("s0"),
+        F.col("a").cast("long").alias("a"),
+        F.col("b2").cast("long").alias("b2"),
+        F.col("tot").cast("long").alias("tot"),
+        F.col("tot2").cast("long").alias("tot2"),
+        F.round(c, 6).alias("c"),
+        F.round((c - F.lit(1.0)) / F.lit(sd), 6).alias("z"),
+    )

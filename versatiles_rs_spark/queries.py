@@ -3497,6 +3497,56 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     return morans_i(ev, lon_col="lon", lat_col="lat", zoom=6)
 
 
+def _geary_sql(zoom: int = 6) -> str:
+    """Oracle for gearys_c: exact-integer A/B2/tot/tot2 over the joined
+    cells + the identical float epilogue with Python-literal grid
+    constants (functions/moran.py::gearys_c contract)."""
+    from .functions.moran import grid_constants
+
+    g = grid_constants(zoom)
+    n = f"{float(g['n']):.17e}"
+    nm1, s0 = f"{float(g['n'] - 1):.17e}", f"{float(g['s0']):.17e}"
+    var_c = ((2.0 * g["s1"] + g["s2"]) * (g["n"] - 1) - 4.0 * g["s0"] ** 2) / (
+        2.0 * (g["n"] + 1) * g["s0"] ** 2
+    )
+    sd = f"{var_c ** 0.5:.17e}"
+    c_expr = f"""CASE WHEN tot2 - tot * (tot / {n}) <= 0.00000000000000000e+00
+        THEN 1.00000000000000000e+00
+        ELSE {nm1} * (b2 - a) / ({s0} * (tot2 - tot * (tot / {n}))) END"""
+    return f"""{_moran_ctes(zoom)}, agg AS (
+      SELECT CAST(sum(cnt * (nbr_sum - cnt)) AS BIGINT) AS a,
+             CAST(sum(cnt * cnt * deg) AS BIGINT) AS b2,
+             CAST(sum(cnt) AS BIGINT) AS tot,
+             CAST(sum(cnt * cnt) AS BIGINT) AS tot2
+      FROM j
+    )
+    SELECT CAST({g['n']} AS BIGINT) AS n_cells, CAST({g['s0']} AS BIGINT) AS s0,
+           a, b2, tot, tot2,
+           round({c_expr}, 6) AS c,
+           round(({c_expr} - 1.00000000000000000e+00) / {sd}, 6) AS z
+    FROM agg
+    """
+
+
+@register("gearys_c", _geary_sql())
+def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Geary's C (functions/moran.py::gearys_c) of the zoom-6
+    event-count surface — the pairwise-difference complement of Moran's I
+    (C < 1 clustered, E[C] = 1). ONE row with the exact-integer sums
+    (A, B2, tot, tot2) and the statistic + normality z-score; the grid
+    constants (S0, S1, S2, Var[C]) are closed-form Python literals
+    inlined identically into both engines. Same 100 TB shape as
+    morans_i: slim cell agg + bounded explode + one-row epilogue."""
+    from .functions.moran import gearys_c
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return gearys_c(ev, lon_col="lon", lat_col="lat", zoom=6)
+
+
 def _lisa_sql(zoom: int = 6) -> str:
     """Oracle for lisa_clusters: per-cell local Moran with the identical
     float expression and pure-integer quadrant sign tests."""
