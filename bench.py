@@ -97,6 +97,7 @@ HEADLINE = [
     "tpch_q3",
     "morans_i",
     "gearys_c",
+    "ripley_k",
     "lisa_clusters",
     "bivariate_moran",
     "kde_heatmap",

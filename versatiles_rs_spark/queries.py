@@ -3547,6 +3547,85 @@ def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gearys_c(ev, lon_col="lon", lat_col="lat", zoom=6)
 
 
+def _ripley_sql(radii_deg=(0.25, 0.5, 1.0), area=360.0 * 170.0) -> str:
+    """Oracle for ripley_k: the identical micro7 quantization, 3x3
+    neighbor-cell equi-join pair generation, exact-integer per-radius
+    counts, and literal-constant float epilogue
+    (functions/ripley.py contract; `//` on shifted non-negative ints ==
+    Spark `div` per the CLAUDE.md integer-division rule)."""
+    import math
+
+    scale = 10_000_000
+    radii = [int(round(r * scale)) for r in radii_deg]
+    cell = max(radii)
+    counts = ",\n             ".join(
+        f"CAST(coalesce(sum(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS np{i}"
+        for i, r in enumerate(radii)
+    )
+    arms = []
+    for i, r in enumerate(radii):
+        r_deg = f"{float(radii_deg[i]):.17e}"
+        k = f"{area:.17e} * np{i} / (n * (n - 1))"
+        arms.append(
+            f"""SELECT {r_deg} AS r_deg, n, np{i} AS n_pairs,
+               round({k}, 6) AS k,
+               round(sqrt(({k}) / {math.pi:.17e}) - {r_deg}, 6) AS l
+        FROM agg CROSS JOIN nn"""
+        )
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH pts AS (
+      SELECT event_id AS id,
+             CAST(floor(({_EV_LON}) * 1e7) AS BIGINT) + {180 * scale} AS sx,
+             CAST(floor(({_EV_LAT}) * 1e7) AS BIGINT) + {90 * scale} AS sy
+      FROM events
+    ), cells AS (
+      SELECT id, sx, sy, sx // {cell} AS cx, sy // {cell} AS cy FROM pts
+    ), pairs AS (
+      -- |delta| clamped at 2*cell before squaring: overflow-proof even on
+      -- rows the hash join has matched on only one key (functions/ripley.py)
+      SELECT least(abs(p.sx - q.sx), {2 * cell}) * least(abs(p.sx - q.sx), {2 * cell})
+           + least(abs(p.sy - q.sy), {2 * cell}) * least(abs(p.sy - q.sy), {2 * cell}) AS d2
+      FROM cells p
+      CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+      CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+      JOIN cells q
+        ON q.cx = p.cx + dx.v AND q.cy = p.cy + dy.v AND q.id <> p.id
+      WHERE least(abs(p.sx - q.sx), {2 * cell}) * least(abs(p.sx - q.sx), {2 * cell})
+          + least(abs(p.sy - q.sy), {2 * cell}) * least(abs(p.sy - q.sy), {2 * cell})
+          <= {cell * cell}
+    ), nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM pts
+    ), agg AS (
+      SELECT {counts}
+      FROM pairs
+    )
+    {union}
+    """
+
+
+@register("ripley_k", _ripley_sql())
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K / L point-pattern analysis (functions/ripley.py) of the
+    derived event points at radii 0.25/0.5/1.0 degrees: per radius the
+    exact ORDERED within-r pair count from a 3x3 neighbor-cell equi-join
+    over int64 micro-degree coordinates (cell side = max radius, so the
+    candidate set is density-bounded — never n^2), plus the naive K
+    estimator and its L-transform as one literal-constant float epilogue.
+    Grid-free complement of hotspots_gi/morans_i: detects clustering at
+    sub-cell scales."""
+    from .functions.ripley import ripley_k
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return ripley_k(ev, id_col="id", lon_col="lon", lat_col="lat")
+
+
 def _lisa_sql(zoom: int = 6) -> str:
     """Oracle for lisa_clusters: per-cell local Moran with the identical
     float expression and pure-integer quadrant sign tests."""
