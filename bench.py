@@ -66,6 +66,7 @@ HEADLINE = [
     "od_flows",
     "flow_tiles",
     "flow_pagerank",
+    "flow_shortest",
     "flow_communities",
     "range_join_events",
     "fence_crossings",

@@ -227,3 +227,57 @@ def test_lpa_reference_parity(spark):
     comA = {got[(0, 0)], got[(1, 0)], got[(1, 1)]}
     comB = {got[(9, 9)], got[(10, 9)], got[(10, 10)]}
     assert len(comA) == 1 and len(comB) == 1 and comA != comB
+
+
+def test_shortest_paths_reference_parity(spark):
+    """Bounded-hop Bellman-Ford vs an exact python replay on a planted
+    graph: hub source selection, integer impedances, hop bound."""
+    from versatiles_rs_spark.functions.graph import shortest_paths_flows
+
+    # hub (5,5) with a heavy star, a cheap 2-hop corridor, a far chain
+    # that only resolves within the hop budget, and noise self loops
+    flows = [
+        (5, 5, 1, 1, 100, 9),   # hub -> (1,1), very cheap edge
+        (5, 5, 2, 2, 60, 3),    # hub strength 160 > (1,1)'s 150
+        (1, 1, 3, 3, 50, 4),    # corridor continues
+        (3, 3, 4, 4, 2, 1),
+        (4, 4, 6, 6, 1, 1),     # 4 hops out
+        (6, 6, 7, 7, 1, 1),     # 5 hops out
+        (7, 7, 8, 8, 1, 1),     # 6 hops out — last reachable at rounds=6
+        (8, 8, 9, 9, 1, 1),     # 7 hops — must NOT appear
+        (5, 5, 5, 5, 500, 9),   # self loop: ignored for strength AND edges
+        (2, 2, 2, 2, 400, 9),
+    ]
+    df = spark.createDataFrame(
+        flows, "o_x long, o_y long, d_x long, d_y long, n_trips long, n_users long"
+    )
+    got = {
+        (r["x"], r["y"]): r["dist"]
+        for r in shortest_paths_flows(df, rounds=6).collect()
+    }
+
+    # python replay: symmetrize w/o self loops, cost = 1e6//w + 1
+    import collections
+    w = collections.Counter()
+    for ox, oy, dx, dy, t, _ in flows:
+        if (ox, oy) != (dx, dy):
+            w[((ox, oy), (dx, dy))] += t
+            w[((dx, dy), (ox, oy))] += t
+    cost = {k: 10**6 // v + 1 for k, v in w.items()}
+    strength = collections.Counter()
+    for (u, _v), ww in w.items():
+        strength[u] += ww
+    src = max(strength, key=lambda u: (strength[u], -(u[0] * 2**21 + u[1])))
+    assert src == (5, 5)
+    dist = {src: 0}
+    for _ in range(6):
+        nd = dict(dist)
+        for (u, v), c in cost.items():
+            if u in dist and dist[u] + c < nd.get(v, 1 << 62):
+                nd[v] = dist[u] + c
+        dist = nd
+    assert got == dist
+    assert (9, 9) not in got           # beyond the hop budget
+    assert got[(5, 5)] == 0
+    assert got[(1, 1)] == 10**6 // 100 + 1
+    assert got[(2, 2)] == 10**6 // 60 + 1

@@ -2507,6 +2507,82 @@ def q_flow_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_flows(flows, weight_col="n_trips", iterations=10)
 
 
+def _flow_shortest_sql(rounds: int = 6, big: int = 1_000_000) -> str:
+    """Oracle for flow_shortest: the same symmetric flow graph with
+    integer impedances ({big} // w + 1), the same strongest-hub source
+    (ORDER BY strength DESC, id ASC LIMIT 1), and the Bellman-Ford
+    rounds unrolled as min-groupBy CTEs — exact int64 end to end
+    (functions/graph.py::shortest_paths_flows contract)."""
+    pack = 1 << 21
+    its = []
+    for k in range(1, rounds + 1):
+        # AS MATERIALIZED is load-bearing: each round references d{k-1}
+        # TWICE, and DuckDB's CTE inlining would otherwise expand the
+        # chain exponentially (2^rounds copies of the windowed flows CTE
+        # -> OOM at sf0.1; the SQL twin of the lambda-CSE lesson)
+        its.append(f"""d{k} AS MATERIALIZED (
+      SELECT id, CAST(min(d) AS BIGINT) AS d FROM (
+        SELECT id, d FROM d{k - 1}
+        UNION ALL
+        SELECT e.v AS id, l.d + e.cost AS d
+        FROM sym e JOIN d{k - 1} l ON l.id = e.u
+      ) GROUP BY id
+    )""")
+    chain = ",\n    ".join(its)
+    return f"""
+    WITH flows AS ({_od_flows_sql()}),
+    e0 AS (
+      SELECT o_x * {pack} + o_y AS a, d_x * {pack} + d_y AS b, n_trips AS w
+      FROM flows
+    ), sym AS MATERIALIZED (
+      -- self loops dropped: no path information, and they would dominate
+      -- hub strength in a mostly-intra-cell OD matrix (graph.py contract)
+      SELECT u, v, CAST(sum(w) AS BIGINT) AS w,
+             CAST(({big} // CAST(sum(w) AS BIGINT)) + 1 AS BIGINT) AS cost
+      FROM (
+        SELECT a AS u, b AS v, w FROM e0 WHERE a <> b
+        UNION ALL SELECT b, a, w FROM e0 WHERE a <> b
+      ) GROUP BY u, v
+    ), src AS (
+      SELECT u AS id, CAST(0 AS BIGINT) AS d
+      FROM (SELECT u, CAST(sum(w) AS BIGINT) AS s FROM sym GROUP BY u)
+      ORDER BY s DESC, u ASC LIMIT 1
+    ), d0 AS (
+      SELECT id, d FROM src
+    ),
+    {chain}
+    SELECT id // {pack} AS x, id % {pack} AS y, d AS dist
+    FROM d{rounds}
+    """
+
+
+@register("flow_shortest", _flow_shortest_sql())
+def q_flow_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop cheapest paths from the strongest mobility hub
+    (functions/graph.py::shortest_paths_flows): distributed Bellman-Ford
+    over the symmetrized OD cell graph with integer impedances
+    (1e6 // trips + 1 — busy corridors are cheap), 6 fixed relaxation
+    rounds. Every distance is exact int64, so the iterative walk
+    hash-verifies against an unrolled-CTE DuckDB replay — same
+    determinism pattern as flow_pagerank/flow_communities."""
+    from .functions.graph import shortest_paths_flows
+    from .functions.sessions import od_flows
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    flows = od_flows(
+        ev, lon_col="lon", lat_col="lat", ts_col="ts", id_col="event_id",
+        by=("user_id",), gap_seconds=1800, zoom=6,
+    )
+    return shortest_paths_flows(flows, weight_col="n_trips", rounds=6)
+
+
 def _flow_tiles_sql() -> str:
     """Oracle for flow_tiles: the od_flows matrix assigned to BOTH
     endpoints' zoom-4 parent tiles (dedup when they coincide), per-tile
