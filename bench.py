@@ -102,6 +102,7 @@ HEADLINE = [
     "lisa_clusters",
     "bivariate_moran",
     "kde_heatmap",
+    "idw_fill",
     "cluster_markers",
 ]
 

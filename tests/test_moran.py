@@ -368,3 +368,46 @@ def test_geary_plan_stays_jvm_side(spark):
     df = gearys_c(_points_df(spark, _rng_points(n=50)), zoom=3)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_idw_fill_matches_numpy_reference(spark):
+    from versatiles_rs_spark.functions.idw import OFFSETS, idw_fill
+
+    # exact lcm weights: 40/d2 for every ring-2 offset
+    assert sorted({w for _, _, w in OFFSETS}) == [5, 8, 10, 20, 40]
+    assert all(w * (dx * dx + dy * dy) == 40 for dx, dy, w in OFFSETS)
+    assert len(OFFSETS) == 24
+
+    zoom = 4
+    pts = _rng_points(n=300)
+    rows = {(r.x, r.y): r for r in idw_fill(_points_df(spark, pts), zoom=zoom).collect()}
+    g = _grid(pts, zoom)
+    dim = g.shape[0]
+    expected = {}
+    for x in range(dim):
+        for y in range(dim):
+            if g[x, y] != 0:
+                continue
+            num = den = 0
+            for dx, dy, w in OFFSETS:
+                tx, ty = x + dx, y + dy
+                if 0 <= tx < dim and 0 <= ty < dim and g[tx, ty] != 0:
+                    num += w * int(g[tx, ty])
+                    den += w
+            if den:
+                expected[(x, y)] = (num, den, num * 1000 // den)
+    assert rows.keys() == expected.keys()
+    for key, (num, den, est) in expected.items():
+        r = rows[key]
+        assert (r.num, r.den, r.est_milli) == (num, den, est)
+    # occupied cells never appear
+    occ = {(x, y) for x in range(dim) for y in range(dim) if g[x, y]}
+    assert not (rows.keys() & occ)
+
+
+def test_idw_plan_stays_jvm_side(spark):
+    from versatiles_rs_spark.functions.idw import idw_fill
+
+    df = idw_fill(_points_df(spark, _rng_points(n=60)), zoom=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -3623,6 +3623,56 @@ def q_gearys_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gearys_c(ev, lon_col="lon", lat_col="lat", zoom=6)
 
 
+def _idw_sql(zoom: int = 6) -> str:
+    """Oracle for idw_fill: the hotspots cell CTE, a 24-row VALUES table
+    of (dx, dy, lcm-weight) ring-2 offsets, integer num/den sums, LEFT
+    ANTI against occupied cells, and the same non-negative floor quotient
+    (functions/idw.py contract — no floats anywhere)."""
+    from .functions.idw import OFFSETS
+
+    mx = (1 << zoom) - 1
+    vals = ", ".join(f"({dx}, {dy}, {w})" for dx, dy, w in OFFSETS)
+    return f"""
+    WITH pts AS (
+      SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
+    ), cells AS (
+      SELECT {tile_xy_sql('lon', 'lat', zoom)[0]} AS x,
+             {tile_xy_sql('lon', 'lat', zoom)[1]} AS y,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2
+    ), contrib AS (
+      SELECT c.x + o.dx AS x, c.y + o.dy AS y,
+             CAST(sum(o.w * c.cnt) AS BIGINT) AS num,
+             CAST(sum(o.w) AS BIGINT) AS den
+      FROM cells c, (VALUES {vals}) o(dx, dy, w)
+      WHERE c.x + o.dx BETWEEN 0 AND {mx} AND c.y + o.dy BETWEEN 0 AND {mx}
+      GROUP BY 1, 2
+    )
+    SELECT k.x, k.y, k.num, k.den, (k.num * 1000) // k.den AS est_milli
+    FROM contrib k
+    ANTI JOIN cells c ON c.x = k.x AND c.y = k.y
+    """
+
+
+@register("idw_fill", _idw_sql())
+def q_idw_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDW gap filling (functions/idw.py): the interpolated event-count
+    estimate at every EMPTY zoom-6 cell within ring 2 of an occupied
+    cell. Exact-rational IDW — lcm(1,2,4,5,8)=40 scales the 1/d^2 ring-2
+    weights to exact integers {40,20,10,8,5}, so the whole statistic is
+    int64 sums + one non-negative floor division (no float anywhere, the
+    strongest possible cross-engine contract). Same 100 TB envelope as
+    KDE/Gi*: slim cell agg + 24-way explode on aggregated cells."""
+    from .functions.idw import idw_fill
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return idw_fill(ev, lon_col="lon", lat_col="lat", zoom=6)
+
+
 def _ripley_sql(radii_deg=(0.25, 0.5, 1.0), area=360.0 * 170.0) -> str:
     """Oracle for ripley_k: the identical micro7 quantization, 3x3
     neighbor-cell equi-join pair generation, exact-integer per-radius
