@@ -80,3 +80,25 @@ def test_analyze_all(pts_parquet):
     assert sum(r["n_points"] for r in cl["top"]) <= 1000
     bubbles = [r["n_points"] for r in cl["top"]]
     assert bubbles == sorted(bubbles, reverse=True)
+
+
+@pytest.mark.slow
+def test_analyze_new_stats(pts_parquet):
+    out = run_analyze("all", pts_parquet, "--zoom", "5", "--eps", "6.0",
+                      "--top", "3", "--id", "event_id")
+    ge = out["geary"]
+    assert 0.0 < ge["c"] < 2.0
+    rp = out["ripley"]
+    assert [r["r_deg"] for r in rp["radii"]] == [0.25, 0.5, 1.0]
+    assert all(r["n"] == 1000 for r in rp["radii"])
+    # K is monotone in r (pair sets nest)
+    ks = [r["k"] for r in rp["radii"]]
+    assert ks == sorted(ks)
+    idw = out["idw"]
+    assert idw["filled_cells"] > 0
+    ests = [r["est_milli"] for r in idw["top"]]
+    assert ests == sorted(ests, reverse=True)
+    sh = out["shortest"]
+    assert sh["reachable_cells"] >= 1
+    dists = [r["dist"] for r in sh["top"]]
+    assert dists == sorted(dists) and dists[0] == 0

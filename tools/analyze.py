@@ -9,6 +9,10 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py dbscan    pts.parquet [--eps 2.0] [--min-pts N]
     python tools/analyze.py od        pts.parquet [--by user_id] [--zoom 6]
     python tools/analyze.py moran     pts.parquet [--zoom 6]         # global I + LISA
+    python tools/analyze.py geary     pts.parquet [--zoom 6]         # global C
+    python tools/analyze.py ripley    pts.parquet [--radii 0.25,0.5,1.0]
+    python tools/analyze.py idw       pts.parquet [--zoom 6]         # gap filling
+    python tools/analyze.py shortest  pts.parquet [--by user_id] [--zoom 6]
     python tools/analyze.py kde       pts.parquet [--zoom 6] [--radius 2]
     python tools/analyze.py clusters  pts.parquet [--zoom 6]         # marker bubbles
     python tools/analyze.py all       pts.parquet
@@ -39,7 +43,8 @@ def main(argv=None):
     ap.add_argument(
         "command",
         choices=["hotspots", "trends", "emerging", "dbscan", "od",
-                 "moran", "kde", "clusters", "all"],
+                 "moran", "geary", "ripley", "idw", "shortest",
+                 "kde", "clusters", "all"],
     )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
@@ -47,6 +52,8 @@ def main(argv=None):
     ap.add_argument("--eps", type=float, default=2.0)
     ap.add_argument("--radius", type=int, default=2,
                     help="kernel radius in cells for the kde command")
+    ap.add_argument("--radii", default="0.25,0.5,1.0",
+                    help="comma-separated radii in degrees for the ripley command")
     ap.add_argument("--min-pts", type=int, default=None)
     ap.add_argument("--id", dest="id_col", default=None)
     ap.add_argument("--by", dest="by_col", default="user_id",
@@ -67,7 +74,8 @@ def main(argv=None):
     out: dict = {"table": args.table, "n_points": pts.count()}
 
     cmds = (
-        ["hotspots", "trends", "emerging", "dbscan", "od", "moran", "kde", "clusters"]
+        ["hotspots", "trends", "emerging", "dbscan", "od", "moran", "geary",
+         "ripley", "idw", "shortest", "kde", "clusters"]
         if args.command == "all"
         else [args.command]
     )
@@ -159,6 +167,53 @@ def main(argv=None):
                 "z": g.z,
                 "quadrants": quads,
                 "top": _top_rows(lisa, "ii", args.top),
+            }
+        elif cmd == "geary":
+            from versatiles_rs_spark.functions.moran import gearys_c
+
+            g = gearys_c(pts, args.lon, args.lat, zoom=args.zoom).collect()[0]
+            out["geary"] = {"zoom": args.zoom, "c": g.c, "z": g.z}
+        elif cmd == "ripley":
+            from versatiles_rs_spark.functions.ripley import ripley_k
+
+            id_col = args.id_col or pts.columns[0]
+            radii = tuple(float(r) for r in args.radii.split(","))
+            rows = ripley_k(
+                pts, id_col=id_col, lon_col=args.lon, lat_col=args.lat,
+                radii_deg=radii,
+            ).collect()
+            out["ripley"] = {
+                "radii": [r.asDict() for r in sorted(rows, key=lambda r: r.r_deg)]
+            }
+        elif cmd == "idw":
+            from versatiles_rs_spark.functions.idw import idw_fill
+
+            df = idw_fill(pts, args.lon, args.lat, zoom=args.zoom).cache()
+            out["idw"] = {
+                "zoom": args.zoom,
+                "filled_cells": df.count(),
+                "top": _top_rows(df, "est_milli", args.top),
+            }
+        elif cmd == "shortest":
+            from versatiles_rs_spark.functions.graph import shortest_paths_flows
+            from versatiles_rs_spark.functions.sessions import od_flows
+
+            user_col = args.by_col
+            if (user_col not in pts.columns or args.ts_col not in pts.columns
+                    or "event_id" not in pts.columns):
+                out["shortest"] = {
+                    "skipped": f"needs {user_col}, {args.ts_col} and event_id columns"
+                }
+                continue
+            flows = od_flows(
+                pts, args.lon, args.lat, args.ts_col, id_col="event_id",
+                by=(user_col,), zoom=args.zoom,
+            )
+            df = shortest_paths_flows(flows).cache()
+            out["shortest"] = {
+                "zoom": args.zoom,
+                "reachable_cells": df.count(),
+                "top": _top_rows(df, "dist", args.top, ascending=True),
             }
         elif cmd == "kde":
             from versatiles_rs_spark.functions.kde import kde_heatmap
