@@ -103,6 +103,7 @@ HEADLINE = [
     "bivariate_moran",
     "kde_heatmap",
     "idw_fill",
+    "st_dbscan_events",
     "cluster_markers",
 ]
 

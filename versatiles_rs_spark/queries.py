@@ -4234,6 +4234,120 @@ def q_dbscan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("event_id"), "cluster", "role")
 
 
+_ST_EPS_S, _ST_EPS_T = 10.0, 129_600  # 10 deg x 36 h
+_ST_SIDE = _ST_EPS_S / __import__("math").sqrt(2.0)  # engine cell side
+_ST_ANCHOR = 946_684_800 * 1_000_000  # joins/st_dbscan.py T_ANCHOR_US
+
+
+@register(
+    "st_dbscan_events",
+    f"""
+    WITH RECURSIVE pts AS (
+      SELECT event_id AS id, {_EV_LON} AS lon, {_EV_LAT} AS lat,
+             epoch_us(ts) AS us
+      FROM events
+    ), cells AS MATERIALIZED (
+      -- supernode = the ENGINE's 3D contraction cell: spatial side
+      -- eps/sqrt(2) (+-2^20 offset) x eps_time bins anchored 2000-01-01,
+      -- packed with the identical formula (joins/st_dbscan.py)
+      SELECT id, lon, lat, us,
+             CAST(floor(lon / {_ST_SIDE:.17e}) AS BIGINT) AS cx,
+             CAST(floor(lat / {_ST_SIDE:.17e}) AS BIGINT) AS cy,
+             (us - {_ST_ANCHOR}) // {_ST_EPS_T * 1_000_000} AS tb,
+             ((CAST(floor(lon / {_ST_SIDE:.17e}) AS BIGINT) + {1 << 20}) * {1 << 21}
+              + CAST(floor(lat / {_ST_SIDE:.17e}) AS BIGINT) + {1 << 20}) * {1 << 21}
+              + ((us - {_ST_ANCHOR}) // {_ST_EPS_T * 1_000_000}) AS sn
+      FROM pts
+    ), pairs AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib, a.sn AS sa, b.sn AS sb
+      FROM cells a JOIN cells b
+        ON b.cx BETWEEN a.cx - 2 AND a.cx + 2
+       AND b.cy BETWEEN a.cy - 2 AND a.cy + 2
+       AND b.tb BETWEEN a.tb - 1 AND a.tb + 1
+       AND (a.lon - b.lon) * (a.lon - b.lon)
+         + (a.lat - b.lat) * (a.lat - b.lat)
+         <= {_ST_EPS_S:.17e} * {_ST_EPS_S:.17e}
+       AND abs(a.us - b.us) <= {_ST_EPS_T * 1_000_000}
+    ), cnt AS (
+      SELECT ia AS id, count(*) AS n FROM pairs GROUP BY 1
+    ), mp AS (
+      SELECT CAST(floor(CAST(sum(n) AS DOUBLE) / count(*)) AS BIGINT) + 1 AS v
+      FROM cnt
+    ), cores AS MATERIALIZED (
+      SELECT id FROM cnt WHERE n >= (SELECT v FROM mp)
+    ), cpairs AS MATERIALIZED (
+      -- core-core neighbor pairs with their supernodes
+      SELECT p.ia, p.ib, p.sa, p.sb FROM pairs p
+      WHERE p.ia IN (SELECT id FROM cores) AND p.ib IN (SELECT id FROM cores)
+    ), snedges AS MATERIALIZED (
+      -- DISTINCT supernode adjacency: the dense-graph contraction that
+      -- keeps the recursive walk on O(supernodes), never O(cores^2)
+      -- (explicit DISTINCT: a bare UNION here left 10x duplicate rows)
+      SELECT DISTINCT u, v FROM (
+        SELECT sa AS u, sb AS v FROM cpairs WHERE sa <> sb
+        UNION ALL
+        SELECT sb AS u, sa AS v FROM cpairs WHERE sa <> sb
+      )
+    ), walk(v, l) AS (
+      SELECT u, u FROM snedges
+      UNION
+      SELECT e.v, w.l FROM walk w JOIN snedges e ON e.u = w.v
+    ), sncomp AS (
+      SELECT v AS sn, min(l) AS comp FROM walk GROUP BY v
+    ), snmin AS (
+      -- per-supernode min core id (self pair guarantees presence)
+      SELECT sa AS sn, min(ia) AS mc FROM cpairs GROUP BY 1
+    ), snlab AS MATERIALIZED (
+      SELECT m.sn, m.mc, coalesce(c.comp, m.sn) AS comp
+      FROM snmin m LEFT JOIN sncomp c ON c.sn = m.sn
+    ), complab AS (
+      SELECT comp, min(mc) AS cluster FROM snlab GROUP BY comp
+    ), sncluster AS MATERIALIZED (
+      SELECT s.sn, cl.cluster FROM snlab s JOIN complab cl USING (comp)
+    ), corec AS MATERIALIZED (
+      SELECT DISTINCT p.ia AS id, sc.cluster
+      FROM cpairs p JOIN sncluster sc ON sc.sn = p.sa
+    ), border AS (
+      SELECT p.ia AS id, min(cc.cluster) AS cluster
+      FROM pairs p JOIN corec cc ON p.ib = cc.id
+      WHERE p.ia <> p.ib AND p.ia NOT IN (SELECT id FROM cores)
+      GROUP BY 1
+    )
+    SELECT id AS event_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(2 AS INTEGER) AS role FROM corec
+    UNION ALL
+    SELECT id, CAST(cluster AS BIGINT), 1 FROM border
+    UNION ALL
+    SELECT id, CAST(-1 AS BIGINT), 0 FROM pts
+    WHERE id NOT IN (SELECT id FROM corec)
+      AND id NOT IN (SELECT id FROM border)
+    """,
+)
+def q_st_dbscan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST-DBSCAN (joins/st_dbscan.py) over the derived event point layer
+    with its real timestamps: a neighbor must be within 10 degrees AND
+    36 hours, so clusters are dense EPISODES (same place, same period) —
+    the space-time extension of dbscan_events. min_pts self-tunes with
+    the identical sum/count/floor arithmetic; cluster = min core event_id,
+    role 2/1/0. Engine: 3D supernode contraction (spatial eps/sqrt(2)
+    cells x eps_time bins packed to one long), CC on supernode adjacency.
+    Oracle: full replay — cell+time BETWEEN join, same threshold,
+    recursive-CTE min-label reachability."""
+    from .joins.st_dbscan import st_dbscan
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        "ts",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return st_dbscan(
+        ev, id_col="event_id", lon_col="lon", lat_col="lat", ts_col="ts",
+        eps_space=_ST_EPS_S, eps_time_s=_ST_EPS_T, min_pts=None,
+    ).select(F.col("id").alias("event_id"), "cluster", "role")
+
+
 @register(
     "bloom_decontam",
     f"""
