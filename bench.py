@@ -104,6 +104,7 @@ HEADLINE = [
     "kde_heatmap",
     "idw_fill",
     "st_dbscan_events",
+    "traj_similarity",
     "cluster_markers",
 ]
 

@@ -4234,6 +4234,53 @@ def q_dbscan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("event_id"), "cluster", "role")
 
 
+@register(
+    "traj_similarity",
+    f"""
+    WITH uc AS (
+      SELECT DISTINCT user_id AS u,
+             {tile_xy_sql(_EV_LON, _EV_LAT, 6)[0]} * {1 << 21}
+             + {tile_xy_sql(_EV_LON, _EV_LAT, 6)[1]} AS cell
+      FROM events
+    ), sizes AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS n FROM uc GROUP BY u
+    ), inter AS (
+      SELECT a.u AS ua, b.u AS ub, CAST(count(*) AS BIGINT) AS inter
+      FROM uc a JOIN uc b ON a.cell = b.cell AND a.u < b.u
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT i.ua AS user_a, i.ub AS user_b, i.inter,
+           sa.n AS a_cells, sb.n AS b_cells,
+           (i.inter * 1000) // (sa.n + sb.n - i.inter) AS j_milli
+    FROM inter i
+    JOIN sizes sa ON sa.u = i.ua
+    JOIN sizes sb ON sb.u = i.ub
+    WHERE i.inter * 1000 >= 20 * (sa.n + sb.n - i.inter)
+    """,
+)
+def q_traj_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trajectory co-visitation similarity join (joins/trajectory.py):
+    user pairs whose visited zoom-6 cell SETS overlap with Jaccard >=
+    0.02 and >= 3 shared cells — the exact set-similarity join (mobility
+    twin of MinHash, exact because trajectories are small sets).
+    Candidates from the inverted cell index (equi-join on cell, slim
+    longs only); threshold is integer cross-multiplication, j_milli is a
+    non-negative floor quotient — no float compares anywhere."""
+    from .joins.trajectory import trajectory_similarity
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return trajectory_similarity(
+        ev, user_col="user_id", lon_col="lon", lat_col="lat",
+        zoom=6, min_inter=3, j_milli_min=20,
+    )
+
+
 _ST_EPS_S, _ST_EPS_T = 10.0, 129_600  # 10 deg x 36 h
 _ST_SIDE = _ST_EPS_S / __import__("math").sqrt(2.0)  # engine cell side
 _ST_ANCHOR = 946_684_800 * 1_000_000  # joins/st_dbscan.py T_ANCHOR_US
