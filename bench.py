@@ -105,6 +105,7 @@ HEADLINE = [
     "idw_fill",
     "st_dbscan_events",
     "traj_similarity",
+    "reach_tiles",
     "cluster_markers",
 ]
 

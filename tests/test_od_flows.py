@@ -281,3 +281,37 @@ def test_shortest_paths_reference_parity(spark):
     assert got[(5, 5)] == 0
     assert got[(1, 1)] == 10**6 // 100 + 1
     assert got[(2, 2)] == 10**6 // 60 + 1
+
+
+def test_reach_tiles_payload_decodes(spark):
+    """The reach_tiles isochrone composition's MVT payload round-trips:
+    layer name, feature count, polygon type, dist property (the oracle
+    verifies per-tile stats; this pins the bytes)."""
+    from versatiles_rs_spark.functions.graph import shortest_paths_flows
+    from versatiles_rs_spark.vector_tile import (
+        POLYGON,
+        cells_to_choropleth_tiles,
+        decode_tile_payload,
+    )
+
+    flows = [
+        (5, 5, 6, 5, 40, 4),
+        (6, 5, 7, 6, 10, 2),
+        (5, 5, 9, 9, 5, 1),
+    ]
+    df = spark.createDataFrame(
+        flows, "o_x long, o_y long, d_x long, d_y long, n_trips long, n_users long"
+    )
+    cells = shortest_paths_flows(df, rounds=6)
+    tiles = cells_to_choropleth_tiles(
+        cells.select("x", "y", "dist"), cell_zoom=6, render_zoom=4,
+        value_cols=("dist",), layer="reach",
+    ).collect()
+    assert tiles
+    total_feats = sum(t.n_features for t in tiles)
+    assert total_feats == cells.count()
+    layers, _fmt = decode_tile_payload(bytes(tiles[0].bytes))
+    (layer,) = layers
+    assert layer["name"] == "reach"
+    f = layer["features"][0]
+    assert f["type"] == POLYGON and int(f["props"]["dist"]) >= 0

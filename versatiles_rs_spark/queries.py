@@ -4235,6 +4235,65 @@ def q_dbscan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "reach_tiles",
+    f"""
+    WITH base AS ({_flow_shortest_sql()})
+    SELECT CAST(4 AS INTEGER) AS z, x // 4 AS x, y // 4 AS y,
+           CAST(count(*) AS INTEGER) AS n_features,
+           CAST(min(dist) AS BIGINT) AS min_dist
+    FROM base GROUP BY 1, 2, 3
+    """,
+)
+def q_reach_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics-to-serving composition: the flow_shortest reachability
+    surface (bounded-hop cheapest path cost from the strongest mobility
+    hub) rendered as an MVT choropleth — the engine's isochrone layer.
+    Each reachable zoom-6 cell becomes one square polygon with its
+    integer path cost as a property, grouped into zoom-4 tiles that flow
+    straight into the sinks/serve shim. Oracle verifies per-tile feature
+    count + min path cost; payload bytes are pytest-verified (same split
+    as hotspot_tiles/heatmap_tiles)."""
+    from .functions.graph import shortest_paths_flows
+    from .functions.sessions import od_flows
+    from .udfs import derived_lat_expr, derived_lon_expr
+    from .vector_tile import cells_to_choropleth_tiles
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    flows = od_flows(
+        ev, lon_col="lon", lat_col="lat", ts_col="ts", id_col="event_id",
+        by=("user_id",), gap_seconds=1800, zoom=6,
+    )
+    cells = shortest_paths_flows(flows, weight_col="n_trips", rounds=6).cache()
+    tiles = cells_to_choropleth_tiles(
+        cells.select("x", "y", "dist"),
+        cell_zoom=6,
+        render_zoom=4,
+        value_cols=("dist",),
+        layer="reach",
+    )
+    mins = (
+        cells.select(
+            F.shiftright(F.col("x").cast("long"), 2).alias("x"),
+            F.shiftright(F.col("y").cast("long"), 2).alias("y"),
+            "dist",
+        )
+        .groupBy("x", "y")
+        .agg(F.min("dist").cast("long").alias("min_dist"))
+    )
+    return (
+        tiles.select("z", "x", "y", "n_features")
+        .join(mins, on=["x", "y"])
+        .select("z", "x", "y", "n_features", "min_dist")
+    )
+
+
+@register(
     "traj_similarity",
     f"""
     WITH uc AS (
