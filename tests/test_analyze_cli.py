@@ -102,3 +102,18 @@ def test_analyze_new_stats(pts_parquet):
     assert sh["reachable_cells"] >= 1
     dists = [r["dist"] for r in sh["top"]]
     assert dists == sorted(dists) and dists[0] == 0
+
+
+@pytest.mark.slow
+def test_analyze_stdbscan_similar(pts_parquet):
+    out = run_analyze("stdbscan", pts_parquet, "--eps", "10.0",
+                      "--eps-time", "129600", "--id", "event_id", "--top", "3")
+    st = out["stdbscan"]
+    assert st["core"] + st["border"] + st["noise"] == 1000
+    assert st["min_pts"] >= 1
+    out = run_analyze("similar", pts_parquet, "--by", "user_id",
+                      "--zoom", "6", "--top", "3")
+    sm = out["similar"]
+    assert sm["pairs"] >= 1
+    js = [r["j_milli"] for r in sm["top"]]
+    assert js == sorted(js, reverse=True)

@@ -13,6 +13,8 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py ripley    pts.parquet [--radii 0.25,0.5,1.0]
     python tools/analyze.py idw       pts.parquet [--zoom 6]         # gap filling
     python tools/analyze.py shortest  pts.parquet [--by user_id] [--zoom 6]
+    python tools/analyze.py stdbscan  pts.parquet [--eps 2.0] [--eps-time 3600]
+    python tools/analyze.py similar   pts.parquet [--by user_id] [--zoom 6]
     python tools/analyze.py kde       pts.parquet [--zoom 6] [--radius 2]
     python tools/analyze.py clusters  pts.parquet [--zoom 6]         # marker bubbles
     python tools/analyze.py all       pts.parquet
@@ -44,7 +46,7 @@ def main(argv=None):
         "command",
         choices=["hotspots", "trends", "emerging", "dbscan", "od",
                  "moran", "geary", "ripley", "idw", "shortest",
-                 "kde", "clusters", "all"],
+                 "stdbscan", "similar", "kde", "clusters", "all"],
     )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
@@ -55,6 +57,8 @@ def main(argv=None):
     ap.add_argument("--radii", default="0.25,0.5,1.0",
                     help="comma-separated radii in degrees for the ripley command")
     ap.add_argument("--min-pts", type=int, default=None)
+    ap.add_argument("--eps-time", type=int, default=3600,
+                    help="temporal radius in seconds for the stdbscan command")
     ap.add_argument("--id", dest="id_col", default=None)
     ap.add_argument("--by", dest="by_col", default="user_id",
                     help="trajectory grouping column for the od command")
@@ -75,7 +79,7 @@ def main(argv=None):
 
     cmds = (
         ["hotspots", "trends", "emerging", "dbscan", "od", "moran", "geary",
-         "ripley", "idw", "shortest", "kde", "clusters"]
+         "ripley", "idw", "shortest", "stdbscan", "similar", "kde", "clusters"]
         if args.command == "all"
         else [args.command]
     )
@@ -214,6 +218,51 @@ def main(argv=None):
                 "zoom": args.zoom,
                 "reachable_cells": df.count(),
                 "top": _top_rows(df, "dist", args.top, ascending=True),
+            }
+        elif cmd == "stdbscan":
+            from versatiles_rs_spark.joins.st_dbscan import st_dbscan
+
+            if args.ts_col not in pts.columns:
+                out["stdbscan"] = {"skipped": f"needs {args.ts_col} column"}
+                continue
+            id_col = args.id_col or pts.columns[0]
+            metrics: dict = {}
+            df = st_dbscan(
+                pts, id_col, args.lon, args.lat, args.ts_col,
+                eps_space=args.eps, eps_time_s=args.eps_time,
+                min_pts=args.min_pts, metrics=metrics,
+            ).cache()
+            roles = {r["role"]: r["cnt"] for r in
+                     df.groupBy("role").agg(F.count("*").alias("cnt")).collect()}
+            sizes = (
+                df.filter("cluster >= 0").groupBy("cluster")
+                .agg(F.count("*").alias("size"))
+            )
+            out["stdbscan"] = {
+                "eps": args.eps,
+                "eps_time_s": args.eps_time,
+                "min_pts": metrics.get("min_pts", args.min_pts),
+                "core": roles.get(2, 0),
+                "border": roles.get(1, 0),
+                "noise": roles.get(0, 0),
+                "episodes": sizes.count(),
+                "largest": [r.asDict() for r in
+                            sizes.orderBy(F.col("size").desc()).limit(args.top).collect()],
+            }
+        elif cmd == "similar":
+            from versatiles_rs_spark.joins.trajectory import trajectory_similarity
+
+            if args.by_col not in pts.columns:
+                out["similar"] = {"skipped": f"needs {args.by_col} column"}
+                continue
+            df = trajectory_similarity(
+                pts, user_col=args.by_col, lon_col=args.lon, lat_col=args.lat,
+                zoom=args.zoom,
+            ).cache()
+            out["similar"] = {
+                "zoom": args.zoom,
+                "pairs": df.count(),
+                "top": _top_rows(df, "j_milli", args.top),
             }
         elif cmd == "kde":
             from versatiles_rs_spark.functions.kde import kde_heatmap
