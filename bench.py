@@ -106,6 +106,7 @@ HEADLINE = [
     "st_dbscan_events",
     "traj_similarity",
     "reach_tiles",
+    "colocation",
     "cluster_markers",
 ]
 

@@ -25,6 +25,7 @@ from .udfs import (
     derived_lat_expr,
     derived_lon_expr,
     derived_lonlat_sql,
+    scatter_lonlat_sql,
     tile_xy_sql,
     with_tile_columns,
 )
@@ -3700,11 +3701,12 @@ def _ripley_sql(radii_deg=(0.25, 0.5, 1.0), area=360.0 * 170.0) -> str:
         FROM agg CROSS JOIN nn"""
         )
     union = "\n    UNION ALL\n    ".join(arms)
+    slon, slat = scatter_lonlat_sql("event_id")
     return f"""
     WITH pts AS (
       SELECT event_id AS id,
-             CAST(floor(({_EV_LON}) * 1e7) AS BIGINT) + {180 * scale} AS sx,
-             CAST(floor(({_EV_LAT}) * 1e7) AS BIGINT) + {90 * scale} AS sy
+             CAST(floor(({slon}) * 1e7) AS BIGINT) + {180 * scale} AS sx,
+             CAST(floor(({slat}) * 1e7) AS BIGINT) + {90 * scale} AS sy
       FROM events
     ), cells AS (
       SELECT id, sx, sy, sx // {cell} AS cx, sy // {cell} AS cy FROM pts
@@ -3742,12 +3744,12 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grid-free complement of hotspots_gi/morans_i: detects clustering at
     sub-cell scales."""
     from .functions.ripley import ripley_k
-    from .udfs import derived_lat_expr, derived_lon_expr
+    from .udfs import scatter_lat_expr, scatter_lon_expr
 
     ev = load(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
-        derived_lon_expr(F.col("event_id")).alias("lon"),
-        derived_lat_expr(F.col("event_id")).alias("lat"),
+        scatter_lon_expr(F.col("event_id")).alias("lon"),
+        scatter_lat_expr(F.col("event_id")).alias("lat"),
     )
     return ripley_k(ev, id_col="id", lon_col="lon", lat_col="lat")
 
@@ -4232,6 +4234,74 @@ def q_dbscan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid_dbscan(
         ev, id_col="event_id", lon_col="lon", lat_col="lat", eps=6.0, min_pts=None
     ).select(F.col("id").alias("event_id"), "cluster", "role")
+
+
+def _colocation_sql(radius_deg: float = 1.0) -> str:
+    """Oracle for colocation: the ripley_k quantization/cell-join/clamp
+    CTEs with a type column, DISTINCT participation counts per ordered
+    type pair, floor-quotient participation index
+    (functions/colocation.py contract)."""
+    scale = 10_000_000
+    cell = int(round(radius_deg * scale))
+    slon, slat = scatter_lonlat_sql("event_id")
+    return f"""
+    WITH pts AS (
+      SELECT event_id AS id, event_type AS t,
+             CAST(floor(({slon}) * 1e7) AS BIGINT) + {180 * scale} AS sx,
+             CAST(floor(({slat}) * 1e7) AS BIGINT) + {90 * scale} AS sy
+      FROM events
+    ), cells AS (
+      SELECT id, t, sx, sy, sx // {cell} AS cx, sy // {cell} AS cy FROM pts
+    ), near AS (
+      SELECT p.t AS t, q.t AS qt, p.id AS id
+      FROM cells p
+      CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+      CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+      JOIN cells q
+        ON q.cx = p.cx + dx.v AND q.cy = p.cy + dy.v AND q.t <> p.t
+      WHERE least(abs(p.sx - q.sx), {2 * cell}) * least(abs(p.sx - q.sx), {2 * cell})
+          + least(abs(p.sy - q.sy), {2 * cell}) * least(abs(p.sy - q.sy), {2 * cell})
+          <= {cell * cell}
+    ), part AS (
+      SELECT t, qt, CAST(count(*) AS BIGINT) AS with_nbr
+      FROM (SELECT DISTINCT t, qt, id FROM near) GROUP BY 1, 2
+    ), sizes AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1
+    )
+    SELECT ab.t AS type_a, ab.qt AS type_b, sa.n AS n_a, sb.n AS n_b,
+           ab.with_nbr AS a_with_b, ba.with_nbr AS b_with_a,
+           least((ab.with_nbr * 1000) // sa.n,
+                 (ba.with_nbr * 1000) // sb.n) AS pi_milli
+    FROM part ab
+    JOIN part ba ON ba.t = ab.qt AND ba.qt = ab.t
+    JOIN sizes sa ON sa.t = ab.t
+    JOIN sizes sb ON sb.t = ab.qt
+    WHERE ab.t < ab.qt
+    """
+
+
+@register("colocation", _colocation_sql())
+def q_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-location pattern mining (functions/colocation.py): the
+    Shekhar-Huang participation index for every event-type pair at a
+    1-degree neighbor radius — which event types occur NEAR each other.
+    Exact integer core: micro7 quantization, clamped d^2 cell join,
+    DISTINCT instance participation counts, milli-precision floor-
+    quotient index. Grid-free like ripley_k; candidate volume is
+    density-bounded, never |A| x |B|."""
+    from .functions.colocation import colocation_pairs
+    from .udfs import scatter_lat_expr, scatter_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("type"),
+        scatter_lon_expr(F.col("event_id")).alias("lon"),
+        scatter_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return colocation_pairs(
+        ev, id_col="id", type_col="type", lon_col="lon", lat_col="lat",
+        radius_deg=1.0,
+    )
 
 
 @register(
