@@ -117,3 +117,32 @@ def test_analyze_stdbscan_similar(pts_parquet):
     assert sm["pairs"] >= 1
     js = [r["j_milli"] for r in sm["top"]]
     assert js == sorted(js, reverse=True)
+
+
+@pytest.mark.slow
+def test_analyze_coloc(spark, sf_dir, tmp_path_factory):
+    # typed points: the REAL event_type column + scatter coords (the linear
+    # derivation is a lattice whose close-pair id strides alias the type
+    # cycle — udfs.py scatter docstring)
+    out_path = str(tmp_path_factory.mktemp("coloc") / "typed.parquet")
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.udfs import scatter_lat_expr, scatter_lon_expr
+
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id",
+            "event_type",
+            scatter_lon_expr(F.col("event_id")).alias("lon"),
+            scatter_lat_expr(F.col("event_id")).alias("lat"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out_path)
+    )
+    out = run_analyze("coloc", out_path, "--id", "event_id", "--top", "3",
+                      "--radius-deg", "8.0")
+    co = out["coloc"]
+    assert co["pairs"] >= 1
+    pis = [r["pi_milli"] for r in co["top"]]
+    assert pis == sorted(pis, reverse=True)

@@ -280,3 +280,18 @@ def test_token_arrays_materialized_behind_generate_barrier(spark, sf_dir):
     plan2 = plan_of(Q.REGISTRY["duplicate_spans"].fn(spark, sf_dir))
     assert re.search(r"slice\(codes#\d+", plan2), "window fold lost the codes barrier"
     assert "slice(transform(filter(split" not in plan2, "fold re-expands the split"
+
+
+@pytest.mark.parametrize(
+    "name", ["gearys_c", "idw_fill", "ripley_k", "colocation",
+             "traj_similarity", "st_dbscan_events"]
+)
+def test_r4_stats_no_python_no_cartesian(spark, sf_dir, name):
+    """The round-4 analytics family: zero Python nodes and — for the
+    pair-generating members — no cartesian product: every candidate join
+    is an equi-join on cell/bucket keys (the density-bounded 100 TB
+    contract of ripley.py / colocation.py / trajectory.py /
+    st_dbscan.py)."""
+    plan = plan_of(Q.REGISTRY[name].fn(spark, sf_dir))
+    assert "EvalPython" not in plan and "PythonUDF" not in plan, name
+    assert "CartesianProduct" not in plan, f"{name} degenerated to n^2"

@@ -15,6 +15,7 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py shortest  pts.parquet [--by user_id] [--zoom 6]
     python tools/analyze.py stdbscan  pts.parquet [--eps 2.0] [--eps-time 3600]
     python tools/analyze.py similar   pts.parquet [--by user_id] [--zoom 6]
+    python tools/analyze.py coloc     pts.parquet [--type event_type] [--radius-deg 1.0]
     python tools/analyze.py kde       pts.parquet [--zoom 6] [--radius 2]
     python tools/analyze.py clusters  pts.parquet [--zoom 6]         # marker bubbles
     python tools/analyze.py all       pts.parquet
@@ -46,7 +47,7 @@ def main(argv=None):
         "command",
         choices=["hotspots", "trends", "emerging", "dbscan", "od",
                  "moran", "geary", "ripley", "idw", "shortest",
-                 "stdbscan", "similar", "kde", "clusters", "all"],
+                 "stdbscan", "similar", "coloc", "kde", "clusters", "all"],
     )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
@@ -59,6 +60,10 @@ def main(argv=None):
     ap.add_argument("--min-pts", type=int, default=None)
     ap.add_argument("--eps-time", type=int, default=3600,
                     help="temporal radius in seconds for the stdbscan command")
+    ap.add_argument("--type", dest="type_col", default="event_type",
+                    help="feature-type column for the coloc command")
+    ap.add_argument("--radius-deg", type=float, default=1.0,
+                    help="neighbor radius in degrees for the coloc command")
     ap.add_argument("--id", dest="id_col", default=None)
     ap.add_argument("--by", dest="by_col", default="user_id",
                     help="trajectory grouping column for the od command")
@@ -79,7 +84,8 @@ def main(argv=None):
 
     cmds = (
         ["hotspots", "trends", "emerging", "dbscan", "od", "moran", "geary",
-         "ripley", "idw", "shortest", "stdbscan", "similar", "kde", "clusters"]
+         "ripley", "idw", "shortest", "stdbscan", "similar", "coloc", "kde",
+         "clusters"]
         if args.command == "all"
         else [args.command]
     )
@@ -263,6 +269,22 @@ def main(argv=None):
                 "zoom": args.zoom,
                 "pairs": df.count(),
                 "top": _top_rows(df, "j_milli", args.top),
+            }
+        elif cmd == "coloc":
+            from versatiles_rs_spark.functions.colocation import colocation_pairs
+
+            if args.type_col not in pts.columns:
+                out["coloc"] = {"skipped": f"needs {args.type_col} column"}
+                continue
+            id_col = args.id_col or pts.columns[0]
+            df = colocation_pairs(
+                pts, id_col=id_col, type_col=args.type_col,
+                lon_col=args.lon, lat_col=args.lat, radius_deg=args.radius_deg,
+            ).cache()
+            out["coloc"] = {
+                "radius_deg": args.radius_deg,
+                "pairs": df.count(),
+                "top": _top_rows(df, "pi_milli", args.top),
             }
         elif cmd == "kde":
             from versatiles_rs_spark.functions.kde import kde_heatmap
