@@ -107,6 +107,7 @@ HEADLINE = [
     "traj_similarity",
     "reach_tiles",
     "colocation",
+    "quadrat_test",
     "cluster_markers",
 ]
 

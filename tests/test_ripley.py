@@ -91,3 +91,51 @@ def test_ripley_plan_stays_jvm_side(spark):
     df = ripley_k(_df(spark, lon, lat), radii_deg=RADII)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_quadrat_parity_and_directions(spark):
+    from versatiles_rs_spark.functions.ripley import quadrat_test
+
+    zoom, dim = 3, 8
+    m = dim * dim
+
+    def cells_to_lonlat(cells):
+        # place a point at each cell center (web-mercator inverse)
+        out = []
+        for x, y, k in cells:
+            lon = (x + 0.5) / dim * 360.0 - 180.0
+            yf = (y + 0.5) / dim
+            lat = math.degrees(2.0 * (math.atan(math.exp((0.5 - yf) * 2 * math.pi)) - math.pi / 4.0))
+            out += [(lon, lat)] * k
+        return out
+
+    regular = cells_to_lonlat([(x, y, 1) for x in range(dim) for y in range(dim)])
+    clumped = cells_to_lonlat([(3, 3, 60), (4, 4, 4)])
+    rows = {
+        r.field: r
+        for r in quadrat_test(
+            {
+                "regular": (_df_lonlat(spark, regular), "lon", "lat"),
+                "clumped": (_df_lonlat(spark, clumped), "lon", "lat"),
+            },
+            zoom=zoom,
+        ).collect()
+    }
+    reg = rows["regular"]
+    assert (reg.m, reg.tot, reg.tot2, reg.occupied) == (m, m, m, m)
+    assert reg.vmr == 0.0  # one point per cell: zero variance
+    assert reg.z < -2.0    # significantly MORE regular than CSR
+    cl = rows["clumped"]
+    assert cl.occupied == 2 and cl.vmr > 10.0 and cl.z > 2.0
+    # numpy replay of the exact formula
+    import numpy as np
+
+    counts = np.zeros(m)
+    counts[0], counts[1] = 60, 4
+    chi2 = ((counts - counts.mean()) ** 2).sum() / counts.mean()
+    assert abs(cl.vmr - chi2 / (m - 1)) < 1e-6
+
+
+def _df_lonlat(spark, pts):
+    pdf = pd.DataFrame(pts, columns=["lon", "lat"])
+    return spark.createDataFrame(pdf, schema="lon double, lat double")

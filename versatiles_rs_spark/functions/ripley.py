@@ -140,3 +140,55 @@ def ripley_k(
     return row.select(F.explode(F.array(*out_structs)).alias("s")).select(
         "s.r_deg", "s.n", "s.n_pairs", "s.k", "s.l"
     )
+
+
+def quadrat_test(
+    fields: dict,
+    zoom: int = 5,
+) -> DataFrame:
+    """Quadrat analysis / index-of-dispersion CSR test (Greig-Smith 1952;
+    Diggle 2003 ch.2): partition the study window into the 2^z x 2^z tile
+    grid, count points per quadrat, and compare the variance/mean ratio
+    against 1 (CSR): VMR < 1 dispersed (regular), > 1 clustered. The
+    cheapest of the point-pattern tests — ONE slim aggregation per field:
+
+        chi2 = sum_over_ALL_m_cells (n_i - nbar)^2 / nbar
+             = (tot2 - tot^2/m) / (tot/m)          (empties enter as zeros)
+        VMR  = chi2 / (m - 1)
+        z    = (chi2 - (m-1)) / sqrt(2*(m-1))      (chi^2 normal approx)
+
+    `fields` maps a label to a (points_df, lon_col, lat_col) tuple — pass
+    several derivations to compare their dispersion in one relation (the
+    registry query contrasts the lattice vs the scatter hash field).
+    tot/tot2 are exact int64; m is a closed-form literal; the epilogue is
+    one fixed float expression (morans_i conventions).
+    """
+    from .hotspots import cell_counts
+
+    m = float((1 << zoom) * (1 << zoom))
+    sd = (2.0 * (m - 1.0)) ** 0.5
+    outs = []
+    for label, (df, lon_col, lat_col) in sorted(fields.items()):
+        agg = cell_counts(df, lon_col, lat_col, zoom).agg(
+            F.sum("cnt").alias("tot"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("tot2"),
+            F.count("*").alias("occupied"),
+        )
+        chi2 = (
+            F.col("tot2") - F.col("tot") * (F.col("tot") / F.lit(m))
+        ) / (F.col("tot") / F.lit(m))
+        outs.append(
+            agg.select(
+                F.lit(label).alias("field"),
+                F.lit(int(m)).cast("long").alias("m"),
+                F.col("tot").cast("long").alias("tot"),
+                F.col("tot2").cast("long").alias("tot2"),
+                F.col("occupied").cast("long").alias("occupied"),
+                F.round(chi2 / F.lit(m - 1.0), 6).alias("vmr"),
+                F.round((chi2 - F.lit(m - 1.0)) / F.lit(sd), 6).alias("z"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
