@@ -108,6 +108,7 @@ HEADLINE = [
     "reach_tiles",
     "colocation",
     "quadrat_test",
+    "g_function",
     "cluster_markers",
 ]
 

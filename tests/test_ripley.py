@@ -139,3 +139,41 @@ def test_quadrat_parity_and_directions(spark):
 def _df_lonlat(spark, pts):
     pdf = pd.DataFrame(pts, columns=["lon", "lat"])
     return spark.createDataFrame(pdf, schema="lon double, lat double")
+
+
+def test_g_function_matches_brute(spark):
+    from versatiles_rs_spark.functions.ripley import g_function
+
+    lon, lat = _pts(seed=21, n=500)
+    rows = {r.r_deg: r for r in g_function(
+        _df(spark, lon, lat), radii_deg=RADII
+    ).collect()}
+    sx = np.floor(lon * 1e7).astype(np.int64)
+    sy = np.floor(lat * 1e7).astype(np.int64)
+    adx = np.minimum(np.abs(sx[:, None] - sx[None, :]), 2 * 10**9)
+    ady = np.minimum(np.abs(sy[:, None] - sy[None, :]), 2 * 10**9)
+    d2 = adx * adx + ady * ady
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    mind = d2.min(axis=1)
+    gs = []
+    for r in RADII:
+        nw = int((mind <= int(r * 1e7) ** 2).sum())
+        row = rows[r]
+        assert row.n == len(lon) and row.n_with_nbr == nw
+        assert abs(row.g - nw / len(lon)) < 1e-6
+        gs.append(row.g)
+    assert gs == sorted(gs)            # G is a CDF: monotone in r
+    # planted cluster pushes G above the CSR curve at the cluster scale
+    assert rows[0.5].g > rows[0.5].g_csr
+
+
+def test_g_function_isolated_points_uncounted(spark):
+    from versatiles_rs_spark.functions.ripley import g_function
+
+    lon = np.array([0.0, 0.1, 90.0])   # pair + one isolated point
+    lat = np.array([0.0, 0.0, 45.0])
+    rows = {r.r_deg: r for r in g_function(
+        _df(spark, lon, lat), radii_deg=RADII
+    ).collect()}
+    for r in RADII:
+        assert rows[r].n_with_nbr == 2  # only the close pair counts

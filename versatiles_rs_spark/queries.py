@@ -4236,6 +4236,85 @@ def q_dbscan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("event_id"), "cluster", "role")
 
 
+def _g_function_sql(radii_deg=(0.25, 0.5, 1.0), area=360.0 * 170.0) -> str:
+    """Oracle for g_function: the ripley cell-join/clamp CTEs reduced to
+    per-point min d^2, per-radius DISTINCT-point counts, and the CSR
+    reference curve as a fixed float expression of n
+    (functions/ripley.py::g_function contract)."""
+    import math
+
+    scale = 10_000_000
+    radii = [int(round(r * scale)) for r in radii_deg]
+    cell = max(radii)
+    slon, slat = scatter_lonlat_sql("event_id")
+    counts = ",\n             ".join(
+        f"CAST(coalesce(sum(CASE WHEN mind2 <= {r * r} THEN 1 ELSE 0 END), 0)"
+        f" AS BIGINT) AS nw{i}"
+        for i, r in enumerate(radii)
+    )
+    arms = []
+    for i, r in enumerate(radii):
+        r_deg = f"{float(radii_deg[i]):.17e}"
+        lam = f"n / {area:.17e} * {math.pi * float(radii_deg[i]) ** 2:.17e}"
+        arms.append(
+            f"""SELECT {r_deg} AS r_deg, n, nw{i} AS n_with_nbr,
+               round(nw{i} / CAST(n AS DOUBLE), 6) AS g,
+               round(1.00000000000000000e+00 - exp(-({lam})), 6) AS g_csr
+        FROM agg CROSS JOIN nn"""
+        )
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH pts AS (
+      SELECT event_id AS id,
+             CAST(floor(({slon}) * 1e7) AS BIGINT) + {180 * scale} AS sx,
+             CAST(floor(({slat}) * 1e7) AS BIGINT) + {90 * scale} AS sy
+      FROM events
+    ), cells AS (
+      SELECT id, sx, sy, sx // {cell} AS cx, sy // {cell} AS cy FROM pts
+    ), mind AS (
+      SELECT p.id, min(
+               least(abs(p.sx - q.sx), {2 * cell}) * least(abs(p.sx - q.sx), {2 * cell})
+             + least(abs(p.sy - q.sy), {2 * cell}) * least(abs(p.sy - q.sy), {2 * cell})
+             ) AS mind2
+      FROM cells p
+      CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+      CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+      JOIN cells q
+        ON q.cx = p.cx + dx.v AND q.cy = p.cy + dy.v AND q.id <> p.id
+      WHERE least(abs(p.sx - q.sx), {2 * cell}) * least(abs(p.sx - q.sx), {2 * cell})
+          + least(abs(p.sy - q.sy), {2 * cell}) * least(abs(p.sy - q.sy), {2 * cell})
+          <= {cell * cell}
+      GROUP BY p.id
+    ), nn AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM pts
+    ), agg AS (
+      SELECT {counts}
+      FROM mind
+    )
+    {union}
+    """
+
+
+@register("g_function", _g_function_sql())
+def q_g_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbour distance distribution G(r)
+    (functions/ripley.py::g_function) of the scatter event field at
+    0.25/0.5/1.0 degrees, against the CSR reference 1 - exp(-lambda pi
+    r^2) — the companion statistic to ripley_k (K counts ALL pairs, G
+    looks only at each point's nearest). Exact + bounded: the cell join
+    covers max(r) fully, so per-point min d^2 is exact without unbounded
+    NN search; counts are int64, G is one int/int division."""
+    from .functions.ripley import g_function
+    from .udfs import scatter_lat_expr, scatter_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        scatter_lon_expr(F.col("event_id")).alias("lon"),
+        scatter_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return g_function(ev, id_col="id", lon_col="lon", lat_col="lat")
+
+
 def _quadrat_sql(zoom: int = 5) -> str:
     """Oracle for quadrat_test: per-field cell-count CTEs + the identical
     literal-constant chi-square epilogue (functions/ripley.py contract)."""
