@@ -24,6 +24,11 @@ NOTES = {
     "lisa_clusters": "Local Moran/LISA: same cell+contrib join, broadcast one-row global stats (BroadcastNestedLoopJoin of a single row), quadrant CASE is integer sign tests; zero Python.",
     "kde_heatmap": "Binomial KDE: 25-struct explode on aggregated cells, integer weight multiply inside the same stage, one re-aggregation exchange; zero Python, zero float.",
     "cluster_markers": "Marker pyramid: ONE point-level exchange (base-zoom agg); each parent level re-aggregates the slim occupied-cell relation; centroids are int64 sums + div.",
+    "gearys_c": "Geary's C: the morans_i cell+contrib shape with the pairwise-difference integer sums (A, B2); one-row float epilogue; zero Python.",
+    "idw_fill": "IDW gap fill: 24-struct explode on aggregated cells with exact lcm integer weights, one re-aggregation exchange + LEFT ANTI against occupied; zero Python, zero float.",
+    "ripley_k": "Ripley's K: micro7 quantization in the scan projection, 9-key explode equi-join on cell ids (no cartesian), clamped int64 d^2, conditional-count one-row agg + broadcast n; zero Python.",
+    "colocation": "Co-location PI: the ripley cell join with a type column; DISTINCT participation agg on (type, type, id) — only ids and type strings in any Exchange.",
+    "traj_similarity": "Trajectory Jaccard: distinct (user, cell) projection, inverted-index self-join on the packed cell long, slim (ua, ub) count agg; integer threshold — no float compares.",
 }
 
 
