@@ -109,6 +109,7 @@ HEADLINE = [
     "colocation",
     "quadrat_test",
     "g_function",
+    "cross_k",
     "cluster_markers",
 ]
 

@@ -91,3 +91,60 @@ def test_colocation_plan_stays_jvm_side(spark):
     df = colocation_pairs(_df(spark, rows), id_col="id", type_col="type")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_cross_k_matches_brute(spark):
+    import math
+
+    from versatiles_rs_spark.functions.colocation import cross_k
+
+    rng = np.random.default_rng(17)
+    rows = []
+    i = 0
+    # "a" and "b" interleaved in one corridor (attraction); "c" far away
+    for k in range(10):
+        rows.append((i, "a", 10.0 + 0.21 * k, 20.0)); i += 1
+        rows.append((i, "b", 10.1 + 0.21 * k, 20.0)); i += 1
+    for k in range(8):
+        rows.append((i, "c", -120.0 + 5.0 * k, -40.0)); i += 1
+    radii = (0.25, 0.5, 1.0)
+    area = 360.0 * 170.0
+    got = {
+        (r.type_a, r.type_b, r.r_deg): r
+        for r in cross_k(
+            _df(spark, rows), id_col="id", type_col="type", radii_deg=radii
+        ).collect()
+    }
+    # brute cross-pair counts on the same quantization
+    pts = [(t, int(np.floor(lon * 1e7)), int(np.floor(lat * 1e7))) for _, t, lon, lat in rows]
+    n = {t: sum(1 for p in pts if p[0] == t) for t in "abc"}
+    for ta, tb in (("a", "b"), ("a", "c"), ("b", "c")):
+        for r in radii:
+            cnt = sum(
+                1
+                for t1, x1, y1 in pts if t1 == ta
+                for t2, x2, y2 in pts if t2 == tb
+                if (x1 - x2) ** 2 + (y1 - y2) ** 2 <= int(r * 1e7) ** 2
+            )
+            key = (ta, tb, r)
+            if cnt == 0 and key not in got:
+                continue  # pairs with zero candidates in the join emit no row
+            row = got[key]
+            assert (row.n_a, row.n_b, row.n_pairs) == (n[ta], n[tb], cnt)
+            k_ref = area * cnt / (n[ta] * n[tb])
+            assert abs(row.k_ab - k_ref) < 1e-6
+            assert abs(row.l_ab - (math.sqrt(k_ref / math.pi) - r)) < 1e-6
+    # interleaved corridor: strong attraction at 0.25 deg
+    assert got[("a", "b", 0.25)].l_ab > 1.0
+    # far-apart types never pair
+    assert ("a", "c", 1.0) not in got and ("b", "c", 1.0) not in got
+
+
+def test_cross_k_plan_no_cartesian(spark):
+    from versatiles_rs_spark.functions.colocation import cross_k
+
+    rows = [(k, "ab"[k % 2], float(k), 0.0) for k in range(6)]
+    df = cross_k(_df(spark, rows), id_col="id", type_col="type")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -4236,6 +4236,85 @@ def q_dbscan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("event_id"), "cluster", "role")
 
 
+def _cross_k_sql(radii_deg=(0.25, 0.5, 1.0), area=360.0 * 170.0) -> str:
+    """Oracle for cross_k: the colocation CTEs with per-radius conditional
+    counts per ordered type pair (t < qt) + the ripley-style literal
+    epilogue (functions/colocation.py::cross_k contract)."""
+    import math
+
+    scale = 10_000_000
+    radii = [int(round(r * scale)) for r in radii_deg]
+    cell = max(radii)
+    slon, slat = scatter_lonlat_sql("event_id")
+    counts = ",\n             ".join(
+        f"CAST(sum(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END) AS BIGINT) AS np{i}"
+        for i, r in enumerate(radii)
+    )
+    arms = []
+    for i, r in enumerate(radii):
+        r_deg = f"{float(radii_deg[i]):.17e}"
+        k = f"{area:.17e} * np{i} / (n_a * n_b)"
+        arms.append(
+            f"""SELECT type_a, type_b, n_a, n_b, {r_deg} AS r_deg,
+               np{i} AS n_pairs,
+               round({k}, 6) AS k_ab,
+               round(sqrt(({k}) / {math.pi:.17e}) - {r_deg}, 6) AS l_ab
+        FROM j"""
+        )
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH pts AS (
+      SELECT event_id AS id, event_type AS t,
+             CAST(floor(({slon}) * 1e7) AS BIGINT) + {180 * scale} AS sx,
+             CAST(floor(({slat}) * 1e7) AS BIGINT) + {90 * scale} AS sy
+      FROM events
+    ), cells AS (
+      SELECT id, t, sx, sy, sx // {cell} AS cx, sy // {cell} AS cy FROM pts
+    ), pairs AS (
+      SELECT p.t AS type_a, q.t AS type_b,
+             least(abs(p.sx - q.sx), {2 * cell}) * least(abs(p.sx - q.sx), {2 * cell})
+           + least(abs(p.sy - q.sy), {2 * cell}) * least(abs(p.sy - q.sy), {2 * cell}) AS d2
+      FROM cells p
+      CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+      CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+      JOIN cells q
+        ON q.cx = p.cx + dx.v AND q.cy = p.cy + dy.v AND p.t < q.t
+      WHERE least(abs(p.sx - q.sx), {2 * cell}) * least(abs(p.sx - q.sx), {2 * cell})
+          + least(abs(p.sy - q.sy), {2 * cell}) * least(abs(p.sy - q.sy), {2 * cell})
+          <= {cell * cell}
+    ), agg AS (
+      SELECT type_a, type_b, {counts}
+      FROM pairs GROUP BY 1, 2
+    ), sizes AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1
+    ), j AS (
+      SELECT a.*, sa.n AS n_a, sb.n AS n_b
+      FROM agg a JOIN sizes sa ON sa.t = a.type_a JOIN sizes sb ON sb.t = a.type_b
+    )
+    {union}
+    """
+
+
+@register("cross_k", _cross_k_sql())
+def q_cross_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate Ripley's K (functions/colocation.py::cross_k) between
+    every event-type pair at 0.25/0.5/1.0 degrees: the distance-profile
+    companion of the colocation participation index — K_AB ~ pi r^2
+    under independence, L_AB the centered transform. Exact per-radius
+    integer cross-pair counts from the clamped micro7 cell join; one
+    literal-constant float epilogue."""
+    from .functions.colocation import cross_k
+    from .udfs import scatter_lat_expr, scatter_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("type"),
+        scatter_lon_expr(F.col("event_id")).alias("lon"),
+        scatter_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return cross_k(ev, id_col="id", type_col="type", lon_col="lon", lat_col="lat")
+
+
 def _g_function_sql(radii_deg=(0.25, 0.5, 1.0), area=360.0 * 170.0) -> str:
     """Oracle for g_function: the ripley cell-join/clamp CTEs reduced to
     per-point min d^2, per-radius DISTINCT-point counts, and the CSR
