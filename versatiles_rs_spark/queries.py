@@ -4158,16 +4158,20 @@ def q_cluster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE pts AS (
       SELECT event_id AS id, {_EV_LON} AS lon, {_EV_LAT} AS lat FROM events
-    ), cells AS (
+    ), cells AS MATERIALIZED (
+      -- the ENGINE's eps/sqrt(2) contraction grid (joins/dbscan.py): the
+      -- packed cell doubles as the supernode id for the contracted walk
       SELECT id, lon, lat,
-             CAST(floor(lon / 6.00000000000000000e+00) AS BIGINT) AS cx,
-             CAST(floor(lat / 6.00000000000000000e+00) AS BIGINT) AS cy
+             CAST(floor(lon / 4.24264068711928477e+00) AS BIGINT) AS cx,
+             CAST(floor(lat / 4.24264068711928477e+00) AS BIGINT) AS cy,
+             (CAST(floor(lon / 4.24264068711928477e+00) AS BIGINT) + {1 << 20}) * {1 << 21}
+              + CAST(floor(lat / 4.24264068711928477e+00) AS BIGINT) + {1 << 20} AS sn
       FROM pts
-    ), pairs AS (
-      SELECT a.id AS ia, b.id AS ib
+    ), pairs AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib, a.sn AS sa, b.sn AS sb
       FROM cells a JOIN cells b
-        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
-       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+        ON b.cx BETWEEN a.cx - 2 AND a.cx + 2
+       AND b.cy BETWEEN a.cy - 2 AND a.cy + 2
        AND (a.lon - b.lon) * (a.lon - b.lon)
          + (a.lat - b.lat) * (a.lat - b.lat)
          <= 6.00000000000000000e+00 * 6.00000000000000000e+00
@@ -4178,21 +4182,38 @@ def q_cluster_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- sum/count on longs; avg-over-double drifts past 2^53 total)
       SELECT CAST(floor(CAST(sum(n) AS DOUBLE) / count(*)) AS BIGINT) + 1 AS v
       FROM cnt
-    ), cores AS (
+    ), cores AS MATERIALIZED (
       SELECT id FROM cnt WHERE n >= (SELECT v FROM mp)
-    ), eedges AS (
-      SELECT ia AS u, ib AS v FROM pairs
-      WHERE ia <> ib
-        AND ia IN (SELECT id FROM cores) AND ib IN (SELECT id FROM cores)
+    ), cpairs AS MATERIALIZED (
+      SELECT p.ia, p.ib, p.sa, p.sb FROM pairs p
+      WHERE p.ia IN (SELECT id FROM cores) AND p.ib IN (SELECT id FROM cores)
+    ), snedges AS MATERIALIZED (
+      -- supernode contraction: the walk runs on O(occupied cells), never
+      -- O(cores^2) — the point-level walk was minutes at sf0.01
+      -- (CLAUDE.md dense-graph CC lesson, now applied to the oracle too)
+      SELECT DISTINCT u, v FROM (
+        SELECT sa AS u, sb AS v FROM cpairs WHERE sa <> sb
+        UNION ALL
+        SELECT sb AS u, sa AS v FROM cpairs WHERE sa <> sb
+      )
     ), walk(v, l) AS (
-      SELECT u, u FROM eedges
+      SELECT u, u FROM snedges
       UNION
-      SELECT e.v, w.l FROM walk w JOIN eedges e ON e.u = w.v
-    ), comp AS (
-      SELECT v AS id, min(l) AS cluster FROM walk GROUP BY v
-    ), corec AS (
-      SELECT c.id, coalesce(k.cluster, c.id) AS cluster
-      FROM cores c LEFT JOIN comp k USING (id)
+      SELECT e.v, w.l FROM walk w JOIN snedges e ON e.u = w.v
+    ), sncomp AS (
+      SELECT v AS sn, min(l) AS comp FROM walk GROUP BY v
+    ), snmin AS (
+      SELECT sa AS sn, min(ia) AS mc FROM cpairs GROUP BY 1
+    ), snlab AS MATERIALIZED (
+      SELECT m.sn, m.mc, coalesce(c.comp, m.sn) AS comp
+      FROM snmin m LEFT JOIN sncomp c ON c.sn = m.sn
+    ), complab AS (
+      SELECT comp, min(mc) AS cluster FROM snlab GROUP BY comp
+    ), sncluster AS MATERIALIZED (
+      SELECT s.sn, cl.cluster FROM snlab s JOIN complab cl USING (comp)
+    ), corec AS MATERIALIZED (
+      SELECT DISTINCT p.ia AS id, sc.cluster
+      FROM cpairs p JOIN sncluster sc ON sc.sn = p.sa
     ), border AS (
       SELECT p.ia AS id, min(cc.cluster) AS cluster
       FROM pairs p JOIN corec cc ON p.ib = cc.id
