@@ -704,21 +704,25 @@ def _shingles_ctes() -> str:
         f"CAST(ord(substring(t, i + {k}, 1)) AS HUGEINT) * {257**k}" for k in range(5)
     ) + ")"
     g, c1, c2 = 0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    # row-wise (unnested) pipeline: the list_transform lambda chains cost
+    # ~3x the vectorized row expressions on the same arithmetic
     return f"""
     norm AS (
       SELECT doc_id,
         (SELECT CASE WHEN length(s) < 5 THEN rpad(s, 5, ' ') ELSE s END
          FROM (SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s)) AS t
       FROM documents
-    ), s0 AS (
-      SELECT doc_id, list_transform(range(1, length(t) - 3), i -> ({poly} + {g}) & {_M64}) AS l
-      FROM norm
-    ), s1 AS (
-      SELECT doc_id, list_transform(l, x -> {_mul64_sql('xor(x, x >> 30)', c1)}) AS l FROM s0
-    ), s2 AS (
-      SELECT doc_id, list_transform(l, x -> {_mul64_sql('xor(x, x >> 27)', c2)}) AS l FROM s1
+    ), srows AS (
+      SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i FROM norm
+    ), h0 AS (
+      SELECT doc_id, ({poly} + {g}) & {_M64} AS x FROM srows
+    ), h1 AS (
+      SELECT doc_id, {_mul64_sql('xor(x, x >> 30)', c1)} AS x FROM h0
+    ), h2 AS (
+      SELECT doc_id, {_mul64_sql('xor(x, x >> 27)', c2)} AS x FROM h1
     ), sh AS (
-      SELECT doc_id, list_distinct(list_transform(l, x -> xor(x, x >> 31))) AS shingles FROM s2
+      SELECT doc_id, list_distinct(list(xor(x, x >> 31))) AS shingles
+      FROM h2 GROUP BY doc_id
     )"""
 
 
@@ -734,22 +738,50 @@ def _minhash_oracle_sql(threshold: float = 0.5, est_margin: float = 0.25) -> str
     from .functions.dedup import _A, _B, _MERSENNE
 
     nperm = len(_A)
-    perms = ", ".join(
-        f"list_min(list_transform(shingles, s -> ({int(a)} * (s & {_MERSENNE}) + {int(b)}) % {_MERSENNE}))"
-        for a, b in zip(_A, _B)
+    # one vectorized GROUP BY with 64 min() aggregates over the unnested
+    # shingle rows — the previous 64 per-list list_transform/list_min
+    # lambda passes were ~50 s of the sf0.01 gate on their own. The
+    # permutation products are HUGEINT (a*s ~ 2^122): `% M` costs a
+    # 128-bit division per value (measured 15.2 s for 6.6M rows); the
+    # two-step Mersenne fold below is the exact same value (verified
+    # element-equal) in shifts/masks/adds — 2.5 s.
+    M = _MERSENNE
+    pcols = ", ".join(
+        f"({int(a)} * (s & {M}) + {int(b)}) AS p{k}"
+        for k, (a, b) in enumerate(zip(_A, _B))
     )
+
+    def _fold(k: int) -> str:
+        f1 = f"((p{k} >> 61) + (p{k} & {M}))"
+        f2 = f"(({f1} >> 61) + ({f1} & {M}))"
+        return f"min(CASE WHEN {f2} >= {M} THEN {f2} - {M} ELSE {f2} END)"
+
+    perms = ", ".join(_fold(k) for k in range(nperm))
     return f"""
-    WITH {_shingles_ctes()}, sig AS (
-      SELECT doc_id, shingles, [{perms}] AS sig FROM sh
-    ), bands AS (
+    WITH {_shingles_ctes()}, sigv AS (
+      SELECT doc_id, [{perms}] AS sig
+      FROM (SELECT doc_id, {pcols}
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh))
+      GROUP BY doc_id
+    ), sig AS (
+      SELECT sh.doc_id, sh.shingles, sigv.sig FROM sh JOIN sigv USING (doc_id)
+    ), bands AS MATERIALIZED (
+      -- bh = materialized scalar hash of the slice: a LIST join key makes
+      -- DuckDB 1.0 fall back to a nested-loop comparison (15.8 s of the
+      -- sf0.01 gate on its own); joining on the precomputed bh scalar
+      -- restores the hash join, and the exact bv equality stays as the
+      -- post-filter so semantics are unchanged
       SELECT doc_id, u.band,
              [sig[u.band * 4 + 1], sig[u.band * 4 + 2],
-              sig[u.band * 4 + 3], sig[u.band * 4 + 4]] AS bv
+              sig[u.band * 4 + 3], sig[u.band * 4 + 4]] AS bv,
+             hash([sig[u.band * 4 + 1], sig[u.band * 4 + 2],
+                   sig[u.band * 4 + 3], sig[u.band * 4 + 4]]) AS bh
       FROM sig, (SELECT unnest(range(0, 16)) AS band) u
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
-        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        ON a.band = b.band AND a.bh = b.bh
+       AND a.bv = b.bv AND a.doc_id < b.doc_id
     ), scored AS (
       SELECT c.id_a, c.id_b,
         len(list_filter(range(1, {nperm} + 1), i -> sa.sig[i] = sb.sig[i])) / {nperm}.0 AS est,
@@ -1711,9 +1743,9 @@ def _ann_ivf_oracle_sql(k: int = 5, nlist: int = 16, nprobe: int = 4, dim: int =
     return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), dl AS (
+    ), dl AS MATERIALIZED (
       SELECT vec_id, v, [{dots}] AS dots FROM e
-    ), assigned AS (
+    ), assigned AS MATERIALIZED (
       SELECT vec_id, v,
              list_position(dots, list_aggregate(dots, 'max')) - 1 AS ivf_list
       FROM dl
@@ -1837,19 +1869,22 @@ def _semantic_dedup_oracle_sql(eps: float = 0.35, nlist: int = 16, dim: int = 64
     return f"""
     WITH RECURSIVE e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-    ), dl AS (
+    ), dl AS MATERIALIZED (
       SELECT vec_id, v, [{dots}] AS dots FROM e
-    ), assigned AS (
+    ), assigned AS MATERIALIZED (
       SELECT vec_id, v,
              list_position(dots, list_aggregate(dots, 'max')) - 1 AS sem_list,
              list_aggregate(dots, 'max') / sqrt({vv}) AS cent_cos
       FROM dl
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM assigned a JOIN assigned b
         ON a.sem_list = b.sem_list AND a.vec_id < b.vec_id
        AND list_cosine_similarity(a.v, b.v) >= {eps}
-    ), edges AS (
+    ), edges AS MATERIALIZED (
+      -- MATERIALIZED chain: the recursive walk otherwise re-inlines
+      -- assigned/pairs per iteration (measured 40 s of re-run dots
+      -- projections — the CTE-inlining lesson)
       SELECT id_a AS u, id_b AS w FROM pairs
       UNION SELECT id_b, id_a FROM pairs
     ), walk(w, l) AS (
