@@ -81,6 +81,7 @@ HEADLINE = [
     "pack_chunks",
     "corpus_pipeline",
     "zonal_stats",
+    "terrain_focal",
     "hotspots_gi",
     "hotspot_tiles",
     "emerging_hotspots",

@@ -1,0 +1,136 @@
+"""Focal terrain statistics with halo exchange (operators/focal.py).
+
+The reference has no cross-tile neighborhood operator (every
+versatiles_image kernel is intra-tile); the parity anchor here is the
+brute-force global-array evaluation: terrain_fields over the WHOLE
+mosaic as one numpy array is the ground truth, and the distributed
+two-pass halo exchange must reproduce it exactly, tile by tile."""
+import numpy as np
+import pytest
+
+from versatiles_rs_spark import fixtures
+from versatiles_rs_spark.fixtures import dem_value
+from versatiles_rs_spark.operators.focal import (
+    _pack_frame,
+    _unpack_frame,
+    focal_terrain_stats,
+    terrain_fields,
+)
+
+
+def global_expected(n_px_side: int, tile_size: int = 256):
+    """Ground truth: evaluate the kernel on the full mosaic, then group
+    sums by the tile that OWNS each output pixel."""
+    gx = np.arange(n_px_side, dtype=np.int64)
+    v = dem_value(gx[None, :], gx[:, None])
+    f = terrain_fields(v)
+    n_tiles = n_px_side // tile_size
+    out = {}
+    for ty in range(n_tiles):
+        for tx in range(n_tiles):
+            r0 = max(ty * tile_size, 1)
+            r1 = min((ty + 1) * tile_size, n_px_side - 1)
+            c0 = max(tx * tile_size, 1)
+            c1 = min((tx + 1) * tile_size, n_px_side - 1)
+            sub = lambda a: a[r0 - 1 : r1 - 1, c0 - 1 : c1 - 1]
+            tri, tpi = sub(f["tri"]), sub(f["tpi8"])
+            d8, rng = sub(f["d8"]), sub(f["frange"])
+            out[(tx, ty)] = (
+                tri.size, int(tri.sum()), int(tpi.sum()), int(np.abs(tpi).sum()),
+                int((d8 == 0).sum()), int(d8.sum()), int(rng.sum()),
+            )
+    return out
+
+
+def collect_stats(df):
+    return {
+        (r["x"], r["y"]): (
+            r["n_px"], r["sum_tri"], r["sum_tpi"], r["sum_abs_tpi"],
+            r["n_sinks"], r["sum_d8"], r["sum_range"],
+        )
+        for r in df.collect()
+    }
+
+
+def test_dem_fixture_png_roundtrip(spark):
+    """dem_raster_df tiles decode back to the closed-form dem_value grid."""
+    from versatiles_rs_spark.codecs import decode_image
+
+    rows = fixtures.dem_raster_df(spark, zoom=1, partitions=2).collect()
+    assert len(rows) == 4
+    for r in rows:
+        img = decode_image(bytes(r["bytes"]))[..., 0]
+        gx = np.arange(r["x"] * 256, (r["x"] + 1) * 256, dtype=np.int64)
+        gy = np.arange(r["y"] * 256, (r["y"] + 1) * 256, dtype=np.int64)
+        exp = dem_value(gx[None, :], gy[:, None])
+        assert exp.max() <= 255 and exp.min() >= 0
+        np.testing.assert_array_equal(img.astype(np.int64), exp)
+
+
+def test_frame_pack_roundtrip():
+    rng = np.random.RandomState(7)
+    v = rng.randint(0, 256, size=(16, 16)).astype(np.int64)
+    grid = np.full((18, 18), -1, dtype=np.int64)
+    _unpack_frame(_pack_frame(v), 16, grid)
+    # the 2px border frame of v must be back in place, interior untouched
+    np.testing.assert_array_equal(grid[1:3, 1:17], v[0:2, :])
+    np.testing.assert_array_equal(grid[15:17, 1:17], v[-2:, :])
+    np.testing.assert_array_equal(grid[3:15, 1:3], v[2:-2, 0:2])
+    np.testing.assert_array_equal(grid[3:15, 15:17], v[2:-2, -2:])
+    assert (grid[4:14, 4:14] == -1).all()
+    assert (grid[0, :] == -1).all() and (grid[:, 17] == -1).all()
+
+
+def test_terrain_fields_d8_tiebreak_and_sentinel():
+    # center higher than E and S by the same drop: both cardinal ->
+    # equal score; tie must take the SMALLEST ESRI code (E=1, not S=4)
+    p = np.full((3, 3), 5, dtype=np.int64)
+    p[1, 2] = 3  # E
+    p[2, 1] = 3  # S
+    f = terrain_fields(p)
+    assert f["d8"][0, 0] == 1 and f["valid"][0, 0]
+    # diagonal distance correction: cardinal drop 2 (score 8) beats
+    # diagonal drop 2 (score 4) but loses to diagonal drop 3 (score 9)
+    p = np.full((3, 3), 5, dtype=np.int64)
+    p[1, 2] = 3   # E, drop 2 -> 8
+    p[2, 2] = 2   # SE, drop 3 -> 9
+    assert terrain_fields(p)["d8"][0, 0] == 2
+    # any sentinel neighbor invalidates the pixel
+    p[0, 0] = -1
+    f = terrain_fields(p)
+    assert not f["valid"][0, 0]
+    # flat / pit -> 0
+    flat = np.zeros((3, 3), dtype=np.int64)
+    assert terrain_fields(flat)["d8"][0, 0] == 0
+
+
+def test_focal_terrain_distributed_matches_global(spark):
+    """The whole point: two-pass halo exchange == single global array,
+    bit for bit, on a 4x4-tile mosaic (includes all 8 strip directions,
+    4 corner tiles, 8 edge tiles, 4 fully-interior tiles)."""
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=8)
+    got = collect_stats(focal_terrain_stats(tiles))
+    exp = global_expected(1024)
+    assert got == exp
+
+
+def test_focal_terrain_single_tile_world(spark):
+    """zoom 0: no neighbors anywhere — output must be exactly the
+    254x254 interior (the whole ring lacks global 3x3 support)."""
+    tiles = fixtures.dem_raster_df(spark, zoom=0, partitions=1)
+    got = collect_stats(focal_terrain_stats(tiles))
+    exp = global_expected(256)
+    assert got == exp
+    assert got[(0, 0)][0] == 254 * 254
+
+
+def test_focal_terrain_payload_never_shuffles(spark):
+    """Only slim border strips cross the Exchange: the tile payload column
+    is consumed by the first (and only) decode pass, so `bytes#` must not
+    appear in any Exchange key list — and only ONE Python evaluation of
+    the payload exists in the plan (single decode)."""
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=2)
+    plan = focal_terrain_stats(tiles)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"

@@ -411,3 +411,58 @@ def zonal_raster_df(spark: SparkSession, zoom: int = 3, partitions: int = 16) ->
         .repartition(partitions)
         .mapInPandas(gen, schema="x long, y long, bytes binary")
     )
+
+
+def dem_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Deterministic synthetic DEM elevation at global pixel (gx, gy),
+    int64 in [0, 207]: two long-wavelength triangular ridge waves (period
+    512 px along each axis) plus a short diagonal texture wave (period
+    128 px along gx+2*gy), integer-exact so the SQL oracle can replay it
+    with least()/%. Piecewise-linear => real ridges, valleys and four
+    distinct hillshade facets; the //8 quantisation adds micro-terraces
+    that exercise TRI/D8 tie-breaking."""
+    tx = gx % 512
+    tx = np.minimum(tx, 511 - tx)
+    ty = gy % 512
+    ty = np.minimum(ty, 511 - ty)
+    td = (gx + 2 * gy) % 128
+    td = np.minimum(td, 127 - td)
+    return (3 * tx + 3 * ty + 2 * td) // 8
+
+
+def dem_sql(gx_expr: str, gy_expr: str) -> str:
+    """DuckDB replay of dem_value for arbitrary (pre-parenthesised by us)
+    pixel-coordinate expressions. Operands are always >= 0 here so % and
+    integer // agree across engines."""
+    gx, gy = f"({gx_expr})", f"({gy_expr})"
+    tx = f"least({gx} % 512, 511 - {gx} % 512)"
+    ty = f"least({gy} % 512, 511 - {gy} % 512)"
+    td = f"least(({gx} + 2 * {gy}) % 128, 127 - ({gx} + 2 * {gy}) % 128)"
+    return f"((3 * {tx} + 3 * {ty} + 2 * {td}) // 8)"
+
+
+def dem_raster_df(spark: SparkSession, zoom: int = 3, partitions: int = 16) -> DataFrame:
+    """Single-zoom DEM tile table (x, y, bytes): REAL 8-bit grayscale PNG
+    tiles whose pixels follow dem_value on the global pixel grid —
+    elevation stays in [0, 207] so uint8 is lossless. Generated
+    distributed, 256x256, one PNG encode per tile."""
+    n = 1 << zoom
+
+    def gen(batches):
+        from .codecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                x, y = int(i) % n, int(i) // n
+                gx = np.arange(x * 256, (x + 1) * 256, dtype=np.int64)
+                gy = np.arange(y * 256, (y + 1) * 256, dtype=np.int64)
+                v = dem_value(gx[None, :], gy[:, None]).astype(np.uint8)
+                rows.append((x, y, encode_png(v[:, :, None])))
+            yield pd.DataFrame(rows, columns=["x", "y", "bytes"])
+
+    return (
+        spark.range(n * n)
+        .repartition(partitions)
+        .mapInPandas(gen, schema="x long, y long, bytes binary")
+    )

@@ -1,0 +1,256 @@
+"""Focal (neighborhood) raster statistics with distributed halo exchange.
+
+The reference's raster toolbox is strictly per-tile (versatiles_image
+operations never read a neighboring tile), so any 3x3 focal operator
+run tile-by-tile is wrong on the 1-pixel tile border — 4 * 256 / 65536
+= 1.5%% of every tile.  This module computes border-EXACT focal terrain
+metrics over a tiled raster the Spark-shaped way:
+
+  pass 1 (mapInPandas, no shuffle): each tile decodes ONCE, computes all
+    metrics for its interior (tile_size-2)^2 pixels where the full 3x3
+    stencil is tile-local, and emits
+      - one slim partial-aggregate row, and
+      - halo strips: its 2px own border frame addressed to itself plus
+        1px edge/corner strips addressed to each of its 8 neighbors
+    (~3 KB per tile — ~5%% of the encoded payload; the payload itself
+    never enters an Exchange).
+  pass 2 (groupBy(x, y) on the strips only): reassemble a (ts+2)^2
+    sentinel-padded patch from the frame + up to 8 incoming strips and
+    evaluate the same kernel on the 1px output ring.  A missing
+    neighbor (global raster edge) leaves sentinels, which exactly
+    implements GDAL's default edge semantics: pixels without a full
+    3x3 neighborhood produce no output.
+  final: union(interior partials, ring partials) -> sum per tile.
+
+At 100 TB this shuffles ~5%% of one decode pass's input, all of it
+fixed-size binary strips keyed by tile coordinate — no skew (every key
+receives <= 9 rows), no payload movement, and decode happens exactly
+once per tile.
+
+Metrics are INTEGER-exact so the DuckDB oracle can replay them
+closed-form from the synthetic DEM (fixtures.dem_value / dem_sql):
+
+  tri       Riley et al. (1999) terrain ruggedness: sum_k |v_c - v_k|
+  tpi8      topographic position index * 8: 8*v_c - sum_k v_k
+  frange    3x3 focal range: max9 - min9
+  d8        ESRI/Jenson-Domingue D8 flow direction: steepest positive
+            descent, distance-corrected by comparing 2*drop^2 (cardinal)
+            vs drop^2 (diagonal) — integer-safe squares instead of
+            drop/sqrt(2); ties take the SMALLEST code (E=1, SE=2, S=4,
+            SW=8, W=16, NW=32, N=64, NE=128); no positive drop -> 0.
+
+Reference parity anchor: gdaldem TRI/TPI (GDAL alg/gdal_tri|tpi) and
+ArcGIS/TauDEM D8; the reference repo has no focal operator at all
+(closest is versatiles_image/src/helpers/*, all intra-tile).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs import decode_image
+
+# receiver-relative halo positions: where an incoming strip lands in the
+# receiver's (ts+2)^2 padded patch.  (row-delta, col-delta) of the SENDER
+# tile relative to the receiver; y grows south (rows), x grows east (cols).
+_POS = {
+    0: (-1, -1),  # NW corner byte
+    1: (-1, 0),   # N edge row
+    2: (-1, 1),   # NE corner byte
+    3: (0, -1),   # W edge col
+    4: (0, 1),    # E edge col
+    5: (1, -1),   # SW corner byte
+    6: (1, 0),    # S edge row
+    7: (1, 1),    # SE corner byte
+}
+
+# D8 neighbor order = ascending ESRI code so argmax's first-max tie-break
+# IS "smallest code wins" (and matches the oracle's CASE order).
+_D8 = [
+    ((0, 1), 1, 2),     # E   cardinal
+    ((1, 1), 2, 1),     # SE  diagonal
+    ((1, 0), 4, 2),     # S
+    ((1, -1), 8, 1),    # SW
+    ((0, -1), 16, 2),   # W
+    ((-1, -1), 32, 1),  # NW
+    ((-1, 0), 64, 2),   # N
+    ((-1, 1), 128, 1),  # NE
+]
+
+_AGG_COLS = ["n_px", "sum_tri", "sum_tpi", "sum_abs_tpi", "n_sinks", "sum_d8", "sum_range"]
+_OUT_SCHEMA = "x long, y long, " + ", ".join(f"{c} long" for c in _AGG_COLS)
+_STRIP_SCHEMA = (
+    "x long, y long, kind int, pos int, data binary, "
+    + ", ".join(f"{c} long" for c in _AGG_COLS)
+)
+
+
+def terrain_fields(padded: np.ndarray) -> dict[str, np.ndarray]:
+    """Evaluate the 3x3 terrain kernel over a sentinel-padded grid.
+
+    `padded`: (H+2, W+2) int64; any value < 0 is a sentinel (missing
+    pixel).  Returns (H, W) arrays: valid, tri, tpi8, frange, d8 —
+    metrics are only meaningful where valid is True."""
+    h, w = padded.shape[0] - 2, padded.shape[1] - 2
+
+    def sl(dr: int, dc: int) -> np.ndarray:
+        return padded[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+
+    c = sl(0, 0)
+    nbrs = [sl(dr, dc) for (dr, dc), _, _ in _D8]
+    valid = c >= 0
+    for nb in nbrs:
+        valid &= nb >= 0
+
+    nsum = np.zeros_like(c)
+    tri = np.zeros_like(c)
+    vmax = c.copy()
+    vmin = c.copy()
+    best = np.full(c.shape, -1, dtype=np.int64)
+    d8 = np.zeros(c.shape, dtype=np.int64)
+    for (_offs, code, mult), nb in zip(_D8, nbrs):
+        nsum += nb
+        tri += np.abs(c - nb)
+        np.maximum(vmax, nb, out=vmax)
+        np.minimum(vmin, nb, out=vmin)
+        drop = c - nb
+        s = np.where(drop > 0, mult * drop * drop, np.int64(-1))
+        take = s > best
+        best = np.where(take, s, best)
+        d8 = np.where(take, np.int64(code), d8)
+    d8 = np.where(best > 0, d8, np.int64(0))
+    return {
+        "valid": valid,
+        "tri": tri,
+        "tpi8": 8 * c - nsum,
+        "frange": vmax - vmin,
+        "d8": d8,
+    }
+
+
+def _partial_row(x: int, y: int, f: dict[str, np.ndarray], mask: np.ndarray) -> list:
+    tri, tpi8, d8, rng = f["tri"][mask], f["tpi8"][mask], f["d8"][mask], f["frange"][mask]
+    return [
+        int(x), int(y), int(mask.sum()),
+        int(tri.sum()), int(tpi8.sum()), int(np.abs(tpi8).sum()),
+        int((d8 == 0).sum()), int(d8.sum()), int(rng.sum()),
+    ]
+
+
+def _pack_frame(v: np.ndarray) -> bytes:
+    """Canonical 2px-border frame layout: top 2 rows, bottom 2 rows,
+    left 2 cols of the middle band, right 2 cols of the middle band."""
+    return b"".join(
+        a.astype(np.uint8).tobytes()
+        for a in (v[0:2, :], v[-2:, :], v[2:-2, 0:2], v[2:-2, -2:])
+    )
+
+
+def _unpack_frame(blob: bytes, ts: int, grid: np.ndarray) -> None:
+    a = np.frombuffer(blob, dtype=np.uint8).astype(np.int64)
+    o = 0
+    grid[1:3, 1 : ts + 1] = a[o : o + 2 * ts].reshape(2, ts); o += 2 * ts
+    grid[ts - 1 : ts + 1, 1 : ts + 1] = a[o : o + 2 * ts].reshape(2, ts); o += 2 * ts
+    mid = ts - 4
+    grid[3 : ts - 1, 1:3] = a[o : o + 2 * mid].reshape(mid, 2); o += 2 * mid
+    grid[3 : ts - 1, ts - 1 : ts + 1] = a[o : o + 2 * mid].reshape(mid, 2)
+
+
+def focal_terrain_stats(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """Per-tile aggregates of border-exact 3x3 terrain metrics over a
+    single-zoom tile table (x, y, bytes).  See module docstring for the
+    two-pass halo-exchange shape.  Output: one row per tile with
+    n_px, sum_tri, sum_tpi, sum_abs_tpi, n_sinks, sum_d8, sum_range
+    covering every pixel of that tile that has a full 3x3 neighborhood
+    in the GLOBAL raster (interior + ring; global border pixels drop)."""
+    ts = int(tile_size)
+    if ts < 8:
+        raise ValueError("tile_size must be >= 8 for the 2px frame layout")
+    pay = payload
+
+    def pass1(batches):
+        for pdf in batches:
+            rows: list[list] = []
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf[pay]):
+                x, y = int(x), int(y)
+                v = decode_image(bytes(blob))[..., band].astype(np.int64)
+                # interior: tile pixels 1..ts-2 — full 3x3 support in-tile
+                f = terrain_fields(v)
+                inner = np.ones((ts - 2, ts - 2), dtype=bool)
+                rows.append(_partial_row(x, y, f, inner) + [0, 0, None])
+                # own 2px frame -> self
+                rows.append([x, y, 0, 0, 0, 0, 0, 0, 0, 1, 0, _pack_frame(v)])
+                # 1px edges + corner bytes -> 8 neighbors
+                strips = {
+                    0: v[0:1, 0:1], 1: v[0:1, :], 2: v[0:1, -1:],
+                    3: v[:, 0:1], 4: v[:, -1:],
+                    5: v[-1:, 0:1], 6: v[-1:, :], 7: v[-1:, -1:],
+                }
+                for pos, (dr, dc) in _POS.items():
+                    # strip `pos` lands at receiver-relative position `pos`,
+                    # so the receiver is at (x - dc, y - dr) ... inverse:
+                    # we SEND to the neighbor for whom WE sit at `pos`.
+                    nx, ny = x + dc, y + dr
+                    if nx < 0 or ny < 0:
+                        continue
+                    # receiver-relative position of us = mirrored pos
+                    rows.append(
+                        [nx, ny, 0, 0, 0, 0, 0, 0, 0, 2, 7 - pos,
+                         strips[pos].astype(np.uint8).tobytes()]
+                    )
+            cols = ["x", "y"] + _AGG_COLS + ["kind", "pos", "data"]
+            yield pd.DataFrame(rows, columns=cols)
+
+    p1_schema = (
+        "x long, y long, " + ", ".join(f"{c} long" for c in _AGG_COLS)
+        + ", kind int, pos int, data binary"
+    )
+    p1 = tiles.mapInPandas(pass1, schema=p1_schema)
+    interior = p1.filter(F.col("kind") == 0).select("x", "y", *_AGG_COLS)
+    strips = p1.filter(F.col("kind") > 0).select("x", "y", "kind", "pos", "data")
+
+    def ring(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = int(pdf["x"].iloc[0]), int(pdf["y"].iloc[0])
+        grid = np.full((ts + 2, ts + 2), -1, dtype=np.int64)
+        frame_seen = False
+        for kind, pos, blob in zip(pdf["kind"], pdf["pos"], pdf["data"]):
+            if kind == 1:
+                _unpack_frame(bytes(blob), ts, grid)
+                frame_seen = True
+                continue
+            dr, dc = _POS[int(pos)]
+            a = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+            if dr == -1 and dc == 0:
+                grid[0, 1 : ts + 1] = a           # sender's bottom row
+            elif dr == 1 and dc == 0:
+                grid[ts + 1, 1 : ts + 1] = a      # sender's top row
+            elif dr == 0 and dc == -1:
+                grid[1 : ts + 1, 0] = a           # sender's right col
+            elif dr == 0 and dc == 1:
+                grid[1 : ts + 1, ts + 1] = a      # sender's left col
+            else:
+                grid[(0 if dr < 0 else ts + 1), (0 if dc < 0 else ts + 1)] = a[0]
+        if not frame_seen:
+            # strips addressed to a tile that doesn't exist (outside the
+            # pyramid): no frame row -> no output
+            return pd.DataFrame({c: [] for c in ["x", "y"] + _AGG_COLS}).astype("int64")
+        f = terrain_fields(grid)
+        ringmask = np.zeros((ts, ts), dtype=bool)
+        ringmask[0, :] = ringmask[-1, :] = True
+        ringmask[:, 0] = ringmask[:, -1] = True
+        mask = ringmask & f["valid"]
+        return pd.DataFrame([_partial_row(x, y, f, mask)], columns=["x", "y"] + _AGG_COLS)
+
+    ring_partials = strips.groupBy("x", "y").applyInPandas(ring, schema=_OUT_SCHEMA)
+    return (
+        interior.unionByName(ring_partials)
+        .groupBy("x", "y")
+        .agg(*[F.sum(c).alias(c) for c in _AGG_COLS])
+        .filter(F.col("n_px") > 0)
+    )

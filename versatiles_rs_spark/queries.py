@@ -5901,6 +5901,86 @@ def q_ann_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfpq_topk(emb, queries_df, k=5, nlist=16, nprobe=4, refine=20)
 
 
+def _terrain_oracle_sql(zoom: int) -> str:
+    """Closed-form replay of focal_terrain_stats over the synthetic DEM:
+    every pixel's 9-cell neighborhood comes straight from fixtures.dem_sql
+    (no joins), metrics are the same integer formulas as
+    operators/focal.terrain_fields, and the D8 CASE runs in ascending
+    ESRI-code order so its first-match tie-break equals numpy argmax's."""
+    from .fixtures import dem_sql
+
+    n = (1 << zoom) * 256
+    offs = {
+        "nw": (-1, -1), "n": (0, -1), "ne": (1, -1),
+        "w": (-1, 0), "c": (0, 0), "e": (1, 0),
+        "sw": (-1, 1), "s": (0, 1), "se": (1, 1),
+    }
+    vcols = ",\n      ".join(
+        f"{dem_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
+    )
+    # ascending ESRI codes; cardinals weigh 2*drop^2, diagonals drop^2
+    dirs = [("e", 1, 2), ("se", 2, 1), ("s", 4, 2), ("sw", 8, 1),
+            ("w", 16, 2), ("nw", 32, 1), ("n", 64, 2), ("ne", 128, 1)]
+    scols = ",\n      ".join(
+        f"CASE WHEN v_c > v_{k} THEN {m} * (v_c - v_{k}) * (v_c - v_{k}) "
+        f"ELSE -1 END AS s_{k}"
+        for k, _code, m in dirs
+    )
+    smax = "greatest(" + ", ".join(f"s_{k}" for k, _, _ in dirs) + ")"
+    dircase = (
+        f"CASE WHEN {smax} <= 0 THEN 0 "
+        + " ".join(f"WHEN s_{k} = {smax} THEN {code}" for k, code, _ in dirs)
+        + " END"
+    )
+    nbrs = [k for k in offs if k != "c"]
+    tri = " + ".join(f"abs(v_c - v_{k})" for k in nbrs)
+    tpi = "8 * v_c - (" + " + ".join(f"v_{k}" for k in nbrs) + ")"
+    vmax = "greatest(" + ", ".join(f"v_{k}" for k in offs) + ")"
+    vmin = "least(" + ", ".join(f"v_{k}" for k in offs) + ")"
+    return f"""
+    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
+    v9 AS (SELECT gx, gy,
+      {vcols}
+    FROM px),
+    sc AS (SELECT gx, gy,
+      {scols},
+      {tri} AS tri, {tpi} AS tpi8, {vmax} - {vmin} AS frange
+    FROM v9),
+    m AS (SELECT gx // 256 AS x, gy // 256 AS y, tri, tpi8, frange,
+          {dircase} AS dir FROM sc)
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n_px,
+      CAST(sum(tri) AS BIGINT) AS sum_tri,
+      CAST(sum(tpi8) AS BIGINT) AS sum_tpi,
+      CAST(sum(abs(tpi8)) AS BIGINT) AS sum_abs_tpi,
+      CAST(sum(CASE WHEN dir = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sinks,
+      CAST(sum(dir) AS BIGINT) AS sum_d8,
+      CAST(sum(frange) AS BIGINT) AS sum_range
+    FROM m GROUP BY 1, 2
+    """
+
+
+@register("terrain_focal", _terrain_oracle_sql(zoom=2))
+def q_terrain_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Border-EXACT 3x3 focal terrain metrics (operators/focal.py::
+    focal_terrain_stats — gdaldem TRI/TPI + ESRI D8 + focal range) over a
+    zoom-2 REAL-PNG DEM pyramid level, per-tile aggregates.  The
+    distributed shape is a two-pass halo exchange: tiles decode ONCE and
+    ship only ~3 KB of border strips (2px own frame + 1px neighbor
+    edges/corners) through the single slim shuffle — payload bytes never
+    enter an Exchange, and every groupBy key receives <= 9 rows so the
+    shuffle cannot skew.  A hash match against the closed-form DuckDB
+    replay proves PNG round-trip, strip addressing (8-direction mirror),
+    sentinel edge semantics AND the integer D8 tie-break order all at
+    once — any single misplaced halo byte flips a sum."""
+    from . import fixtures
+    from .operators.focal import focal_terrain_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=16)
+    return focal_terrain_stats(tiles, tile_size=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
