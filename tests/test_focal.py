@@ -7,12 +7,17 @@ mosaic as one numpy array is the ground truth, and the distributed
 two-pass halo exchange must reproduce it exactly, tile by tile."""
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from versatiles_rs_spark import fixtures
 from versatiles_rs_spark.fixtures import dem_value
 from versatiles_rs_spark.operators.focal import (
+    _ID_BASE,
     _pack_frame,
     _unpack_frame,
+    d8_basins,
+    d8_successors,
+    focal_terrain_pixels,
     focal_terrain_stats,
     terrain_fields,
 )
@@ -122,6 +127,115 @@ def test_focal_terrain_single_tile_world(spark):
     exp = global_expected(256)
     assert got == exp
     assert got[(0, 0)][0] == 254 * 254
+
+
+def global_pixel_fields(n_px_side: int):
+    """Ground truth for the pixel-level relation: kernel over the whole
+    mosaic; pixel universe = every (gx, gy) with full global 3x3 support,
+    i.e. both coords in [1, n-2]."""
+    gx = np.arange(n_px_side, dtype=np.int64)
+    v = dem_value(gx[None, :], gx[:, None])
+    f = terrain_fields(v)  # index (i, j) -> global pixel (gy=i+1, gx=j+1)
+    return v, f
+
+
+def test_focal_terrain_pixels_matches_global(spark):
+    """Pixel-level halo exchange == single global array, every field,
+    every pixel, on the 2x2-tile mosaic (ring pixels cross tiles)."""
+    n = 512
+    v, f = global_pixel_fields(n)
+    pdf = (
+        focal_terrain_pixels(fixtures.dem_raster_df(spark, zoom=1, partitions=4))
+        .toPandas()
+        .sort_values(["gy", "gx"])
+        .reset_index(drop=True)
+    )
+    assert len(pdf) == (n - 2) * (n - 2)
+    i = pdf["gy"].to_numpy() - 1
+    j = pdf["gx"].to_numpy() - 1
+    np.testing.assert_array_equal(pdf["elev"].to_numpy(), v[1:-1, 1:-1][i, j])
+    np.testing.assert_array_equal(pdf["d8"].to_numpy(), f["d8"][i, j])
+
+
+def expected_basins(n_px_side: int):
+    """Brute-force basin labels: numpy-walk the D8 pointer field to its
+    fixed point (sinks self-loop; a successor outside the [1, n-2]^2
+    universe freezes — flow exits the raster)."""
+    _, f = global_pixel_fields(n_px_side)
+    d8 = f["d8"]
+    h = d8.shape[0]
+    dxy = {0: (0, 0), 1: (1, 0), 2: (1, 1), 4: (0, 1), 8: (-1, 1),
+           16: (-1, 0), 32: (-1, -1), 64: (0, -1), 128: (1, -1)}
+    dx = np.zeros_like(d8)
+    dy = np.zeros_like(d8)
+    for code, (cx, cy) in dxy.items():
+        dx = np.where(d8 == code, cx, dx)
+        dy = np.where(d8 == code, cy, dy)
+    ii, jj = np.meshgrid(np.arange(h), np.arange(h), indexing="ij")
+    lr, lc = ii + dy, jj + dx  # label, 0-based in field coords
+    for _ in range(4 * h):
+        inside = (lr >= 0) & (lr < h) & (lc >= 0) & (lc < h)
+        nr = np.where(inside, lr[lr.clip(0, h - 1), lc.clip(0, h - 1)], lr)
+        nc = np.where(inside, lc[lr.clip(0, h - 1), lc.clip(0, h - 1)], lc)
+        if (nr == lr).all() and (nc == lc).all():
+            break
+        lr, lc = nr, nc
+    else:
+        raise AssertionError("numpy basin walk did not converge")
+    out: dict[tuple[int, int], int] = {}
+    for bx, by in zip((lc + 1).ravel(), (lr + 1).ravel()):
+        out[(int(bx), int(by))] = out.get((int(bx), int(by)), 0) + 1
+    return out
+
+
+def test_d8_successors_deltas(spark):
+    rows = [(10, 20, 100, 0), (10, 20, 100, 1), (10, 20, 100, 8), (10, 20, 100, 64)]
+    df = spark.createDataFrame(rows, "gx long, gy long, elev long, d8 long")
+    got = {r["succ"] for r in d8_successors(df).collect()}
+    pid = lambda gx, gy: gx * _ID_BASE + gy
+    assert got == {pid(10, 20), pid(11, 20), pid(9, 21), pid(10, 19)}
+
+
+def test_d8_basins_matches_numpy_walk(spark):
+    """Pointer doubling over the distributed flow graph == the numpy
+    step-by-step walk, as (outlet -> basin size) histograms, zoom 0."""
+    pixels = focal_terrain_pixels(fixtures.dem_raster_df(spark, zoom=0, partitions=1))
+    labels = d8_basins(d8_successors(pixels), rounds=6)
+    got = {
+        (r["bx"], r["by"]): r["n"]
+        for r in labels.groupBy(
+            (labels.label / _ID_BASE).cast("long").alias("bx"),
+            (labels.label % _ID_BASE).alias("by"),
+        ).count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == expected_basins(256)
+
+
+def test_d8_basins_fixpoint_mode(spark):
+    """rounds=None iterates to the fixed point and reports the round
+    count; result must equal the fixed-schedule run and be idempotent
+    (every label is its own basin representative)."""
+    pixels = focal_terrain_pixels(
+        fixtures.dem_raster_df(spark, zoom=0, partitions=1)
+    ).cache()
+    try:
+        m: dict = {}
+        fix = d8_basins(d8_successors(pixels), rounds=None, metrics=m)
+        fixed = d8_basins(d8_successors(pixels), rounds=6)
+        assert m["basin_rounds"] <= 7
+        a = sorted(map(tuple, fix.collect()))
+        b = sorted(map(tuple, fixed.collect()))
+        assert a == b
+        # idempotence: labels joined against the successor map stay put
+        succ = d8_successors(pixels)
+        moved = (
+            fix.join(succ.withColumnRenamed("id", "label2"), fix.label == F.col("label2"))
+            .filter((F.col("succ") != F.col("label2")))
+            .count()
+        )
+        assert moved == 0
+    finally:
+        pixels.unpersist()
 
 
 def test_focal_terrain_payload_never_shuffles(spark):

@@ -282,6 +282,25 @@ def test_token_arrays_materialized_behind_generate_barrier(spark, sf_dir):
     assert "slice(transform(filter(split" not in plan2, "fold re-expands the split"
 
 
+def test_d8_basins_slim_iteration(spark):
+    """The flow-graph build (pixels -> successors, the plan each doubling
+    round iterates on): tile payload never enters an Exchange — only
+    border strips shuffle, and the (id, succ) relation the O(log L)
+    doubling joins move is pure longs.  d8_basins itself checkpoints
+    eagerly, so the gate pins the UN-checkpointed upstream plan."""
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.focal import d8_successors, focal_terrain_pixels
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    succ = d8_successors(focal_terrain_pixels(tiles))
+    plan = plan_of(succ)
+    assert "CartesianProduct" not in plan
+    assert [f.name for f in succ.schema.fields] == ["id", "succ"]
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"
+
+
 @pytest.mark.parametrize(
     "name", ["gearys_c", "idw_fill", "ripley_k", "colocation",
              "traj_similarity", "st_dbscan_events"]

@@ -5981,6 +5981,97 @@ def q_terrain_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_terrain_stats(tiles, tile_size=256)
 
 
+def _d8_basins_oracle_sql(zoom: int, rounds: int) -> str:
+    """Closed-form replay of the D8 drainage-basin pipeline: per-pixel D8
+    from fixtures.dem_sql (same ascending-ESRI-code CASE as
+    _terrain_oracle_sql), successor ids via the same gx*2^32+gy packing
+    as operators/focal.d8_successors, then `rounds` pointer-doubling
+    rounds.  Each doubling round references the previous round TWICE
+    (a.label = b.id self-join), so every d{k} MUST be AS MATERIALIZED —
+    a plain CTE inlines exponentially (CLAUDE.md oracle-CTE-inlining
+    lesson).  Label decomposition uses // and % on non-negative ids, where
+    DuckDB and Spark agree."""
+    from .fixtures import dem_sql
+
+    n = (1 << zoom) * 256
+    base = 4294967296
+    offs = {
+        "nw": (-1, -1), "n": (0, -1), "ne": (1, -1),
+        "w": (-1, 0), "c": (0, 0), "e": (1, 0),
+        "sw": (-1, 1), "s": (0, 1), "se": (1, 1),
+    }
+    vcols = ",\n      ".join(
+        f"{dem_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
+    )
+    # (name, esri_code, distance_mult, (dx, dy)); ascending code order =
+    # Spark-side argmax first-max tie-break
+    dirs = [("e", 1, 2, (1, 0)), ("se", 2, 1, (1, 1)), ("s", 4, 2, (0, 1)),
+            ("sw", 8, 1, (-1, 1)), ("w", 16, 2, (-1, 0)), ("nw", 32, 1, (-1, -1)),
+            ("n", 64, 2, (0, -1)), ("ne", 128, 1, (1, -1))]
+    scols = ",\n      ".join(
+        f"CASE WHEN v_c > v_{k} THEN {m} * (v_c - v_{k}) * (v_c - v_{k}) "
+        f"ELSE -1 END AS s_{k}"
+        for k, _code, m, _d in dirs
+    )
+    smax = "greatest(" + ", ".join(f"s_{k}" for k, _, _, _ in dirs) + ")"
+    succcase = (
+        f"CASE WHEN {smax} <= 0 THEN gx * {base} + gy "
+        + " ".join(
+            f"WHEN s_{k} = {smax} THEN (gx + {dx}) * {base} + (gy + {dy})"
+            for k, _code, _m, (dx, dy) in dirs
+        )
+        + " END"
+    )
+    doubling = "".join(
+        f",\n    d{r} AS MATERIALIZED (SELECT a.id, coalesce(b.label, a.label) AS label"
+        f" FROM d{r - 1} a LEFT JOIN d{r - 1} b ON a.label = b.id)"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
+    v9 AS (SELECT gx, gy,
+      {vcols}
+    FROM px),
+    sc AS (SELECT gx, gy,
+      {scols}
+    FROM v9),
+    d0 AS MATERIALIZED (SELECT gx * {base} + gy AS id, {succcase} AS label FROM sc)
+    {doubling}
+    SELECT label // {base} AS bx, label % {base} AS by,
+      CAST(count(*) AS BIGINT) AS n_px
+    FROM d{rounds} GROUP BY 1, 2
+    """
+
+
+@register("d8_basins", _d8_basins_oracle_sql(zoom=1, rounds=6))
+def q_d8_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 drainage-basin delineation over the zoom-1 DEM level (TauDEM
+    flow-tracing shape; reference has no hydrology operator).  Three
+    distributed stages, none of which ever moves payload bytes: (1)
+    focal_terrain_pixels turns PNG tiles into the slim raster-as-relation
+    (gx, gy, elev, d8) via the border-exact halo exchange — each tile
+    decodes once; (2) d8_successors builds the functional flow graph in
+    pure JVM CASE arithmetic; (3) d8_basins pointer-doubles the (id,
+    label) relation — 6 rounds cover any flow path up to 64 steps (the
+    fixture's longest is 64; test_focal pins fixpoint), each round one
+    slim long-long self-join, O(log L) rounds instead of an O(L) walk.
+    Output: basin outlet pixel (bx, by) + basin size in pixels.  The
+    oracle replays D8 and the exact doubling schedule closed-form."""
+    from . import fixtures
+    from .operators.focal import d8_basins, d8_successors, focal_terrain_pixels
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    pixels = focal_terrain_pixels(tiles, tile_size=256)
+    basins = d8_basins(d8_successors(pixels), rounds=6)
+    # labels are non-negative, so Spark `div` == DuckDB `//` exactly
+    return basins.groupBy(
+        F.expr("label div 4294967296").alias("bx"),
+        (F.col("label") % 4294967296).alias("by"),
+    ).agg(F.count("*").alias("n_px"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
