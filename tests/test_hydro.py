@@ -1,0 +1,124 @@
+"""D8 flow accumulation (operators/hydro.py).
+
+Ground truth is the single-global-array evaluation: level-synchronous
+accumulation over the whole mosaic as one numpy grid.  The two-phase
+distributed solve (local super-tile accumulation + border-graph Jacobi +
+inflow injection) must reproduce it bit for bit, across super-tile sizes
+and across a worst-case DEM whose flow crosses every tile boundary."""
+import numpy as np
+import pytest
+
+from versatiles_rs_spark import fixtures
+from versatiles_rs_spark.codecs import encode_png
+from versatiles_rs_spark.fixtures import dem_value
+from versatiles_rs_spark.operators.focal import terrain_fields
+from versatiles_rs_spark.operators.hydro import _DXL, _DYL, flow_accumulation
+
+
+def global_accumulation(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact accumulation over the full mosaic: (acc, valid) indexed so
+    field (i, j) is global pixel (gx=j+1, gy=i+1)."""
+    f = terrain_fields(v)
+    valid, d8 = f["valid"], f["d8"]
+    h = v.shape[0] - 2
+    elev = v[1:-1, 1:-1]
+    rr, cc = np.meshgrid(np.arange(h), np.arange(h), indexing="ij")
+    tr, tc = rr + _DYL[d8], cc + _DXL[d8]
+    in_u = (tr >= 0) & (tr < h) & (tc >= 0) & (tc < h)
+    internal = valid & (d8 > 0) & in_u & valid[tr.clip(0, h - 1), tc.clip(0, h - 1)]
+    acc = valid.astype(np.int64)
+    for lev in np.unique(elev[valid])[::-1]:
+        m = internal & (elev == lev)
+        if m.any():
+            np.add.at(acc, (tr[m], tc[m]), acc[m])
+    return acc, valid
+
+
+def dem_mosaic(n: int) -> np.ndarray:
+    g = np.arange(n, dtype=np.int64)
+    return dem_value(g[None, :], g[:, None])
+
+
+def as_grid(pdf, shape) -> np.ndarray:
+    got = np.zeros(shape, dtype=np.int64)
+    got[pdf["gy"].to_numpy() - 1, pdf["gx"].to_numpy() - 1] = pdf["acc"].to_numpy()
+    return got
+
+
+@pytest.mark.parametrize("zoom,s", [(1, 1), (1, 2)])
+def test_flow_accumulation_matches_global(spark, zoom, s):
+    """Distributed two-phase == global array on the DEM fixture, both
+    with a real coarse graph (S=1: 4 super-tiles) and degenerate
+    single-super-tile (S=2: phase A emits no cross edges at all)."""
+    n = (1 << zoom) * 256
+    exp, valid = global_accumulation(dem_mosaic(n))
+    m: dict = {}
+    pdf = flow_accumulation(
+        fixtures.dem_raster_df(spark, zoom=zoom, partitions=4),
+        super_tiles=s,
+        metrics=m,
+    ).toPandas()
+    assert len(pdf) == int(valid.sum())
+    np.testing.assert_array_equal(as_grid(pdf, exp.shape), exp * valid)
+    if s == 2:
+        assert m["coarse_rounds"] == 0 and m["coarse_inflow_total"] == 0
+    else:
+        assert m["coarse_inflow_total"] > 0
+
+
+def ramp_tiles_df(spark, n: int, ts: int):
+    """Worst-case DEM for the coarse solve: elevation n-1-gx, so every
+    pixel flows due EAST and the longest path crosses EVERY vertical
+    tile boundary — multi-hop border-graph relaxation is unavoidable."""
+    rows = []
+    for ty in range(n // ts):
+        for tx in range(n // ts):
+            gx = np.arange(tx * ts, (tx + 1) * ts, dtype=np.int64)
+            v = np.broadcast_to(n - 1 - gx[None, :], (ts, ts)).astype(np.uint8)
+            rows.append((tx, ty, encode_png(np.ascontiguousarray(v)[:, :, None])))
+    return spark.createDataFrame(rows, "x long, y long, bytes binary")
+
+
+def test_flow_accumulation_multihop_ramp(spark):
+    """On the eastward ramp, acc(gx, gy) == gx exactly (the whole row
+    upstream plus self), and the Jacobi relaxation needs >= 2 rounds —
+    flow at gx=62 accumulated across three super-tile crossings."""
+    n, ts = 64, 16
+    m: dict = {}
+    pdf = flow_accumulation(
+        ramp_tiles_df(spark, n, ts), tile_size=ts, super_tiles=1, metrics=m
+    ).toPandas()
+    assert len(pdf) == (n - 2) * (n - 2)
+    assert (pdf["acc"].to_numpy() == pdf["gx"].to_numpy()).all()
+    assert m["coarse_rounds"] >= 2
+
+
+def test_flow_accumulation_min_accum_threshold(spark):
+    """min_accum extracts the stream network: exactly the pixels whose
+    full accumulation clears the threshold, values unchanged."""
+    n = 512
+    exp, valid = global_accumulation(dem_mosaic(n))
+    t = 50
+    pdf = flow_accumulation(
+        fixtures.dem_raster_df(spark, zoom=1, partitions=4), min_accum=t
+    ).toPandas()
+    exp_mask = valid & (exp >= t)
+    assert len(pdf) == int(exp_mask.sum())
+    assert (pdf["acc"].to_numpy() >= t).all()
+    got = {(x, y): a for x, y, a in zip(pdf["gx"], pdf["gy"], pdf["acc"])}
+    r, c = np.nonzero(exp_mask)
+    assert all(got[(int(j + 1), int(i + 1))] == int(exp[i, j]) for i, j in zip(r, c))
+
+
+def test_flow_accumulation_single_payload_exchange(spark):
+    """Phase B's lazy plan (the returned DataFrame): the tile payload
+    crosses exactly ONE Exchange (the super-tile groupBy), and nothing
+    degenerates to a cartesian product.  Phase A runs eagerly inside the
+    operator with the same relation shape."""
+    df = flow_accumulation(fixtures.dem_raster_df(spark, zoom=1, partitions=4))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    payload_exchanges = [
+        line for line in plan.splitlines() if "Exchange" in line and "data#" in line
+    ]
+    assert len(payload_exchanges) <= 1, payload_exchanges

@@ -5981,6 +5981,44 @@ def q_terrain_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_terrain_stats(tiles, tile_size=256)
 
 
+def _d8_sql_parts(n: int) -> dict:
+    """The ONE SQL definition of the per-pixel D8 derivation shared by
+    every hydrology oracle (basins + flow accumulation): 9-neighbor DEM
+    values (v9), distance-corrected descent scores (sc), steepest-score
+    expression, and the direction table in ascending-ESRI-code order
+    (= Spark-side argmax first-max tie-break)."""
+    from .fixtures import dem_sql
+
+    offs = {
+        "nw": (-1, -1), "n": (0, -1), "ne": (1, -1),
+        "w": (-1, 0), "c": (0, 0), "e": (1, 0),
+        "sw": (-1, 1), "s": (0, 1), "se": (1, 1),
+    }
+    vcols = ",\n      ".join(
+        f"{dem_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
+    )
+    # (name, esri_code, distance_mult, (dx, dy))
+    dirs = [("e", 1, 2, (1, 0)), ("se", 2, 1, (1, 1)), ("s", 4, 2, (0, 1)),
+            ("sw", 8, 1, (-1, 1)), ("w", 16, 2, (-1, 0)), ("nw", 32, 1, (-1, -1)),
+            ("n", 64, 2, (0, -1)), ("ne", 128, 1, (1, -1))]
+    scols = ",\n      ".join(
+        f"CASE WHEN v_c > v_{k} THEN {m} * (v_c - v_{k}) * (v_c - v_{k}) "
+        f"ELSE -1 END AS s_{k}"
+        for k, _code, m, _d in dirs
+    )
+    smax = "greatest(" + ", ".join(f"s_{k}" for k, _, _, _ in dirs) + ")"
+    prefix = f"""xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
+    v9 AS (SELECT gx, gy,
+      {vcols}
+    FROM px),
+    sc AS (SELECT gx, gy,
+      {scols}
+    FROM v9)"""
+    return {"dirs": dirs, "smax": smax, "prefix": prefix}
+
+
 def _d8_basins_oracle_sql(zoom: int, rounds: int) -> str:
     """Closed-form replay of the D8 drainage-basin pipeline: per-pixel D8
     from fixtures.dem_sql (same ascending-ESRI-code CASE as
@@ -5991,29 +6029,10 @@ def _d8_basins_oracle_sql(zoom: int, rounds: int) -> str:
     a plain CTE inlines exponentially (CLAUDE.md oracle-CTE-inlining
     lesson).  Label decomposition uses // and % on non-negative ids, where
     DuckDB and Spark agree."""
-    from .fixtures import dem_sql
-
     n = (1 << zoom) * 256
     base = 4294967296
-    offs = {
-        "nw": (-1, -1), "n": (0, -1), "ne": (1, -1),
-        "w": (-1, 0), "c": (0, 0), "e": (1, 0),
-        "sw": (-1, 1), "s": (0, 1), "se": (1, 1),
-    }
-    vcols = ",\n      ".join(
-        f"{dem_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
-    )
-    # (name, esri_code, distance_mult, (dx, dy)); ascending code order =
-    # Spark-side argmax first-max tie-break
-    dirs = [("e", 1, 2, (1, 0)), ("se", 2, 1, (1, 1)), ("s", 4, 2, (0, 1)),
-            ("sw", 8, 1, (-1, 1)), ("w", 16, 2, (-1, 0)), ("nw", 32, 1, (-1, -1)),
-            ("n", 64, 2, (0, -1)), ("ne", 128, 1, (1, -1))]
-    scols = ",\n      ".join(
-        f"CASE WHEN v_c > v_{k} THEN {m} * (v_c - v_{k}) * (v_c - v_{k}) "
-        f"ELSE -1 END AS s_{k}"
-        for k, _code, m, _d in dirs
-    )
-    smax = "greatest(" + ", ".join(f"s_{k}" for k, _, _, _ in dirs) + ")"
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
     succcase = (
         f"CASE WHEN {smax} <= 0 THEN gx * {base} + gy "
         + " ".join(
@@ -6028,15 +6047,7 @@ def _d8_basins_oracle_sql(zoom: int, rounds: int) -> str:
         for r in range(1, rounds + 1)
     )
     return f"""
-    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
-    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
-    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
-    v9 AS (SELECT gx, gy,
-      {vcols}
-    FROM px),
-    sc AS (SELECT gx, gy,
-      {scols}
-    FROM v9),
+    WITH {parts["prefix"]},
     d0 AS MATERIALIZED (SELECT gx * {base} + gy AS id, {succcase} AS label FROM sc)
     {doubling}
     SELECT label // {base} AS bx, label % {base} AS by,
@@ -6070,6 +6081,60 @@ def q_d8_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("label div 4294967296").alias("bx"),
         (F.col("label") % 4294967296).alias("by"),
     ).agg(F.count("*").alias("n_px"))
+
+
+def _flow_accum_oracle_sql(zoom: int) -> str:
+    """Closed-form replay of D8 flow accumulation as a transitive-closure
+    COUNT: every universe pixel starts one walk; the recursive step
+    follows the shared D8 successor (NULLed when the target leaves the
+    [1, n-2]^2 universe — flow exits the raster, same convention as the
+    engine and d8_basins); acc(u) = number of walk rows landing on u.
+    UNION ALL is essential — UNION would dedup coincident visits.  The
+    walk is per-round linear in live paths (strict descent bounds rounds
+    by the 208-level DEM), so no CTE is multiply referenced."""
+    n = (1 << zoom) * 256
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
+    sgx = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gx + {dx}" for k, _c, _m, (dx, _dy) in dirs
+    ) + " END"
+    sgy = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gy + {dy}" for k, _c, _m, (_dx, dy) in dirs
+    ) + " END"
+    return f"""
+    WITH RECURSIVE {parts["prefix"]},
+    s0 AS (SELECT gx, gy, {sgx} AS nx0, {sgy} AS ny0 FROM sc),
+    succ AS MATERIALIZED (SELECT gx, gy,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN nx0 END AS nx,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN ny0 END AS ny
+      FROM s0),
+    walk AS (
+      SELECT gx AS cx, gy AS cy FROM succ
+      UNION ALL
+      SELECT s.nx, s.ny FROM walk w JOIN succ s ON s.gx = w.cx AND s.gy = w.cy
+      WHERE s.nx IS NOT NULL
+    )
+    SELECT cx AS gx, cy AS gy, CAST(count(*) AS BIGINT) AS acc
+    FROM walk GROUP BY 1, 2
+    """
+
+
+@register("flow_accum", _flow_accum_oracle_sql(zoom=1))
+def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation (GDAL/TauDEM Flow Accumulation; no hydrology
+    exists anywhere in the reference) over the zoom-1 DEM: upstream
+    contributing cells per pixel, self included.  Runs the two-phase
+    Barnes shape of operators/hydro.py — per-super-tile exact local solve
+    (level-synchronous descending-elevation sweeps), slim border-graph
+    Jacobi relaxation for cross-tile inflow, then a second heavy pass
+    injecting the solved inflows; payload crosses an Exchange exactly
+    twice and every iterated relation is (long, long) border rows.  The
+    oracle replays it as a recursive closure count."""
+    from . import fixtures
+    from .operators.hydro import flow_accumulation
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    return flow_accumulation(tiles, tile_size=256, super_tiles=1)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
