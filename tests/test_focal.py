@@ -238,6 +238,45 @@ def test_d8_basins_fixpoint_mode(spark):
         pixels.unpersist()
 
 
+def test_d8_flow_length_matches_numpy_walk(spark):
+    """Wyllie doubling with value accumulation == per-step numpy walk
+    (10 cardinal / 14 diagonal), every pixel, zoom 0."""
+    from versatiles_rs_spark.operators.focal import d8_flow_length
+
+    _, f = global_pixel_fields(256)
+    d8 = f["d8"]
+    h = d8.shape[0]
+    dxy = {1: (1, 0), 2: (1, 1), 4: (0, 1), 8: (-1, 1),
+           16: (-1, 0), 32: (-1, -1), 64: (0, -1), 128: (1, -1)}
+    dx = np.zeros_like(d8)
+    dy = np.zeros_like(d8)
+    w = np.zeros_like(d8)
+    for code, (cx, cy) in dxy.items():
+        dx = np.where(d8 == code, cx, dx)
+        dy = np.where(d8 == code, cy, dy)
+        w = np.where(d8 == code, 10 if cx == 0 or cy == 0 else 14, w)
+    ii, jj = np.meshgrid(np.arange(h), np.arange(h), indexing="ij")
+    dist = w.copy()
+    cr, cc2 = ii + dy, jj + dx  # current position after the charged step
+    for _ in range(4 * h):
+        inside = (cr >= 0) & (cr < h) & (cc2 >= 0) & (cc2 < h)
+        crc, ccc = cr.clip(0, h - 1), cc2.clip(0, h - 1)
+        step = inside & (d8[crc, ccc] > 0)
+        if not step.any():
+            break
+        dist = np.where(step, dist + w[crc, ccc], dist)
+        nr = np.where(step, cr + dy[crc, ccc], cr)
+        nc = np.where(step, cc2 + dx[crc, ccc], cc2)
+        cr, cc2 = nr, nc
+    else:
+        raise AssertionError("numpy flow-length walk did not converge")
+    pixels = focal_terrain_pixels(fixtures.dem_raster_df(spark, zoom=0, partitions=1))
+    pdf = d8_flow_length(pixels, rounds=6).toPandas()
+    got = np.zeros_like(dist)
+    got[pdf["gy"].to_numpy() - 1, pdf["gx"].to_numpy() - 1] = pdf["flow_len"].to_numpy()
+    np.testing.assert_array_equal(got, dist)
+
+
 def test_focal_terrain_payload_never_shuffles(spark):
     """Only slim border strips cross the Exchange: the tile payload column
     is consumed by the first (and only) decode pass, so `bytes#` must not

@@ -286,6 +286,65 @@ def d8_successors(pixels: DataFrame) -> DataFrame:
     return pixels.select(pid.alias("id"), succ.alias("succ"))
 
 
+def d8_flow_length(
+    pixels: DataFrame,
+    rounds: int,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(gx, gy, flow_len): weighted distance each pixel's flow travels
+    downstream until it settles in a sink or steps off the raster — the
+    ArcGIS "Flow Length (downstream)" surface, with the standard integer
+    step weights 10 (cardinal) / 14 (diagonal ~ 10*sqrt(2)).
+
+    This is pointer doubling WITH value accumulation (Wyllie's parallel
+    list ranking): state (ptr, dist) where dist is the weighted length of
+    the 2^k-step prefix; each round dist' = dist + dist(ptr), ptr' =
+    ptr(ptr).  Sinks self-loop with weight 0, so they are exact fixed
+    points; an off-raster exit freezes via the LEFT-join miss AFTER its
+    exit step was charged.  `rounds` >= ceil(log2 max path) makes the
+    result exact; strictly-descending uint8 DEMs bound paths at 256, so
+    8 always suffices.  Same slim-relation O(log L) shape as d8_basins,
+    one extra long per row."""
+    pid = F.col("gx") * F.lit(_ID_BASE) + F.col("gy")
+    ptr = F.when(F.col("d8") == 0, pid)
+    w = F.when(F.col("d8") == 0, F.lit(0))
+    for code, (dx, dy) in _D8_DELTA.items():
+        ptr = ptr.when(
+            F.col("d8") == code,
+            (F.col("gx") + dx) * F.lit(_ID_BASE) + (F.col("gy") + dy),
+        )
+        w = w.when(F.col("d8") == code, F.lit(10 if dx == 0 or dy == 0 else 14))
+    cur = pixels.select(
+        pid.alias("id"), ptr.alias("ptr"), w.cast("long").alias("dist")
+    ).localCheckpoint()
+    for r in range(1, rounds + 1):
+        nxt = (
+            cur.alias("a")
+            .join(
+                cur.select(
+                    F.col("id").alias("bid"),
+                    F.col("ptr").alias("bptr"),
+                    F.col("dist").alias("bdist"),
+                ),
+                on=F.col("a.ptr") == F.col("bid"),
+                how="left",
+            )
+            .select(
+                F.col("a.id").alias("id"),
+                F.coalesce("bptr", "a.ptr").alias("ptr"),
+                (F.col("a.dist") + F.coalesce("bdist", F.lit(0))).alias("dist"),
+            )
+        )
+        if r % checkpoint_every == 0 or r == rounds:
+            nxt = nxt.localCheckpoint()
+        cur = nxt
+    return cur.select(
+        F.expr(f"id div {_ID_BASE}").alias("gx"),
+        (F.col("id") % _ID_BASE).alias("gy"),
+        F.col("dist").alias("flow_len"),
+    )
+
+
 def d8_basins(
     succ_df: DataFrame,
     rounds: int | None = None,

@@ -6137,6 +6137,149 @@ def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_accumulation(tiles, tile_size=256, super_tiles=1)
 
 
+def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
+    """Replay of d8_flow_length: the shared D8 derivation, then the exact
+    Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
+    coalesce(dist(ptr), 0) — with every round AS MATERIALIZED (each
+    references the previous round twice).  Sinks self-loop at weight 0;
+    an off-raster pointer freezes via the LEFT-join miss.  Weights: 10
+    cardinal / 14 diagonal (integer 10*sqrt(2)), same table as the
+    engine."""
+    n = (1 << zoom) * 256
+    base = 4294967296
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
+    ptrcase = (
+        f"CASE WHEN {smax} <= 0 THEN gx * {base} + gy "
+        + " ".join(
+            f"WHEN s_{k} = {smax} THEN (gx + {dx}) * {base} + (gy + {dy})"
+            for k, _code, _m, (dx, dy) in dirs
+        )
+        + " END"
+    )
+    wcase = (
+        f"CASE WHEN {smax} <= 0 THEN 0 "
+        + " ".join(
+            f"WHEN s_{k} = {smax} THEN {10 if m == 2 else 14}"
+            for k, _code, m, _d in dirs
+        )
+        + " END"
+    )
+    doubling = "".join(
+        f",\n    d{r} AS MATERIALIZED (SELECT a.id,"
+        f" coalesce(b.ptr, a.ptr) AS ptr, a.d + coalesce(b.d, 0) AS d"
+        f" FROM d{r - 1} a LEFT JOIN d{r - 1} b ON a.ptr = b.id)"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH {parts["prefix"]},
+    d0 AS MATERIALIZED (SELECT gx * {base} + gy AS id, {ptrcase} AS ptr,
+      CAST({wcase} AS BIGINT) AS d FROM sc)
+    {doubling}
+    SELECT id // {base} AS gx, id % {base} AS gy, d AS flow_len
+    FROM d{rounds}
+    """
+
+
+@register("flow_length", _flow_length_oracle_sql(zoom=1, rounds=6))
+def q_flow_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream flow length (ArcGIS Flow Length) over the zoom-1 DEM:
+    the weighted distance each pixel's flow travels before settling or
+    exiting, 10 per cardinal step / 14 per diagonal.  Pointer doubling
+    WITH value accumulation — Wyllie's parallel list ranking on the flow
+    graph: 6 slim (long, long, long) self-join rounds cover the
+    fixture's 64-step worst path, vs an O(L) walk.  The oracle replays
+    the identical doubling schedule, every round materialized."""
+    from . import fixtures
+    from .operators.focal import d8_flow_length, focal_terrain_pixels
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    pixels = focal_terrain_pixels(tiles, tile_size=256)
+    return d8_flow_length(pixels, rounds=6)
+
+
+def _basin_stats_oracle_sql(zoom: int, rounds: int) -> str:
+    """Basin labels from the shared doubling schedule joined back to the
+    closed-form DEM: per-basin pixel count + integer elevation stats,
+    plus the outlet's own elevation (-1 when the basin drains off the
+    raster — the outlet pixel is outside the universe)."""
+    n = (1 << zoom) * 256
+    base = 4294967296
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
+    succcase = (
+        f"CASE WHEN {smax} <= 0 THEN gx * {base} + gy "
+        + " ".join(
+            f"WHEN s_{k} = {smax} THEN (gx + {dx}) * {base} + (gy + {dy})"
+            for k, _code, _m, (dx, dy) in dirs
+        )
+        + " END"
+    )
+    doubling = "".join(
+        f",\n    d{r} AS MATERIALIZED (SELECT a.id, coalesce(b.label, a.label) AS label"
+        f" FROM d{r - 1} a LEFT JOIN d{r - 1} b ON a.label = b.id)"
+        for r in range(1, rounds + 1)
+    )
+    from .fixtures import dem_sql
+
+    return f"""
+    WITH {parts["prefix"]},
+    d0 AS MATERIALIZED (SELECT gx * {base} + gy AS id, {succcase} AS label FROM sc),
+    elev AS (SELECT gx * {base} + gy AS id, v_c AS elev FROM v9)
+    {doubling}
+    SELECT label // {base} AS bx, label % {base} AS by,
+      CAST(count(*) AS BIGINT) AS n_px,
+      CAST(sum(e.elev) AS BIGINT) AS sum_elev,
+      min(e.elev) AS min_elev, max(e.elev) AS max_elev,
+      CASE WHEN label // {base} BETWEEN 1 AND {n - 2}
+            AND label % {base} BETWEEN 1 AND {n - 2}
+           THEN {dem_sql(f'label // {base}', f'label % {base}')} ELSE -1 END
+        AS outlet_elev
+    FROM d{rounds} d JOIN elev e ON e.id = d.id
+    GROUP BY 1, 2
+    """
+
+
+@register("basin_stats", _basin_stats_oracle_sql(zoom=1, rounds=6))
+def q_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watershed characterization: d8_basins labels joined back to the
+    slim pixel relation for per-basin hypsometry — pixel count, integer
+    elevation sum/min/max, and the outlet pixel's elevation (-1 when the
+    basin drains off the raster).  Everything downstream of the one
+    decode pass moves (long, long) rows; the label join is an equi-join
+    on packed pixel ids."""
+    from . import fixtures
+    from .operators.focal import d8_basins, d8_successors, focal_terrain_pixels
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    pixels = focal_terrain_pixels(tiles, tile_size=256).localCheckpoint()
+    ids = pixels.select(
+        (F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("id"),
+        F.col("elev"),
+    )
+    labels = d8_basins(d8_successors(pixels), rounds=6)
+    per_basin = (
+        labels.join(ids, "id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_px"),
+            F.sum("elev").alias("sum_elev"),
+            F.min("elev").alias("min_elev"),
+            F.max("elev").alias("max_elev"),
+        )
+    )
+    outlet = ids.select(F.col("id").alias("label"), F.col("elev").alias("o_elev"))
+    return (
+        per_basin.join(outlet, "label", "left")
+        .select(
+            F.expr("label div 4294967296").alias("bx"),
+            (F.col("label") % 4294967296).alias("by"),
+            "n_px", "sum_elev", "min_elev", "max_elev",
+            F.coalesce("o_elev", F.lit(-1)).alias("outlet_elev"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
