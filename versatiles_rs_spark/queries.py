@@ -6280,6 +6280,87 @@ def q_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_tiles_oracle_sql(zoom: int, min_accum: int, render_zoom: int) -> str:
+    """Oracle for stream_tiles: the flow-accumulation closure count,
+    thresholded to channel pixels and grouped into render-zoom parent
+    tiles (per-tile feature count + peak accumulation; MVT payload bytes
+    stay pytest-verified, as for hotspot_tiles/mvt_tiles).  Pixel ->
+    parent tile is // on non-negative coords, matching shiftright."""
+    n = (1 << zoom) * 256
+    dz = 8 + zoom - render_zoom  # pixel grid is zoom+8
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
+    sgx = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gx + {dx}" for k, _c, _m, (dx, _dy) in dirs
+    ) + " END"
+    sgy = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gy + {dy}" for k, _c, _m, (_dx, dy) in dirs
+    ) + " END"
+    return f"""
+    WITH RECURSIVE {parts["prefix"]},
+    s0 AS (SELECT gx, gy, {sgx} AS nx0, {sgy} AS ny0 FROM sc),
+    succ AS MATERIALIZED (SELECT gx, gy,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN nx0 END AS nx,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN ny0 END AS ny
+      FROM s0),
+    walk AS (
+      SELECT gx AS cx, gy AS cy FROM succ
+      UNION ALL
+      SELECT s.nx, s.ny FROM walk w JOIN succ s ON s.gx = w.cx AND s.gy = w.cy
+      WHERE s.nx IS NOT NULL
+    ),
+    acc AS (
+      SELECT cx AS gx, cy AS gy, CAST(count(*) AS BIGINT) AS acc
+      FROM walk GROUP BY 1, 2 HAVING count(*) >= {min_accum}
+    )
+    SELECT CAST({render_zoom} AS INTEGER) AS z,
+           gx // {1 << dz} AS x, gy // {1 << dz} AS y,
+           CAST(count(*) AS INTEGER) AS n_features,
+           max(acc) AS max_acc
+    FROM acc GROUP BY 1, 2, 3
+    """
+
+
+@register("stream_tiles", _stream_tiles_oracle_sql(zoom=1, min_accum=64, render_zoom=6))
+def q_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hydrology-to-serving composition: the extracted stream network
+    (flow accumulation >= 64) rendered as an MVT choropleth — each
+    channel pixel becomes one exact-integer square feature with its
+    accumulation as a property (cell_zoom 9 = the zoom-1 pixel grid),
+    grouped into zoom-6 tiles that flow straight into the engine's
+    sinks/containers/serve shim.  The oracle verifies per-tile feature
+    counts and peak accumulation; payload bytes are pytest-verified by
+    decode round-trip.  Payload never enters the join: the MVT stats
+    project before meeting the slim per-tile aggregates."""
+    from . import fixtures
+    from .operators.hydro import flow_accumulation
+    from .vector_tile import cells_to_choropleth_tiles
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    stream = flow_accumulation(tiles, super_tiles=1, min_accum=64).localCheckpoint()
+    mvt = cells_to_choropleth_tiles(
+        stream.select(F.col("gx").alias("x"), F.col("gy").alias("y"), "acc"),
+        cell_zoom=9,
+        render_zoom=6,
+        value_cols=("acc",),
+        layer="streams",
+    )
+    peak = (
+        stream.select(
+            F.shiftright(F.col("gx"), 3).alias("x"),
+            F.shiftright(F.col("gy"), 3).alias("y"),
+            "acc",
+        )
+        .groupBy("x", "y")
+        .agg(F.max("acc").alias("max_acc"))
+    )
+    return (
+        mvt.select("z", "x", "y", "n_features")
+        .join(peak, on=["x", "y"])
+        .select("z", "x", "y", "n_features", "max_acc")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

