@@ -146,3 +146,29 @@ def test_analyze_coloc(spark, sf_dir, tmp_path_factory):
     assert co["pairs"] >= 1
     pis = [r["pi_milli"] for r in co["top"]]
     assert pis == sorted(pis, reverse=True)
+
+
+def test_analyze_hydro_over_mbtiles(spark, tmp_path):
+    """The hydro command reads DEM tiles out of a CONTAINER and reports
+    exact, fixture-deterministic basin + stream statistics (numbers pinned
+    against the oracle-verified d8_basins / flow_accum registry queries)."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    path = str(tmp_path / "dem.mbtiles")
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=2).select(
+        F.lit(1).alias("z"), "x", "y", "bytes"
+    )
+    assert write_mbtiles(tiles, path, {"format": "png"}) == 4
+
+    out = run_analyze("hydro", path, "--zoom", "1", "--min-accum", "64")
+    h = out["hydro"]
+    assert h["n_tiles"] == 4
+    assert h["n_pixels"] == 260100
+    assert h["n_basins"] == 66098
+    assert h["max_accum"] == 468
+    assert h["stream_pixels"] == 10016
+    assert h["coarse_rounds"] >= 1
+    assert h["largest_basins"][0]["n_px"] >= h["largest_basins"][-1]["n_px"]

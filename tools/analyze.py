@@ -19,6 +19,13 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py kde       pts.parquet [--zoom 6] [--radius 2]
     python tools/analyze.py clusters  pts.parquet [--zoom 6]         # marker bubbles
     python tools/analyze.py all       pts.parquet
+    python tools/analyze.py hydro     dem.{mbtiles,pmtiles,versatiles,tar,parquet}
+                                      [--zoom Z] [--min-accum 64] [--super-tiles 1]
+
+`hydro` is the raster command: it takes a TILE source (any container the
+engine reads, or a parquet tile table) holding single-band DEM tiles at
+--zoom, and runs the hydrology stack — D8 basins (pointer doubling) +
+two-phase flow accumulation — printing basin and stream-network stats.
 
 Expected columns: lon/lat (double); trends/emerging also need ts
 (timestamp); dbscan needs an id column (--id, default the first column).
@@ -41,13 +48,88 @@ def _top_rows(df, order_col, top, ascending=False):
     return [r.asDict() for r in df.orderBy(col).limit(top).collect()]
 
 
+def _load_tiles(spark, path: str, zoom: int):
+    """Open any tile source the engine reads (container or parquet tile
+    table) and narrow it to one zoom level's (x, y, bytes)."""
+    if path.endswith(".mbtiles"):
+        from versatiles_rs_spark.sources.mbtiles import read_mbtiles
+
+        df = read_mbtiles(spark, path, zoom=zoom)
+    elif path.endswith(".pmtiles"):
+        from versatiles_rs_spark.sources.pmtiles import read_pmtiles
+
+        df = read_pmtiles(spark, path)
+    elif path.endswith(".versatiles"):
+        from versatiles_rs_spark.sources.versatiles import read_versatiles
+
+        df = read_versatiles(spark, path)
+    elif path.endswith(".tar"):
+        from versatiles_rs_spark.sources.tar import read_tar
+
+        df = read_tar(spark, path)
+    else:
+        from versatiles_rs_spark.sources.containers import read_tile_table
+
+        df = read_tile_table(spark, path, zoom_range=(zoom, zoom))
+    from pyspark.sql import functions as F
+
+    if "z" in df.columns:
+        df = df.filter(F.col("z") == zoom)
+    return df.select("x", "y", "bytes")
+
+
+def _run_hydro(spark, args, F) -> dict:
+    """DEM hydrology over a tile source: D8 basins + flow accumulation."""
+    from versatiles_rs_spark.operators.focal import (
+        d8_basins,
+        d8_successors,
+        focal_terrain_pixels,
+    )
+    from versatiles_rs_spark.operators.hydro import flow_accumulation
+
+    tiles = _load_tiles(spark, args.table, args.zoom).localCheckpoint()
+    pixels = focal_terrain_pixels(tiles, tile_size=args.tile_size).localCheckpoint()
+    bm: dict = {}
+    basins = d8_basins(d8_successors(pixels), rounds=None, metrics=bm)
+    sizes = basins.groupBy("label").agg(F.count("*").alias("n_px"))
+    base = 4294967296
+    largest = [
+        {"bx": r["label"] // base, "by": r["label"] % base, "n_px": r["n_px"]}
+        for r in sizes.orderBy(F.col("n_px").desc(), "label").limit(args.top).collect()
+    ]
+    fm: dict = {}
+    acc = flow_accumulation(
+        tiles, tile_size=args.tile_size, super_tiles=args.super_tiles, metrics=fm
+    ).localCheckpoint()
+    acc_stats = acc.agg(
+        F.max("acc").alias("mx"),
+        F.sum((F.col("acc") >= args.min_accum).cast("long")).alias("streams"),
+    ).collect()[0]
+    return {
+        "table": args.table,
+        "hydro": {
+            "zoom": args.zoom,
+            "n_tiles": tiles.count(),
+            "n_pixels": pixels.count(),
+            "n_basins": sizes.count(),
+            "basin_rounds": bm.get("basin_rounds"),
+            "largest_basins": largest,
+            "max_accum": acc_stats["mx"],
+            "stream_pixels": acc_stats["streams"],
+            "min_accum": args.min_accum,
+            "coarse_rounds": fm.get("coarse_rounds"),
+        },
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="analyze")
     ap.add_argument(
         "command",
         choices=["hotspots", "trends", "emerging", "dbscan", "od",
                  "moran", "geary", "ripley", "idw", "shortest",
-                 "stdbscan", "similar", "coloc", "kde", "clusters", "all"],
+                 "stdbscan", "similar", "coloc", "kde", "clusters",
+                 "hydro", "all"],
     )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
@@ -65,6 +147,12 @@ def main(argv=None):
     ap.add_argument("--radius-deg", type=float, default=1.0,
                     help="neighbor radius in degrees for the coloc command")
     ap.add_argument("--id", dest="id_col", default=None)
+    ap.add_argument("--min-accum", type=int, default=64,
+                    help="stream-network accumulation threshold (hydro)")
+    ap.add_argument("--super-tiles", type=int, default=1,
+                    help="super-tile side in tiles for flow accumulation (hydro)")
+    ap.add_argument("--tile-size", type=int, default=256,
+                    help="pixel side of each DEM tile (hydro)")
     ap.add_argument("--by", dest="by_col", default="user_id",
                     help="trajectory grouping column for the od command")
     ap.add_argument("--lon", default="lon")
@@ -79,6 +167,13 @@ def main(argv=None):
     from versatiles_rs_spark.session import get_spark
 
     spark = get_spark(app_name="analyze", master=args.master, shuffle_partitions=8)
+
+    if args.command == "hydro":
+        out = _run_hydro(spark, args, F)
+        print(json.dumps(out))
+        spark.stop()
+        return
+
     pts = spark.read.parquet(args.table)
     out: dict = {"table": args.table, "n_points": pts.count()}
 
