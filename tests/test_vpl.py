@@ -307,3 +307,47 @@ def test_vpl_raster_hillshade(spark, tmp_path):
     img = decode_image(bytes(rows[0].bytes))
     want = hillshade_kernel(heights)
     assert np.abs(img[:, :, 0].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_vpl_raster_flowaccum(spark, tmp_path):
+    """Engine-extension hydrology in the pipeline language: an eastward-
+    ramp DEM directory piped through raster_flowaccum yields log2-ramp
+    accumulation tiles — on the ramp acc(gx) == gx exactly, so every
+    rendered pixel is min(255, 16 * bit_length(gx))."""
+    import numpy as np
+
+    from versatiles_rs_spark.codecs import decode_image, encode_png
+    from versatiles_rs_spark.plans.vpl import run_vpl
+
+    n, ts = 64, 32
+    for ty in range(n // ts):
+        for tx in range(n // ts):
+            d = tmp_path / "dem" / "1" / str(tx)
+            d.mkdir(parents=True, exist_ok=True)
+            gx = np.arange(tx * ts, (tx + 1) * ts, dtype=np.int64)
+            v = np.broadcast_to(n - 1 - gx[None, :], (ts, ts)).astype(np.uint8)
+            (d / f"{ty}.png").write_bytes(
+                bytes(encode_png(np.ascontiguousarray(v)[:, :, None]))
+            )
+    df = run_vpl(
+        spark,
+        f'from_container filename="{tmp_path / "dem"}" | '
+        f'raster_flowaccum tile_size="{ts}" zoom="1"',
+    )
+    rows = {(r["x"], r["y"]): decode_image(bytes(r["bytes"]))[:, :, 0] for r in df.collect()}
+    assert len(rows) == 4 and all(r["z"] == 1 for r in df.collect())
+    gxg = np.arange(n, dtype=np.int64)
+    bits = np.zeros_like(gxg)
+    for k in range(63):
+        bits += (gxg >> k) > 0
+    want_row = np.minimum(255, 16 * bits)
+    want_row[0] = want_row[-1] = 0  # off-universe columns
+    for (tx, ty), img in rows.items():
+        want = np.broadcast_to(want_row[tx * ts : (tx + 1) * ts][None, :], (ts, ts)).copy()
+        if ty == 0:
+            want = want.copy()
+            want[0, :] = 0
+        if ty == n // ts - 1:
+            want = want.copy()
+            want[-1, :] = 0
+        np.testing.assert_array_equal(img.astype(np.int64), want)

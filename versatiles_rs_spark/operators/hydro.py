@@ -189,6 +189,42 @@ def _local_accumulate(
     return acc
 
 
+def accumulation_to_tiles(
+    acc: DataFrame,
+    tile_size: int = 256,
+) -> DataFrame:
+    """Render the (gx, gy, acc) relation back into grayscale PNG tiles:
+    pixel value = min(255, 16 * bit_length(acc)) — a pure-integer log2
+    ramp (each accumulation doubling adds 16 gray levels; bit_length is
+    computed with 63 shift-compares, no float log rounding).  Pixels
+    absent from the relation (off-universe, or filtered by min_accum)
+    render 0.  One shuffle on the tile key; groups are whole tiles, so
+    applyInPandas overhead amortizes."""
+    from ..codecs import encode_png
+
+    ts = int(tile_size)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(pdf["tx"].iloc[0]), int(pdf["ty"].iloc[0])
+        g = np.zeros((ts, ts), dtype=np.int64)
+        r = pdf["gy"].to_numpy() - ty * ts
+        c = pdf["gx"].to_numpy() - tx * ts
+        a = pdf["acc"].to_numpy()
+        bits = np.zeros_like(a)
+        for k in range(63):
+            bits += (a >> k) > 0
+        g[r, c] = np.minimum(255, 16 * bits)
+        blob = encode_png(g.astype(np.uint8)[:, :, None])
+        return pd.DataFrame({"x": [tx], "y": [ty], "bytes": [blob], "fmt": ["png"]})
+
+    return (
+        acc.withColumn("tx", F.expr(f"gx div {ts}"))
+        .withColumn("ty", F.expr(f"gy div {ts}"))
+        .groupBy("tx", "ty")
+        .applyInPandas(build, schema="x long, y long, bytes binary, fmt string")
+    )
+
+
 def flow_accumulation(
     tiles: DataFrame,
     tile_size: int = 256,

@@ -403,6 +403,25 @@ def _raster_hillshade(df, dem_schema="mapbox", azimuth="315", altitude="45",
     )
 
 
+@transform("raster_flowaccum")
+def _raster_flowaccum(df, tile_size="256", super_tiles="1", zoom=None, **kw):
+    """Engine extension (not in the reference's VPL): DEM tiles -> flow
+    accumulation rendered as log2-ramp grayscale tiles, in the pipeline
+    language.  Single-zoom: `zoom` picks the level (default: the source's
+    max zoom)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.hydro import accumulation_to_tiles, flow_accumulation
+
+    z = int(zoom) if zoom is not None else df.agg(F.max("z")).first()[0]
+    tiles = df.filter(F.col("z") == z).select("x", "y", "bytes")
+    acc = flow_accumulation(
+        tiles, tile_size=int(tile_size), super_tiles=int(super_tiles)
+    )
+    out = accumulation_to_tiles(acc, tile_size=int(tile_size))
+    return out.select(F.lit(z).cast("long").alias("z"), "x", "y", "bytes", "fmt")
+
+
 @transform("raster_format")
 def _raster_format(df, format: str = "png", quality="85", **kw):
     from ..operators.raster import raster_format
