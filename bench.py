@@ -112,6 +112,12 @@ HEADLINE = [
     "g_function",
     "cross_k",
     "cluster_markers",
+    "d8_basins",
+    "flow_accum",
+    "flow_length",
+    "basin_stats",
+    "stream_tiles",
+    "watersheds",
 ]
 
 

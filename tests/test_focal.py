@@ -277,6 +277,59 @@ def test_d8_flow_length_matches_numpy_walk(spark):
     np.testing.assert_array_equal(got, dist)
 
 
+def test_watershed_membership_matches_numpy_walk(spark):
+    """Forcing outlets terminal == stopping the sequential walk at the
+    first outlet: membership maps match pixel-for-pixel on zoom 0, with
+    one outlet nested INSIDE another's catchment (the hard case)."""
+    from versatiles_rs_spark.operators.focal import watershed_membership
+
+    _, f = global_pixel_fields(256)
+    d8 = f["d8"]
+    h = d8.shape[0]
+    dxy = {0: (0, 0), 1: (1, 0), 2: (1, 1), 4: (0, 1), 8: (-1, 1),
+           16: (-1, 0), 32: (-1, -1), 64: (0, -1), 128: (1, -1)}
+    dx = np.zeros_like(d8)
+    dy = np.zeros_like(d8)
+    for code, (cx, cy) in dxy.items():
+        dx = np.where(d8 == code, cx, dx)
+        dy = np.where(d8 == code, cy, dy)
+    # outlets: a sink plus a pixel strictly upstream of it (nested) —
+    # pick the first flowing pixel whose target is an in-grid sink
+    ii, jj = np.meshgrid(np.arange(h), np.arange(h), indexing="ij")
+    ti, tj = ii + dy, jj + dx
+    in_grid = (ti >= 0) & (ti < h) & (tj >= 0) & (tj < h)
+    feeds_sink = (d8 > 0) & in_grid & (d8[ti.clip(0, h - 1), tj.clip(0, h - 1)] == 0)
+    assert feeds_sink.any(), "fixture has a sink with an upstream pixel"
+    up_i, up_j = map(int, np.argwhere(feeds_sink)[0])
+    sink_i, sink_j = int(ti[up_i, up_j]), int(tj[up_i, up_j])
+    outs = {(sink_i, sink_j), (up_i, up_j)}
+    # sequential walk, stopping at the first outlet
+    exp: dict[tuple[int, int], set] = {o: set() for o in outs}
+    for i in range(h):
+        for j in range(h):
+            ci, cj = i, j
+            for _ in range(h * 4):
+                if (ci, cj) in outs:
+                    exp[(ci, cj)].add((i, j))
+                    break
+                ndi, ndj = int(dy[ci, cj]), int(dx[ci, cj])
+                if ndi == 0 and ndj == 0:
+                    break  # non-outlet sink
+                ni, nj = ci + ndi, cj + ndj
+                if not (0 <= ni < h and 0 <= nj < h):
+                    break  # drains off the raster
+                ci, cj = ni, nj
+    pixels = focal_terrain_pixels(fixtures.dem_raster_df(spark, zoom=0, partitions=1))
+    pid = lambda i, j: (j + 1) * _ID_BASE + (i + 1)
+    outlets = spark.createDataFrame([(pid(i, j),) for i, j in outs], "id long")
+    got: dict[tuple[int, int], set] = {o: set() for o in outs}
+    for r in watershed_membership(d8_successors(pixels), outlets, rounds=6).collect():
+        o = (int(r["outlet"] % _ID_BASE - 1), int(r["outlet"] // _ID_BASE - 1))
+        got[o].add((int(r["id"] % _ID_BASE - 1), int(r["id"] // _ID_BASE - 1)))
+    assert got == exp
+    assert (up_i, up_j) in exp[(up_i, up_j)]  # nested outlet keeps itself
+
+
 def test_focal_terrain_payload_never_shuffles(spark):
     """Only slim border strips cross the Exchange: the tile payload column
     is consumed by the first (and only) decode pass, so `bytes#` must not

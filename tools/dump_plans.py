@@ -29,6 +29,8 @@ NOTES = {
     "ripley_k": "Ripley's K: micro7 quantization in the scan projection, 9-key explode equi-join on cell ids (no cartesian), clamped int64 d^2, conditional-count one-row agg + broadcast n; zero Python.",
     "colocation": "Co-location PI: the ripley cell join with a type column; DISTINCT participation agg on (type, type, id) — only ids and type strings in any Exchange.",
     "traj_similarity": "Trajectory Jaccard: distinct (user, cell) projection, inverted-index self-join on the packed cell long, slim (ua, ub) count agg; integer threshold — no float compares.",
+    "flow_accum": "Two-phase D8 flow accumulation, phase-B plan (phase A + the border-graph Jacobi run eagerly): tile payload crosses exactly ONE Exchange (the super-tile groupBy); halo strips cached (InMemoryTableScan); inflow rows are slim longs unioned in.",
+    "stream_tiles": "Stream network -> MVT: the channel-pixel relation checkpointed once, choropleth render is repartition + sortWithinPartitions + ONE mapInPandas (no per-group machinery), per-tile peak agg joins the slim stats only — no payload in the join.",
 }
 
 

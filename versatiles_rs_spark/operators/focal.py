@@ -286,6 +286,37 @@ def d8_successors(pixels: DataFrame) -> DataFrame:
     return pixels.select(pid.alias("id"), succ.alias("succ"))
 
 
+def watershed_membership(
+    succ_df: DataFrame,
+    outlets: DataFrame,
+    rounds: int | None = None,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """(id, outlet): which query pour point each pixel drains THROUGH —
+    the ArcGIS Watershed operator (upstream area of arbitrary outlets),
+    reduced to basin labeling: force every outlet pixel terminal (succ =
+    self), pointer-double as usual, and a pixel belongs to outlet O iff
+    its label freezes at O.  Nested outlets resolve exactly like the
+    sequential algorithm: a pixel stops at the FIRST outlet on its
+    downstream path, because the walk can never pass a terminal.
+    `outlets`: one `id` column (packed gx*2^32+gy pixel ids, broadcast —
+    pour-point sets are small).  Same O(log L) slim shape as d8_basins."""
+    marked = succ_df.join(
+        F.broadcast(outlets.select(F.col("id").alias("oid"), F.lit(True).alias("is_outlet"))),
+        on=F.col("id") == F.col("oid"),
+        how="left",
+    ).select(
+        "id",
+        F.when(F.col("is_outlet"), F.col("id")).otherwise(F.col("succ")).alias("succ"),
+    )
+    labels = d8_basins(marked, rounds=rounds, max_rounds=max_rounds)
+    return labels.join(
+        F.broadcast(outlets.select(F.col("id").alias("outlet"))),
+        on=F.col("label") == F.col("outlet"),
+        how="inner",
+    ).select("id", "outlet")
+
+
 def d8_flow_length(
     pixels: DataFrame,
     rounds: int,

@@ -6361,6 +6361,106 @@ def q_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _watersheds_oracle_sql(zoom: int, k: int, rounds: int) -> str:
+    """Replay of q_watersheds end-to-end: the flow-accumulation closure
+    count picks the k pour points (acc DESC, gx, gy — fully deterministic
+    tie-break), the basin doubling schedule reruns with those pixels
+    forced terminal (CASE in d0), and membership rolls up per (outlet,
+    tile).  outlets and every doubling round are MATERIALIZED (each is
+    referenced more than once)."""
+    n = (1 << zoom) * 256
+    base = 4294967296
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
+    sgx = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k_} = {smax} THEN gx + {dx}" for k_, _c, _m, (dx, _dy) in dirs
+    ) + " END"
+    sgy = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k_} = {smax} THEN gy + {dy}" for k_, _c, _m, (_dx, dy) in dirs
+    ) + " END"
+    succcase = (
+        f"CASE WHEN {smax} <= 0 THEN gx * {base} + gy "
+        + " ".join(
+            f"WHEN s_{k_} = {smax} THEN (gx + {dx}) * {base} + (gy + {dy})"
+            for k_, _code, _m, (dx, dy) in dirs
+        )
+        + " END"
+    )
+    doubling = "".join(
+        f",\n    d{r} AS MATERIALIZED (SELECT a.id, coalesce(b.label, a.label) AS label"
+        f" FROM d{r - 1} a LEFT JOIN d{r - 1} b ON a.label = b.id)"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH RECURSIVE {parts["prefix"]},
+    s0 AS (SELECT gx, gy, {sgx} AS nx0, {sgy} AS ny0, {succcase} AS bsucc FROM sc),
+    succ AS MATERIALIZED (SELECT gx, gy, bsucc,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN nx0 END AS nx,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN ny0 END AS ny
+      FROM s0),
+    walk AS (
+      SELECT gx AS cx, gy AS cy FROM succ
+      UNION ALL
+      SELECT s.nx, s.ny FROM walk w JOIN succ s ON s.gx = w.cx AND s.gy = w.cy
+      WHERE s.nx IS NOT NULL
+    ),
+    acc AS MATERIALIZED (
+      SELECT cx AS gx, cy AS gy, count(*) AS acc FROM walk GROUP BY 1, 2
+    ),
+    outlets AS MATERIALIZED (
+      SELECT gx * {base} + gy AS oid FROM acc
+      ORDER BY acc DESC, gx, gy LIMIT {k}
+    ),
+    d0 AS MATERIALIZED (
+      SELECT gx * {base} + gy AS id,
+        CASE WHEN gx * {base} + gy IN (SELECT oid FROM outlets)
+             THEN gx * {base} + gy ELSE bsucc END AS label
+      FROM succ)
+    {doubling}
+    SELECT label // {base} AS ox, label % {base} AS oy,
+      (id // {base}) // 256 AS tx, (id % {base}) // 256 AS ty,
+      CAST(count(*) AS BIGINT) AS n_px
+    FROM d{rounds}
+    WHERE label IN (SELECT oid FROM outlets)
+    GROUP BY 1, 2, 3, 4
+    """
+
+
+@register("watersheds", _watersheds_oracle_sql(zoom=1, k=4, rounds=6))
+def q_watersheds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArcGIS Watershed: the upstream area of query pour points — here
+    the 4 highest-flow-accumulation pixels (deterministic acc/gx/gy
+    tie-break), so the query composes BOTH hydrology pipelines: two-phase
+    accumulation selects the outlets, then watershed_membership forces
+    them terminal in the successor graph and pointer-doubles — a pixel
+    belongs to the FIRST outlet on its downstream path, exactly as the
+    sequential algorithm resolves nesting.  Output: per (outlet, tile)
+    membership counts."""
+    from . import fixtures
+    from .operators.focal import (
+        d8_successors,
+        focal_terrain_pixels,
+        watershed_membership,
+    )
+    from .operators.hydro import flow_accumulation
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    acc = flow_accumulation(tiles, super_tiles=1)
+    outlets = (
+        acc.orderBy(F.col("acc").desc(), "gx", "gy")
+        .limit(4)
+        .select((F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("id"))
+    )
+    pixels = focal_terrain_pixels(tiles, tile_size=256)
+    members = watershed_membership(d8_successors(pixels), outlets, rounds=6)
+    return members.groupBy(
+        F.expr("outlet div 4294967296").alias("ox"),
+        (F.col("outlet") % 4294967296).alias("oy"),
+        F.expr("(id div 4294967296) div 256").alias("tx"),
+        F.expr("(id % 4294967296) div 256").alias("ty"),
+    ).agg(F.count("*").alias("n_px"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
