@@ -118,6 +118,8 @@ HEADLINE = [
     "basin_stats",
     "stream_tiles",
     "watersheds",
+    "fill_dem",
+    "fill_streams",
 ]
 
 

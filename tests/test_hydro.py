@@ -122,3 +122,109 @@ def test_flow_accumulation_single_payload_exchange(spark):
         line for line in plan.splitlines() if "Exchange" in line and "data#" in line
     ]
     assert len(payload_exchanges) <= 1, payload_exchanges
+
+
+def global_priority_flood(v: np.ndarray) -> np.ndarray:
+    """Ground truth depression fill: sequential Priority-Flood over the
+    whole mosaic, ocean at the raster perimeter."""
+    import heapq
+
+    n = v.shape[0]
+    big = 1 << 62
+    z = np.full((n, n), big, dtype=np.int64)
+    heap = []
+    for r in range(n):
+        cols = range(n) if r in (0, n - 1) else (0, n - 1)
+        for c in cols:
+            z[r, c] = v[r, c]
+            heap.append((int(v[r, c]), r, c))
+    heapq.heapify(heap)
+    while heap:
+        z0, r, c = heapq.heappop(heap)
+        if z0 > z[r, c]:
+            continue
+        for nr in (r - 1, r, r + 1):
+            if not (0 <= nr < n):
+                continue
+            for nc in (c - 1, c, c + 1):
+                if not (0 <= nc < n) or (nr == r and nc == c):
+                    continue
+                zz = z0 if z0 > v[nr, nc] else int(v[nr, nc])
+                if zz < z[nr, nc]:
+                    z[nr, nc] = zz
+                    heapq.heappush(heap, (zz, nr, nc))
+    return z
+
+
+def test_fill_depressions_matches_global_flood(spark):
+    """Two-phase distributed fill == single global Priority-Flood, bit
+    for bit, on the pitted fixture (pit A straddles all 4 tiles -> the
+    cross-tile watershed merge is on the path), AND every pit lands on
+    its ANALYTIC ring-spill level."""
+    from versatiles_rs_spark.fixtures import (
+        DEM_BOWLS,
+        bowl_spill,
+        dem_bowls_raster_df,
+        dem_bowls_value,
+    )
+    from versatiles_rs_spark.operators.hydro import fill_depressions
+
+    n = 512
+    g = np.arange(n, dtype=np.int64)
+    v = dem_bowls_value(g[None, :], g[:, None])
+    exp = global_priority_flood(v)
+    m: dict = {}
+    pdf = fill_depressions(
+        dem_bowls_raster_df(spark, partitions=4), super_tiles=1, metrics=m
+    ).toPandas()
+    assert len(pdf) == n * n
+    got = np.zeros_like(exp)
+    got[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = pdf["filled"].to_numpy()
+    np.testing.assert_array_equal(got, exp)
+    assert m["spill_rounds"] >= 1
+    for cx, cy, r, floor in DEM_BOWLS:
+        pit = got[cy - r : cy + r + 1, cx - r : cx + r + 1]
+        assert pit.min() == pit.max() == bowl_spill(cx, cy, r)
+    # elevations round-trip too, and fill never lowers
+    raw = np.zeros_like(exp)
+    raw[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = pdf["elev"].to_numpy()
+    np.testing.assert_array_equal(raw, v)
+    assert (got >= raw).all()
+
+
+def test_fill_depressions_tiles_roundtrip(spark):
+    """emit="tiles": the filled surface re-encodes as PNG tiles that
+    decode back to exactly the pixel-mode output."""
+    from versatiles_rs_spark.codecs import decode_image
+    from versatiles_rs_spark.fixtures import dem_bowls_raster_df, dem_bowls_value
+    from versatiles_rs_spark.operators.hydro import fill_depressions
+
+    n = 512
+    g = np.arange(n, dtype=np.int64)
+    exp = global_priority_flood(dem_bowls_value(g[None, :], g[:, None]))
+    rows = fill_depressions(
+        dem_bowls_raster_df(spark, partitions=4), super_tiles=1, emit="tiles"
+    ).collect()
+    assert len(rows) == 4 and all(r["fmt"] == "png" for r in rows)
+    for r in rows:
+        img = decode_image(bytes(r["bytes"]))[:, :, 0].astype(np.int64)
+        np.testing.assert_array_equal(
+            img, exp[r["y"] * 256 : (r["y"] + 1) * 256, r["x"] * 256 : (r["x"] + 1) * 256]
+        )
+
+
+def test_fill_depressions_super_tile_degenerate(spark):
+    """S=2 puts the whole zoom-1 world in one flood (no cross edges, no
+    ocean-graph hops) — must equal the global truth as well."""
+    from versatiles_rs_spark.fixtures import dem_bowls_raster_df, dem_bowls_value
+    from versatiles_rs_spark.operators.hydro import fill_depressions
+
+    n = 512
+    g = np.arange(n, dtype=np.int64)
+    exp = global_priority_flood(dem_bowls_value(g[None, :], g[:, None]))
+    pdf = fill_depressions(
+        dem_bowls_raster_df(spark, partitions=4), super_tiles=2
+    ).toPandas()
+    got = np.zeros_like(exp)
+    got[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = pdf["filled"].to_numpy()
+    np.testing.assert_array_equal(got, exp)

@@ -441,11 +441,68 @@ def dem_sql(gx_expr: str, gy_expr: str) -> str:
     return f"((3 * {tx} + 3 * {ty} + 2 * {td}) // 8)"
 
 
+# Flat-bottom pits carved into the monotone bowls base surface, fixed to
+# the zoom-1 (512px) world: (cx, cy, chebyshev_radius, floor).  The base
+# (gx + 2*gy) // 8 is monotone toward the NW border, so it is depression-
+# free on its own, and each pit's TRUE fill level has a closed form: the
+# minimax escape runs through the pit ring's minimum-base corner
+# (cx-r-1, cy-r-1) and then monotonically downhill — the analytic truth
+# the general Priority-Flood engine must reproduce.  Pit A straddles all
+# four zoom-1 tiles (the cross-tile watershed-merge case).
+DEM_BOWLS = [
+    (256, 256, 20, 5),
+    (100, 380, 10, 0),
+    (400, 120, 15, 50),
+]
+
+
+def bowl_spill(cx: int, cy: int, r: int) -> int:
+    """Closed-form fill level of a DEM_BOWLS pit: min base elevation on
+    its chebyshev r+1 ring (the NW ring corner minimizes gx + 2*gy)."""
+    return ((cx - r - 1) + 2 * (cy - r - 1)) // 8
+
+
+def dem_bowls_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Deterministic pitted DEM at global pixel (gx, gy), int64 in
+    [0, 191] at zoom 1: monotone base minus the DEM_BOWLS flat pits."""
+    v = (gx + 2 * gy) // 8
+    for cx, cy, r, floor in DEM_BOWLS:
+        m = np.maximum(np.abs(gx - cx), np.abs(gy - cy)) <= r
+        v = np.where(m, np.int64(floor), v)
+    return v
+
+
+def dem_bowls_sql(gx_expr: str, gy_expr: str, filled: bool = False) -> str:
+    """DuckDB replay of dem_bowls_value; filled=True substitutes each
+    pit's closed-form spill level — the analytic ground truth for
+    depression filling (the base surface is depression-free, so it is
+    its own fill)."""
+    gx, gy = f"({gx_expr})", f"({gy_expr})"
+    arms = []
+    for cx, cy, r, floor in DEM_BOWLS:
+        val = bowl_spill(cx, cy, r) if filled else floor
+        assert bowl_spill(cx, cy, r) > floor, "pit floor must sit below its spill"
+        arms.append(
+            f"WHEN greatest(abs({gx} - {cx}), abs({gy} - {cy})) <= {r} THEN {val}"
+        )
+    return f"(CASE {' '.join(arms)} ELSE ({gx} + 2 * {gy}) // 8 END)"
+
+
+def dem_bowls_raster_df(spark: SparkSession, partitions: int = 4) -> DataFrame:
+    """Zoom-1 pitted-DEM tile table (x, y, bytes) following
+    dem_bowls_value — the depression-filling fixture."""
+    return _dem_tiles(spark, zoom=1, partitions=partitions, fn=dem_bowls_value)
+
+
 def dem_raster_df(spark: SparkSession, zoom: int = 3, partitions: int = 16) -> DataFrame:
     """Single-zoom DEM tile table (x, y, bytes): REAL 8-bit grayscale PNG
     tiles whose pixels follow dem_value on the global pixel grid —
     elevation stays in [0, 207] so uint8 is lossless. Generated
     distributed, 256x256, one PNG encode per tile."""
+    return _dem_tiles(spark, zoom=zoom, partitions=partitions, fn=dem_value)
+
+
+def _dem_tiles(spark: SparkSession, zoom: int, partitions: int, fn) -> DataFrame:
     n = 1 << zoom
 
     def gen(batches):
@@ -457,7 +514,7 @@ def dem_raster_df(spark: SparkSession, zoom: int = 3, partitions: int = 16) -> D
                 x, y = int(i) % n, int(i) // n
                 gx = np.arange(x * 256, (x + 1) * 256, dtype=np.int64)
                 gy = np.arange(y * 256, (y + 1) * 256, dtype=np.int64)
-                v = dem_value(gx[None, :], gy[:, None]).astype(np.uint8)
+                v = fn(gx[None, :], gy[:, None]).astype(np.uint8)
                 rows.append((x, y, encode_png(v[:, :, None])))
             yield pd.DataFrame(rows, columns=["x", "y", "bytes"])
 

@@ -119,9 +119,11 @@ def _strip_rows(tiles: DataFrame, ts: int, S: int, payload: str, band: int) -> D
 
 
 def _assemble(pdf: pd.DataFrame, G: int, band: int):
-    """Rebuild one super-tile's padded elevation grid + injected inflows
-    from its halo-relation rows.  Returns (padded, inject, ox, oy) or
-    None when the group holds no tile (a world-edge halo-only group)."""
+    """Rebuild one super-tile's padded elevation grid + injected rows
+    from its halo-relation rows.  Returns (padded, inject, raw, ox, oy)
+    — inject = pixel-addressed (row, col, w) rows (axis 2), raw =
+    uninterpreted (key, w) rows (axis 3, for watershed raises) — or None
+    when the group holds no tile (a world-edge halo-only group)."""
     tile_rows = pdf[pdf["axis"] == -1]
     if len(tile_rows) == 0:
         return None
@@ -129,6 +131,7 @@ def _assemble(pdf: pd.DataFrame, G: int, band: int):
     ox, oy = sx * G, sy * G
     padded = np.full((G + 2, G + 2), -1, dtype=np.int64)
     inject: list[tuple[int, int, int]] = []
+    raw: list[tuple[int, int]] = []
     for gx0, gy0, axis, data, w in zip(
         pdf["gx0"], pdf["gy0"], pdf["axis"], pdf["data"], pdf["w"]
     ):
@@ -139,6 +142,8 @@ def _assemble(pdf: pd.DataFrame, G: int, band: int):
             padded[r0 : r0 + v.shape[0], c0 : c0 + v.shape[1]] = v
         elif axis == 2:
             inject.append((gy0 - oy, gx0 - ox, int(w)))
+        elif axis == 3:
+            raw.append((gx0, int(w)))
         else:
             a = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int64)
             r0, c0 = gy0 - oy + 1, gx0 - ox + 1
@@ -146,7 +151,7 @@ def _assemble(pdf: pd.DataFrame, G: int, band: int):
                 padded[r0, c0 : c0 + len(a)] = a
             else:
                 padded[r0 : r0 + len(a), c0] = a
-    return padded, inject, ox, oy
+    return padded, inject, raw, ox, oy
 
 
 def _local_fields(padded: np.ndarray, G: int):
@@ -255,7 +260,7 @@ def flow_accumulation(
         got = _assemble(pdf, G, band)
         if got is None:
             return empty
-        padded, _, ox, oy = got
+        padded, _, _, ox, oy = got
         valid, elev, tr, tc, internal, exits = _local_fields(padded, G)
         acc = _local_accumulate(valid, elev, tr, tc, internal, [], G)
         out = []
@@ -357,7 +362,7 @@ def flow_accumulation(
         got = _assemble(pdf, G, band)
         if got is None:
             return empty
-        padded, inject, ox, oy = got
+        padded, inject, _, ox, oy = got
         valid, elev, tr, tc, internal, _exits = _local_fields(padded, G)
         acc = _local_accumulate(valid, elev, tr, tc, internal, inject, G)
         keep = valid if min_accum is None else (valid & (acc >= min_accum))
@@ -368,4 +373,292 @@ def flow_accumulation(
         relation.unionByName(inflow_rows)
         .groupBy("sx", "sy")
         .applyInPandas(lambda pdf: solve_b(pdf), schema="gx long, gy long, acc long")
+    )
+
+
+_INF = 1 << 62
+_LABMOD = 1 << 21  # watershed node = (sx * 2^21 + sy) * 2^21 + local label
+
+
+def _flood(v: np.ndarray):
+    """Sequential Priority-Flood (Barnes et al. 2014, the O(n log n)
+    variant as max-relaxation Dijkstra) over ONE super-tile, seeded from
+    its perimeter cells at raw elevation.  Deterministic: heap orders
+    (z, row, col).  Returns (z, lab, edges):
+      z     tile-local fill — the minimax flood level from the tile's own
+            open perimeter,
+      lab   1..K watershed label per cell (K perimeter seeds, scan order),
+      edges {(la, lb): w} region minimax graph — min over adjacent
+            differing-label cell pairs of max(z_a, z_b) (z IS the minimax
+            from each region's seed, so the pair max is the exact
+            region-to-region spill through that crossing)."""
+    import heapq
+
+    G = v.shape[0]
+    z = np.full((G, G), _INF, dtype=np.int64)
+    lab = np.zeros((G, G), dtype=np.int64)
+    heap = []
+    k = 0
+    for r in range(G):
+        cols = range(G) if r in (0, G - 1) else (0, G - 1)
+        for c in cols:
+            k += 1
+            z[r, c] = v[r, c]
+            lab[r, c] = k
+            heap.append((int(v[r, c]), r, c))
+    heapq.heapify(heap)
+    pop, push = heapq.heappop, heapq.heappush
+    while heap:
+        z0, r, c = pop(heap)
+        if z0 > z[r, c]:
+            continue
+        for nr in (r - 1, r, r + 1):
+            if nr < 0 or nr >= G:
+                continue
+            for nc in (c - 1, c, c + 1):
+                if nc < 0 or nc >= G or (nr == r and nc == c):
+                    continue
+                zz = z0 if z0 > v[nr, nc] else int(v[nr, nc])
+                if zz < z[nr, nc]:
+                    z[nr, nc] = zz
+                    lab[nr, nc] = lab[r, c]
+                    push(heap, (zz, nr, nc))
+    edges: dict[tuple[int, int], int] = {}
+    for dr, dc in ((0, 1), (1, 0), (1, 1), (1, -1)):
+        r0a, r1a = max(0, -dr), G - max(0, dr)
+        c0a, c1a = max(0, -dc), G - max(0, dc)
+        la = lab[r0a:r1a, c0a:c1a]
+        lb = lab[r0a + dr : r1a + dr, c0a + dc : c1a + dc]
+        za = z[r0a:r1a, c0a:c1a]
+        zb = z[r0a + dr : r1a + dr, c0a + dc : c1a + dc]
+        m = la != lb
+        if not m.any():
+            continue
+        u = np.minimum(la[m], lb[m])
+        vv = np.maximum(la[m], lb[m])
+        w = np.maximum(za[m], zb[m])
+        key = u * (4 * G + 2) + vv
+        uniq, inv = np.unique(key, return_inverse=True)
+        wmin = np.full(len(uniq), _INF, dtype=np.int64)
+        np.minimum.at(wmin, inv, w)
+        for kk, ww in zip(uniq, wmin):
+            pair = (int(kk) // (4 * G + 2), int(kk) % (4 * G + 2))
+            if ww < edges.get(pair, _INF):
+                edges[pair] = int(ww)
+    return z, lab, edges
+
+
+def fill_depressions(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    super_tiles: int = 1,
+    payload: str = "bytes",
+    band: int = 0,
+    max_rounds: int = 64,
+    metrics: dict | None = None,
+    emit: str = "pixels",
+) -> DataFrame:
+    """Distributed depression filling — Barnes et al. 2016 ("Parallel
+    Priority-Flood depression filling for trillion cell DEMs") as Spark
+    relations:
+
+      phase A (payload shuffle #1): each super-tile runs sequential
+        Priority-Flood from its own perimeter, emitting ONLY slim rows —
+        the intra-tile region minimax graph, an ocean edge per
+        global-border watershed, and one (pixel gid, watershed node,
+        elev) row per perimeter cell for cross-tile linking.
+      spill solve (slim): adjacent perimeter cells across tile borders
+        join into cross edges (weight = max of the two raw elevations —
+        both are seeds, so z == elev); the global watershed raise is the
+        MINIMAX distance from the ocean node over this graph, computed by
+        monotone min/max relaxation (exact integers; converges in
+        watershed-graph-diameter rounds; changed-row probe).
+      phase B (payload shuffle #2): re-run the identical deterministic
+        flood per super-tile and finalize fill(c) = max(z_local(c),
+        raise(watershed(c))) — Barnes' RaiseCells step.
+
+    Semantics: water drains off the raster edge (the DEM perimeter is the
+    ocean); output covers every cell.  `emit`: "pixels" -> (gx, gy, elev,
+    filled); "tiles" -> (x, y, bytes, fmt) grayscale PNG tile table of the
+    filled surface, ready to feed the D8 stack.  At 100 TB the payload
+    crosses an Exchange exactly twice and the iterated relation holds one
+    row per WATERSHED (~perimeter cells / tile), not per pixel."""
+    ts, S = int(tile_size), int(super_tiles)
+    G = S * ts
+    relation = _keyed_tiles(tiles, ts, S, payload)
+    mx = tiles.agg(F.max("x").alias("mx"), F.max("y").alias("my")).first()
+    world_n = (max(int(mx["mx"]), int(mx["my"])) + 1) * ts
+
+    def solve_a(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["kind", "a", "b", "w"]
+        got = _assemble(pdf, G, band)
+        if got is None:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        padded, _, _, ox, oy = got
+        v = padded[1:-1, 1:-1]
+        if (v < 0).any():
+            raise ValueError("fill_depressions needs a complete tile grid")
+        z, lab, edges = _flood(v)
+        base = ((ox // G) * _LABMOD + (oy // G)) * _LABMOD
+        rows = [(0, base + la, base + lb, w) for (la, lb), w in edges.items()]
+        # perimeter rows + ocean edges
+        ring = np.zeros((G, G), dtype=bool)
+        ring[0, :] = ring[-1, :] = True
+        ring[:, 0] = ring[:, -1] = True
+        rr, cc = np.nonzero(ring)
+        ocean: dict[int, int] = {}
+        for r, c in zip(rr, cc):
+            node = base + int(lab[r, c])
+            gx, gy = ox + int(c), oy + int(r)
+            rows.append((1, gx * _ID_BASE + gy, node, int(v[r, c])))
+            if gx in (0, world_n - 1) or gy in (0, world_n - 1):
+                if int(v[r, c]) < ocean.get(node, _INF):
+                    ocean[node] = int(v[r, c])
+        rows.extend((0, 0, node, w) for node, w in ocean.items())
+        return pd.DataFrame(rows, columns=cols)
+
+    coarse = (
+        relation.groupBy("sx", "sy")
+        .applyInPandas(lambda pdf: solve_a(pdf), schema="kind int, a long, b long, w long")
+        .persist()
+    )
+    intra = coarse.filter(F.col("kind") == 0).select("a", "b", "w")
+    per = coarse.filter(F.col("kind") == 1).select(
+        F.col("a").alias("gid"), F.col("b").alias("node"), F.col("w").alias("elev")
+    )
+    nb_gids = F.array(
+        *[
+            (F.expr(f"gid div {_ID_BASE}") + dx) * _ID_BASE
+            + (F.col("gid") % _ID_BASE) + dy
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if not (dx == 0 and dy == 0)
+        ]
+    )
+    cross = (
+        per.select("gid", "node", "elev", F.explode(nb_gids).alias("ngid"))
+        .join(
+            per.select(
+                F.col("gid").alias("gid2"),
+                F.col("node").alias("node2"),
+                F.col("elev").alias("elev2"),
+            ),
+            on=F.col("ngid") == F.col("gid2"),
+        )
+        .filter(F.col("gid") < F.col("gid2"))
+        .filter(
+            F.expr(f"node div {_LABMOD}") != F.expr(f"node2 div {_LABMOD}")
+        )
+        .select(
+            F.col("node").alias("a"),
+            F.col("node2").alias("b"),
+            F.greatest("elev", "elev2").alias("w"),
+        )
+    )
+    edges = (
+        intra.unionByName(cross).groupBy("a", "b").agg(F.min("w").alias("w"))
+    ).localCheckpoint()
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
+    )
+    nodes = und.select(F.col("a").alias("id")).union(
+        und.select(F.col("b").alias("id"))
+    ).distinct().filter(F.col("id") != 0)
+    cur = nodes.select("id", F.lit(_INF).alias("rz")).unionByName(
+        F.broadcast(
+            tiles.sparkSession.createDataFrame([(0, -1)], "id long, rz long")
+        )
+    ).localCheckpoint()
+    rounds = 0
+    while rounds < max_rounds:
+        cand = (
+            und.join(cur, on=F.col("a") == F.col("id"))
+            .select(F.col("b").alias("id"), F.greatest("rz", "w").alias("c"))
+            .groupBy("id")
+            .agg(F.min("c").alias("c"))
+        )
+        nxt = (
+            cur.join(cand, "id", "left")
+            .select("id", F.least("rz", F.coalesce("c", F.lit(_INF))).alias("rz"))
+        ).localCheckpoint()
+        rounds += 1
+        changed = (
+            nxt.alias("n")
+            .join(cur.alias("o"), "id")
+            .filter(F.col("n.rz") != F.col("o.rz"))
+            .limit(1)
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"fill_depressions: spill relaxation open after {max_rounds} rounds"
+        )
+    if metrics is not None:
+        metrics["spill_rounds"] = rounds
+    raises = cur.filter(F.col("id") != 0)
+    raise_rows = raises.select(
+        F.expr(f"id div {_LABMOD} div {_LABMOD}").alias("sx"),
+        (F.expr(f"id div {_LABMOD}") % _LABMOD).alias("sy"),
+        F.col("id").alias("gx0"),
+        F.lit(0).cast("long").alias("gy0"),
+        F.lit(3).alias("axis"),
+        F.lit(None).cast("binary").alias("data"),
+        F.col("rz").alias("w"),
+    )
+
+    def solve_b(pdf: pd.DataFrame) -> pd.DataFrame:
+        pix_cols = ["gx", "gy", "elev", "filled"]
+        if emit == "pixels":
+            empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in pix_cols})
+        else:
+            empty = pd.DataFrame(
+                {"x": pd.Series(dtype="int64"), "y": pd.Series(dtype="int64"),
+                 "bytes": pd.Series(dtype="object"), "fmt": pd.Series(dtype="object")}
+            )
+        got = _assemble(pdf, G, band)
+        if got is None:
+            return empty
+        padded, _, raw, ox, oy = got
+        v = padded[1:-1, 1:-1]
+        z, lab, _edges = _flood(v)
+        base = ((ox // G) * _LABMOD + (oy // G)) * _LABMOD
+        raise_arr = np.full(4 * G + 2, _INF, dtype=np.int64)
+        for node, rz in raw:
+            raise_arr[node - base] = rz
+        rlab = raise_arr[lab]
+        if (rlab >= _INF).any():
+            raise AssertionError("watershed without a resolved spill level")
+        filled = np.maximum(z, rlab)
+        if emit == "pixels":
+            rr, cc = np.meshgrid(np.arange(G), np.arange(G), indexing="ij")
+            return pd.DataFrame(
+                {"gx": (cc + ox).ravel(), "gy": (rr + oy).ravel(),
+                 "elev": v.ravel(), "filled": filled.ravel()}
+            )
+        from ..codecs import encode_png
+
+        if filled.max() > 255:
+            raise ValueError("filled surface exceeds uint8")
+        rows = []
+        for tr in range(S):
+            for tc in range(S):
+                sub = filled[tr * ts : (tr + 1) * ts, tc * ts : (tc + 1) * ts]
+                rows.append(
+                    (ox // ts + tc, oy // ts + tr,
+                     encode_png(sub.astype(np.uint8)[:, :, None]), "png")
+                )
+        return pd.DataFrame(rows, columns=["x", "y", "bytes", "fmt"])
+
+    schema = (
+        "gx long, gy long, elev long, filled long"
+        if emit == "pixels"
+        else "x long, y long, bytes binary, fmt string"
+    )
+    return (
+        relation.unionByName(raise_rows)
+        .groupBy("sx", "sy")
+        .applyInPandas(lambda pdf: solve_b(pdf), schema=schema)
     )

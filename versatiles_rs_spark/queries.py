@@ -5981,21 +5981,26 @@ def q_terrain_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_terrain_stats(tiles, tile_size=256)
 
 
-def _d8_sql_parts(n: int) -> dict:
+def _d8_sql_parts(n: int, value_sql=None) -> dict:
     """The ONE SQL definition of the per-pixel D8 derivation shared by
     every hydrology oracle (basins + flow accumulation): 9-neighbor DEM
     values (v9), distance-corrected descent scores (sc), steepest-score
     expression, and the direction table in ascending-ESRI-code order
-    (= Spark-side argmax first-max tie-break)."""
+    (= Spark-side argmax first-max tie-break).  `value_sql(gx_expr,
+    gy_expr)` picks the surface (default: the dem_value fixture; pass
+    the filled-bowls closed form to replay hydrology over a FILLED
+    DEM)."""
     from .fixtures import dem_sql
 
+    if value_sql is None:
+        value_sql = dem_sql
     offs = {
         "nw": (-1, -1), "n": (0, -1), "ne": (1, -1),
         "w": (-1, 0), "c": (0, 0), "e": (1, 0),
         "sw": (-1, 1), "s": (0, 1), "se": (1, 1),
     }
     vcols = ",\n      ".join(
-        f"{dem_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
+        f"{value_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
     )
     # (name, esri_code, distance_mult, (dx, dy))
     dirs = [("e", 1, 2, (1, 0)), ("se", 2, 1, (1, 1)), ("s", 4, 2, (0, 1)),
@@ -6459,6 +6464,108 @@ def q_watersheds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(id div 4294967296) div 256").alias("tx"),
         F.expr("(id % 4294967296) div 256").alias("ty"),
     ).agg(F.count("*").alias("n_px"))
+
+
+def _fill_dem_oracle_sql() -> str:
+    """Analytic truth for depression filling on the bowls fixture: the
+    base surface is monotone (depression-free, so its own fill) and each
+    flat pit fills exactly to its closed-form ring spill — the general
+    Priority-Flood engine must land on these values pixel for pixel,
+    over ALL 512x512 cells."""
+    from .fixtures import dem_bowls_sql
+
+    n = 512
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, {n})) AS gx),
+    ys AS (SELECT unnest(range(0, {n})) AS gy)
+    SELECT gx, gy,
+      {dem_bowls_sql('gx', 'gy')} AS elev,
+      {dem_bowls_sql('gx', 'gy', filled=True)} AS filled
+    FROM xs CROSS JOIN ys
+    """
+
+
+@register("fill_dem", _fill_dem_oracle_sql())
+def q_fill_dem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed depression filling (Barnes two-phase Priority-Flood,
+    operators/hydro.fill_depressions) on the pitted-DEM fixture: three
+    flat pits carved into a monotone surface, one straddling all four
+    zoom-1 tiles so cross-tile watershed merging is on the hash path.
+    The engine runs the fully general algorithm (per-super-tile flood ->
+    slim watershed minimax graph -> RaiseCells); the oracle knows the
+    answer analytically (pit -> ring-spill closed form), so any error in
+    flood order, graph weights, or the relaxation breaks the hash."""
+    from . import fixtures
+    from .operators.hydro import fill_depressions
+
+    tiles = fixtures.dem_bowls_raster_df(spark, partitions=4)
+    return fill_depressions(tiles, super_tiles=1)
+
+
+def _fill_streams_oracle_sql(zoom: int, block: int) -> str:
+    """Replay of fill -> D8 -> flow accumulation end-to-end: the shared
+    D8 derivation evaluated over the FILLED closed-form surface, closure-
+    counted, then rolled up per `block`-pixel cell (count / sum / max of
+    accumulation)."""
+    from .fixtures import dem_bowls_sql
+
+    n = (1 << zoom) * 256
+    parts = _d8_sql_parts(
+        n, value_sql=lambda gx, gy: dem_bowls_sql(gx, gy, filled=True)
+    )
+    dirs, smax = parts["dirs"], parts["smax"]
+    sgx = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gx + {dx}" for k, _c, _m, (dx, _dy) in dirs
+    ) + " END"
+    sgy = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gy + {dy}" for k, _c, _m, (_dx, dy) in dirs
+    ) + " END"
+    return f"""
+    WITH RECURSIVE {parts["prefix"]},
+    s0 AS (SELECT gx, gy, {sgx} AS nx0, {sgy} AS ny0 FROM sc),
+    succ AS MATERIALIZED (SELECT gx, gy,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN nx0 END AS nx,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN ny0 END AS ny
+      FROM s0),
+    walk AS (
+      SELECT gx AS cx, gy AS cy FROM succ
+      UNION ALL
+      SELECT s.nx, s.ny FROM walk w JOIN succ s ON s.gx = w.cx AND s.gy = w.cy
+      WHERE s.nx IS NOT NULL
+    ),
+    acc AS (
+      SELECT cx AS gx, cy AS gy, CAST(count(*) AS BIGINT) AS acc
+      FROM walk GROUP BY 1, 2
+    )
+    SELECT gx // {block} AS bx, gy // {block} AS by,
+      CAST(count(*) AS BIGINT) AS n_px,
+      CAST(sum(acc) AS BIGINT) AS sum_acc,
+      max(acc) AS max_acc
+    FROM acc GROUP BY 1, 2
+    """
+
+
+@register("fill_streams", _fill_streams_oracle_sql(zoom=1, block=32))
+def q_fill_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full hydrology chain composed end-to-end: depression filling
+    RE-ENCODES the filled surface as tiles (emit="tiles"), which feed the
+    two-phase flow accumulation unchanged — fill guarantees water only
+    pools at the analytic spill levels, so the accumulation over the
+    filled bowls surface has a closed-form oracle.  Output: 32px-block
+    rollup (count / sum / max of accumulation)."""
+    from . import fixtures
+    from .operators.hydro import fill_depressions, flow_accumulation
+
+    tiles = fixtures.dem_bowls_raster_df(spark, partitions=4)
+    filled = fill_depressions(tiles, super_tiles=1, emit="tiles").localCheckpoint()
+    acc = flow_accumulation(filled, super_tiles=1)
+    return acc.groupBy(
+        F.expr("gx div 32").alias("bx"), F.expr("gy div 32").alias("by")
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum("acc").alias("sum_acc"),
+        F.max("acc").alias("max_acc"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
