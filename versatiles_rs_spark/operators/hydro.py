@@ -454,7 +454,7 @@ def fill_depressions(
     super_tiles: int = 1,
     payload: str = "bytes",
     band: int = 0,
-    max_rounds: int = 64,
+    max_coarse_edges: int = 50_000_000,
     metrics: dict | None = None,
     emit: str = "pixels",
 ) -> DataFrame:
@@ -470,9 +470,11 @@ def fill_depressions(
       spill solve (slim): adjacent perimeter cells across tile borders
         join into cross edges (weight = max of the two raw elevations —
         both are seeds, so z == elev); the global watershed raise is the
-        MINIMAX distance from the ocean node over this graph, computed by
-        monotone min/max relaxation (exact integers; converges in
-        watershed-graph-diameter rounds; changed-row probe).
+        MINIMAX distance from the ocean node, solved with a sequential
+        heap on the DRIVER over the collected watershed graph — Barnes'
+        own design; see the inline comment for why a distributed
+        round-based relaxation is the wrong shape here, and the
+        max_coarse_edges guard.
       phase B (payload shuffle #2): re-run the identical deterministic
         flood per super-tile and finalize fill(c) = max(z_local(c),
         raise(watershed(c))) — Barnes' RaiseCells step.
@@ -558,47 +560,53 @@ def fill_depressions(
     edges = (
         intra.unionByName(cross).groupBy("a", "b").agg(F.min("w").alias("w"))
     ).localCheckpoint()
-    und = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"), "w")
-    )
-    nodes = und.select(F.col("a").alias("id")).union(
-        und.select(F.col("b").alias("id"))
-    ).distinct().filter(F.col("id") != 0)
-    cur = nodes.select("id", F.lit(_INF).alias("rz")).unionByName(
-        F.broadcast(
-            tiles.sparkSession.createDataFrame([(0, -1)], "id long, rz long")
+    # Global minimax-from-ocean, solved SEQUENTIALLY on the driver —
+    # this is Barnes' own design (their alg. 2/3 runs the watershed graph
+    # on one rank): the graph holds one node per perimeter WATERSHED
+    # (~4/(S*ts) of the cells shrink to ~per-tile-perimeter seeds), e.g.
+    # trillion-cell DEMs yield tens of millions of rows — a driver heap,
+    # not a distributed iteration.  A round-based distributed relaxation
+    # is NOT scale-correct here: chains of single-cell perimeter
+    # watersheds give the graph O(raster-side) diameter, so one-hop-per-
+    # round relaxation needs thousands of rounds (measured: open after 64
+    # rounds at a mere 4x4 tiles).  Guarded: max_coarse_edges caps the
+    # collect; past it, raise and point at larger super_tiles.
+    n_edges = edges.count()
+    if n_edges > max_coarse_edges:
+        raise ValueError(
+            f"fill_depressions: watershed graph has {n_edges} edges > "
+            f"max_coarse_edges={max_coarse_edges}; raise super_tiles to "
+            "shrink the perimeter fraction (graph size ~ 4/(S*ts))"
         )
-    ).localCheckpoint()
-    rounds = 0
-    while rounds < max_rounds:
-        cand = (
-            und.join(cur, on=F.col("a") == F.col("id"))
-            .select(F.col("b").alias("id"), F.greatest("rz", "w").alias("c"))
-            .groupBy("id")
-            .agg(F.min("c").alias("c"))
-        )
-        nxt = (
-            cur.join(cand, "id", "left")
-            .select("id", F.least("rz", F.coalesce("c", F.lit(_INF))).alias("rz"))
-        ).localCheckpoint()
-        rounds += 1
-        changed = (
-            nxt.alias("n")
-            .join(cur.alias("o"), "id")
-            .filter(F.col("n.rz") != F.col("o.rz"))
-            .limit(1)
-            .count()
-        )
-        cur = nxt
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"fill_depressions: spill relaxation open after {max_rounds} rounds"
-        )
+    import heapq
+
+    adj: dict[int, list[tuple[int, int]]] = {}
+    for r in edges.collect():
+        a, b, w = int(r["a"]), int(r["b"]), int(r["w"])
+        adj.setdefault(a, []).append((b, w))
+        adj.setdefault(b, []).append((a, w))
+    best: dict[int, int] = {0: -1}
+    heap = [(-1, 0)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > best.get(u, _INF):
+            continue
+        for vtx, w in adj.get(u, ()):
+            nd = d if d > w else w
+            if nd < best.get(vtx, _INF):
+                best[vtx] = nd
+                heapq.heappush(heap, (nd, vtx))
     if metrics is not None:
-        metrics["spill_rounds"] = rounds
-    raises = cur.filter(F.col("id") != 0)
+        metrics["spill_nodes"] = len(adj)
+        metrics["spill_edges"] = n_edges
+    unreached = set(adj) - set(best)
+    if unreached:
+        raise AssertionError(
+            f"fill_depressions: {len(unreached)} watersheds unreachable from the ocean"
+        )
+    raises = tiles.sparkSession.createDataFrame(
+        [(nid, rz) for nid, rz in best.items() if nid != 0], "id long, rz long"
+    )
     raise_rows = raises.select(
         F.expr(f"id div {_LABMOD} div {_LABMOD}").alias("sx"),
         (F.expr(f"id div {_LABMOD}") % _LABMOD).alias("sy"),
