@@ -172,3 +172,31 @@ def test_analyze_hydro_over_mbtiles(spark, tmp_path):
     assert h["stream_pixels"] == 10016
     assert h["coarse_rounds"] >= 1
     assert h["largest_basins"][0]["n_px"] >= h["largest_basins"][-1]["n_px"]
+
+
+def test_analyze_hydro_fill_over_mbtiles(spark, tmp_path):
+    """--fill runs Priority-Flood first: on the pitted fixture the
+    reported fill volume is exactly sum(spill - floor) over the pits'
+    closed forms, and basins collapse onto the filled surface."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.fixtures import DEM_BOWLS, bowl_spill, dem_bowls_raster_df
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    path = str(tmp_path / "bowls.mbtiles")
+    tiles = dem_bowls_raster_df(spark, partitions=2).select(
+        F.lit(1).alias("z"), "x", "y", "bytes"
+    )
+    assert write_mbtiles(tiles, path, {"format": "png"}) == 4
+
+    out = run_analyze("hydro", path, "--zoom", "1", "--fill")
+    h = out["hydro"]
+    exp_pixels = sum((2 * r + 1) ** 2 for _, _, r, _ in DEM_BOWLS)
+    exp_volume = sum(
+        (2 * r + 1) ** 2 * (bowl_spill(cx, cy, r) - floor)
+        for cx, cy, r, floor in DEM_BOWLS
+    )
+    assert h["filled"]["raised_pixels"] == exp_pixels
+    assert h["filled"]["fill_volume"] == exp_volume
+    assert h["filled"]["watershed_nodes"] > 0
+    assert h["n_pixels"] == 260100

@@ -24,8 +24,9 @@ command exposes the engine-side analyses the reference has no analog for).
 
 `hydro` is the raster command: it takes a TILE source (any container the
 engine reads, or a parquet tile table) holding single-band DEM tiles at
---zoom, and runs the hydrology stack — D8 basins (pointer doubling) +
-two-phase flow accumulation — printing basin and stream-network stats.
+--zoom, and runs the hydrology stack — optional Priority-Flood
+depression filling (--fill) + D8 basins (pointer doubling) + two-phase
+flow accumulation — printing fill, basin and stream-network stats.
 
 Expected columns: lon/lat (double); trends/emerging also need ts
 (timestamp); dbscan needs an id column (--id, default the first column).
@@ -85,9 +86,29 @@ def _run_hydro(spark, args, F) -> dict:
         d8_successors,
         focal_terrain_pixels,
     )
-    from versatiles_rs_spark.operators.hydro import flow_accumulation
+    from versatiles_rs_spark.operators.hydro import fill_depressions, flow_accumulation
 
     tiles = _load_tiles(spark, args.table, args.zoom).localCheckpoint()
+    fill_stats = None
+    if args.fill:
+        fm0: dict = {}
+        filled_px = fill_depressions(
+            tiles, tile_size=args.tile_size, super_tiles=args.super_tiles,
+            metrics=fm0,
+        )
+        raised = filled_px.filter(F.col("filled") > F.col("elev"))
+        agg = raised.agg(
+            F.count("*").alias("n"), F.sum(F.col("filled") - F.col("elev")).alias("vol")
+        ).collect()[0]
+        fill_stats = {
+            "raised_pixels": agg["n"], "fill_volume": agg["vol"] or 0,
+            "watershed_nodes": fm0.get("spill_nodes"),
+            "watershed_edges": fm0.get("spill_edges"),
+        }
+        tiles = fill_depressions(
+            tiles, tile_size=args.tile_size, super_tiles=args.super_tiles,
+            emit="tiles",
+        ).select("x", "y", "bytes").localCheckpoint()
     pixels = focal_terrain_pixels(tiles, tile_size=args.tile_size).localCheckpoint()
     bm: dict = {}
     basins = d8_basins(d8_successors(pixels), rounds=None, metrics=bm)
@@ -109,6 +130,7 @@ def _run_hydro(spark, args, F) -> dict:
         "table": args.table,
         "hydro": {
             "zoom": args.zoom,
+            "filled": fill_stats,
             "n_tiles": tiles.count(),
             "n_pixels": pixels.count(),
             "n_basins": sizes.count(),
@@ -149,6 +171,8 @@ def main(argv=None):
     ap.add_argument("--id", dest="id_col", default=None)
     ap.add_argument("--min-accum", type=int, default=64,
                     help="stream-network accumulation threshold (hydro)")
+    ap.add_argument("--fill", action="store_true",
+                    help="fill depressions (Priority-Flood) before flow analysis (hydro)")
     ap.add_argument("--super-tiles", type=int, default=1,
                     help="super-tile side in tiles for flow accumulation (hydro)")
     ap.add_argument("--tile-size", type=int, default=256,
