@@ -120,6 +120,7 @@ HEADLINE = [
     "watersheds",
     "fill_dem",
     "fill_streams",
+    "hand_drainage",
 ]
 
 

@@ -228,3 +228,71 @@ def test_fill_depressions_super_tile_degenerate(spark):
     got = np.zeros_like(exp)
     got[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = pdf["filled"].to_numpy()
     np.testing.assert_array_equal(got, exp)
+
+
+def test_hand_matches_numpy_first_contact(spark):
+    """HAND == elev - elev(first stream pixel on the sequential walk),
+    zoom 0, and is never negative (water flows downhill to the contact)."""
+    from versatiles_rs_spark.operators.focal import (
+        _ID_BASE,
+        d8_successors,
+        focal_terrain_pixels,
+        terrain_fields,
+        watershed_membership,
+    )
+    from pyspark.sql import functions as F
+
+    n = 256
+    v = dem_mosaic(n)
+    acc, valid = global_accumulation(v)
+    t = 32
+    streams_np = valid & (acc >= t)
+    f = terrain_fields(v)
+    d8 = f["d8"]
+    h = n - 2
+    dx = _DXL[d8]
+    dy = _DYL[d8]
+    elev = v[1:-1, 1:-1]
+    exp: dict[int, int] = {}
+    for i in range(h):
+        for j in range(h):
+            if not valid[i, j]:
+                continue
+            ci, cj = i, j
+            for _ in range(4 * h):
+                if streams_np[ci, cj]:
+                    exp[(j + 1) * _ID_BASE + (i + 1)] = int(elev[i, j] - elev[ci, cj])
+                    break
+                ndi, ndj = int(dy[ci, cj]), int(dx[ci, cj])
+                if ndi == 0 and ndj == 0:
+                    break
+                ni, nj = ci + ndi, cj + ndj
+                if not (0 <= ni < h and 0 <= nj < h) or not valid[ni, nj]:
+                    break
+                ci, cj = ni, nj
+    tiles = fixtures.dem_raster_df(spark, zoom=0, partitions=1)
+    streams = flow_accumulation(tiles, min_accum=t).select(
+        (F.col("gx") * F.lit(_ID_BASE) + F.col("gy")).alias("id")
+    )
+    pixels = focal_terrain_pixels(tiles).localCheckpoint()
+    members = watershed_membership(
+        d8_successors(pixels), streams, rounds=6, broadcast_outlets=False
+    )
+    elev_df = pixels.select(
+        (F.col("gx") * F.lit(_ID_BASE) + F.col("gy")).alias("eid"), "elev"
+    )
+    rows = (
+        members.join(elev_df, members.id == F.col("eid"))
+        .withColumnRenamed("elev", "own")
+        .drop("eid")
+        .join(
+            elev_df.select(F.col("eid").alias("oid"), F.col("elev").alias("drain")),
+            members.outlet == F.col("oid"),
+        )
+        .select("id", (F.col("own") - F.col("drain")).alias("hand"))
+        .collect()
+    )
+    got = {r["id"]: r["hand"] for r in rows}
+    assert got == exp
+    assert all(hv >= 0 for hv in got.values())
+    assert sum(1 for hv in got.values() if hv == 0) >= int(streams_np.sum())

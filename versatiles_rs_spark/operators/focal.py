@@ -291,6 +291,7 @@ def watershed_membership(
     outlets: DataFrame,
     rounds: int | None = None,
     max_rounds: int = 40,
+    broadcast_outlets: bool = True,
 ) -> DataFrame:
     """(id, outlet): which query pour point each pixel drains THROUGH —
     the ArcGIS Watershed operator (upstream area of arbitrary outlets),
@@ -299,10 +300,16 @@ def watershed_membership(
     its label freezes at O.  Nested outlets resolve exactly like the
     sequential algorithm: a pixel stops at the FIRST outlet on its
     downstream path, because the walk can never pass a terminal.
-    `outlets`: one `id` column (packed gx*2^32+gy pixel ids, broadcast —
-    pour-point sets are small).  Same O(log L) slim shape as d8_basins."""
+    `outlets`: one `id` column (packed gx*2^32+gy pixel ids).
+    `broadcast_outlets`: pour-point sets are small -> broadcast (default);
+    pass False when outlets scale with the raster (e.g. a whole stream
+    network as in HAND) so the marking join shuffles on ids instead.
+    Same O(log L) slim shape as d8_basins."""
+    omark = outlets.select(F.col("id").alias("oid"), F.lit(True).alias("is_outlet"))
+    if broadcast_outlets:
+        omark = F.broadcast(omark)
     marked = succ_df.join(
-        F.broadcast(outlets.select(F.col("id").alias("oid"), F.lit(True).alias("is_outlet"))),
+        omark,
         on=F.col("id") == F.col("oid"),
         how="left",
     ).select(
@@ -310,8 +317,11 @@ def watershed_membership(
         F.when(F.col("is_outlet"), F.col("id")).otherwise(F.col("succ")).alias("succ"),
     )
     labels = d8_basins(marked, rounds=rounds, max_rounds=max_rounds)
+    ofilter = outlets.select(F.col("id").alias("outlet"))
+    if broadcast_outlets:
+        ofilter = F.broadcast(ofilter)
     return labels.join(
-        F.broadcast(outlets.select(F.col("id").alias("outlet"))),
+        ofilter,
         on=F.col("label") == F.col("outlet"),
         how="inner",
     ).select("id", "outlet")

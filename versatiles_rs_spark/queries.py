@@ -6568,6 +6568,127 @@ def q_fill_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hand_oracle_sql(zoom: int, min_accum: int, rounds: int, block: int) -> str:
+    """Replay of q_hand: closure-count accumulation defines the stream
+    set (acc >= min_accum), the basin doubling reruns with stream pixels
+    forced terminal, and HAND = elev - elev(first stream pixel on the
+    path); pixels whose path exits the raster or sinks before touching a
+    stream have no HAND (excluded on both sides).  Rolled up per
+    `block`-pixel cell: count, integer HAND sum, max."""
+    n = (1 << zoom) * 256
+    base = 4294967296
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
+    sgx = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gx + {dx}" for k, _c, _m, (dx, _dy) in dirs
+    ) + " END"
+    sgy = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gy + {dy}" for k, _c, _m, (_dx, dy) in dirs
+    ) + " END"
+    succcase = (
+        f"CASE WHEN {smax} <= 0 THEN gx * {base} + gy "
+        + " ".join(
+            f"WHEN s_{k} = {smax} THEN (gx + {dx}) * {base} + (gy + {dy})"
+            for k, _code, _m, (dx, dy) in dirs
+        )
+        + " END"
+    )
+    doubling = "".join(
+        f",\n    d{r} AS MATERIALIZED (SELECT a.id, coalesce(b.label, a.label) AS label"
+        f" FROM d{r - 1} a LEFT JOIN d{r - 1} b ON a.label = b.id)"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH RECURSIVE {parts["prefix"]},
+    s0 AS (SELECT gx, gy, {sgx} AS nx0, {sgy} AS ny0, {succcase} AS bsucc FROM sc),
+    succ AS MATERIALIZED (SELECT s0.gx, s0.gy, v9.v_c, bsucc,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN nx0 END AS nx,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN ny0 END AS ny
+      FROM s0 JOIN v9 ON v9.gx = s0.gx AND v9.gy = s0.gy),
+    walk AS (
+      SELECT gx AS cx, gy AS cy FROM succ
+      UNION ALL
+      SELECT s.nx, s.ny FROM walk w JOIN succ s ON s.gx = w.cx AND s.gy = w.cy
+      WHERE s.nx IS NOT NULL
+    ),
+    streams AS MATERIALIZED (
+      SELECT cx * {base} + cy AS sid FROM walk GROUP BY 1
+      HAVING count(*) >= {min_accum}
+    ),
+    d0 AS MATERIALIZED (
+      SELECT gx * {base} + gy AS id, v_c AS elev,
+        CASE WHEN gx * {base} + gy IN (SELECT sid FROM streams)
+             THEN gx * {base} + gy ELSE bsucc END AS label
+      FROM succ)
+    {doubling},
+    hand AS (
+      SELECT d.id, o.elev - e.elev AS hand
+      FROM d{rounds} d
+      JOIN d0 o ON o.id = d.id
+      JOIN d0 e ON e.id = d.label
+      WHERE d.label IN (SELECT sid FROM streams)
+    )
+    SELECT (id // {base}) // {block} AS bx, (id % {base}) // {block} AS by,
+      CAST(count(*) AS BIGINT) AS n_px,
+      CAST(sum(hand) AS BIGINT) AS sum_hand,
+      max(hand) AS max_hand
+    FROM hand GROUP BY 1, 2
+    """
+
+
+@register("hand_drainage", _hand_oracle_sql(zoom=1, min_accum=64, rounds=6, block=32))
+def q_hand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAND — Height Above Nearest Drainage (Nobre et al. 2011, the
+    standard flood-susceptibility surface): for each pixel, its elevation
+    minus the elevation of the FIRST stream pixel its D8 path reaches.
+    Pure composition of the hydrology primitives: flow accumulation
+    defines the stream set (acc >= 64), watershed_membership with streams
+    as outlets pointer-doubles the drainage contact, one slim join
+    subtracts elevations.  Pixels draining off-raster before touching a
+    stream carry no HAND (excluded both sides).  Output: 32px-block
+    rollup (count / integer sum / max); HAND >= 0 always — water flows
+    downhill, so the contact is never higher (the oracle hash would catch
+    a violation as a value change)."""
+    from . import fixtures
+    from .operators.focal import (
+        d8_successors,
+        focal_terrain_pixels,
+        watershed_membership,
+    )
+    from .operators.hydro import flow_accumulation
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    streams = flow_accumulation(tiles, super_tiles=1, min_accum=64).select(
+        (F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("id")
+    )
+    pixels = focal_terrain_pixels(tiles, tile_size=256).localCheckpoint()
+    elev = pixels.select(
+        (F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("eid"),
+        F.col("elev"),
+    )
+    members = watershed_membership(
+        d8_successors(pixels), streams, rounds=6, broadcast_outlets=False
+    )
+    hand = (
+        members.join(elev, on=F.col("id") == F.col("eid"))
+        .drop("eid")
+        .withColumnRenamed("elev", "own_elev")
+        .join(
+            elev.select(F.col("eid").alias("oid"), F.col("elev").alias("drain_elev")),
+            on=F.col("outlet") == F.col("oid"),
+        )
+        .select("id", (F.col("own_elev") - F.col("drain_elev")).alias("hand"))
+    )
+    return hand.groupBy(
+        F.expr("(id div 4294967296) div 32").alias("bx"),
+        F.expr("(id % 4294967296) div 32").alias("by"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum("hand").alias("sum_hand"),
+        F.max("hand").alias("max_hand"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
