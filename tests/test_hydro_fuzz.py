@@ -1,0 +1,63 @@
+"""Differential fuzzing for the hydrology operators: random small DEMs
+(few distinct levels -> maximal plateaus, sinks and D8 ties — the cases
+golden fixtures undersample) run through the DISTRIBUTED machinery and
+must match the single-global-array evaluation bit for bit.  Deterministic
+seeds, like test_fuzz_oracle.py."""
+
+import numpy as np
+import pytest
+
+from versatiles_rs_spark.codecs import encode_png
+from versatiles_rs_spark.operators.hydro import fill_depressions, flow_accumulation
+
+from test_hydro import global_accumulation, global_priority_flood
+
+
+def random_dem(seed: int, n: int, levels: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, levels, size=(n, n)).astype(np.int64)
+
+
+def dem_to_tiles(spark, v: np.ndarray, ts: int):
+    n = v.shape[0]
+    rows = []
+    for ty in range(n // ts):
+        for tx in range(n // ts):
+            sub = v[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+            rows.append(
+                (tx, ty, encode_png(np.ascontiguousarray(sub).astype(np.uint8)[:, :, None]))
+            )
+    return spark.createDataFrame(rows, "x long, y long, bytes binary")
+
+
+@pytest.mark.parametrize("seed,levels,s", [(101, 6, 1), (202, 3, 2), (303, 40, 1)])
+def test_fuzz_flow_accumulation(spark, seed, levels, s):
+    """Random plateau-heavy DEMs: two-phase accumulation == global
+    level-synchronous evaluation on every universe pixel."""
+    n, ts = 64, 16
+    v = random_dem(seed, n, levels)
+    exp, valid = global_accumulation(v)
+    pdf = flow_accumulation(
+        dem_to_tiles(spark, v, ts), tile_size=ts, super_tiles=s
+    ).toPandas()
+    assert len(pdf) == int(valid.sum())
+    got = np.zeros_like(exp)
+    got[pdf["gy"].to_numpy() - 1, pdf["gx"].to_numpy() - 1] = pdf["acc"].to_numpy()
+    np.testing.assert_array_equal(got, exp * valid)
+
+
+@pytest.mark.parametrize("seed,levels,s", [(404, 5, 1), (505, 12, 2), (606, 3, 1)])
+def test_fuzz_fill_depressions(spark, seed, levels, s):
+    """Random DEMs are riddled with depressions and flat ties — the
+    cross-tile watershed merge and the driver minimax must reproduce the
+    sequential global Priority-Flood exactly."""
+    n, ts = 64, 16
+    v = random_dem(seed, n, levels)
+    exp = global_priority_flood(v)
+    pdf = fill_depressions(
+        dem_to_tiles(spark, v, ts), tile_size=ts, super_tiles=s
+    ).toPandas()
+    assert len(pdf) == n * n
+    got = np.zeros_like(exp)
+    got[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = pdf["filled"].to_numpy()
+    np.testing.assert_array_equal(got, exp)
