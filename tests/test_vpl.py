@@ -351,3 +351,43 @@ def test_vpl_raster_flowaccum(spark, tmp_path):
             want = want.copy()
             want[-1, :] = 0
         np.testing.assert_array_equal(img.astype(np.int64), want)
+
+
+def test_vpl_raster_fill_then_flowaccum(spark, tmp_path):
+    """The full hydrology chain in the pipeline language: a pitted DEM
+    directory piped through raster_fill | raster_flowaccum.  The pit
+    floor is a filled flat after raster_fill, so its interior pixels are
+    all sinks (acc=1 -> rendered 16); without the fill they would sit on
+    a chain of drainage into the pit minimum."""
+    import numpy as np
+
+    from versatiles_rs_spark.codecs import decode_image, encode_png
+    from versatiles_rs_spark.plans.vpl import run_vpl
+
+    n, ts = 64, 32
+    # ramp base with one flat pit strictly inside tile (0, 0)
+    gxg = np.arange(n, dtype=np.int64)
+    v = np.broadcast_to(n + 8 - 1 - gxg[None, :], (n, n)).copy()
+    v[10:17, 10:17] = 2  # pit floor, spill = ramp value at gx=17 side? rim min
+    for ty in range(n // ts):
+        for tx in range(n // ts):
+            d = tmp_path / "dem" / "1" / str(tx)
+            d.mkdir(parents=True, exist_ok=True)
+            sub = v[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+            (d / f"{ty}.png").write_bytes(
+                bytes(encode_png(np.ascontiguousarray(sub).astype(np.uint8)[:, :, None]))
+            )
+    df = run_vpl(
+        spark,
+        f'from_container filename="{tmp_path / "dem"}" | '
+        f'raster_fill tile_size="{ts}" zoom="1" | '
+        f'raster_flowaccum tile_size="{ts}" zoom="1"',
+    )
+    rows = {(r["x"], r["y"]): decode_image(bytes(r["bytes"]))[:, :, 0] for r in df.collect()}
+    img = rows[(0, 0)].astype(np.int64)
+    # after filling, the pit interior is a flat: every interior pit pixel
+    # is a sink with acc >= 1; without fill the pit minimum (west edge,
+    # smallest gx wins ties... ) would accumulate the whole pit. The
+    # filled flat renders a UNIFORM low accumulation block:
+    pit = img[11:16, 11:16]
+    assert (pit == pit[0, 0]).all() and pit[0, 0] == 16  # acc=1 -> 16*bitlen(1)

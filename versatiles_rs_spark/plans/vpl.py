@@ -403,6 +403,24 @@ def _raster_hillshade(df, dem_schema="mapbox", azimuth="315", altitude="45",
     )
 
 
+@transform("raster_fill")
+def _raster_fill(df, tile_size="256", super_tiles="1", zoom=None, **kw):
+    """Engine extension: Priority-Flood depression filling in the
+    pipeline language — DEM tiles in, hydrologically conditioned DEM
+    tiles out (chain `raster_fill | raster_flowaccum` for the full
+    fill-then-flow pipeline)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.hydro import fill_depressions
+
+    z = int(zoom) if zoom is not None else df.agg(F.max("z")).first()[0]
+    tiles = df.filter(F.col("z") == z).select("x", "y", "bytes")
+    out = fill_depressions(
+        tiles, tile_size=int(tile_size), super_tiles=int(super_tiles), emit="tiles"
+    )
+    return out.select(F.lit(z).cast("long").alias("z"), "x", "y", "bytes", "fmt")
+
+
 @transform("raster_flowaccum")
 def _raster_flowaccum(df, tile_size="256", super_tiles="1", zoom=None, **kw):
     """Engine extension (not in the reference's VPL): DEM tiles -> flow
