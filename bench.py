@@ -121,6 +121,7 @@ HEADLINE = [
     "fill_dem",
     "fill_streams",
     "hand_drainage",
+    "runoff_accum",
 ]
 
 

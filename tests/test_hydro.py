@@ -15,7 +15,7 @@ from versatiles_rs_spark.operators.focal import terrain_fields
 from versatiles_rs_spark.operators.hydro import _DXL, _DYL, flow_accumulation
 
 
-def global_accumulation(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def global_accumulation(v: np.ndarray, weight_fn=None) -> tuple[np.ndarray, np.ndarray]:
     """Exact accumulation over the full mosaic: (acc, valid) indexed so
     field (i, j) is global pixel (gx=j+1, gy=i+1)."""
     f = terrain_fields(v)
@@ -26,7 +26,11 @@ def global_accumulation(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     tr, tc = rr + _DYL[d8], cc + _DXL[d8]
     in_u = (tr >= 0) & (tr < h) & (tc >= 0) & (tc < h)
     internal = valid & (d8 > 0) & in_u & valid[tr.clip(0, h - 1), tc.clip(0, h - 1)]
-    acc = valid.astype(np.int64)
+    acc = (
+        valid.astype(np.int64)
+        if weight_fn is None
+        else np.where(valid, weight_fn(elev), np.int64(0)).astype(np.int64)
+    )
     for lev in np.unique(elev[valid])[::-1]:
         m = internal & (elev == lev)
         if m.any():

@@ -61,3 +61,20 @@ def test_fuzz_fill_depressions(spark, seed, levels, s):
     got = np.zeros_like(exp)
     got[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = pdf["filled"].to_numpy()
     np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("seed,levels,s", [(707, 7, 1), (808, 4, 2)])
+def test_fuzz_weighted_runoff(spark, seed, levels, s):
+    """Rainfall-weighted accumulation (weight = elev + 1) on random DEMs
+    == global weighted evaluation — linearity means the two-phase
+    machinery must carry weights exactly, including across inflows."""
+    n, ts = 64, 16
+    v = random_dem(seed, n, levels)
+    wf = lambda e: e + 1
+    exp, valid = global_accumulation(v, weight_fn=wf)
+    pdf = flow_accumulation(
+        dem_to_tiles(spark, v, ts), tile_size=ts, super_tiles=s, weight_fn=wf
+    ).toPandas()
+    got = np.zeros_like(exp)
+    got[pdf["gy"].to_numpy() - 1, pdf["gx"].to_numpy() - 1] = pdf["acc"].to_numpy()
+    np.testing.assert_array_equal(got, exp * valid)

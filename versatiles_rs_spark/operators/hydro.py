@@ -179,10 +179,18 @@ def _local_accumulate(
     internal: np.ndarray,
     inject: list[tuple[int, int, int]],
     G: int,
+    weight_fn=None,
 ) -> np.ndarray:
     """Exact local accumulation: level-synchronous descending-elevation
-    sweeps (strict descent => topological; <=256 levels on uint8)."""
-    acc = valid.astype(np.int64)
+    sweeps (strict descent => topological; <=256 levels on uint8).
+    `weight_fn(elev) -> int64 grid` sets each cell's own contribution
+    (None = 1/cell, the classic contributing-cell count; an
+    elevation-derived rainfall weight turns this into runoff routing —
+    accumulation is linear in its sources, so nothing else changes)."""
+    if weight_fn is None:
+        acc = valid.astype(np.int64)
+    else:
+        acc = np.where(valid, weight_fn(elev), np.int64(0)).astype(np.int64)
     for r, c, w in inject:
         if not (0 <= r < G and 0 <= c < G and valid[r, c]):
             raise AssertionError(f"inflow injected at non-universe pixel ({c},{r})")
@@ -239,6 +247,7 @@ def flow_accumulation(
     min_accum: int | None = None,
     max_coarse_rounds: int = 64,
     metrics: dict | None = None,
+    weight_fn=None,
 ) -> DataFrame:
     """(gx, gy, acc): number of universe pixels whose D8 flow path passes
     through (gx, gy), the pixel itself included (so acc >= 1).  See the
@@ -262,7 +271,7 @@ def flow_accumulation(
             return empty
         padded, _, _, ox, oy = got
         valid, elev, tr, tc, internal, exits = _local_fields(padded, G)
-        acc = _local_accumulate(valid, elev, tr, tc, internal, [], G)
+        acc = _local_accumulate(valid, elev, tr, tc, internal, [], G, weight_fn)
         out = []
         # exit partials: flow leaving this super-tile, keyed by the
         # TARGET border pixel of the neighbor (kind 0)
@@ -364,7 +373,7 @@ def flow_accumulation(
             return empty
         padded, inject, _, ox, oy = got
         valid, elev, tr, tc, internal, _exits = _local_fields(padded, G)
-        acc = _local_accumulate(valid, elev, tr, tc, internal, inject, G)
+        acc = _local_accumulate(valid, elev, tr, tc, internal, inject, G, weight_fn)
         keep = valid if min_accum is None else (valid & (acc >= min_accum))
         r, c = np.nonzero(keep)
         return pd.DataFrame({"gx": c + ox, "gy": r + oy, "acc": acc[r, c]})

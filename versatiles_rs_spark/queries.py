@@ -6689,6 +6689,54 @@ def q_hand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _runoff_oracle_sql(zoom: int) -> str:
+    """Replay of weighted flow accumulation: the walk seeds each source
+    with its rainfall weight (elev + 1) and the per-pixel runoff is the
+    SUM of weights over visits — same recursive closure as flow_accum,
+    one extra column."""
+    n = (1 << zoom) * 256
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
+    sgx = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gx + {dx}" for k, _c, _m, (dx, _dy) in dirs
+    ) + " END"
+    sgy = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gy + {dy}" for k, _c, _m, (_dx, dy) in dirs
+    ) + " END"
+    return f"""
+    WITH RECURSIVE {parts["prefix"]},
+    s0 AS (SELECT gx, gy, {sgx} AS nx0, {sgy} AS ny0 FROM sc),
+    succ AS MATERIALIZED (SELECT s0.gx, s0.gy, v9.v_c,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN nx0 END AS nx,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN ny0 END AS ny
+      FROM s0 JOIN v9 ON v9.gx = s0.gx AND v9.gy = s0.gy),
+    walk AS (
+      SELECT gx AS cx, gy AS cy, v_c + 1 AS w FROM succ
+      UNION ALL
+      SELECT s.nx, s.ny, wk.w FROM walk wk JOIN succ s ON s.gx = wk.cx AND s.gy = wk.cy
+      WHERE s.nx IS NOT NULL
+    )
+    SELECT cx AS gx, cy AS gy, CAST(sum(w) AS BIGINT) AS acc
+    FROM walk GROUP BY 1, 2
+    """
+
+
+@register("runoff_accum", _runoff_oracle_sql(zoom=1))
+def q_runoff_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rainfall-weighted flow accumulation (runoff routing): each cell
+    contributes weight elev + 1 instead of 1 — accumulation is linear in
+    its sources, so the Barnes two-phase machinery is unchanged and only
+    the local initialization differs (weight_fn).  The oracle carries the
+    weight through the recursive closure walk."""
+    from . import fixtures
+    from .operators.hydro import flow_accumulation
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    return flow_accumulation(
+        tiles, super_tiles=1, weight_fn=lambda elev: elev + 1
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
