@@ -122,6 +122,7 @@ HEADLINE = [
     "fill_streams",
     "hand_drainage",
     "runoff_accum",
+    "peak_accum",
 ]
 
 

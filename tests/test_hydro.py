@@ -15,7 +15,9 @@ from versatiles_rs_spark.operators.focal import terrain_fields
 from versatiles_rs_spark.operators.hydro import _DXL, _DYL, flow_accumulation
 
 
-def global_accumulation(v: np.ndarray, weight_fn=None) -> tuple[np.ndarray, np.ndarray]:
+def global_accumulation(
+    v: np.ndarray, weight_fn=None, combine: str = "sum"
+) -> tuple[np.ndarray, np.ndarray]:
     """Exact accumulation over the full mosaic: (acc, valid) indexed so
     field (i, j) is global pixel (gx=j+1, gy=i+1)."""
     f = terrain_fields(v)
@@ -31,10 +33,11 @@ def global_accumulation(v: np.ndarray, weight_fn=None) -> tuple[np.ndarray, np.n
         if weight_fn is None
         else np.where(valid, weight_fn(elev), np.int64(0)).astype(np.int64)
     )
+    scatter = np.add.at if combine == "sum" else np.maximum.at
     for lev in np.unique(elev[valid])[::-1]:
         m = internal & (elev == lev)
         if m.any():
-            np.add.at(acc, (tr[m], tc[m]), acc[m])
+            scatter(acc, (tr[m], tc[m]), acc[m])
     return acc, valid
 
 
@@ -94,6 +97,45 @@ def test_flow_accumulation_multihop_ramp(spark):
     ).toPandas()
     assert len(pdf) == (n - 2) * (n - 2)
     assert (pdf["acc"].to_numpy() == pdf["gx"].to_numpy()).all()
+    assert m["coarse_rounds"] >= 2
+
+
+@pytest.mark.parametrize("s", [1, 2])
+def test_flow_accumulation_max_semiring(spark, s):
+    """combine="max" with weight_fn=elev+1: each pixel's value is the
+    PEAK source elevation (+1) anywhere upstream of it, self included.
+    Checked against the global max-scatter ground truth, both with a
+    real coarse graph (S=1) and the degenerate single super-tile."""
+    n = 512
+    wf = lambda e: e + 1  # noqa: E731
+    exp, valid = global_accumulation(dem_mosaic(n), weight_fn=wf, combine="max")
+    pdf = flow_accumulation(
+        fixtures.dem_raster_df(spark, zoom=1, partitions=4),
+        super_tiles=s,
+        weight_fn=wf,
+        combine="max",
+    ).toPandas()
+    assert len(pdf) == int(valid.sum())
+    np.testing.assert_array_equal(as_grid(pdf, exp.shape), exp * valid)
+
+
+def test_flow_accumulation_max_multihop_ramp(spark):
+    """Max mode on the eastward ramp: elevation is n-1-gx, every cell
+    flows east, so the upstream peak at every (gx, gy) is the westmost
+    universe cell's elevation n-2 — a value that must survive 3
+    super-tile crossings and >= 2 coarse max-relaxation rounds."""
+    n, ts = 64, 16
+    m: dict = {}
+    pdf = flow_accumulation(
+        ramp_tiles_df(spark, n, ts),
+        tile_size=ts,
+        super_tiles=1,
+        metrics=m,
+        weight_fn=lambda e: e,
+        combine="max",
+    ).toPandas()
+    assert len(pdf) == (n - 2) * (n - 2)
+    assert (pdf["acc"].to_numpy() == n - 2).all()
     assert m["coarse_rounds"] >= 2
 
 

@@ -180,25 +180,34 @@ def _local_accumulate(
     inject: list[tuple[int, int, int]],
     G: int,
     weight_fn=None,
+    combine: str = "sum",
 ) -> np.ndarray:
     """Exact local accumulation: level-synchronous descending-elevation
     sweeps (strict descent => topological; <=256 levels on uint8).
     `weight_fn(elev) -> int64 grid` sets each cell's own contribution
     (None = 1/cell, the classic contributing-cell count; an
-    elevation-derived rainfall weight turns this into runoff routing —
-    accumulation is linear in its sources, so nothing else changes)."""
+    elevation-derived rainfall weight turns this into runoff routing).
+    `combine` picks the semiring: "sum" (counting/runoff — linear) or
+    "max" (upstream extremum, e.g. peak source elevation) — the whole
+    two-phase decomposition only needs the aggregation to be commutative,
+    associative and distributive over path concatenation, which both
+    are.  Max-mode weights must be non-negative."""
     if weight_fn is None:
         acc = valid.astype(np.int64)
     else:
         acc = np.where(valid, weight_fn(elev), np.int64(0)).astype(np.int64)
+    scatter = np.add.at if combine == "sum" else np.maximum.at
     for r, c, w in inject:
         if not (0 <= r < G and 0 <= c < G and valid[r, c]):
             raise AssertionError(f"inflow injected at non-universe pixel ({c},{r})")
-        acc[r, c] += w
+        if combine == "sum":
+            acc[r, c] += w
+        else:
+            acc[r, c] = max(acc[r, c], w)
     for lev in np.unique(elev[valid])[::-1]:
         m = internal & (elev == lev)
         if m.any():
-            np.add.at(acc, (tr[m], tc[m]), acc[m])
+            scatter(acc, (tr[m], tc[m]), acc[m])
     return acc
 
 
@@ -248,12 +257,21 @@ def flow_accumulation(
     max_coarse_rounds: int = 64,
     metrics: dict | None = None,
     weight_fn=None,
+    combine: str = "sum",
 ) -> DataFrame:
     """(gx, gy, acc): number of universe pixels whose D8 flow path passes
     through (gx, gy), the pixel itself included (so acc >= 1).  See the
     module docstring for the two-phase distributed shape.  `min_accum`
     keeps only channel pixels (acc >= min_accum) — the stream-network
-    extraction threshold — so corpus-scale output stays slim."""
+    extraction threshold — so corpus-scale output stays slim.
+    `combine`: "sum" (counting / runoff) or "max" (upstream extremum —
+    e.g. weight_fn=elev gives each cell the peak source elevation
+    draining through it).  Both are commutative, associative and
+    distribute over path concatenation, so the identical two-phase
+    decomposition is exact; max-mode weights must be non-negative (the
+    coarse fixpoint probe relies on monotone non-negative relaxation)."""
+    if combine not in ("sum", "max"):
+        raise ValueError(f"combine must be 'sum' or 'max', got {combine!r}")
     ts, S = int(tile_size), int(super_tiles)
     G = S * ts
     spark = tiles.sparkSession
@@ -271,7 +289,7 @@ def flow_accumulation(
             return empty
         padded, _, _, ox, oy = got
         valid, elev, tr, tc, internal, exits = _local_fields(padded, G)
-        acc = _local_accumulate(valid, elev, tr, tc, internal, [], G, weight_fn)
+        acc = _local_accumulate(valid, elev, tr, tc, internal, [], G, weight_fn, combine)
         out = []
         # exit partials: flow leaving this super-tile, keyed by the
         # TARGET border pixel of the neighbor (kind 0)
@@ -280,7 +298,10 @@ def flow_accumulation(
             gid = (tc[er, ec] + ox) * _ID_BASE + (tr[er, ec] + oy)
             agg: dict[int, int] = {}
             for g, a in zip(gid, acc[er, ec]):
-                agg[int(g)] = agg.get(int(g), 0) + int(a)
+                if combine == "sum":
+                    agg[int(g)] = agg.get(int(g), 0) + int(a)
+                else:
+                    agg[int(g)] = max(agg.get(int(g), 0), int(a))
             out.append(
                 pd.DataFrame(
                     {"id": list(agg), "succ": -1, "w": list(agg.values()), "kind": 0}
@@ -322,10 +343,13 @@ def flow_accumulation(
     entries_df = coarse.filter(F.col("kind") == 1).select("id", "succ")
     # flow targeting a non-universe border pixel exits the raster: only
     # targets that are real entries (valid in their own super-tile) count
+    # the coarse-graph combine mirrors the semiring: partials from several
+    # source super-tiles targeting one entry pixel fold with sum|max
+    comb = F.sum if combine == "sum" else F.max
     w_df = (
         coarse.filter(F.col("kind") == 0)
         .groupBy("id")
-        .agg(F.sum("w").alias("w"))
+        .agg(comb("w").alias("w"))
         .join(entries_df.select("id"), "id", "left_semi")
     )
     edges = entries_df.filter(F.col("succ") >= 0)
@@ -341,7 +365,7 @@ def flow_accumulation(
                 .select(F.col("succ").alias("id"), F.col("w"))
             )
             inflow = (
-                w_df.unionByName(fwd).groupBy("id").agg(F.sum("w").alias("w"))
+                w_df.unionByName(fwd).groupBy("id").agg(comb("w").alias("w"))
             ).localCheckpoint()
             rounds += 1
             new_total = inflow.agg(F.sum("w")).collect()[0][0]
@@ -373,7 +397,7 @@ def flow_accumulation(
             return empty
         padded, inject, _, ox, oy = got
         valid, elev, tr, tc, internal, _exits = _local_fields(padded, G)
-        acc = _local_accumulate(valid, elev, tr, tc, internal, inject, G, weight_fn)
+        acc = _local_accumulate(valid, elev, tr, tc, internal, inject, G, weight_fn, combine)
         keep = valid if min_accum is None else (valid & (acc >= min_accum))
         r, c = np.nonzero(keep)
         return pd.DataFrame({"gx": c + ox, "gy": r + oy, "acc": acc[r, c]})

@@ -6737,6 +6737,60 @@ def q_runoff_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _peak_oracle_sql(zoom: int) -> str:
+    """Replay of max-semiring flow accumulation: the same recursive
+    closure walk as runoff_accum, but the per-pixel value is the MAX of
+    source weights over visits — the peak source elevation (+1)
+    upstream of each cell."""
+    n = (1 << zoom) * 256
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
+    sgx = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gx + {dx}" for k, _c, _m, (dx, _dy) in dirs
+    ) + " END"
+    sgy = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gy + {dy}" for k, _c, _m, (_dx, dy) in dirs
+    ) + " END"
+    return f"""
+    WITH RECURSIVE {parts["prefix"]},
+    s0 AS (SELECT gx, gy, {sgx} AS nx0, {sgy} AS ny0 FROM sc),
+    succ AS MATERIALIZED (SELECT s0.gx, s0.gy, v9.v_c,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN nx0 END AS nx,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN ny0 END AS ny
+      FROM s0 JOIN v9 ON v9.gx = s0.gx AND v9.gy = s0.gy),
+    walk AS (
+      SELECT gx AS cx, gy AS cy, v_c + 1 AS w FROM succ
+      UNION ALL
+      SELECT s.nx, s.ny, wk.w FROM walk wk JOIN succ s ON s.gx = wk.cx AND s.gy = wk.cy
+      WHERE s.nx IS NOT NULL
+    )
+    SELECT cx AS gx, cy AS gy, CAST(max(w) AS BIGINT) AS acc
+    FROM walk GROUP BY 1, 2
+    """
+
+
+@register("peak_accum", _peak_oracle_sql(zoom=1))
+def q_peak_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upstream-peak flow accumulation (combine="max"): each pixel's
+    value is the MAXIMUM source weight (elev + 1) anywhere upstream —
+    e.g. the highest contributing elevation, a standard hydrology
+    derivative for debris-flow hazard surfaces.  The Barnes two-phase
+    decomposition only needs the fold to be commutative, associative and
+    to distribute over path concatenation, so swapping the (+, 0)
+    semiring for (max, 0) reuses the identical machinery: local solve
+    scatters with np.maximum.at, the coarse Jacobi folds with F.max, and
+    the integer-sum fixpoint probe still terminates (max-relaxation is
+    pointwise monotone).  The oracle takes MAX over the recursive
+    closure walk instead of SUM."""
+    from . import fixtures
+    from .operators.hydro import flow_accumulation
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    return flow_accumulation(
+        tiles, super_tiles=1, weight_fn=lambda elev: elev + 1, combine="max"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
