@@ -46,6 +46,25 @@ def test_fuzz_flow_accumulation(spark, seed, levels, s):
     np.testing.assert_array_equal(got, exp * valid)
 
 
+@pytest.mark.parametrize("seed,levels,s", [(909, 6, 1), (111, 3, 2)])
+def test_fuzz_max_semiring(spark, seed, levels, s):
+    """combine="max" on random plateau-heavy DEMs: the upstream-peak
+    surface from the two-phase machinery == global np.maximum.at
+    evaluation — exercises max-mode exit-partial folding and the coarse
+    max-relaxation across random tie-broken flow graphs."""
+    n, ts = 64, 16
+    v = random_dem(seed, n, levels)
+    wf = lambda e: e + 1
+    exp, valid = global_accumulation(v, weight_fn=wf, combine="max")
+    pdf = flow_accumulation(
+        dem_to_tiles(spark, v, ts), tile_size=ts, super_tiles=s,
+        weight_fn=wf, combine="max",
+    ).toPandas()
+    got = np.zeros_like(exp)
+    got[pdf["gy"].to_numpy() - 1, pdf["gx"].to_numpy() - 1] = pdf["acc"].to_numpy()
+    np.testing.assert_array_equal(got, exp * valid)
+
+
 @pytest.mark.parametrize("seed,levels,s", [(404, 5, 1), (505, 12, 2), (606, 3, 1)])
 def test_fuzz_fill_depressions(spark, seed, levels, s):
     """Random DEMs are riddled with depressions and flat ties — the
