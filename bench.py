@@ -123,6 +123,7 @@ HEADLINE = [
     "hand_drainage",
     "runoff_accum",
     "peak_accum",
+    "strahler_order",
 ]
 
 

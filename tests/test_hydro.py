@@ -156,6 +156,149 @@ def test_flow_accumulation_min_accum_threshold(spark):
     assert all(got[(int(j + 1), int(i + 1))] == int(exp[i, j]) for i, j in zip(r, c))
 
 
+def global_strahler(v: np.ndarray, min_accum: int) -> dict[tuple[int, int], int]:
+    """Sequential Strahler over the full mosaic: streams = acc >=
+    min_accum; process channel cells in strictly descending elevation
+    (D8 follows strict drops, so predecessors always come first); head =
+    1, junction = max(incoming) + (count at max >= 2).  Keys are field
+    coords (i, j) -> global pixel (gx=j+1, gy=i+1)."""
+    acc, valid = global_accumulation(v)
+    f = terrain_fields(v)
+    d8 = f["d8"]
+    h = v.shape[0] - 2
+    elev = v[1:-1, 1:-1]
+    rr, cc = np.meshgrid(np.arange(h), np.arange(h), indexing="ij")
+    tr, tc = rr + _DYL[d8], cc + _DXL[d8]
+    in_u = (tr >= 0) & (tr < h) & (tc >= 0) & (tc < h)
+    stream = valid & (acc >= min_accum)
+    tgt = stream & (d8 > 0) & in_u & stream[tr.clip(0, h - 1), tc.clip(0, h - 1)]
+    incoming: dict[tuple[int, int], list[int]] = {}
+    order: dict[tuple[int, int], int] = {}
+    cells = sorted(zip(*np.nonzero(stream)), key=lambda p: -elev[p[0], p[1]])
+    for r, c in cells:
+        inc = incoming.get((r, c), [])
+        if not inc:
+            o = 1
+        else:
+            m = max(inc)
+            o = m + (1 if inc.count(m) >= 2 else 0)
+        order[(int(r), int(c))] = o
+        if tgt[r, c]:
+            incoming.setdefault((int(tr[r, c]), int(tc[r, c])), []).append(o)
+    return order
+
+
+def tree_strahler(k: int, mod: int, h: int = 2654435761) -> dict[int, int]:
+    """Sequential Strahler on the hash-pruned heap tree (ids 1..2^k-1,
+    drop (id*h) % mod == 0; succ = id // 2 when the parent survives).
+    Heap numbering makes descending id a topological order."""
+    ids = [i for i in range(1, 1 << k) if (i * h) % mod != 0]
+    sset = set(ids)
+    incoming: dict[int, list[int]] = {}
+    order: dict[int, int] = {}
+    for i in sorted(ids, reverse=True):
+        inc = incoming.get(i, [])
+        if not inc:
+            o = 1
+        else:
+            m = max(inc)
+            o = m + (1 if inc.count(m) >= 2 else 0)
+        order[i] = o
+        if i > 1 and i // 2 in sset:
+            incoming.setdefault(i // 2, []).append(o)
+    return order
+
+
+def test_strahler_order_heap_tree(spark):
+    """Deep junction nesting: the hash-pruned heap tree reaches order 9+
+    — distributed segment contraction == sequential heap evaluation,
+    and the junction relaxation needs multiple rounds."""
+    import pyspark.sql.functions as F
+
+    from versatiles_rs_spark.operators.hydro import strahler_order
+
+    k, mod = 12, 7
+    exp = tree_strahler(k, mod)
+    ids = spark.range(1, 1 << k).select(F.col("id"))
+    universe = ids.select(
+        "id",
+        F.when(F.col("id") == 1, F.col("id")).otherwise(F.expr("id div 2")).alias("succ"),
+    )
+    streams = ids.filter((F.col("id") * 2654435761) % mod != 0)
+    m: dict = {}
+    pdf = strahler_order(universe, streams, metrics=m).toPandas()
+    got = dict(zip(pdf["id"].astype(int), pdf["strahler"].astype(int)))
+    assert got == exp
+    assert max(got.values()) >= 8
+    assert m["solve"] == "driver" and m["n_junctions"] > 100
+    # distributed Jacobi fallback must agree exactly
+    m2: dict = {}
+    pdf2 = strahler_order(universe, streams, metrics=m2, solve="relax").toPandas()
+    got2 = dict(zip(pdf2["id"].astype(int), pdf2["strahler"].astype(int)))
+    assert got2 == exp
+    assert m2["solve"] == "relax" and m2["strahler_rounds"] >= 3
+
+
+def test_strahler_order_matches_global_random_dem(spark):
+    """DEM-derived path on a junction-rich random surface (~100 real
+    confluences at threshold 4): the full composition — tiles -> border-
+    exact pixels -> D8 graph -> accumulation-thresholded channels ->
+    segment-contracted Strahler — equals the sequential descending-
+    elevation evaluation, with super-tile crossings in play."""
+    import pyspark.sql.functions as F
+
+    from versatiles_rs_spark.operators.focal import d8_successors, focal_terrain_pixels
+    from versatiles_rs_spark.operators.hydro import strahler_order
+
+    n, ts, t = 128, 32, 4
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 50, size=(n, n)).astype(np.int64)
+    exp = global_strahler(v, t)
+    rows = []
+    for ty in range(n // ts):
+        for tx in range(n // ts):
+            sub = v[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+            rows.append(
+                (tx, ty, encode_png(np.ascontiguousarray(sub).astype(np.uint8)[:, :, None]))
+            )
+    tiles = spark.createDataFrame(rows, "x long, y long, bytes binary")
+    streams = flow_accumulation(
+        tiles, tile_size=ts, super_tiles=1, min_accum=t
+    ).select((F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("id"))
+    pixels = focal_terrain_pixels(tiles, tile_size=ts)
+    m: dict = {}
+    pdf = strahler_order(d8_successors(pixels), streams, metrics=m).toPandas()
+    assert len(pdf) == len(exp)
+    got = {
+        (int(i % 4294967296) - 1, int(i // 4294967296) - 1): int(s)
+        for i, s in zip(pdf["id"], pdf["strahler"])
+    }
+    assert got == exp
+    assert m["n_junctions"] > 50 and max(got.values()) >= 2
+
+
+def test_strahler_order_junction_free_ramp(spark):
+    """Degenerate network: the eastward ramp has straight parallel flow
+    lines — no junctions, every channel cell order 1, zero relaxation
+    rounds."""
+    import pyspark.sql.functions as F
+
+    from versatiles_rs_spark.operators.focal import d8_successors, focal_terrain_pixels
+    from versatiles_rs_spark.operators.hydro import strahler_order
+
+    n, ts, t = 64, 16, 8
+    tiles = ramp_tiles_df(spark, n, ts)
+    streams = flow_accumulation(
+        tiles, tile_size=ts, super_tiles=1, min_accum=t
+    ).select((F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("id"))
+    pixels = focal_terrain_pixels(tiles, tile_size=ts)
+    m: dict = {}
+    pdf = strahler_order(d8_successors(pixels), streams, metrics=m).toPandas()
+    assert len(pdf) == (n - 2) * (n - 2 - (t - 1))  # cells with gx >= t
+    assert (pdf["strahler"].to_numpy() == 1).all()
+    assert m["n_junctions"] == 0 and m["strahler_rounds"] == 0
+
+
 def test_flow_accumulation_single_payload_exchange(spark):
     """Phase B's lazy plan (the returned DataFrame): the tile payload
     crosses exactly ONE Exchange (the super-tile groupBy), and nothing

@@ -409,6 +409,222 @@ def flow_accumulation(
     )
 
 
+def strahler_order(
+    succ_df: DataFrame,
+    streams: DataFrame,
+    max_rounds: int = 64,
+    metrics: dict | None = None,
+    solve: str = "auto",
+    max_driver_edges: int = 50_000_000,
+    doubling_rounds: int | None = None,
+) -> DataFrame:
+    """(id, strahler): Strahler stream order over an extracted channel
+    network — the TauDEM/ArcGIS "Stream Order" operator (the reference
+    has no hydrology).  `succ_df` is the (id, succ) D8 functional graph
+    (focal.d8_successors: sinks self-loop); `streams` the channel-cell
+    ids (e.g. flow_accumulation(min_accum=T)).  Semantics: head cells
+    (no channel inflow) are order 1; a cell where channels meet takes
+    max(incoming orders) + 1 if >= 2 incoming reaches attain that max,
+    else the max; chain cells inherit their unique predecessor.
+
+    Distributed shape — Strahler does NOT fold into a semiring (the
+    junction rule needs the multiset of incoming orders), so instead of
+    per-cell relaxation (O(reach length) rounds) the network contracts
+    to its SEGMENTS: order is constant from each anchor (head or
+    junction) down to the next junction.  Three slim passes:
+      1. anchor labeling — pointer doubling UP the unique-predecessor
+         chains (a functional graph, so Wyllie doubling applies),
+      2. segment -> next-junction edges — pure joins, no second
+         doubling: a segment ending at junction j is exactly the anchor
+         label of one of j's channel predecessors, so
+         edges = anchor(preds-of-junctions) -> junction,
+      3. junction-DAG solve — the contracted (anchor, junction) edge
+         list holds one row per SEGMENT.  `solve="auto"` (default)
+         collects it and runs a sequential Kahn pass on the driver when
+         it fits `max_driver_edges` — the same guarded driver-solve
+         shape as fill_depressions (Barnes' own coarse step), justified
+         identically: the contraction shrinks the data by orders of
+         magnitude and the leftover recursion is latency-, not
+         volume-bound.  Past the guard (or `solve="relax"`) it falls
+         back to distributed Jacobi rounds of (long, long) aggregates
+         with an exact integer-sum fixpoint probe (the junction rule is
+         pointwise monotone, so scalar equality == pointwise fixpoint).
+         Honesty note: the distributed relaxation converges in O(longest
+         chain of causally-dependent order CHANGES) rounds — typically
+         close to the max order (Earth rivers top out ~12), but a
+         mainstem with order-increasing tributaries at every confluence
+         degrades toward junction-chain depth; per-level chain
+         contraction (rake/compress) is the known upgrade if a real
+         network ever trips max_rounds.
+    `doubling_rounds`: fixed round count for the anchor doubling pass
+    when the caller knows the longest chain (2^rounds cells) — skips the
+    per-round fixpoint probes.
+    Channel cells are a thin fraction of the raster and segments a thin
+    fraction of channels, so every iterated relation is tiny at scale;
+    the DEM payload is never touched."""
+    from .focal import d8_basins
+
+    sset = streams.select("id")
+    # channel-restricted successor: NULL when the cell is a sink
+    # (self-loop), flows off-raster, or into a non-channel cell
+    e = (
+        succ_df.join(sset, "id", "left_semi")
+        .withColumn(
+            "succ",
+            F.when(F.col("succ") == F.col("id"), F.lit(None)).otherwise(F.col("succ")),
+        )
+        .join(
+            sset.select(F.col("id").alias("sid")),
+            F.col("succ") == F.col("sid"),
+            "left",
+        )
+        .select(
+            "id", F.when(F.col("sid").isNotNull(), F.col("succ")).alias("succ")
+        )
+    )
+    indeg = (
+        e.filter(F.col("succ").isNotNull())
+        .groupBy(F.col("succ").alias("id"))
+        .agg(F.count("*").alias("indeg"))
+    )
+    cells = (
+        e.join(indeg, "id", "left").fillna(0, subset=["indeg"]).localCheckpoint()
+    )
+
+    # 1. anchors = heads (indeg 0) + junctions (indeg >= 2); chain cells
+    # point UP to their unique predecessor -> functional graph -> doubling
+    preds = cells.filter(F.col("succ").isNotNull()).select(
+        F.col("succ").alias("id"), F.col("id").alias("pred")
+    )
+    up = (
+        cells.filter(F.col("indeg") == 1)
+        .select("id")
+        .join(preds, "id")
+        .select("id", F.col("pred").alias("succ"))
+        .unionByName(
+            cells.filter(F.col("indeg") != 1).select("id", F.col("id").alias("succ"))
+        )
+    )
+    anchor = d8_basins(
+        up, rounds=doubling_rounds, max_rounds=max_rounds
+    ).withColumnRenamed("label", "anchor")
+
+    # 2. segment edges: the segment that ENDS at junction j is the one
+    # containing each channel predecessor p of j, and a segment is named
+    # by its anchor — so edges = (anchor(p), j), pure joins on the
+    # already-computed anchor labels, no second doubling pass
+    junctions = cells.filter(F.col("indeg") >= 2).select("id")
+    edges = (
+        cells.join(
+            junctions.select(F.col("id").alias("j")), F.col("succ") == F.col("j")
+        )
+        .select(F.col("id").alias("pid"), "j")
+        .join(
+            anchor.select(F.col("id").alias("pid"), F.col("anchor").alias("a")),
+            "pid",
+        )
+        .select("a", "j")
+        .localCheckpoint()
+    )
+
+    # 3. junction-DAG solve
+    anchors_df = cells.filter(F.col("indeg") != 1).select("id")
+    edge_rows = (
+        edges.limit(max_driver_edges + 1).collect() if solve == "auto" else None
+    )
+    if edge_rows is not None and len(edge_rows) <= max_driver_edges:
+        n_edges = len(edge_rows)
+        # sequential Kahn on the driver over the contracted DAG
+        incoming: dict[int, list[int]] = {}
+        out: dict[int, int] = {}
+        for r in edge_rows:
+            a, j = int(r["a"]), int(r["j"])
+            incoming.setdefault(j, []).append(a)
+            out[a] = j
+        from collections import deque
+
+        order: dict[int, int] = {}
+        ready: deque[int] = deque()
+        for r in anchors_df.collect():
+            i = int(r["id"])
+            if i not in incoming:  # heads, and junctions the edges missed
+                order[i] = 1
+                ready.append(i)
+        remaining = {j: len(v) for j, v in incoming.items()}
+        while ready:
+            a = ready.popleft()
+            j = out.get(a)
+            if j is None:
+                continue
+            remaining[j] -= 1
+            if remaining[j] == 0:
+                ws = [order[x] for x in incoming[j]]
+                m0 = max(ws)
+                order[j] = m0 + (1 if ws.count(m0) >= 2 else 0)
+                ready.append(j)
+        if any(v > 0 for v in remaining.values()):
+            raise AssertionError("strahler_order: junction DAG has a cycle")
+        if metrics is not None:
+            metrics["strahler_rounds"] = 0
+            metrics["n_junctions"] = len(incoming)
+            metrics["solve"] = "driver"
+            metrics["n_edges"] = n_edges
+        ordr = succ_df.sparkSession.createDataFrame(
+            list(order.items()), "id long, w long"
+        )
+        return anchor.join(
+            ordr.select(F.col("id").alias("anchor"), F.col("w").alias("strahler")),
+            "anchor",
+        ).select("id", "strahler")
+
+    # distributed Jacobi relaxation from the all-ones lower bound
+    anchors_df = anchors_df.localCheckpoint()
+    n_edges = edges.count()
+    ordr = anchors_df.select("id", F.lit(1).cast("long").alias("w")).localCheckpoint()
+    total = ordr.agg(F.sum("w")).collect()[0][0] or 0
+    rounds = 0
+    if not junctions.isEmpty():
+        while rounds < max_rounds:
+            contrib = (
+                edges.join(ordr.select(F.col("id").alias("a"), "w"), "a")
+                .groupBy("j", "w")
+                .agg(F.count("*").alias("cnt"))
+            )
+            nw = (
+                contrib.groupBy("j")
+                .agg(F.max("w").alias("m"), F.max_by("cnt", "w").alias("cm"))
+                .select(
+                    F.col("j").alias("id"),
+                    (F.col("m") + F.when(F.col("cm") >= 2, 1).otherwise(0))
+                    .cast("long")
+                    .alias("w"),
+                )
+            )
+            ordr = (
+                anchors_df.join(nw, "id", "left")
+                .select("id", F.coalesce("w", F.lit(1).cast("long")).alias("w"))
+                .localCheckpoint()
+            )
+            rounds += 1
+            new_total = ordr.agg(F.sum("w")).collect()[0][0]
+            if new_total == total:  # monotone -> exact pointwise fixpoint
+                break
+            total = new_total
+        else:
+            raise RuntimeError(
+                f"strahler_order: junction relaxation open after {max_rounds} rounds"
+            )
+    if metrics is not None:
+        metrics["strahler_rounds"] = rounds
+        metrics["n_junctions"] = junctions.count()
+        metrics["solve"] = "relax"
+        metrics["n_edges"] = n_edges
+    return anchor.join(
+        ordr.select(F.col("id").alias("anchor"), F.col("w").alias("strahler")),
+        "anchor",
+    ).select("id", "strahler")
+
+
 _INF = 1 << 62
 _LABMOD = 1 << 21  # watershed node = (sx * 2^21 + sy) * 2^21 + local label
 

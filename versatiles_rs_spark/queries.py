@@ -6791,6 +6791,131 @@ def q_peak_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _strahler_contraction_sql(rounds: int) -> str:
+    """The shared Strahler contraction suffix: expects a prior
+    MATERIALIZED CTE `sg(id, succ)` — the channel-restricted functional
+    graph (succ NULL = terminal).  In-degrees, anchors (indeg != 1)
+    resolved by an incremental recursive downstream propagation along
+    unique-predecessor chains, segment -> next-junction edges by a
+    recursive walk stopped at junctions, and the junction relaxation
+    unrolled as `rounds` MATERIALIZED rounds of max(w) + (arg_max(cnt,
+    w) >= 2) — each round references the previous exactly once.  (j, w)
+    groups are unique, so arg_max never ties."""
+    relax = "".join(
+        f""",
+    o{r} AS MATERIALIZED (
+      SELECT an.id, coalesce(nw.w, CAST(1 AS BIGINT)) AS w
+      FROM (SELECT id FROM deg WHERE indeg <> 1) an
+      LEFT JOIN (
+        SELECT j AS id, m + CASE WHEN cm >= 2 THEN 1 ELSE 0 END AS w
+        FROM (SELECT j, max(w) AS m, arg_max(cnt, w) AS cm
+              FROM (SELECT e.j, o.w, CAST(count(*) AS BIGINT) AS cnt
+                    FROM edges e JOIN o{r - 1} o ON o.id = e.a GROUP BY 1, 2) t1
+              GROUP BY j) t2
+      ) nw USING (id)
+    )"""
+        for r in range(1, rounds + 1)
+    )
+    return f""",
+    deg AS MATERIALIZED (
+      SELECT sg.id, sg.succ, coalesce(d.indeg, 0) AS indeg
+      FROM sg LEFT JOIN (SELECT succ AS id, count(*) AS indeg FROM sg
+                         WHERE succ IS NOT NULL GROUP BY 1) d USING (id)
+    ),
+    chain AS MATERIALIZED (
+      SELECT s.succ AS id, s.id AS pred FROM sg s
+      JOIN deg d ON d.id = s.succ WHERE d.indeg = 1
+    ),
+    anch AS (
+      SELECT id, id AS anchor FROM deg WHERE indeg <> 1
+      UNION ALL
+      SELECT c.id, a.anchor FROM anch a JOIN chain c ON c.pred = a.id
+    ),
+    anchm AS MATERIALIZED (SELECT id, anchor FROM anch),
+    jn AS MATERIALIZED (SELECT id FROM deg WHERE indeg >= 2),
+    mw AS (
+      SELECT d.id AS a, d.succ AS cur FROM deg d
+      WHERE d.indeg <> 1 AND d.succ IS NOT NULL
+      UNION ALL
+      SELECT w.a, d.succ FROM mw w
+      JOIN deg d ON d.id = w.cur
+      LEFT JOIN jn ON jn.id = w.cur
+      WHERE jn.id IS NULL AND d.succ IS NOT NULL
+    ),
+    edges AS MATERIALIZED (
+      SELECT w.a, w.cur AS j FROM mw w JOIN jn ON jn.id = w.cur
+    ),
+    o0 AS MATERIALIZED (
+      SELECT id, CAST(1 AS BIGINT) AS w FROM deg WHERE indeg <> 1
+    ){relax}
+    SELECT an.id AS id, o.w AS strahler
+    FROM anchm an JOIN o{rounds} o ON o.id = an.anchor
+    """
+
+
+# Knuth multiplicative hash keeps the dropout pattern irregular while the
+# product (id * _STRAHLER_HASH) stays well inside int64 for heap ids.
+_STRAHLER_HASH = 2654435761
+
+
+def _strahler_oracle_sql(k: int, mod: int, rounds: int) -> str:
+    """Replay of Strahler order on the hash-pruned heap-tree channel
+    graph: ids 1..2^k-1 with (id * hash) % mod == 0 dropped; survivor
+    succ = id // 2 when the parent also survives (NULL = terminal, ie a
+    reach mouth).  Dropouts carve the perfect heap into irregular
+    subtrees with real unique-predecessor chains (one child dropped =>
+    indeg 1), so every contraction stage is exercised."""
+    n = 1 << k
+    return f"""
+    WITH RECURSIVE keep AS MATERIALIZED (
+      SELECT id FROM (SELECT unnest(range(1, {n})) AS id)
+      WHERE (id * {_STRAHLER_HASH}) % {mod} <> 0
+    ),
+    sg AS MATERIALIZED (
+      SELECT a.id, CASE WHEN a.id > 1 AND t.id IS NOT NULL THEN a.id // 2 END AS succ
+      FROM keep a LEFT JOIN keep t ON t.id = a.id // 2
+    ){_strahler_contraction_sql(rounds)}"""
+
+
+@register("strahler_order", _strahler_oracle_sql(k=12, mod=7, rounds=14))
+def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strahler stream order (TauDEM/ArcGIS Stream Order): heads are
+    order 1; where reaches meet, the order is max(incoming) plus one iff
+    two or more incoming reaches attain that max.  Strahler does not
+    fold into a semiring (the junction rule needs the incoming
+    multiset), so the engine contracts the network to SEGMENTS — order
+    is constant from each anchor (head or junction) down to the next
+    junction — via three slim pointer-doubled passes (anchor labeling up
+    the unique-predecessor chains, watershed_membership for
+    segment->junction edges, then a junction-DAG relaxation whose
+    iterated relation holds one row per SEGMENT, not per cell).
+
+    The graded channel graph is the deterministic hash-pruned heap tree
+    (D8 fixtures cannot grade deep orders: strict-descent flow on this
+    engine's smooth or random uint8 surfaces produces almost no
+    stream-stream confluences — measured 0 junctions on the zoom-1 DEM
+    at every threshold — so real junction NESTING needs a constructed
+    tree; the DEM-derived path is pytest-verified against a sequential
+    ground truth on a junction-rich random DEM).  The oracle replays the
+    contraction with incremental recursive CTEs and 14 materialized
+    relaxation rounds (tree junction depth < 12; the engine's fixpoint
+    probe confirms)."""
+    from .operators.hydro import strahler_order
+
+    n = 1 << 12
+    ids = spark.range(1, n).select(F.col("id"))
+    universe = ids.select(
+        "id",
+        F.when(F.col("id") == 1, F.col("id"))
+        .otherwise(F.expr("id div 2"))
+        .alias("succ"),
+    )
+    streams = ids.filter((F.col("id") * _STRAHLER_HASH) % 7 != 0)
+    # heap dropout chains are length <= 1 (measured), so 3 fixed doubling
+    # rounds (2^3-cell chains) skip the per-round fixpoint probes
+    return strahler_order(universe, streams, doubling_rounds=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
