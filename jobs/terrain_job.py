@@ -16,8 +16,11 @@ Stages (each a LevelCheckpointer commit):
                (gx, gy, acc) relation, never payload
   4 basins   — drainage-basin sizes from pointer doubling over the
                filled surface; slim (bx, by, n_px)
-  5 export   — the stream network rendered as MVT choropleth tiles and
-               published to an .mbtiles container (servable as-is)
+  5 orders   — Strahler stream order per channel cell (segment
+               contraction + driver Kahn solve); slim (id, strahler)
+  6 export   — the stream network rendered as MVT choropleth tiles
+               (accumulation + order properties) and published to an
+               .mbtiles container (servable as-is)
 
     spark-submit --py-files dist/versatiles_rs_spark.zip \
         jobs/terrain_job.py --zoom 2 --out /data/terrain [--bowls]
@@ -48,7 +51,11 @@ def run(spark, zoom: int, out: str, min_accum: int, super_tiles: int, bowls: boo
         d8_successors,
         focal_terrain_pixels,
     )
-    from versatiles_rs_spark.operators.hydro import fill_depressions, flow_accumulation
+    from versatiles_rs_spark.operators.hydro import (
+        fill_depressions,
+        flow_accumulation,
+        strahler_order,
+    )
     from versatiles_rs_spark.sinks.checkpoint import LevelCheckpointer
     from versatiles_rs_spark.sources.mbtiles import write_mbtiles
     from versatiles_rs_spark.vector_tile import cells_to_choropleth_tiles
@@ -117,16 +124,37 @@ def run(spark, zoom: int, out: str, min_accum: int, super_tiles: int, bowls: boo
     basins = timed("basins", 4, build_basins, payload=None)
     stats["n_basins"] = basins.count()
 
-    # 5 export: stream MVT tiles -> mbtiles container
+    # 5 Strahler stream orders (slim; joins back into the export layer)
+    def build_orders():
+        pixels = focal_terrain_pixels(filled.select("x", "y", "bytes"))
+        sids = streams.select(
+            (F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("id")
+        )
+        return strahler_order(d8_successors(pixels), sids)
+
+    orders = timed("orders", 5, build_orders, payload=None)
+    stats["max_order"] = orders.agg(F.max("strahler")).collect()[0][0]
+
+    # 6 export: stream MVT tiles (acc + order properties) -> mbtiles
     t0 = time.time()
     mbt = os.path.join(out, "streams.mbtiles")
     if not os.path.exists(mbt + ".done"):
         render_zoom = max(0, zoom + 8 - 3)  # 8x8 px per rendered tile cell
+        cells = (
+            streams.select(
+                F.col("gx").alias("x"),
+                F.col("gy").alias("y"),
+                "acc",
+                (F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("id"),
+            )
+            .join(orders.withColumnRenamed("strahler", "ord"), "id")
+            .drop("id")
+        )
         mvt = cells_to_choropleth_tiles(
-            streams.select(F.col("gx").alias("x"), F.col("gy").alias("y"), "acc"),
+            cells,
             cell_zoom=zoom + 8,
             render_zoom=render_zoom,
-            value_cols=("acc",),
+            value_cols=("acc", "ord"),
             layer="streams",
         )
         n = write_mbtiles(

@@ -172,6 +172,10 @@ def test_analyze_hydro_over_mbtiles(spark, tmp_path):
     assert h["stream_pixels"] == 10016
     assert h["coarse_rounds"] >= 1
     assert h["largest_basins"][0]["n_px"] >= h["largest_basins"][-1]["n_px"]
+    # channels on this fixture never meet (0 confluences, measured):
+    # every stream cell is order 1 and the junction count is zero
+    assert h["strahler_orders"] == {"1": 10016}
+    assert h["n_junctions"] == 0
 
 
 def test_analyze_hydro_fill_over_mbtiles(spark, tmp_path):

@@ -21,17 +21,21 @@ def test_terrain_job_commits_and_resumes(spark, tmp_path):
     assert cold["watershed_nodes"] > 0
     assert cold["stream_pixels"] == 10016 and cold["max_accum"] == 468
     assert cold["n_basins"] == 66098
+    # this fixture's channels never meet (0 confluences, measured), so
+    # the order surface is all-1 — the stage still runs the contraction
+    assert cold["max_order"] == 1
     assert cold["exported_tiles"] > 0
     assert not cold["export_resumed"]
 
     warm = terrain_job.run(
         spark, zoom=1, out=out, min_accum=64, super_tiles=1, bowls=False
     )
-    for k in ("dem", "filled", "streams", "basins"):
+    for k in ("dem", "filled", "streams", "basins", "orders"):
         assert warm[f"{k}_resumed"], k
     assert warm["export_resumed"]
     # resumed run reproduces every stat from the committed stages
-    for k in ("n_tiles", "stream_pixels", "max_accum", "n_basins", "exported_tiles"):
+    for k in ("n_tiles", "stream_pixels", "max_accum", "n_basins", "max_order",
+              "exported_tiles"):
         assert warm[k] == cold[k], k
 
     # the exported container is a real mbtiles the engine can read back

@@ -126,6 +126,17 @@ def _run_hydro(spark, args, F) -> dict:
         F.max("acc").alias("mx"),
         F.sum((F.col("acc") >= args.min_accum).cast("long")).alias("streams"),
     ).collect()[0]
+    from versatiles_rs_spark.operators.hydro import strahler_order
+
+    streams_ids = acc.filter(F.col("acc") >= args.min_accum).select(
+        (F.col("gx") * F.lit(base) + F.col("gy")).alias("id")
+    )
+    sm: dict = {}
+    orders = strahler_order(d8_successors(pixels), streams_ids, metrics=sm)
+    order_hist = {
+        int(r["strahler"]): int(r["n"])
+        for r in orders.groupBy("strahler").agg(F.count("*").alias("n")).collect()
+    }
     return {
         "table": args.table,
         "hydro": {
@@ -140,6 +151,8 @@ def _run_hydro(spark, args, F) -> dict:
             "stream_pixels": acc_stats["streams"],
             "min_accum": args.min_accum,
             "coarse_rounds": fm.get("coarse_rounds"),
+            "strahler_orders": order_hist,
+            "n_junctions": sm.get("n_junctions"),
         },
     }
 

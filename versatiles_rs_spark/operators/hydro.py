@@ -409,6 +409,288 @@ def flow_accumulation(
     )
 
 
+_BIG = 1 << 40  # BFS infinity that still sums safely across a raster
+
+
+def resolve_flats(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    super_tiles: int = 1,
+    payload: str = "bytes",
+    band: int = 0,
+    max_bfs_rounds: int = 64,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """(gx, gy, dist, d8): towards-lower flat resolution — the
+    Garbrecht & Martz (1997) / Barnes et al. (2014, "An efficient
+    assignment of drainage direction over flat surfaces") gradient that
+    lets D8 drain FLATS (cells with no strictly lower neighbor), the
+    missing link between depression filling and flow analysis: filled
+    lakes are flats, and integer-quantised surfaces are full of
+    terraces.  For every flat cell: `dist` = BFS distance (8-adjacent,
+    equal elevation) to the nearest spill — an equal-elevation cell that
+    already drains (d8 > 0) — and `d8` = the direction of the
+    dist-descending neighbor (ties by ascending ESRI code, the engine's
+    universal tie-break).  Plateau tops with no spill stay (dist -1,
+    d8 0): they remain sinks, as in GDAL.  Only the towards-lower
+    component is computed; Barnes' away-from-higher term shapes
+    aesthetics inside wide flats but is not needed for drainage
+    correctness (dist strictly decreases along resolved flow, so every
+    resolved path exits its flat).
+
+    Distributed shape: ONE heavy pass (same super-tile + 1px halo
+    relation as flow_accumulation) decodes the payload, finds flat
+    cells, and emits only slim rows — flat cells (dist infinity), local
+    spill sources (dist 0: draining cells that touch an equal-elevation
+    flat cell), and halo source grants addressed to neighbor super-tiles
+    (a draining cell on the border is a source for the neighbor's flat
+    cells too).  The BFS then iterates on the SLIM relation only:
+    per-round, border flat rows are re-keyed to adjacent super-tiles,
+    each group runs a vectorized multi-source level-BFS, and an exact
+    integer sum probe (capped at _BIG; monotone decreasing) detects the
+    fixpoint.  Rounds = super-tile crossings of the longest in-flat BFS
+    path (a lake spanning k super-tiles costs ~k slim rounds — the same
+    bound as TauDEM's published MPI flat resolution); the payload is
+    decoded exactly once."""
+    ts, S = int(tile_size), int(super_tiles)
+    G = S * ts
+    relation = _keyed_tiles(tiles, ts, S, payload).unionByName(
+        _strip_rows(tiles, ts, S, payload, band)
+    )
+
+    state_schema = "sx long, sy long, gx long, gy long, elev long, dist long, src int"
+
+    def phase_a(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["sx", "sy", "gx", "gy", "elev", "dist", "src"]
+        empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
+        got = _assemble(pdf, G, band)
+        if got is None:
+            return empty
+        padded, _, _, ox, oy = got
+        f = terrain_fields(padded)
+        valid, d8 = f["valid"], f["d8"]
+        elev = padded[1:-1, 1:-1]
+        flat = valid & (d8 == 0)
+        drains = valid & (d8 > 0)
+        sx, sy = ox // G, oy // G
+        # padded-frame masks for vectorized 8-shift neighbor tests
+        flat_p = np.zeros((G + 2, G + 2), dtype=bool)
+        flat_p[1:-1, 1:-1] = flat
+        # own spill sources: draining cells with an equal-elevation own
+        # flat neighbor (all eight shifts at once)
+        own_src = np.zeros((G, G), dtype=bool)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                nb_flat = flat_p[1 + dy : G + 1 + dy, 1 + dx : G + 1 + dx]
+                nb_elev = padded[1 + dy : G + 1 + dy, 1 + dx : G + 1 + dx]
+                own_src |= nb_flat & (nb_elev == elev)
+        own_src &= drains
+        parts = []
+        fr, fc = np.nonzero(flat)
+        parts.append(
+            pd.DataFrame(
+                {"sx": sx, "sy": sy, "gx": ox + fc, "gy": oy + fr,
+                 "elev": elev[fr, fc], "dist": _BIG, "src": 0}
+            )
+        )
+        sr_, sc_ = np.nonzero(own_src)
+        parts.append(
+            pd.DataFrame(
+                {"sx": sx, "sy": sy, "gx": ox + sc_, "gy": oy + sr_,
+                 "elev": elev[sr_, sc_], "dist": 0, "src": 1}
+            )
+        )
+        # source grants: draining RING cells whose equal-elevation
+        # neighbor lies in a foreign super-tile (its owner decides
+        # whether that halo cell is flat) — ring only, cheap python loop
+        ring = np.zeros((G, G), dtype=bool)
+        ring[0, :] = ring[-1, :] = True
+        ring[:, 0] = ring[:, -1] = True
+        rows = []
+        for r, c in zip(*np.nonzero(drains & ring)):
+            e0 = int(elev[r, c])
+            grants = set()
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dx == 0 and dy == 0:
+                        continue
+                    rr2, cc2 = r + dy, c + dx
+                    if 0 <= rr2 < G and 0 <= cc2 < G:
+                        continue
+                    if int(padded[rr2 + 1, cc2 + 1]) == e0:
+                        gxn, gyn = ox + cc2, oy + rr2
+                        if gxn >= 0 and gyn >= 0:
+                            grants.add((gxn // G, gyn // G))
+            for gsx, gsy in grants:
+                rows.append((gsx, gsy, ox + c, oy + r, e0, 0, 1))
+        if rows:
+            parts.append(pd.DataFrame(rows, columns=cols))
+        out = pd.concat(parts, ignore_index=True)
+        return out.astype({c: "int64" for c in cols[:-1]} | {"src": "int32"})
+
+    state = (
+        relation.groupBy("sx", "sy")
+        .applyInPandas(lambda pdf: phase_a(pdf), schema=state_schema)
+        .localCheckpoint()
+    )
+
+    def bfs_round(pdf: pd.DataFrame, emit_dirs: bool = False) -> pd.DataFrame:
+        """Vectorized multi-source level-BFS over one super-tile's slim
+        rows (own flats src=0, persistent sources src=1, transient halo
+        copies src=2).  Returns persistent rows with updated dists — or,
+        with emit_dirs, the final (gx, gy, dist, d8) per own flat cell."""
+        sx, sy = int(pdf["sx"].iloc[0]), int(pdf["sy"].iloc[0])
+        ox, oy = sx * G, sy * G
+        r_ = (pdf["gy"].to_numpy() - oy + 1).astype(np.int64)
+        c_ = (pdf["gx"].to_numpy() - ox + 1).astype(np.int64)
+        el = pdf["elev"].to_numpy().astype(np.int64)
+        di = pdf["dist"].to_numpy().astype(np.int64)
+        sr = pdf["src"].to_numpy().astype(np.int64)
+        dist = np.full((G + 2, G + 2), _BIG, dtype=np.int64)
+        elev_a = np.full((G + 2, G + 2), -1, dtype=np.int64)
+        own_flat = np.zeros((G + 2, G + 2), dtype=bool)
+        np.minimum.at(dist, (r_, c_), di)
+        elev_a[r_, c_] = el
+        own = sr == 0
+        own_flat[r_[own], c_[own]] = True
+        # level BFS: move only between equal-elevation cells, update own
+        # flats only (sources and halos are fixed boundary conditions)
+        import heapq
+
+        pending = [(int(d), int(rr), int(cc)) for d, rr, cc in
+                   zip(dist[r_, c_], r_, c_) if d < _BIG]
+        heapq.heapify(pending)
+        while pending:
+            d, rr, cc = heapq.heappop(pending)
+            if d > dist[rr, cc]:
+                continue
+            e0 = elev_a[rr, cc]
+            for rr2 in (rr - 1, rr, rr + 1):
+                if rr2 < 0 or rr2 > G + 1:
+                    continue
+                for cc2 in (cc - 1, cc, cc + 1):
+                    if cc2 < 0 or cc2 > G + 1 or (rr2 == rr and cc2 == cc):
+                        continue
+                    if (
+                        own_flat[rr2, cc2]
+                        and elev_a[rr2, cc2] == e0
+                        and d + 1 < dist[rr2, cc2]
+                    ):
+                        dist[rr2, cc2] = d + 1
+                        heapq.heappush(pending, (d + 1, rr2, cc2))
+        if not emit_dirs:
+            out = pdf[sr != 2].copy()
+            keep = sr != 2
+            out["dist"] = dist[r_[keep], c_[keep]]
+            return out
+        # final: resolved direction = lowest-ESRI-code neighbor with
+        # equal elevation and dist exactly one less
+        rows = []
+        for rr, cc, e0, s0 in zip(r_, c_, el, sr):
+            if s0 != 0:
+                continue
+            d0 = dist[rr, cc]
+            if d0 >= _BIG:
+                rows.append((ox + cc - 1, oy + rr - 1, -1, 0))
+                continue
+            code = 0
+            for cand, (dx, dy) in sorted(_D8_DELTA.items()):
+                rr2, cc2 = rr + dy, cc + dx
+                if (
+                    0 <= rr2 <= G + 1
+                    and 0 <= cc2 <= G + 1
+                    and elev_a[rr2, cc2] == e0
+                    and dist[rr2, cc2] == d0 - 1
+                ):
+                    code = cand
+                    break
+            if code == 0:
+                raise AssertionError(
+                    "resolve_flats: finite-dist flat cell without a "
+                    f"dist-descending neighbor at ({ox + cc - 1}, {oy + rr - 1})"
+                )
+            rows.append((ox + cc - 1, oy + rr - 1, int(d0), code))
+        return pd.DataFrame(rows, columns=["gx", "gy", "dist", "d8"])
+
+    def halo_copies(st: DataFrame) -> DataFrame:
+        """Flat/source rows on the super-tile ring, re-keyed to each
+        adjacent foreign super-tile (transient, src=2)."""
+        on_ring = (
+            (F.col("gx") % G == 0) | (F.col("gx") % G == G - 1)
+            | (F.col("gy") % G == 0) | (F.col("gy") % G == G - 1)
+        )
+        nbrs = F.array_distinct(
+            F.array(
+                *[
+                    F.struct(
+                        F.expr(f"(gx + {dx}) div {G}").alias("nsx"),
+                        F.expr(f"(gy + {dy}) div {G}").alias("nsy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                    if not (dx == 0 and dy == 0)
+                ]
+            )
+        )
+        return (
+            st.filter(on_ring & (F.col("dist") < _BIG))
+            .select("gx", "gy", "elev", "dist", F.explode(nbrs).alias("nb"))
+            .filter(
+                (F.col("nb.nsx") >= 0)
+                & (F.col("nb.nsy") >= 0)
+                & (
+                    (F.col("nb.nsx") != F.expr(f"gx div {G}"))
+                    | (F.col("nb.nsy") != F.expr(f"gy div {G}"))
+                )
+            )
+            .select(
+                F.col("nb.nsx").alias("sx"),
+                F.col("nb.nsy").alias("sy"),
+                "gx", "gy", "elev", "dist",
+                F.lit(2).alias("src"),
+            )
+            .distinct()
+        )
+
+    probe = state.filter(F.col("src") == 0).agg(
+        F.sum(F.least(F.col("dist"), F.lit(_BIG))).alias("s")
+    )
+    total = probe.collect()[0][0] or 0
+    rounds = 0
+    while rounds < max_bfs_rounds:
+        grouped = state.unionByName(halo_copies(state))
+        state = (
+            grouped.groupBy("sx", "sy")
+            .applyInPandas(lambda pdf: bfs_round(pdf), schema=state_schema)
+            .localCheckpoint()
+        )
+        rounds += 1
+        new_total = state.filter(F.col("src") == 0).agg(
+            F.sum(F.least(F.col("dist"), F.lit(_BIG))).alias("s")
+        ).collect()[0][0] or 0
+        if new_total == total:  # monotone decreasing -> pointwise fixpoint
+            break
+        total = new_total
+    else:
+        raise RuntimeError(
+            f"resolve_flats: BFS open after {max_bfs_rounds} rounds — a flat "
+            "spans more super-tiles than the bound; raise super_tiles or "
+            "max_bfs_rounds"
+        )
+    if metrics is not None:
+        metrics["bfs_rounds"] = rounds
+    return (
+        state.unionByName(halo_copies(state))
+        .groupBy("sx", "sy")
+        .applyInPandas(
+            lambda pdf: bfs_round(pdf, emit_dirs=True),
+            schema="gx long, gy long, dist long, d8 int",
+        )
+    )
+
+
 def strahler_order(
     succ_df: DataFrame,
     streams: DataFrame,
