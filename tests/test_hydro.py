@@ -485,3 +485,154 @@ def test_hand_matches_numpy_first_contact(spark):
     assert got == exp
     assert all(hv >= 0 for hv in got.values())
     assert sum(1 for hv in got.values() if hv == 0) >= int(streams_np.sum())
+
+
+def global_resolve_flats(v: np.ndarray):
+    """Ground truth flat resolution: multi-source BFS over the whole
+    mosaic.  For every flat cell (valid, d8 == 0): dist = BFS distance
+    (8-adjacent, equal elevation, through flat cells) to the nearest
+    equal-elevation draining cell; d8 = lowest-ESRI-code neighbor with
+    equal elevation and dist exactly one less (sources count as dist 0).
+    Unreachable flats stay (-1, 0).  Returns {(gx, gy): (dist, d8)}."""
+    from collections import deque
+
+    from versatiles_rs_spark.operators.focal import _D8_DELTA
+
+    f = terrain_fields(v)
+    valid, d8 = f["valid"], f["d8"]
+    h = v.shape[0] - 2
+    elev = v[1:-1, 1:-1]
+    flat = valid & (d8 == 0)
+    drains = valid & (d8 > 0)
+    big = 1 << 40
+    dist = np.full((h, h), big, dtype=np.int64)
+    dq = deque()
+    for r, c in zip(*np.nonzero(flat)):
+        e0 = elev[r, c]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                rr, cc = r + dy, c + dx
+                if 0 <= rr < h and 0 <= cc < h and drains[rr, cc] and elev[rr, cc] == e0:
+                    dist[r, c] = 1
+                    dq.append((r, c))
+                    break
+            if dist[r, c] == 1:
+                break
+    while dq:
+        r, c = dq.popleft()
+        d0, e0 = dist[r, c], elev[r, c]
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                rr, cc = r + dy, c + dx
+                if (
+                    0 <= rr < h and 0 <= cc < h and flat[rr, cc]
+                    and elev[rr, cc] == e0 and d0 + 1 < dist[rr, cc]
+                ):
+                    dist[rr, cc] = d0 + 1
+                    dq.append((rr, cc))
+    out = {}
+    for r, c in zip(*np.nonzero(flat)):
+        d0, e0 = int(dist[r, c]), int(elev[r, c])
+        if d0 >= big:
+            out[(c + 1, r + 1)] = (-1, 0)
+            continue
+        code = 0
+        for cand, (dx, dy) in sorted(_D8_DELTA.items()):
+            rr, cc = r + dy, c + dx
+            if not (0 <= rr < h and 0 <= cc < h) or elev[rr, cc] != e0:
+                continue
+            nd = 0 if (d0 == 1 and drains[rr, cc]) else (
+                int(dist[rr, cc]) if flat[rr, cc] else big
+            )
+            if nd == d0 - 1:
+                code = cand
+                break
+        assert code > 0, (c + 1, r + 1)
+        out[(c + 1, r + 1)] = (d0, code)
+    return out
+
+
+def _resolve_flats_check(spark, v: np.ndarray, ts: int, s: int):
+    from test_hydro_fuzz import dem_to_tiles
+    from versatiles_rs_spark.operators.hydro import resolve_flats
+
+    exp = global_resolve_flats(v)
+    m: dict = {}
+    pdf = resolve_flats(
+        dem_to_tiles(spark, v, ts), tile_size=ts, super_tiles=s, metrics=m
+    ).toPandas()
+    got = {
+        (int(r.gx), int(r.gy)): (int(r.dist), int(r.d8))
+        for r in pdf.itertuples()
+    }
+    assert got == exp
+    return m
+
+
+def test_resolve_flats_terraced_ramp(spark):
+    """Terraced eastward ramp (elev = (n-1-gx) // 8): every flat cell
+    resolves east toward its terrace edge; dist is the in-terrace offset."""
+    n, ts = 64, 16
+    g = np.arange(n, dtype=np.int64)
+    v = np.broadcast_to((n - 1 - g)[None, :] // 8, (n, n)).copy()
+    m = _resolve_flats_check(spark, v, ts, 1)
+    assert m["bfs_rounds"] >= 1
+    # direction sanity: resolved flats on a pure east ramp flow east (1)
+    from test_hydro_fuzz import dem_to_tiles
+    from versatiles_rs_spark.operators.hydro import resolve_flats
+
+    pdf = resolve_flats(dem_to_tiles(spark, v, ts), tile_size=ts, super_tiles=1).toPandas()
+    resolved = pdf[pdf["dist"] > 0]
+    assert len(resolved) > 0 and (resolved["d8"] == 1).all()
+
+
+def test_resolve_flats_unreachable_pit_bottom(spark):
+    """A flat-bottomed PIT (every bottom cell flat, no equal-elevation
+    draining cell anywhere in the flat) stays (dist -1, d8 0) — unfilled
+    depressions remain sinks, as in GDAL.  A raised plateau, by contrast,
+    drains via its edge cells and must resolve to finite dists."""
+    n, ts = 32, 16
+    v = np.full((n, n), 5, dtype=np.int64)
+    v[8:24, 8:24] = 0  # flat-bottomed depression: walls strictly higher
+    exp = global_resolve_flats(v)
+    # pit-bottom interior: unreachable in the oracle too
+    assert exp[(12, 12)] == (-1, 0)
+    _resolve_flats_check(spark, v, ts, 1)
+
+
+def test_resolve_flats_filled_lake_drains(spark):
+    """fill_depressions -> resolve_flats composition: a filled bowl is a
+    flat lake at spill level; after resolution EVERY lake cell gets a
+    finite dist and a direction (the lake drains through its spill)."""
+    from versatiles_rs_spark.operators.hydro import fill_depressions, resolve_flats
+
+    n, ts = 64, 16
+    # bowl: base ramp + deep square depression spanning a tile border
+    g = np.arange(n, dtype=np.int64)
+    v = (g[None, :] // 4 + g[:, None] // 8 + 40).astype(np.int64)
+    v[20:44, 20:44] = 3  # pit well below its rim, across tile (1,1)-(2,2)
+    v = np.broadcast_to(v, (n, n)).copy()
+    from test_hydro_fuzz import dem_to_tiles
+
+    tiles = fill_depressions(
+        dem_to_tiles(spark, v, ts), tile_size=ts, super_tiles=1, emit="tiles"
+    ).select("x", "y", "bytes").localCheckpoint()
+    filled = global_priority_flood(v)
+    exp = global_resolve_flats(filled)
+    pdf = resolve_flats(tiles, tile_size=ts, super_tiles=1).toPandas()
+    got = {
+        (int(r.gx), int(r.gy)): (int(r.dist), int(r.d8))
+        for r in pdf.itertuples()
+    }
+    assert got == exp
+    # every lake-interior flat cell drains (finite dist, real direction)
+    lake = [
+        (gx, gy) for (gx, gy) in got
+        if 21 <= gx < 43 and 21 <= gy < 43
+    ]
+    assert len(lake) > 100
+    assert all(got[k][0] > 0 and got[k][1] > 0 for k in lake)

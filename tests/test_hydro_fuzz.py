@@ -97,3 +97,15 @@ def test_fuzz_weighted_runoff(spark, seed, levels, s):
     got = np.zeros_like(exp)
     got[pdf["gy"].to_numpy() - 1, pdf["gx"].to_numpy() - 1] = pdf["acc"].to_numpy()
     np.testing.assert_array_equal(got, exp * valid)
+
+
+@pytest.mark.parametrize("seed,levels,s", [(121, 3, 1), (232, 5, 2), (343, 2, 1)])
+def test_fuzz_resolve_flats(spark, seed, levels, s):
+    """Random plateau-heavy DEMs: distributed flat resolution (slim BFS
+    across super-tile rounds) == global multi-source BFS, both the
+    distance field and the tie-broken directions, bit for bit."""
+    from test_hydro import _resolve_flats_check
+
+    n = 64
+    v = random_dem(seed, n, levels)
+    _resolve_flats_check(spark, v, 16, s)
