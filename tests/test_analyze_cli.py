@@ -204,3 +204,31 @@ def test_analyze_hydro_fill_over_mbtiles(spark, tmp_path):
     assert h["filled"]["fill_volume"] == exp_volume
     assert h["filled"]["watershed_nodes"] > 0
     assert h["n_pixels"] == 260100
+
+
+def test_analyze_hydro_fill_resolve_over_mbtiles(spark, tmp_path):
+    """--fill --resolve-flats: the filled bowls become flat lakes, flat
+    resolution drains every lake cell (no unresolved flats besides
+    world-edge plateaus of the fixture), and accumulation routes THROUGH
+    the lakes — max_accum must strictly exceed the unresolved run's."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.fixtures import DEM_BOWLS, dem_bowls_raster_df
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    path = str(tmp_path / "bowls.mbtiles")
+    tiles = dem_bowls_raster_df(spark, partitions=2).select(
+        F.lit(1).alias("z"), "x", "y", "bytes"
+    )
+    assert write_mbtiles(tiles, path, {"format": "png"}) == 4
+
+    base = run_analyze("hydro", path, "--zoom", "1", "--fill")
+    out = run_analyze("hydro", path, "--zoom", "1", "--fill", "--resolve-flats")
+    h = out["hydro"]
+    exp_lake_pixels = sum((2 * r + 1) ** 2 for _, _, r, _ in DEM_BOWLS)
+    # every filled-lake cell resolves (the lakes all have spills)
+    assert h["flats"]["resolved_flats"] >= exp_lake_pixels
+    assert h["flats"]["bfs_rounds"] >= 1
+    # lakes drain: accumulation through a lake beats the stranded run
+    assert h["max_accum"] > base["hydro"]["max_accum"]
+    assert h["stream_pixels"] >= base["hydro"]["stream_pixels"]

@@ -16,14 +16,24 @@ from versatiles_rs_spark.operators.hydro import _DXL, _DYL, flow_accumulation
 
 
 def global_accumulation(
-    v: np.ndarray, weight_fn=None, combine: str = "sum"
+    v: np.ndarray, weight_fn=None, combine: str = "sum", flats=None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact accumulation over the full mosaic: (acc, valid) indexed so
-    field (i, j) is global pixel (gx=j+1, gy=i+1)."""
+    field (i, j) is global pixel (gx=j+1, gy=i+1).  `flats` (the
+    global_resolve_flats dict) overrides flat-cell directions; the sweep
+    order is then the (elevation, flat-distance) lexicographic key."""
     f = terrain_fields(v)
     valid, d8 = f["valid"], f["d8"]
     h = v.shape[0] - 2
     elev = v[1:-1, 1:-1]
+    dist = np.zeros((h, h), dtype=np.int64)
+    if flats:
+        d8 = d8.copy()
+        for (gx, gy), (dd, code) in flats.items():
+            if code > 0:
+                assert d8[gy - 1, gx - 1] == 0
+                d8[gy - 1, gx - 1] = code
+                dist[gy - 1, gx - 1] = dd
     rr, cc = np.meshgrid(np.arange(h), np.arange(h), indexing="ij")
     tr, tc = rr + _DYL[d8], cc + _DXL[d8]
     in_u = (tr >= 0) & (tr < h) & (tc >= 0) & (tc < h)
@@ -33,9 +43,10 @@ def global_accumulation(
         if weight_fn is None
         else np.where(valid, weight_fn(elev), np.int64(0)).astype(np.int64)
     )
+    okey = elev * (int(dist.max()) + 1) + dist
     scatter = np.add.at if combine == "sum" else np.maximum.at
-    for lev in np.unique(elev[valid])[::-1]:
-        m = internal & (elev == lev)
+    for lev in np.unique(okey[valid])[::-1]:
+        m = internal & (okey == lev)
         if m.any():
             scatter(acc, (tr[m], tc[m]), acc[m])
     return acc, valid
@@ -636,3 +647,73 @@ def test_resolve_flats_filled_lake_drains(spark):
     ]
     assert len(lake) > 100
     assert all(got[k][0] > 0 and got[k][1] > 0 for k in lake)
+
+
+def test_flow_accumulation_with_resolved_flats(spark):
+    """fill -> resolve -> accumulate (the TauDEM chain): distributed
+    accumulation with d8_override == global oracle with flat directions
+    applied, and the lake actually DRAINS — the spill region's
+    accumulation swallows the whole pit's contributing area, where the
+    unresolved surface stranded it in the flat."""
+    from test_hydro_fuzz import dem_to_tiles
+    from versatiles_rs_spark.operators.hydro import fill_depressions, resolve_flats
+
+    n, ts = 64, 16
+    g = np.arange(n, dtype=np.int64)
+    v = (g[None, :] // 4 + g[:, None] // 8 + 40).astype(np.int64)
+    v = np.broadcast_to(v, (n, n)).copy()
+    v[20:44, 20:44] = 3  # pit across super-tile borders
+    filled_tiles = fill_depressions(
+        dem_to_tiles(spark, v, ts), tile_size=ts, super_tiles=1, emit="tiles"
+    ).select("x", "y", "bytes").localCheckpoint()
+    filled = global_priority_flood(v)
+    flats = global_resolve_flats(filled)
+    exp, valid = global_accumulation(filled, flats=flats)
+    resolved = resolve_flats(filled_tiles, tile_size=ts, super_tiles=1)
+    m: dict = {}
+    pdf = flow_accumulation(
+        filled_tiles, tile_size=ts, super_tiles=1,
+        d8_override=resolved, metrics=m,
+    ).toPandas()
+    assert len(pdf) == int(valid.sum())
+    np.testing.assert_array_equal(as_grid(pdf, exp.shape), exp * valid)
+    # the resolved lake drains: max accumulation anywhere in/at the lake
+    # ring >= the lake's own cell count (every lake cell routes through
+    # one spill neighborhood instead of dying in the flat)
+    lake_cells = int((filled[21:43, 21:43] == filled[32, 32]).sum())
+    lake_acc = exp[19:44, 19:44].max()
+    assert lake_acc >= lake_cells
+    # and WITHOUT the override the same surface strands the flat: no
+    # cell in the lake region reaches that accumulation
+    exp0, _ = global_accumulation(filled)
+    assert exp0[19:44, 19:44].max() < lake_cells
+
+
+def test_flow_accumulation_corner_exit_leaves_raster(spark):
+    """Flow that ENTERS a super-tile and then exits diagonally into a
+    foreign WORLD-RING pixel (no 3x3 support) leaves the raster — the
+    forwarded coarse inflow must be dropped, not injected at the invalid
+    pixel.  Regression: the initial exit partials were semi-filtered
+    against real entries but the transfer-map-forwarded inflow was not,
+    so this topology asserted in phase B."""
+    from test_hydro_fuzz import dem_to_tiles
+
+    n, ts = 32, 16
+    v = np.full((n, n), 200, dtype=np.int64)
+    x = np.arange(1, 16, dtype=np.int64)
+    v[2, 1:16] = 100 - x          # eastward chain along row 2, x=1..15
+    v[1, 16] = 50                 # (16,1): entry of super-tile 1, via NE
+    v[0, 15] = 0                  # world-ring corner: (16,1) exits NW
+    exp, valid = global_accumulation(v)
+    # (15,0) is world-ring: outside the interior field => non-universe
+    m: dict = {}
+    pdf = flow_accumulation(
+        dem_to_tiles(spark, v, ts), tile_size=ts, super_tiles=1, metrics=m
+    ).toPandas()
+    assert len(pdf) == int(valid.sum())
+    np.testing.assert_array_equal(as_grid(pdf, exp.shape), exp * valid)
+    # the chain really crossed the border: (16,1) swallowed the whole
+    # run (chain cells + plateau side inflows), >= the 15 chain cells
+    got = {(int(r.gx), int(r.gy)): int(r.acc) for r in pdf.itertuples()}
+    assert got[(16, 1)] == int(exp[0, 15]) and got[(16, 1)] > 15
+    assert m["coarse_inflow_total"] >= 15

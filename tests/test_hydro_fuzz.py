@@ -109,3 +109,37 @@ def test_fuzz_resolve_flats(spark, seed, levels, s):
     n = 64
     v = random_dem(seed, n, levels)
     _resolve_flats_check(spark, v, 16, s)
+
+
+@pytest.mark.parametrize("seed,levels,s", [(454, 3, 1), (565, 5, 2), (676, 2, 1)])
+def test_fuzz_fill_resolve_accumulate(spark, seed, levels, s):
+    """The full TauDEM chain on random plateau-heavy DEMs: distributed
+    fill -> resolve_flats -> flow_accumulation(d8_override) == the global
+    sequential equivalent (Priority-Flood, BFS flat resolution, then
+    (elev, dist)-ordered accumulation), bit for bit.  Random low-level
+    DEMs maximize filled lakes and cross-tile flats, so the widened
+    pointer doubling and the equal-elevation coarse edges are on the
+    path."""
+    from test_hydro import (
+        global_accumulation,
+        global_priority_flood,
+        global_resolve_flats,
+    )
+    from versatiles_rs_spark.operators.hydro import resolve_flats
+
+    n, ts = 64, 16
+    v = random_dem(seed, n, levels)
+    filled = global_priority_flood(v)
+    flats = global_resolve_flats(filled)
+    exp, valid = global_accumulation(filled, flats=flats)
+    filled_tiles = fill_depressions(
+        dem_to_tiles(spark, v, ts), tile_size=ts, super_tiles=s, emit="tiles"
+    ).select("x", "y", "bytes").localCheckpoint()
+    resolved = resolve_flats(filled_tiles, tile_size=ts, super_tiles=s)
+    pdf = flow_accumulation(
+        filled_tiles, tile_size=ts, super_tiles=s, d8_override=resolved
+    ).toPandas()
+    assert len(pdf) == int(valid.sum())
+    got = np.zeros_like(exp)
+    got[pdf["gy"].to_numpy() - 1, pdf["gx"].to_numpy() - 1] = pdf["acc"].to_numpy()
+    np.testing.assert_array_equal(got, exp * valid)

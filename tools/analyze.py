@@ -86,7 +86,11 @@ def _run_hydro(spark, args, F) -> dict:
         d8_successors,
         focal_terrain_pixels,
     )
-    from versatiles_rs_spark.operators.hydro import fill_depressions, flow_accumulation
+    from versatiles_rs_spark.operators.hydro import (
+        fill_depressions,
+        flow_accumulation,
+        resolve_flats,
+    )
 
     tiles = _load_tiles(spark, args.table, args.zoom).localCheckpoint()
     fill_stats = None
@@ -109,7 +113,34 @@ def _run_hydro(spark, args, F) -> dict:
             tiles, tile_size=args.tile_size, super_tiles=args.super_tiles,
             emit="tiles",
         ).select("x", "y", "bytes").localCheckpoint()
+    resolve_stats = None
+    d8_ovr = None
+    if args.resolve_flats:
+        rm: dict = {}
+        d8_ovr = resolve_flats(
+            tiles, tile_size=args.tile_size, super_tiles=args.super_tiles,
+            metrics=rm,
+        ).localCheckpoint()
+        resolve_stats = {
+            "resolved_flats": d8_ovr.filter(F.col("d8") > 0).count(),
+            "unresolved_flats": d8_ovr.filter(F.col("d8") == 0).count(),
+            "bfs_rounds": rm.get("bfs_rounds"),
+        }
     pixels = focal_terrain_pixels(tiles, tile_size=args.tile_size).localCheckpoint()
+    if d8_ovr is not None:
+        # basins / strahler follow the resolved directions too: patch the
+        # pixel relation's d8 with a slim left join on the flat cells
+        pixels = (
+            pixels.join(
+                d8_ovr.filter(F.col("d8") > 0).select(
+                    "gx", "gy", F.col("d8").alias("rd8")
+                ),
+                ["gx", "gy"], "left",
+            )
+            .withColumn("d8", F.coalesce("rd8", "d8"))
+            .drop("rd8")
+            .localCheckpoint()
+        )
     bm: dict = {}
     basins = d8_basins(d8_successors(pixels), rounds=None, metrics=bm)
     sizes = basins.groupBy("label").agg(F.count("*").alias("n_px"))
@@ -120,7 +151,8 @@ def _run_hydro(spark, args, F) -> dict:
     ]
     fm: dict = {}
     acc = flow_accumulation(
-        tiles, tile_size=args.tile_size, super_tiles=args.super_tiles, metrics=fm
+        tiles, tile_size=args.tile_size, super_tiles=args.super_tiles,
+        metrics=fm, d8_override=d8_ovr,
     ).localCheckpoint()
     acc_stats = acc.agg(
         F.max("acc").alias("mx"),
@@ -142,6 +174,7 @@ def _run_hydro(spark, args, F) -> dict:
         "hydro": {
             "zoom": args.zoom,
             "filled": fill_stats,
+            "flats": resolve_stats,
             "n_tiles": tiles.count(),
             "n_pixels": pixels.count(),
             "n_basins": sizes.count(),
@@ -186,6 +219,9 @@ def main(argv=None):
                     help="stream-network accumulation threshold (hydro)")
     ap.add_argument("--fill", action="store_true",
                     help="fill depressions (Priority-Flood) before flow analysis (hydro)")
+    ap.add_argument("--resolve-flats", action="store_true",
+                    help="resolve flat drainage (Garbrecht-Martz BFS) and route "
+                         "basins/accumulation through it (hydro)")
     ap.add_argument("--super-tiles", type=int, default=1,
                     help="super-tile side in tiles for flow accumulation (hydro)")
     ap.add_argument("--tile-size", type=int, default=256,

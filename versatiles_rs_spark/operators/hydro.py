@@ -120,10 +120,12 @@ def _strip_rows(tiles: DataFrame, ts: int, S: int, payload: str, band: int) -> D
 
 def _assemble(pdf: pd.DataFrame, G: int, band: int):
     """Rebuild one super-tile's padded elevation grid + injected rows
-    from its halo-relation rows.  Returns (padded, inject, raw, ox, oy)
-    — inject = pixel-addressed (row, col, w) rows (axis 2), raw =
-    uninterpreted (key, w) rows (axis 3, for watershed raises) — or None
-    when the group holds no tile (a world-edge halo-only group)."""
+    from its halo-relation rows.  Returns (padded, inject, raw, ovr, ox,
+    oy) — inject = pixel-addressed (row, col, w) rows (axis 2), raw =
+    uninterpreted (key, w) rows (axis 3, for watershed raises), ovr =
+    per-cell D8 overrides (row, col, dist, code) (axis 4, resolved flat
+    directions, w packed as dist * 256 + code) — or None when the group
+    holds no tile (a world-edge halo-only group)."""
     tile_rows = pdf[pdf["axis"] == -1]
     if len(tile_rows) == 0:
         return None
@@ -132,6 +134,7 @@ def _assemble(pdf: pd.DataFrame, G: int, band: int):
     padded = np.full((G + 2, G + 2), -1, dtype=np.int64)
     inject: list[tuple[int, int, int]] = []
     raw: list[tuple[int, int]] = []
+    ovr: list[tuple[int, int, int, int]] = []
     for gx0, gy0, axis, data, w in zip(
         pdf["gx0"], pdf["gy0"], pdf["axis"], pdf["data"], pdf["w"]
     ):
@@ -144,6 +147,9 @@ def _assemble(pdf: pd.DataFrame, G: int, band: int):
             inject.append((gy0 - oy, gx0 - ox, int(w)))
         elif axis == 3:
             raw.append((gx0, int(w)))
+        elif axis == 4:
+            w = int(w)
+            ovr.append((gy0 - oy, gx0 - ox, w >> 8, w & 0xFF))
         else:
             a = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.int64)
             r0, c0 = gy0 - oy + 1, gx0 - ox + 1
@@ -151,14 +157,32 @@ def _assemble(pdf: pd.DataFrame, G: int, band: int):
                 padded[r0, c0 : c0 + len(a)] = a
             else:
                 padded[r0 : r0 + len(a), c0] = a
-    return padded, inject, raw, ox, oy
+    return padded, inject, raw, ovr, ox, oy
 
 
-def _local_fields(padded: np.ndarray, G: int):
-    """Shared per-super-tile derivation: validity, flow targets, masks."""
+def _local_fields(padded: np.ndarray, G: int, ovr=None):
+    """Shared per-super-tile derivation: validity, flow targets, masks,
+    and `okey` — the (elevation, flat-BFS-distance) lexicographic
+    topological key.  `ovr` (from resolve_flats, via axis-4 rows) assigns
+    resolved directions to flat cells; flow then moves between EQUAL
+    elevations, but okey still strictly decreases along every edge
+    (strict descent drops elev; an in-flat move drops dist by exactly 1;
+    the spill exit drops dist to 0), so descending-okey sweeps stay a
+    valid topological order.  Without overrides dist == 0 everywhere and
+    okey degenerates to elev — the original strict-descent sweep."""
     f = terrain_fields(padded)
     valid, d8 = f["valid"], f["d8"]
     elev = padded[1:-1, 1:-1]
+    dist = np.zeros((G, G), dtype=np.int64)
+    if ovr:
+        d8 = d8.copy()
+        for r, c, dd, code in ovr:
+            if not (0 <= r < G and 0 <= c < G and valid[r, c] and d8[r, c] == 0):
+                raise AssertionError(
+                    f"d8 override at non-flat/non-universe pixel (row {r}, col {c})"
+                )
+            d8[r, c] = code
+            dist[r, c] = dd
     rr, cc = np.meshgrid(
         np.arange(G, dtype=np.int64), np.arange(G, dtype=np.int64), indexing="ij"
     )
@@ -168,7 +192,9 @@ def _local_fields(padded: np.ndarray, G: int):
     trc, tcc = tr.clip(0, G - 1), tc.clip(0, G - 1)
     internal = has_flow & in_own & valid[trc, tcc]
     exits = has_flow & ~in_own
-    return valid, elev, tr, tc, internal, exits
+    dbig = int(dist.max()) + 1
+    okey = elev * dbig + dist
+    return valid, elev, tr, tc, internal, exits, okey
 
 
 def _local_accumulate(
@@ -181,17 +207,22 @@ def _local_accumulate(
     G: int,
     weight_fn=None,
     combine: str = "sum",
+    okey: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Exact local accumulation: level-synchronous descending-elevation
-    sweeps (strict descent => topological; <=256 levels on uint8).
-    `weight_fn(elev) -> int64 grid` sets each cell's own contribution
-    (None = 1/cell, the classic contributing-cell count; an
+    """Exact local accumulation: level-synchronous descending sweeps over
+    `okey`, the (elevation, flat-distance) lexicographic topological key
+    from _local_fields (strict descent and resolved-flat moves both
+    decrease it; without flat overrides it IS the elevation, <=256 levels
+    on uint8).  `weight_fn(elev) -> int64 grid` sets each cell's own
+    contribution (None = 1/cell, the classic contributing-cell count; an
     elevation-derived rainfall weight turns this into runoff routing).
     `combine` picks the semiring: "sum" (counting/runoff — linear) or
     "max" (upstream extremum, e.g. peak source elevation) — the whole
     two-phase decomposition only needs the aggregation to be commutative,
     associative and distributive over path concatenation, which both
     are.  Max-mode weights must be non-negative."""
+    if okey is None:
+        okey = elev
     if weight_fn is None:
         acc = valid.astype(np.int64)
     else:
@@ -204,8 +235,8 @@ def _local_accumulate(
             acc[r, c] += w
         else:
             acc[r, c] = max(acc[r, c], w)
-    for lev in np.unique(elev[valid])[::-1]:
-        m = internal & (elev == lev)
+    for lev in np.unique(okey[valid])[::-1]:
+        m = internal & (okey == lev)
         if m.any():
             scatter(acc, (tr[m], tc[m]), acc[m])
     return acc
@@ -258,6 +289,7 @@ def flow_accumulation(
     metrics: dict | None = None,
     weight_fn=None,
     combine: str = "sum",
+    d8_override: DataFrame | None = None,
 ) -> DataFrame:
     """(gx, gy, acc): number of universe pixels whose D8 flow path passes
     through (gx, gy), the pixel itself included (so acc >= 1).  See the
@@ -269,7 +301,15 @@ def flow_accumulation(
     draining through it).  Both are commutative, associative and
     distribute over path concatenation, so the identical two-phase
     decomposition is exact; max-mode weights must be non-negative (the
-    coarse fixpoint probe relies on monotone non-negative relaxation)."""
+    coarse fixpoint probe relies on monotone non-negative relaxation).
+    `d8_override`: a (gx, gy, dist, d8) relation from resolve_flats —
+    flat cells then drain along the resolved directions (the TauDEM
+    fill -> resolve -> accumulate chain), with the topological sweeps
+    upgraded to the (elevation, flat-distance) lexicographic key and the
+    transfer-map pointer doubling widened to cover in-flat path lengths
+    (log2(G^2) rounds instead of the 256-level strict-descent bound).
+    Override rows are slim longs keyed to their own super-tile, so they
+    ride the existing phase A/B shuffles at no extra payload cost."""
     if combine not in ("sum", "max"):
         raise ValueError(f"combine must be 'sum' or 'max', got {combine!r}")
     ts, S = int(tile_size), int(super_tiles)
@@ -279,6 +319,17 @@ def flow_accumulation(
     tiles_keyed = _keyed_tiles(tiles, ts, S, payload)
     strips = _strip_rows(tiles, ts, S, payload, band).persist()
     relation = tiles_keyed.unionByName(strips)
+    if d8_override is not None:
+        ovr_rows = d8_override.filter(F.col("d8") > 0).select(
+            F.expr(f"gx div {G}").alias("sx"),
+            F.expr(f"gy div {G}").alias("sy"),
+            F.col("gx").alias("gx0"),
+            F.col("gy").alias("gy0"),
+            F.lit(4).alias("axis"),
+            F.lit(None).cast("binary").alias("data"),
+            (F.col("dist") * 256 + F.col("d8")).cast("long").alias("w"),
+        )
+        relation = relation.unionByName(ovr_rows)
 
     def solve_a(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -287,9 +338,11 @@ def flow_accumulation(
         got = _assemble(pdf, G, band)
         if got is None:
             return empty
-        padded, _, _, ox, oy = got
-        valid, elev, tr, tc, internal, exits = _local_fields(padded, G)
-        acc = _local_accumulate(valid, elev, tr, tc, internal, [], G, weight_fn, combine)
+        padded, _, _, ovr, ox, oy = got
+        valid, elev, tr, tc, internal, exits, okey = _local_fields(padded, G, ovr)
+        acc = _local_accumulate(
+            valid, elev, tr, tc, internal, [], G, weight_fn, combine, okey
+        )
         out = []
         # exit partials: flow leaving this super-tile, keyed by the
         # TARGET border pixel of the neighbor (kind 0)
@@ -318,7 +371,11 @@ def flow_accumulation(
             lin = np.arange(G * G, dtype=np.int64)
             nxt = np.where(internal.ravel(), (tr * G + tc).ravel(), lin)
             term = nxt
-            for _ in range(8):  # 2^8 = 256 >= any strictly-descending path
+            # 2^8 = 256 covers any strictly-descending path; resolved
+            # flats allow equal-elevation runs, so widen to 2^k >= G*G
+            # (a path visits each cell at most once)
+            dbl = 8 if not ovr else max(8, int(G * G - 1).bit_length())
+            for _ in range(dbl):
                 term = term[term]
             e_lin = lin[entries.ravel()]
             t_lin = term[e_lin]
@@ -380,6 +437,13 @@ def flow_accumulation(
         metrics["coarse_rounds"] = rounds
         metrics["coarse_inflow_total"] = int(total or 0)
 
+    # forwarded inflow can terminate at an exit target that is NOT a
+    # valid entry anywhere (flow leaving the raster through a foreign
+    # world-ring pixel, e.g. a diagonal corner exit) — such flow exits
+    # the DEM, exactly like the semi-filtered initial partials, so drop
+    # it before injection (stranded ids have no outgoing edge, so they
+    # never forwarded further; only phase B injection must not see them)
+    inflow = inflow.join(entries_df.select("id"), "id", "left_semi")
     inflow_rows = inflow.select(
         F.expr(f"id div {_ID_BASE} div {G}").alias("sx"),
         ((F.col("id") % _ID_BASE) / G).cast("long").alias("sy"),
@@ -395,9 +459,11 @@ def flow_accumulation(
         got = _assemble(pdf, G, band)
         if got is None:
             return empty
-        padded, inject, _, ox, oy = got
-        valid, elev, tr, tc, internal, _exits = _local_fields(padded, G)
-        acc = _local_accumulate(valid, elev, tr, tc, internal, inject, G, weight_fn, combine)
+        padded, inject, _, ovr, ox, oy = got
+        valid, elev, tr, tc, internal, _exits, okey = _local_fields(padded, G, ovr)
+        acc = _local_accumulate(
+            valid, elev, tr, tc, internal, inject, G, weight_fn, combine, okey
+        )
         keep = valid if min_accum is None else (valid & (acc >= min_accum))
         r, c = np.nonzero(keep)
         return pd.DataFrame({"gx": c + ox, "gy": r + oy, "acc": acc[r, c]})
@@ -466,7 +532,7 @@ def resolve_flats(
         got = _assemble(pdf, G, band)
         if got is None:
             return empty
-        padded, _, _, ox, oy = got
+        padded, _, _, _, ox, oy = got
         f = terrain_fields(padded)
         valid, d8 = f["valid"], f["d8"]
         elev = padded[1:-1, 1:-1]
@@ -1027,7 +1093,7 @@ def fill_depressions(
         got = _assemble(pdf, G, band)
         if got is None:
             return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols})
-        padded, _, _, ox, oy = got
+        padded, _, _, _, ox, oy = got
         v = padded[1:-1, 1:-1]
         if (v < 0).any():
             raise ValueError("fill_depressions needs a complete tile grid")
@@ -1160,7 +1226,7 @@ def fill_depressions(
         got = _assemble(pdf, G, band)
         if got is None:
             return empty
-        padded, _, raw, ox, oy = got
+        padded, _, raw, _, ox, oy = got
         v = padded[1:-1, 1:-1]
         z, lab, _edges = _flood(v)
         base = ((ox // G) * _LABMOD + (oy // G)) * _LABMOD
