@@ -494,6 +494,28 @@ def dem_bowls_raster_df(spark: SparkSession, partitions: int = 4) -> DataFrame:
     return _dem_tiles(spark, zoom=1, partitions=partitions, fn=dem_bowls_value)
 
 
+TERRACE_STEP = 8
+
+
+def dem_terrace_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Terraced eastward ramp fixed to the zoom-1 (512px) world: elev =
+    (511 - gx) // TERRACE_STEP, int64 in [0, 63].  Every terrace is an
+    8px-wide FLAT whose only spill is its eastern edge column (the one
+    column with a strictly lower east neighbor), so flat resolution has
+    a closed form — dist = (511 - gx) % 8, direction = East — and the
+    flat-resolved flow accumulation is acc = gx for gx <= 504, else 1
+    (the far-east terrace's spill column IS the world ring, so its flats
+    are analytically unreachable and stay sinks; the drain column at
+    gx = 503 still forwards into the sink cell at 504)."""
+    return (511 - gx) // TERRACE_STEP + 0 * gy
+
+
+def dem_terrace_raster_df(spark: SparkSession, partitions: int = 4) -> DataFrame:
+    """Zoom-1 terraced-DEM tile table (x, y, bytes) following
+    dem_terrace_value — the flat-resolution fixture."""
+    return _dem_tiles(spark, zoom=1, partitions=partitions, fn=dem_terrace_value)
+
+
 def dem_raster_df(spark: SparkSession, zoom: int = 3, partitions: int = 16) -> DataFrame:
     """Single-zoom DEM tile table (x, y, bytes): REAL 8-bit grayscale PNG
     tiles whose pixels follow dem_value on the global pixel grid —

@@ -605,8 +605,14 @@ def resolve_flats(
     def bfs_round(pdf: pd.DataFrame, emit_dirs: bool = False) -> pd.DataFrame:
         """Vectorized multi-source level-BFS over one super-tile's slim
         rows (own flats src=0, persistent sources src=1, transient halo
-        copies src=2).  Returns persistent rows with updated dists — or,
-        with emit_dirs, the final (gx, gy, dist, d8) per own flat cell."""
+        copies src=2).  Dial's algorithm as whole-grid numpy sweeps:
+        process finite dist values ascending; each frontier relaxes all
+        8 directions at once with shifted-slice compares (equal-elevation
+        edges only; targets restricted to own flats — sources and halos
+        are fixed boundary conditions).  Iterations = distinct finite
+        dist values, each O(G^2) vector ops — no per-cell Python.
+        Returns persistent rows with updated dists — or, with emit_dirs,
+        the final (gx, gy, dist, d8) per own flat cell."""
         sx, sy = int(pdf["sx"].iloc[0]), int(pdf["sy"].iloc[0])
         ox, oy = sx * G, sy * G
         r_ = (pdf["gy"].to_numpy() - oy + 1).astype(np.int64)
@@ -621,64 +627,62 @@ def resolve_flats(
         elev_a[r_, c_] = el
         own = sr == 0
         own_flat[r_[own], c_[own]] = True
-        # level BFS: move only between equal-elevation cells, update own
-        # flats only (sources and halos are fixed boundary conditions)
-        import heapq
+        # interior (own-cell) views; source views are the 8 shifts
+        t_dist = dist[1 : G + 1, 1 : G + 1]
+        t_flat = own_flat[1 : G + 1, 1 : G + 1]
+        t_elev = elev_a[1 : G + 1, 1 : G + 1]
 
-        pending = [(int(d), int(rr), int(cc)) for d, rr, cc in
-                   zip(dist[r_, c_], r_, c_) if d < _BIG]
-        heapq.heapify(pending)
-        while pending:
-            d, rr, cc = heapq.heappop(pending)
-            if d > dist[rr, cc]:
-                continue
-            e0 = elev_a[rr, cc]
-            for rr2 in (rr - 1, rr, rr + 1):
-                if rr2 < 0 or rr2 > G + 1:
-                    continue
-                for cc2 in (cc - 1, cc, cc + 1):
-                    if cc2 < 0 or cc2 > G + 1 or (rr2 == rr and cc2 == cc):
-                        continue
-                    if (
-                        own_flat[rr2, cc2]
-                        and elev_a[rr2, cc2] == e0
-                        and d + 1 < dist[rr2, cc2]
-                    ):
-                        dist[rr2, cc2] = d + 1
-                        heapq.heappush(pending, (d + 1, rr2, cc2))
+        def shifted(a: np.ndarray, dy: int, dx: int) -> np.ndarray:
+            return a[1 + dy : G + 1 + dy, 1 + dx : G + 1 + dx]
+
+        deltas = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+                  if not (dy == 0 and dx == 0)]
+        processed = np.zeros((G + 2, G + 2), dtype=bool)
+        while True:
+            m = (dist < _BIG) & ~processed
+            if not m.any():
+                break
+            d = int(dist[m].min())
+            frontier = m & (dist == d)
+            processed |= frontier
+            for dy, dx in deltas:
+                upd = (
+                    shifted(frontier, dy, dx)
+                    & t_flat
+                    & (shifted(elev_a, dy, dx) == t_elev)
+                    & (t_dist > d + 1)
+                )
+                t_dist[upd] = d + 1
         if not emit_dirs:
-            out = pdf[sr != 2].copy()
             keep = sr != 2
+            out = pdf[keep].copy()
             out["dist"] = dist[r_[keep], c_[keep]]
             return out
         # final: resolved direction = lowest-ESRI-code neighbor with
-        # equal elevation and dist exactly one less
-        rows = []
-        for rr, cc, e0, s0 in zip(r_, c_, el, sr):
-            if s0 != 0:
-                continue
-            d0 = dist[rr, cc]
-            if d0 >= _BIG:
-                rows.append((ox + cc - 1, oy + rr - 1, -1, 0))
-                continue
-            code = 0
-            for cand, (dx, dy) in sorted(_D8_DELTA.items()):
-                rr2, cc2 = rr + dy, cc + dx
-                if (
-                    0 <= rr2 <= G + 1
-                    and 0 <= cc2 <= G + 1
-                    and elev_a[rr2, cc2] == e0
-                    and dist[rr2, cc2] == d0 - 1
-                ):
-                    code = cand
-                    break
-            if code == 0:
-                raise AssertionError(
-                    "resolve_flats: finite-dist flat cell without a "
-                    f"dist-descending neighbor at ({ox + cc - 1}, {oy + rr - 1})"
-                )
-            rows.append((ox + cc - 1, oy + rr - 1, int(d0), code))
-        return pd.DataFrame(rows, columns=["gx", "gy", "dist", "d8"])
+        # equal elevation and dist exactly one less — 8 ascending-code
+        # vector passes, first hit wins (== the ESRI tie-break)
+        finite = t_flat & (t_dist < _BIG)
+        code_grid = np.zeros((G, G), dtype=np.int64)
+        for cand, (dx, dy) in sorted(_D8_DELTA.items()):
+            ok = (
+                finite
+                & (code_grid == 0)
+                & (shifted(elev_a, dy, dx) == t_elev)
+                & (shifted(dist, dy, dx) == t_dist - 1)
+            )
+            code_grid[ok] = cand
+        if bool((finite & (code_grid == 0)).any()):
+            rr, cc = np.nonzero(finite & (code_grid == 0))
+            raise AssertionError(
+                "resolve_flats: finite-dist flat cell without a "
+                f"dist-descending neighbor at ({ox + cc[0]}, {oy + rr[0]})"
+            )
+        fr, fc = np.nonzero(t_flat)
+        d_out = np.where(t_dist[fr, fc] < _BIG, t_dist[fr, fc], np.int64(-1))
+        return pd.DataFrame(
+            {"gx": ox + fc, "gy": oy + fr, "dist": d_out,
+             "d8": code_grid[fr, fc].astype(np.int32)}
+        )
 
     def halo_copies(st: DataFrame) -> DataFrame:
         """Flat/source rows on the super-tile ring, re-keyed to each

@@ -6142,6 +6142,88 @@ def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_accumulation(tiles, tile_size=256, super_tiles=1)
 
 
+def _resolve_flats_oracle_sql() -> str:
+    """Closed-form truth for flat resolution over the terraced fixture
+    (fixtures.dem_terrace_value): every terrace is an 8px flat strip
+    whose spill is its eastern edge column, so the towards-lower BFS
+    distance is the in-terrace offset (511 - gx) % 8 and every resolved
+    direction is East (ESRI 1, also the lowest code).  The far-east
+    terrace (gx >= 504) has its spill on the world ring — analytically
+    unreachable, (dist -1, d8 0).  Pure CASE arithmetic, no recursion."""
+    n, step = 512, 8
+    return f"""
+    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys)
+    SELECT gx, gy,
+      CAST(CASE WHEN gx >= {n - step} THEN -1
+                ELSE ({n - 1} - gx) % {step} END AS BIGINT) AS dist,
+      CAST(CASE WHEN gx >= {n - step} THEN 0 ELSE 1 END AS INTEGER) AS d8
+    FROM px WHERE ({n - 1} - gx) % {step} > 0
+    """
+
+
+@register("resolve_flats", _resolve_flats_oracle_sql())
+def q_resolve_flats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drainage over FLATS — the Garbrecht & Martz (1997) / Barnes 2014
+    towards-lower gradient (GDAL/TauDEM flat resolution; the reference
+    has no hydrology anywhere): for every flat cell (no strictly lower
+    neighbor), the BFS distance through equal-elevation cells to the
+    nearest equal-elevation draining cell, plus the dist-descending D8
+    direction (ascending-ESRI-code tie-break).  Distributed shape: ONE
+    heavy payload pass emits slim (cell, elev, dist) rows; the
+    multi-source BFS then iterates on the slim relation only, with
+    per-round halo re-keying and an exact integer-sum fixpoint probe —
+    rounds = super-tile crossings of the longest in-flat path, the same
+    bound as TauDEM's published MPI flat resolution.  The terraced
+    fixture gives the closed-form oracle."""
+    from . import fixtures
+    from .operators.hydro import resolve_flats
+
+    tiles = fixtures.dem_terrace_raster_df(spark, partitions=4)
+    return resolve_flats(tiles, tile_size=256, super_tiles=1)
+
+
+def _flow_resolved_oracle_sql() -> str:
+    """Closed-form truth for the fill-chain accumulation over the
+    terraced fixture: with every flat resolved East, each row is one
+    west-to-east flow line, so acc = gx; the analytically unreachable
+    far-east terrace stays sinks — its first cell (gx 504) still swallows
+    the drain column's inflow (acc = 504 = gx), the rest accumulate only
+    themselves."""
+    n = 512
+    return f"""
+    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys)
+    SELECT gx, gy,
+      CAST(CASE WHEN gx <= {n - 8} THEN gx ELSE 1 END AS BIGINT) AS acc
+    FROM px
+    """
+
+
+@register("flow_resolved", _flow_resolved_oracle_sql())
+def q_flow_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-resolved flow accumulation — the TauDEM fill -> resolve ->
+    accumulate chain (no hydrology exists in the reference): resolve_flats
+    output feeds flow_accumulation(d8_override=...), riding the existing
+    phase A/B shuffles as slim axis-4 rows; the local topological sweeps
+    run on the (elevation, flat-distance) lexicographic key and the
+    transfer-map pointer doubling widens to log2(G^2) rounds, so flow
+    crosses the resolved terraces (and the super-tile border at gx 256)
+    in one exact two-phase solve.  acc = gx closed form on the terraced
+    fixture; the unreachable far-east terrace pins the stays-a-sink
+    semantics."""
+    from . import fixtures
+    from .operators.hydro import flow_accumulation, resolve_flats
+
+    tiles = fixtures.dem_terrace_raster_df(spark, partitions=4).localCheckpoint()
+    resolved = resolve_flats(tiles, tile_size=256, super_tiles=1)
+    return flow_accumulation(
+        tiles, tile_size=256, super_tiles=1, d8_override=resolved
+    )
+
+
 def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
     """Replay of d8_flow_length: the shared D8 derivation, then the exact
     Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
