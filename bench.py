@@ -124,6 +124,9 @@ HEADLINE = [
     "runoff_accum",
     "peak_accum",
     "strahler_order",
+    "resolve_flats",
+    "flow_resolved",
+    "viewshed",
 ]
 
 

@@ -6224,6 +6224,79 @@ def q_flow_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VIEWSHED_OBS = [(1, 256, 256), (2, 100, 400), (3, 30, 30)]
+_VIEWSHED_R, _VIEWSHED_H = 48, 3
+
+
+def _viewshed_oracle_sql() -> str:
+    """Full SQL replay of the integer-exact R3 viewshed on the ridge DEM
+    (fixtures.dem_sql): enumerate every window cell per observer, unroll
+    the k = 1..n-1 sightline samples as a range join, stage the four
+    straddle coordinates as named columns (floor/ceil via the +R*n shift
+    so every // numerator is non-negative — Spark div == DuckDB // there),
+    take the max of the four dem_sql elevations, and bool_and the strict
+    cross-multiplied clearance per target.  Observer 3 pins world-edge
+    window clipping.  `cells` is referenced twice -> MATERIALIZED."""
+    from .fixtures import dem_sql
+
+    R, H, n = _VIEWSHED_R, _VIEWSHED_H, 512
+    obs = ", ".join(f"({o}, {x}, {y})" for o, x, y in _VIEWSHED_OBS)
+    return f"""
+    WITH obs(oid, ox, oy) AS (VALUES {obs}),
+    dd AS (SELECT unnest(range(-{R}, {R + 1})) AS d),
+    cells AS MATERIALIZED (
+      SELECT oid, ox, oy, ox + a.d AS gx, oy + b.d AS gy,
+             greatest(abs(a.d), abs(b.d)) AS n,
+             {dem_sql('ox', 'oy')} + {H} AS eo,
+             {dem_sql('ox + a.d', 'oy + b.d')} AS et
+      FROM obs, dd a, dd b
+      WHERE ox + a.d BETWEEN 0 AND {n - 1} AND oy + b.d BETWEEN 0 AND {n - 1}
+    ),
+    ks AS (SELECT unnest(range(1, {R})) AS k),
+    steps AS (
+      SELECT c.oid, c.gx, c.gy, c.n, c.eo, c.et, k.k,
+        c.ox + ((k.k * (c.gx - c.ox) + {R} * c.n) // c.n) - {R} AS axf,
+        c.ox + {R} - (({R} * c.n - k.k * (c.gx - c.ox)) // c.n) AS axc,
+        c.oy + ((k.k * (c.gy - c.oy) + {R} * c.n) // c.n) - {R} AS ayf,
+        c.oy + {R} - (({R} * c.n - k.k * (c.gy - c.oy)) // c.n) AS ayc
+      FROM cells c JOIN ks k ON k.k < c.n
+    )
+    SELECT oid, gx, gy, CAST(visible AS INTEGER) AS visible FROM (
+      SELECT oid, gx, gy, TRUE AS visible FROM cells WHERE n <= 1
+      UNION ALL
+      SELECT oid, gx, gy,
+        bool_and(
+          (greatest({dem_sql('axf', 'ayf')}, {dem_sql('axf', 'ayc')},
+                    {dem_sql('axc', 'ayf')}, {dem_sql('axc', 'ayc')})
+           - eo) * n < (et - eo) * k
+        ) AS visible
+      FROM steps GROUP BY oid, gx, gy
+    )
+    """
+
+
+@register("viewshed", _viewshed_oracle_sql())
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observer viewshed — the GDAL gdal_viewshed / GRASS r.viewshed /
+    ArcGIS Viewshed operator (the reference has no terrain analysis):
+    which cells each observer sees within a 48px radius over the ridge
+    DEM, under the exact R3 line-of-sight rule (Franklin & Ray 1994)
+    with conservative max-of-straddle interpolation and strict int64
+    cross-multiplied clearance — no floats, no rounding, so the SQL
+    oracle replays it bit-for-bit.  Distributed shape: tiles decode once
+    and ship ONLY window-clipped sub-rectangles (nothing outside any
+    observer window is shuffled at 100 TB); each observer solves as one
+    ring-vectorized numpy group (few large groups — the applyInPandas
+    shape that amortizes)."""
+    from . import fixtures
+    from .operators.viewshed import viewshed
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    return viewshed(
+        tiles, _VIEWSHED_OBS, radius=_VIEWSHED_R, height=_VIEWSHED_H
+    )
+
+
 def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
     """Replay of d8_flow_length: the shared D8 derivation, then the exact
     Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
