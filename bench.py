@@ -127,6 +127,7 @@ HEADLINE = [
     "resolve_flats",
     "flow_resolved",
     "viewshed",
+    "polygonize",
 ]
 
 

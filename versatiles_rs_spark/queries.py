@@ -6297,6 +6297,62 @@ def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _polygonize_oracle_sql() -> str:
+    """Global-view SQL replay of per-zone boundary-edge extraction over
+    the ridge DEM's elevation bands (zone = dem_sql // 32): materialize
+    the zone grid once, LEFT-join each cell to its 4 rook neighbors (a
+    join, not a macro re-evaluation, because dem_sql's operands must stay
+    non-negative and gx-1 underflows at the world edge), and emit the
+    _DIRS-convention directed edge wherever the neighbor zone differs or
+    is missing.  No cancellation step: the global view already knows
+    every neighbor, which is exactly what the engine's groupBy
+    cancellation reconstructs from tile-local views."""
+    from .fixtures import dem_sql
+
+    n = 512
+    arms = []
+    for dr, dc, sxo, syo, exo, eyo in (
+        (1, 0, 0, 1, 1, 1),   # S
+        (0, 1, 1, 1, 1, 0),   # E
+        (-1, 0, 1, 0, 0, 0),  # N
+        (0, -1, 0, 0, 0, 1),  # W
+    ):
+        arms.append(f"""
+      SELECT z.zone, z.gx + {sxo} AS sx, z.gy + {syo} AS sy,
+             z.gx + {exo} AS ex, z.gy + {eyo} AS ey
+      FROM z LEFT JOIN z n ON n.gx = z.gx + {dc} AND n.gy = z.gy + {dr}
+      WHERE n.zone IS NULL OR n.zone <> z.zone""")
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, {n})) AS v),
+    z AS MATERIALIZED (
+      SELECT a.v AS gx, b.v AS gy,
+             {dem_sql('a.v', 'b.v')} // 32 AS zone
+      FROM xs a, xs b
+    )
+    {" UNION ALL ".join(arms)}
+    """
+
+
+@register("polygonize", _polygonize_oracle_sql())
+def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster polygonize — the gdal_polygonize / r.to.vect analog (the
+    reference's only union machinery is the tile-set outline, which this
+    generalizes to arbitrary per-cell zones): directed boundary edges of
+    every elevation band (elev // 32) over the ridge DEM, covered area on
+    the left.  Distributed shape: one fused decode pass extracts
+    candidate edges with shifted-slice compares (O(zone perimeter), never
+    O(cells), enters the exchange), one groupBy cancels cross-tile
+    same-zone duplicates.  The O(perimeter) ring-chaining tail
+    (polygonize_features: rings + hole nesting per zone) is pytest-
+    verified — chaining is sequential per ring and not SQL-expressible,
+    the edge set is (same split as tile_outline)."""
+    from . import fixtures
+    from .operators.polygonize import zone_boundary_edges
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    return zone_boundary_edges(tiles, lambda v: v // 32)
+
+
 def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
     """Replay of d8_flow_length: the shared D8 derivation, then the exact
     Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
