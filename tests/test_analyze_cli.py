@@ -232,3 +232,57 @@ def test_analyze_hydro_fill_resolve_over_mbtiles(spark, tmp_path):
     # lakes drain: accumulation through a lake beats the stranded run
     assert h["max_accum"] > base["hydro"]["max_accum"]
     assert h["stream_pixels"] >= base["hydro"]["stream_pixels"]
+
+
+def test_analyze_viewshed_over_mbtiles(spark, tmp_path):
+    """The viewshed command reads DEM tiles from a container and reports
+    per-observer visible-cell counts matching the kernel directly."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.viewshed import viewshed_kernel
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    path = str(tmp_path / "dem.mbtiles")
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=2).select(
+        F.lit(1).alias("z"), "x", "y", "bytes"
+    )
+    assert write_mbtiles(tiles, path, {"format": "png"}) == 4
+
+    out = run_analyze(
+        "viewshed", path, "--zoom", "1", "--radius", "40", "--height", "2",
+        "--observers", "256,256;100,400",
+    )
+    v = out["viewshed"]
+    assert v["radius"] == 40 and len(v["observers"]) == 2
+    gx = np.arange(512, dtype=np.int64)
+    world = fixtures.dem_value(gx[None, :], gx[:, None])
+    for ob, (ox, oy) in zip(v["observers"], [(256, 256), (100, 400)]):
+        win = world[oy - 40 : oy + 41, ox - 40 : ox + 41]
+        want = viewshed_kernel(win.copy(), 40, 40, 40, 2)
+        assert ob["cells"] == 81 * 81
+        assert ob["visible"] == int(want.sum())
+        assert 0 < ob["pct"] < 100
+
+
+def test_analyze_polygonize_over_mbtiles(spark, tmp_path):
+    """The polygonize command reports per-zone feature stats; edge count
+    pinned to the oracle-verified polygonize registry query."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    path = str(tmp_path / "dem.mbtiles")
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=2).select(
+        F.lit(1).alias("z"), "x", "y", "bytes"
+    )
+    assert write_mbtiles(tiles, path, {"format": "png"}) == 4
+
+    out = run_analyze("polygonize", path, "--zoom", "1", "--band-step", "32")
+    p = out["polygonize"]
+    assert p["boundary_edges"] == 16282  # == registry-gate row count
+    assert p["n_zones"] == len(p["zones"]) >= 2
+    for z in p["zones"]:
+        assert z["parts"] >= 1 and z["perimeter_vertices"] >= 4

@@ -190,6 +190,88 @@ def _run_hydro(spark, args, F) -> dict:
     }
 
 
+def _run_viewshed(spark, args) -> dict:
+    """Observer viewshed over a tile source: per-observer visible-cell
+    counts under the integer-exact R3 rule (operators/viewshed.py)."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.operators.viewshed import viewshed
+
+    observers = []
+    for i, spec in enumerate(args.observers.split(";")):
+        x, y = spec.split(",")
+        observers.append((i + 1, int(x), int(y)))
+    tiles = _load_tiles(spark, args.table, args.zoom)
+    out = viewshed(
+        tiles, observers, radius=args.radius, height=args.height,
+        tile_size=args.tile_size,
+    )
+    rows = (
+        out.groupBy("oid")
+        .agg(
+            F.count("*").alias("cells"),
+            F.sum("visible").alias("visible"),
+        )
+        .orderBy("oid")
+        .collect()
+    )
+    return {
+        "table": args.table,
+        "viewshed": {
+            "radius": args.radius,
+            "height": args.height,
+            "observers": [
+                {
+                    "oid": r["oid"],
+                    "cells": r["cells"],
+                    "visible": int(r["visible"]),
+                    "pct": round(100.0 * r["visible"] / r["cells"], 2),
+                }
+                for r in rows
+            ],
+        },
+    }
+
+
+def _run_polygonize(spark, args) -> dict:
+    """Polygonize elevation bands (elev // band-step) over a tile source:
+    per-zone ring/hole/perimeter stats from the chained features."""
+    from versatiles_rs_spark.operators.polygonize import (
+        polygonize_features,
+        zone_boundary_edges,
+    )
+
+    step = args.band_step
+    tiles = _load_tiles(spark, args.table, args.zoom)
+    edges = zone_boundary_edges(
+        tiles, lambda v: v // step, tile_size=args.tile_size
+    ).toPandas()
+    feats = polygonize_features(edges)
+    zones = []
+    for f in feats:
+        g = f["geometry"]
+        polys = [g["coordinates"]] if g["type"] == "Polygon" else g["coordinates"]
+        zones.append(
+            {
+                "zone": f["properties"]["zone"],
+                "parts": len(polys),
+                "holes": sum(len(p) - 1 for p in polys),
+                "perimeter_vertices": sum(
+                    len(ring) - 1 for p in polys for ring in p
+                ),
+            }
+        )
+    return {
+        "table": args.table,
+        "polygonize": {
+            "band_step": step,
+            "boundary_edges": int(len(edges)),
+            "n_zones": len(zones),
+            "zones": zones,
+        },
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="analyze")
     ap.add_argument(
@@ -197,7 +279,7 @@ def main(argv=None):
         choices=["hotspots", "trends", "emerging", "dbscan", "od",
                  "moran", "geary", "ripley", "idw", "shortest",
                  "stdbscan", "similar", "coloc", "kde", "clusters",
-                 "hydro", "all"],
+                 "hydro", "viewshed", "polygonize", "all"],
     )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
@@ -225,7 +307,13 @@ def main(argv=None):
     ap.add_argument("--super-tiles", type=int, default=1,
                     help="super-tile side in tiles for flow accumulation (hydro)")
     ap.add_argument("--tile-size", type=int, default=256,
-                    help="pixel side of each DEM tile (hydro)")
+                    help="pixel side of each DEM tile (hydro/viewshed/polygonize)")
+    ap.add_argument("--observers", default="256,256",
+                    help="semicolon-separated gx,gy observer cells (viewshed)")
+    ap.add_argument("--height", type=int, default=2,
+                    help="observer eye height above terrain (viewshed)")
+    ap.add_argument("--band-step", type=int, default=32,
+                    help="elevation band width for zone derivation (polygonize)")
     ap.add_argument("--by", dest="by_col", default="user_id",
                     help="trajectory grouping column for the od command")
     ap.add_argument("--lon", default="lon")
@@ -241,8 +329,13 @@ def main(argv=None):
 
     spark = get_spark(app_name="analyze", master=args.master, shuffle_partitions=8)
 
-    if args.command == "hydro":
-        out = _run_hydro(spark, args, F)
+    if args.command in ("hydro", "viewshed", "polygonize"):
+        if args.command == "hydro":
+            out = _run_hydro(spark, args, F)
+        elif args.command == "viewshed":
+            out = _run_viewshed(spark, args)
+        else:
+            out = _run_polygonize(spark, args)
         print(json.dumps(out))
         spark.stop()
         return
