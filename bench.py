@@ -128,6 +128,7 @@ HEADLINE = [
     "flow_resolved",
     "viewshed",
     "polygonize",
+    "cost_distance",
 ]
 
 

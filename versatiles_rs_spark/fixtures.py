@@ -516,6 +516,27 @@ def dem_terrace_raster_df(spark: SparkSession, partitions: int = 4) -> DataFrame
     return _dem_tiles(spark, zoom=1, partitions=partitions, fn=dem_terrace_value)
 
 
+COST_WALL_X, COST_WALL_GAP = 300, 200
+
+
+def cost_wall_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Uniform cost-2 surface fixed to the zoom-1 (512px) world with an
+    impassable (value 255) full-height wall at gx = 300, pierced by a
+    single gap cell at gy = 200.  Every geodesic to the east side must
+    route through the gap, so cost distance has a closed form: octile
+    metric (cardinal 20 = (2+2)*5, diagonal 28) on the west side, and
+    dist(gap) + octile(gap, p) on the east — the analytic truth for the
+    obstacle-routing behavior of the distributed Dijkstra."""
+    wall = (gx == COST_WALL_X) & (gy != COST_WALL_GAP)
+    return np.where(wall, np.int64(255), np.int64(2)) + 0 * (gx + gy)
+
+
+def cost_wall_raster_df(spark: SparkSession, partitions: int = 4) -> DataFrame:
+    """Zoom-1 cost-raster tile table (x, y, bytes) following
+    cost_wall_value — the cost-distance fixture."""
+    return _dem_tiles(spark, zoom=1, partitions=partitions, fn=cost_wall_value)
+
+
 def dem_raster_df(spark: SparkSession, zoom: int = 3, partitions: int = 16) -> DataFrame:
     """Single-zoom DEM tile table (x, y, bytes): REAL 8-bit grayscale PNG
     tiles whose pixels follow dem_value on the global pixel grid —

@@ -6353,6 +6353,65 @@ def q_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zone_boundary_edges(tiles, lambda v: v // 32)
 
 
+_COST_SOURCES = [(50, 100), (120, 450)]
+
+
+def _cost_distance_oracle_sql() -> str:
+    """Closed-form truth for cost distance on the wall fixture
+    (fixtures.cost_wall_value): uniform cost 2 => octile metric with
+    cardinal 20 / diagonal 28; the full-height wall at gx 300 (gap at
+    gy 200) forces every eastern geodesic through the gap, so east dist
+    = dist(gap) + octile(gap, p).  Pure CASE arithmetic — obstacle
+    routing verified by VALUE, no recursion."""
+    from .fixtures import COST_WALL_GAP, COST_WALL_X
+
+    def oct_(cx: int, cy: int) -> str:
+        m = f"least(abs(gx - {cx}), abs(gy - {cy}))"
+        M = f"greatest(abs(gx - {cx}), abs(gy - {cy}))"
+        return f"(20 * (({M}) - ({m})) + 28 * ({m}))"
+
+    gx0, gy0 = COST_WALL_X, COST_WALL_GAP
+    dg = min(
+        20 * (max(abs(gx0 - sx), abs(gy0 - sy)) - min(abs(gx0 - sx), abs(gy0 - sy)))
+        + 28 * min(abs(gx0 - sx), abs(gy0 - sy))
+        for sx, sy in _COST_SOURCES
+    )
+    west = f"least({', '.join(oct_(sx, sy) for sx, sy in _COST_SOURCES)})"
+    east = f"({dg} + {oct_(gx0, gy0)})"
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, 512)) AS v),
+    px AS (
+      SELECT a.v AS gx, b.v AS gy FROM xs a, xs b
+      WHERE NOT (a.v = {gx0} AND b.v <> {gy0})
+    )
+    SELECT gx, gy,
+      CAST(CASE WHEN gx <= {gx0} THEN {west} ELSE {east} END AS BIGINT) AS dist
+    FROM px
+    """
+
+
+@register("cost_distance", _cost_distance_oracle_sql())
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost distance — the GRASS r.cost / ArcGIS Cost Distance operator
+    (the reference has no raster analysis): minimum accumulated
+    traversal cost from 2 sources over the wall fixture, integer-exact
+    avg-cost edge weights ((ca+cb)*5 cardinal / *7 diagonal), blocked
+    cells excluded.  Distributed shape: ONE payload pass emits slim
+    (cell, cost, dist) rows; rounds re-key finite ring rows to adjacent
+    super-tiles and re-run a vectorized bucket-queue Dijkstra per group
+    (stationary groups short-circuit), fixpoint by exact capped-sum
+    probe — rounds = super-tile crossings of the optimal path forest,
+    the resolve_flats/TauDEM bound.  The wall-with-gap fixture makes
+    obstacle routing itself the closed-form oracle."""
+    from . import fixtures
+    from .operators.costdist import cost_distance
+
+    tiles = fixtures.cost_wall_raster_df(spark, partitions=4)
+    return cost_distance(
+        tiles, _COST_SOURCES, tile_size=256, super_tiles=1, blocked=255
+    )
+
+
 def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
     """Replay of d8_flow_length: the shared D8 derivation, then the exact
     Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
