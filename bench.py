@@ -129,6 +129,7 @@ HEADLINE = [
     "viewshed",
     "polygonize",
     "cost_distance",
+    "cost_allocation",
 ]
 
 

@@ -151,3 +151,37 @@ def test_unreachable_pocket_stays_minus_one(spark):
     assert (inside["dist"] == -1).all()
     outside = pdf[(pdf.gx < 10) | (pdf.gx > 20) | (pdf.gy < 10) | (pdf.gy > 20)]
     assert (outside["dist"] >= 0).all()
+
+
+@pytest.mark.parametrize("seed,s", [(71, 1), (72, 2)])
+def test_fuzz_allocation_matches_per_source(spark, seed, s):
+    """allocate=True == independent per-source scalar Dijkstras composed
+    with argmin (ties to the lowest source index)."""
+    n, ts = 64, 16
+    rng = np.random.default_rng(seed)
+    v = rng.integers(1, 4, size=(n, n)).astype(np.int64)
+    wall = rng.random((n, n)) < 0.15
+    raster = np.where(wall, np.int64(255), v).astype(np.uint8)
+    cost = to_cost(v, wall)
+    srcs = []
+    while len(srcs) < 3:
+        x, y = map(int, rng.integers(0, n, 2))
+        if cost[y, x] >= 0 and (x, y) not in srcs:
+            srcs.append((x, y))
+    per = [global_dijkstra(cost, [sxy]) for sxy in srcs]
+    stack = np.stack([np.where(d < 0, np.int64(1 << 60), d) for d in per])
+    best = stack.min(axis=0)
+    alloc = np.where(best >= (1 << 60), np.int64(-1), stack.argmin(axis=0) + 1)
+    want_d = np.where(best >= (1 << 60), np.int64(-1), best)
+    pdf = cost_distance(
+        dem_to_tiles(spark, raster.astype(np.int64), ts),
+        srcs, tile_size=ts, super_tiles=s, blocked=255, allocate=True,
+    ).toPandas()
+    got_d = np.full((n, n), -1, dtype=np.int64)
+    got_a = np.full((n, n), -1, dtype=np.int64)
+    got_d[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = pdf["dist"].to_numpy()
+    got_a[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()] = pdf["src"].to_numpy()
+    got_d = np.where(cost < 0, np.int64(-1), got_d)
+    got_a = np.where(cost < 0, np.int64(-1), got_a)
+    np.testing.assert_array_equal(got_d, np.where(cost < 0, np.int64(-1), want_d))
+    np.testing.assert_array_equal(got_a, np.where(cost < 0, np.int64(-1), alloc))

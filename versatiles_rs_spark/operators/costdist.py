@@ -54,7 +54,7 @@ _REL = "sx long, sy long, gx long, gy long, axis int, data binary, w long"
 
 
 def dijkstra_grid(
-    cost: np.ndarray, dist: np.ndarray, seeds_r, seeds_c
+    cost: np.ndarray, dist: np.ndarray, seeds_r, seeds_c, lab_scale: int = 1
 ) -> None:
     """In-place multi-source Dijkstra on one grid.
 
@@ -63,7 +63,12 @@ def dijkstra_grid(
     Vectorized Dial/bucket queue: pop one distinct distance value at a
     time, relax all 8 directions of the whole frontier with numpy
     gather, one combined np.minimum.at scatter per pop; stale entries
-    skipped by label re-check.  O(E) vector work across all pops."""
+    skipped by label re-check.  O(E) vector work across all pops.
+
+    lab_scale packs an allocation id into the label's low bits: labels
+    are dist * lab_scale + src_id and edges scale by lab_scale, so the
+    min is the LEXICOGRAPHIC (dist, src_id) — nearest source, ties to
+    the lowest id — with zero change to the algorithm."""
     H, W = cost.shape
     flat_cost = cost.ravel()
     flat_dist = dist.ravel()
@@ -111,7 +116,7 @@ def dijkstra_grid(
             nidx = nidx[passable]
             if not len(nidx):
                 continue
-            nd = d + (c0[ok][passable] + flat_cost[nidx]) * scale
+            nd = d + (c0[ok][passable] + flat_cost[nidx]) * (scale * lab_scale)
             better = nd < flat_dist[nidx]
             if better.any():
                 cand_i.append(nidx[better])
@@ -134,14 +139,25 @@ def cost_distance(
     band: int = 0,
     blocked: int | None = None,
     max_rounds: int = 64,
+    allocate: bool = False,
     metrics: dict | None = None,
 ) -> DataFrame:
     """(x, y, bytes) cost-raster tile table -> (gx, gy, dist): minimum
     accumulated cost from the nearest source cell (dist -1 where no
-    path exists).  Sources must be passable cells."""
+    path exists).  Sources must be passable cells.
+
+    allocate=True additionally returns `src` — the 1-based index of the
+    nearest source (ArcGIS Cost Allocation / GRASS r.cost nearest-site),
+    ties to the LOWEST index, made exact by running the same Dijkstra on
+    lexicographically packed labels dist * K + src_id."""
     ts, S = int(tile_size), int(super_tiles)
     G = S * ts
-    src_set = {(int(x), int(y)) for x, y in sources}
+    K = 1
+    if allocate:
+        K = 1 << (len(sources)).bit_length()  # fits src ids 1..n
+    inf_l = _INF * K
+    src_id = {(int(x), int(y)): i + 1 for i, (x, y) in enumerate(sources)}
+    src_set = set(src_id)
 
     tiles_k = (
         tiles.select(
@@ -176,19 +192,19 @@ def cost_distance(
         sx, sy = int(pdf["sx"].iloc[0]), int(pdf["sy"].iloc[0])
         ox, oy = sx * G, sy * G
         grid = build_grid(pdf, ox, oy)
-        dist = np.full((G, G), _INF, dtype=np.int64)
+        dist = np.full((G, G), inf_l, dtype=np.int64)
         seeds_r: list[int] = []
         seeds_c: list[int] = []
         for x, y in src_set:
             r0, c0 = y - oy, x - ox
             if 0 <= r0 < G and 0 <= c0 < G and grid[r0, c0] >= 0:
-                dist[r0, c0] = 0
+                dist[r0, c0] = src_id[(x, y)] if allocate else 0
                 seeds_r.append(r0)
                 seeds_c.append(c0)
         halo = pdf[pdf["axis"] == 2]
         for hgx, hgy, w in zip(halo["gx"], halo["gy"], halo["w"]):
             hd, hc = int(w) >> 8, int(w) & 0xFF
-            if hd >= _INF:
+            if hd >= inf_l:
                 continue
             hr, hc_ = int(hgy) - oy, int(hgx) - ox
             for dr in (-1, 0, 1):
@@ -201,14 +217,15 @@ def cost_distance(
                     if grid[rr2, cc2] < 0:
                         continue
                     scale = 7 if dr and dc else 5
-                    cand = hd + (hc + int(grid[rr2, cc2])) * scale
+                    cand = hd + (hc + int(grid[rr2, cc2])) * (scale * K)
                     if cand < dist[rr2, cc2]:
                         dist[rr2, cc2] = cand
                         seeds_r.append(rr2)
                         seeds_c.append(cc2)
         if seeds_r:
             dijkstra_grid(cost=grid, dist=dist,
-                          seeds_r=np.array(seeds_r), seeds_c=np.array(seeds_c))
+                          seeds_r=np.array(seeds_r), seeds_c=np.array(seeds_c),
+                          lab_scale=K)
         if emit_all:
             rr, cc = np.nonzero(grid >= 0)
         else:
@@ -216,7 +233,7 @@ def cost_distance(
             ring[0, :] = ring[-1, :] = True
             ring[:, 0] = ring[:, -1] = True
             rr, cc = np.nonzero(ring & (grid >= 0))
-        d = np.minimum(dist[rr, cc], _INF)
+        d = np.minimum(dist[rr, cc], inf_l)
         return pd.DataFrame(
             {"sx": np.int64(sx), "sy": np.int64(sy),
              "gx": ox + cc, "gy": oy + rr,
@@ -239,7 +256,7 @@ def cost_distance(
             )
         )
         return (
-            border.filter(F.shiftright(F.col("w"), 8) < F.lit(_INF))
+            border.filter(F.shiftright(F.col("w"), 8) < F.lit(inf_l))
             .select("gx", "gy", "w", F.explode(nbrs).alias("nb"))
             .filter(
                 (F.col("nb.nsx") >= 0)
@@ -262,15 +279,20 @@ def cost_distance(
 
     def run_round(halo: DataFrame | None, emit_all: bool = False) -> DataFrame:
         rel = tiles_k if halo is None else tiles_k.unionByName(halo)
-        schema = _BORDER if not emit_all else "gx long, gy long, dist long"
+        out_cols = "gx long, gy long, dist long" + (
+            ", src long" if allocate else ""
+        )
+        schema = _BORDER if not emit_all else out_cols
         if emit_all:
             def fin(pdf: pd.DataFrame) -> pd.DataFrame:
                 out = solve(pdf, emit_all=True)
-                d = out["w"].to_numpy() >> 8
-                return pd.DataFrame(
-                    {"gx": out["gx"], "gy": out["gy"],
-                     "dist": np.where(d >= _INF, np.int64(-1), d)}
-                )
+                lab = out["w"].to_numpy() >> 8
+                unreached = lab >= inf_l
+                res = {"gx": out["gx"], "gy": out["gy"],
+                       "dist": np.where(unreached, np.int64(-1), lab // K)}
+                if allocate:
+                    res["src"] = np.where(unreached, np.int64(-1), lab % K)
+                return pd.DataFrame(res)
             return rel.groupBy("sx", "sy").applyInPandas(fin, schema=schema)
         return (
             rel.groupBy("sx", "sy")

@@ -6412,6 +6412,55 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cost_allocation_oracle_sql() -> str:
+    """Closed-form truth for cost allocation on the wall fixture: west of
+    the wall, the nearest source by octile metric with ties to the LOWEST
+    source index (the exact packed-label tie-break); east of the wall,
+    every geodesic funnels through the gap and source 1 is strictly
+    nearer to it (5800 < 6440), so the whole east side allocates to 1."""
+    from .fixtures import COST_WALL_GAP, COST_WALL_X
+
+    def oct_(cx: int, cy: int) -> str:
+        m = f"least(abs(gx - {cx}), abs(gy - {cy}))"
+        M = f"greatest(abs(gx - {cx}), abs(gy - {cy}))"
+        return f"(20 * (({M}) - ({m})) + 28 * ({m}))"
+
+    gx0, gy0 = COST_WALL_X, COST_WALL_GAP
+    (s1x, s1y), (s2x, s2y) = _COST_SOURCES
+    o1, o2 = oct_(s1x, s1y), oct_(s2x, s2y)
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, 512)) AS v),
+    px AS (
+      SELECT a.v AS gx, b.v AS gy FROM xs a, xs b
+      WHERE NOT (a.v = {gx0} AND b.v <> {gy0})
+    )
+    SELECT gx, gy,
+      CAST(CASE WHEN gx <= {gx0} AND {o2} < {o1} THEN 2 ELSE 1 END
+           AS BIGINT) AS src
+    FROM px
+    """
+
+
+@register("cost_allocation", _cost_allocation_oracle_sql())
+def q_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost allocation — the ArcGIS Cost Allocation / GRASS nearest-site
+    operator: which source each cell reaches cheapest, ties to the
+    lowest source index.  Zero extra machinery: the same border-Jacobi
+    Dijkstra runs on lexicographically PACKED labels dist * K + src_id
+    (edges scale by K), so the min label IS the (dist, src) lexicographic
+    optimum and the tie-break is exact by construction.  The wall fixture
+    pins both regimes: octile argmin west, funnel-through-the-gap east
+    (everything east allocates to the gap-nearest source)."""
+    from . import fixtures
+    from .operators.costdist import cost_distance
+
+    tiles = fixtures.cost_wall_raster_df(spark, partitions=4)
+    return cost_distance(
+        tiles, _COST_SOURCES, tile_size=256, super_tiles=1, blocked=255,
+        allocate=True,
+    ).select("gx", "gy", "src")
+
+
 def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
     """Replay of d8_flow_length: the shared D8 derivation, then the exact
     Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
