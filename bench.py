@@ -130,6 +130,7 @@ HEADLINE = [
     "polygonize",
     "cost_distance",
     "cost_allocation",
+    "isochrone_tiles",
 ]
 
 

@@ -6461,6 +6461,97 @@ def q_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("gx", "gy", "src")
 
 
+def _isochrone_tiles_oracle_sql(band_w: int, render_zoom: int) -> str:
+    """Oracle for isochrone_tiles: the wall-fixture closed-form cost
+    distance (octile west / gap-funnel east, same derivation as
+    cost_distance), banded and grouped into render-zoom parent tiles —
+    per-tile feature count + deepest band.  Pure CASE arithmetic."""
+    from .fixtures import COST_WALL_GAP, COST_WALL_X
+
+    def oct_(cx: int, cy: int) -> str:
+        m = f"least(abs(gx - {cx}), abs(gy - {cy}))"
+        M = f"greatest(abs(gx - {cx}), abs(gy - {cy}))"
+        return f"(20 * (({M}) - ({m})) + 28 * ({m}))"
+
+    gx0, gy0 = COST_WALL_X, COST_WALL_GAP
+    dg = min(
+        20 * (max(abs(gx0 - sx), abs(gy0 - sy)) - min(abs(gx0 - sx), abs(gy0 - sy)))
+        + 28 * min(abs(gx0 - sx), abs(gy0 - sy))
+        for sx, sy in _COST_SOURCES
+    )
+    west = f"least({', '.join(oct_(sx, sy) for sx, sy in _COST_SOURCES)})"
+    east = f"({dg} + {oct_(gx0, gy0)})"
+    dz = 7 - render_zoom  # blocks live on the cell_zoom-7 grid
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, 512)) AS v),
+    px AS (
+      SELECT a.v AS gx, b.v AS gy FROM xs a, xs b
+      WHERE NOT (a.v = {gx0} AND b.v <> {gy0})
+    ),
+    cd AS (
+      SELECT gx // 4 AS bx, gy // 4 AS by,
+        min(CASE WHEN gx <= {gx0} THEN {west} ELSE {east} END) AS dist
+      FROM px GROUP BY 1, 2
+    )
+    SELECT CAST({render_zoom} AS INTEGER) AS z,
+           bx // {1 << dz} AS x, by // {1 << dz} AS y,
+           CAST(count(*) AS INTEGER) AS n_features,
+           CAST(max(dist // {band_w}) AS BIGINT) AS max_band
+    FROM cd GROUP BY 1, 2, 3
+    """
+
+
+@register("isochrone_tiles", _isochrone_tiles_oracle_sql(band_w=2000, render_zoom=4))
+def q_isochrone_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-analysis-to-serving composition: the cost-distance surface
+    aggregated onto a 4x4-pixel block grid (min dist per block — the
+    reachable-within-band isochrone semantics), banded (dist // 2000),
+    and rendered as an MVT choropleth — one exact-integer square feature
+    per block, grouped into zoom-4 tiles that flow into the engine's
+    sinks/containers/serve shim (the hotspot_tiles / stream_tiles
+    pattern, with an aggregate-then-render step so feature count tracks
+    map resolution, not raster resolution).  The oracle verifies
+    per-tile feature counts and the deepest band against the wall
+    fixture's closed-form distance; MVT payload bytes stay
+    pytest-verified by decode round-trip."""
+    from . import fixtures
+    from .operators.costdist import cost_distance
+    from .vector_tile import cells_to_choropleth_tiles
+
+    tiles = fixtures.cost_wall_raster_df(spark, partitions=4)
+    cd = cost_distance(
+        tiles, _COST_SOURCES, tile_size=256, super_tiles=2, blocked=255
+    ).filter(F.col("dist") >= 0)
+    blocks = (
+        cd.select(
+            F.shiftright(F.col("gx"), 2).alias("x"),
+            F.shiftright(F.col("gy"), 2).alias("y"),
+            "dist",
+        )
+        .groupBy("x", "y")
+        .agg((F.min("dist") / F.lit(2000)).cast("long").alias("band"))
+        .localCheckpoint()
+    )
+    mvt = cells_to_choropleth_tiles(
+        blocks, cell_zoom=7, render_zoom=4, value_cols=("band",),
+        layer="isochrone",
+    )
+    deepest = (
+        blocks.select(
+            F.shiftright(F.col("x"), 3).alias("x"),
+            F.shiftright(F.col("y"), 3).alias("y"),
+            "band",
+        )
+        .groupBy("x", "y")
+        .agg(F.max("band").alias("max_band"))
+    )
+    return (
+        mvt.select("z", "x", "y", "n_features")
+        .join(deepest, on=["x", "y"])
+        .select("z", "x", "y", "n_features", "max_band")
+    )
+
+
 def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
     """Replay of d8_flow_length: the shared D8 derivation, then the exact
     Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
