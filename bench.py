@@ -131,6 +131,7 @@ HEADLINE = [
     "cost_distance",
     "cost_allocation",
     "isochrone_tiles",
+    "cost_path",
 ]
 
 

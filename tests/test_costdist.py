@@ -185,3 +185,80 @@ def test_fuzz_allocation_matches_per_source(spark, seed, s):
     got_a = np.where(cost < 0, np.int64(-1), got_a)
     np.testing.assert_array_equal(got_d, np.where(cost < 0, np.int64(-1), want_d))
     np.testing.assert_array_equal(got_a, np.where(cost < 0, np.int64(-1), alloc))
+
+
+def scalar_backtrace(cost, dist_grid, sources, target):
+    """Independent path walk: follow the dist-consistent predecessor
+    (ascending ESRI code) from target to the nearest source."""
+    from versatiles_rs_spark.operators.focal import _D8_DELTA
+
+    src = set(sources)
+    H, W = cost.shape
+    path = []
+    x, y = target
+    if dist_grid[y, x] < 0:
+        return path
+    while True:
+        path.append((x, y, int(dist_grid[y, x])))
+        if (x, y) in src:
+            return path
+        nxt = None
+        for code, (dx, dy) in sorted(_D8_DELTA.items()):
+            qx, qy = x + dx, y + dy
+            if not (0 <= qx < W and 0 <= qy < H) or cost[qy, qx] < 0:
+                continue
+            scale = 7 if dx and dy else 5
+            if (
+                dist_grid[qy, qx] >= 0
+                and dist_grid[qy, qx]
+                + (int(cost[qy, qx]) + int(cost[y, x])) * scale
+                == dist_grid[y, x]
+            ):
+                nxt = (qx, qy)
+                break
+        assert nxt is not None, (x, y)
+        x, y = nxt
+
+
+@pytest.mark.parametrize("seed,s,solve", [(81, 1, "driver"), (82, 2, "doubling"), (81, 2, "doubling")])
+def test_fuzz_least_cost_path(spark, seed, s, solve):
+    """Path backtrace == scalar predecessor walk on random rasters, for
+    reachable and unreachable targets, across super-tile splits."""
+    from versatiles_rs_spark.operators.costdist import least_cost_path
+
+    n, ts = 64, 16
+    rng = np.random.default_rng(seed)
+    v = rng.integers(1, 4, size=(n, n)).astype(np.int64)
+    wall = rng.random((n, n)) < 0.12
+    raster = np.where(wall, np.int64(255), v).astype(np.uint8)
+    cost = to_cost(v, wall)
+    srcs = []
+    while len(srcs) < 2:
+        x, y = map(int, rng.integers(0, n, 2))
+        if cost[y, x] >= 0 and (x, y) not in srcs:
+            srcs.append((x, y))
+    dist_grid = global_dijkstra(cost, srcs)
+    tgts = []
+    while len(tgts) < 3:
+        x, y = map(int, rng.integers(0, n, 2))
+        if cost[y, x] >= 0 and (x, y) not in tgts:
+            tgts.append((x, y))
+    m: dict = {}
+    pdf = least_cost_path(
+        dem_to_tiles(spark, raster.astype(np.int64), ts),
+        srcs, tgts, tile_size=ts, super_tiles=s, blocked=255, solve=solve,
+        metrics=m,
+    ).toPandas()
+    got = {
+        tid: sorted(
+            (int(r.gx), int(r.gy), int(r.dist))
+            for r in g.itertuples(index=False)
+        )
+        for tid, g in pdf.groupby("tid")
+    }
+    for i, t in enumerate(tgts, start=1):
+        want = sorted(
+            (x, y, d) for x, y, d in scalar_backtrace(cost, dist_grid, srcs, t)
+        )
+        assert got.get(i, []) == want, f"target {i}"
+    assert m["walk_rounds"] >= (1 if solve == "doubling" else 0)

@@ -140,6 +140,7 @@ def cost_distance(
     blocked: int | None = None,
     max_rounds: int = 64,
     allocate: bool = False,
+    emit_cost: bool = False,
     metrics: dict | None = None,
 ) -> DataFrame:
     """(x, y, bytes) cost-raster tile table -> (gx, gy, dist): minimum
@@ -279,8 +280,10 @@ def cost_distance(
 
     def run_round(halo: DataFrame | None, emit_all: bool = False) -> DataFrame:
         rel = tiles_k if halo is None else tiles_k.unionByName(halo)
-        out_cols = "gx long, gy long, dist long" + (
-            ", src long" if allocate else ""
+        out_cols = (
+            "gx long, gy long, dist long"
+            + (", src long" if allocate else "")
+            + (", cost long" if emit_cost else "")
         )
         schema = _BORDER if not emit_all else out_cols
         if emit_all:
@@ -292,6 +295,8 @@ def cost_distance(
                        "dist": np.where(unreached, np.int64(-1), lab // K)}
                 if allocate:
                     res["src"] = np.where(unreached, np.int64(-1), lab % K)
+                if emit_cost:
+                    res["cost"] = out["w"].to_numpy() & 0xFF
                 return pd.DataFrame(res)
             return rel.groupBy("sx", "sy").applyInPandas(fin, schema=schema)
         return (
@@ -327,3 +332,264 @@ def cost_distance(
     if metrics is not None:
         metrics["dijkstra_rounds"] = rounds
     return run_round(halo_copies(border), emit_all=True)
+
+
+
+_PRED = "gx long, gy long, dist long, pgx long, pgy long"
+
+
+def least_cost_path(
+    tiles: DataFrame,
+    sources: list[tuple[int, int]],
+    targets: list[tuple[int, int]],
+    tile_size: int = 256,
+    super_tiles: int = 1,
+    payload: str = "bytes",
+    band: int = 0,
+    blocked: int | None = None,
+    max_rounds: int = 64,
+    solve: str = "auto",
+    max_driver_rows: int = 2_000_000,
+    metrics: dict | None = None,
+) -> DataFrame:
+    """Least-cost path backtrace — the GRASS r.drain / ArcGIS Cost Path
+    operator: for each target cell, every cell on its minimum-cost path
+    back to the nearest source, as (tid, gx, gy, dist) rows (dist
+    strictly decreases along the path, so ORDER BY dist DESC is the walk
+    order; unreachable targets emit nothing; tid = 1-based target index).
+
+    Determinism: the predecessor of a non-source reachable cell p is the
+    neighbor q with dist(q) + (cost(q)+cost(p)) * scale == dist(p), ties
+    by ascending ESRI code — replayable in SQL from the distance surface.
+    Requires all passable costs >= 1 (every move then strictly decreases
+    dist, so the predecessor graph is a forest; 0-cost plateaus would
+    allow 2-cycles), asserted in the pred pass.
+
+    Distributed shape: cost_distance's border-Jacobi solve (emit_cost
+    rides the per-cell cost out so this pass never touches the payload),
+    then ONE slim pred pass — groups rebuild (dist, cost) grids with a
+    1px halo of ring rows and derive every predecessor with 8
+    ascending-code shifted-slice compares, a pure local stencil — then
+    the walk.  The pred relation is pruned HARD before anything runs:
+    dist strictly decreases along every path, so no path cell sits above
+    max(target dist) — only that disc is ever computed or moved.
+
+    The walk itself follows the repo's guarded-driver pattern (fill's
+    minimax heap, Strahler's Kahn): when the pruned forest fits
+    max_driver_rows (guard, like fill's max_coarse_edges), collect the
+    slim (cell, dist, pred) rows and walk O(total path length) on the
+    driver — paths are inherently sequential chains.  Beyond the guard
+    (solve="doubling" forces it; tested for parity), mark-propagation
+    pointer doubling: marked = targets; per round marked |= ptr[marked],
+    ptr = ptr∘ptr with frozen rows dropped — after k rounds marked holds
+    pred^i(t) for i < 2^k, so log2(longest path) slim self-join rounds,
+    fixpoint by marked-count probe.  Doubling is sound because pred is
+    FUNCTIONAL (out-degree 1 — the one graph class the CLAUDE.md minimax
+    lesson's pointer doubling rescues)."""
+    ts, S = int(tile_size), int(super_tiles)
+    G = S * ts
+    src_set = {(int(x), int(y)) for x, y in sources}
+    cd = cost_distance(
+        tiles, sources, tile_size=ts, super_tiles=S, payload=payload,
+        band=band, blocked=blocked, max_rounds=max_rounds,
+        emit_cost=True, metrics=metrics,
+    )
+    cdk = (
+        cd.filter(F.col("dist") >= 0)
+        .select(
+            F.expr(f"gx div {G}").alias("sx"),
+            F.expr(f"gy div {G}").alias("sy"),
+            "gx", "gy", "dist", "cost",
+        )
+        .localCheckpoint()
+    )
+    nbrs = F.array_distinct(
+        F.array(
+            *[
+                F.struct(
+                    F.expr(f"(gx + {dx}) div {G}").alias("nsx"),
+                    F.expr(f"(gy + {dy}) div {G}").alias("nsy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if not (dx == 0 and dy == 0)
+            ]
+        )
+    )
+    on_ring = (
+        (F.col("gx") % G == 0) | (F.col("gx") % G == G - 1)
+        | (F.col("gy") % G == 0) | (F.col("gy") % G == G - 1)
+    )
+    halo = (
+        cdk.filter(on_ring)
+        .select("gx", "gy", "dist", "cost", F.explode(nbrs).alias("nb"))
+        .filter(
+            (F.col("nb.nsx") >= 0) & (F.col("nb.nsy") >= 0)
+            & (
+                (F.col("nb.nsx") != F.expr(f"gx div {G}"))
+                | (F.col("nb.nsy") != F.expr(f"gy div {G}"))
+            )
+        )
+        .select(
+            F.col("nb.nsx").alias("sx"), F.col("nb.nsy").alias("sy"),
+            "gx", "gy", "dist", "cost",
+        )
+        .distinct()
+    )
+
+    from .focal import _D8_DELTA
+
+    def pred_pass(pdf: pd.DataFrame) -> pd.DataFrame:
+        sx, sy = int(pdf["sx"].iloc[0]), int(pdf["sy"].iloc[0])
+        ox, oy = sx * G, sy * G
+        own = (
+            (pdf["gx"] >= ox) & (pdf["gx"] < ox + G)
+            & (pdf["gy"] >= oy) & (pdf["gy"] < oy + G)
+        ).to_numpy()
+        r_ = (pdf["gy"].to_numpy() - oy + 1).astype(np.int64)
+        c_ = (pdf["gx"].to_numpy() - ox + 1).astype(np.int64)
+        dist = np.full((G + 2, G + 2), _INF, dtype=np.int64)
+        cost = np.full((G + 2, G + 2), np.int64(-(1 << 30)), dtype=np.int64)
+        dist[r_, c_] = pdf["dist"].to_numpy()
+        cost[r_, c_] = pdf["cost"].to_numpy()
+        if bool((cost[r_, c_] < 1).any()):
+            raise AssertionError(
+                "least_cost_path: passable cost < 1 — 0-cost plateaus make "
+                "the predecessor graph cyclic; reclassify the raster"
+            )
+        t_dist = dist[1 : G + 1, 1 : G + 1]
+        t_cost = cost[1 : G + 1, 1 : G + 1]
+        need = np.zeros((G, G), dtype=bool)
+        rr_own = r_[own] - 1
+        cc_own = c_[own] - 1
+        need[rr_own, cc_own] = True
+        for x, y in src_set:
+            if ox <= x < ox + G and oy <= y < oy + G:
+                need[y - oy, x - ox] = False  # sources have no predecessor
+        pgx = np.full((G, G), -1, dtype=np.int64)
+        pgy = np.full((G, G), -1, dtype=np.int64)
+
+        def sh(a, dy, dx):
+            return a[1 + dy : G + 1 + dy, 1 + dx : G + 1 + dx]
+
+        for code, (dx, dy) in sorted(_D8_DELTA.items()):
+            scale = 7 if dx and dy else 5
+            hit = (
+                need
+                & (pgx < 0)
+                & (sh(dist, dy, dx) + (sh(cost, dy, dx) + t_cost) * scale
+                   == t_dist)
+            )
+            if hit.any():
+                hr, hc = np.nonzero(hit)
+                pgx[hr, hc] = ox + hc + dx
+                pgy[hr, hc] = oy + hr + dy
+        miss = need & (pgx < 0)
+        if bool(miss.any()):
+            mr, mc = np.nonzero(miss)
+            raise AssertionError(
+                "least_cost_path: reachable cell without a predecessor at "
+                f"({ox + mc[0]}, {oy + mr[0]})"
+            )
+        fr, fc = np.nonzero(need)
+        return pd.DataFrame(
+            {"gx": ox + fc, "gy": oy + fr, "dist": t_dist[fr, fc],
+             "pgx": pgx[fr, fc], "pgy": pgy[fr, fc]}
+        )
+
+    # mark-propagation pointer doubling
+    tgt_rows = [(i + 1, int(x), int(y)) for i, (x, y) in enumerate(targets)]
+    spark = tiles.sparkSession
+    marked = (
+        spark.createDataFrame(tgt_rows, "tid long, gx long, gy long")
+        .join(cdk.select("gx", "gy"), ["gx", "gy"], "inner")  # reachable only
+        .localCheckpoint()
+    )
+    # dist strictly decreases along every path, so no path cell can sit
+    # above the deepest reachable target — prune the pred relation (and
+    # with it every doubling join) to dist <= max(target dist) BEFORE it
+    # is computed
+    row = marked.join(cdk, ["gx", "gy"]).agg(
+        F.max("dist").alias("m")
+    ).collect()[0]
+    max_d = row["m"]
+    if max_d is None:
+        return marked.join(cdk.select("gx", "gy", "dist"), ["gx", "gy"]).select(
+            "tid", "gx", "gy", "dist"
+        )
+    pred = (
+        cdk.filter(F.col("dist") <= max_d)
+        .unionByName(halo.filter(F.col("dist") <= max_d))
+        .groupBy("sx", "sy")
+        .applyInPandas(pred_pass, schema=_PRED)
+        .localCheckpoint()
+    )
+    n_pred = pred.count()
+    if solve == "driver" or (solve == "auto" and n_pred <= max_driver_rows):
+        pp = pred.toPandas()
+        nxt = {
+            (int(x), int(y)): (int(d), int(px), int(py))
+            for x, y, d, px, py in zip(
+                pp["gx"], pp["gy"], pp["dist"], pp["pgx"], pp["pgy"]
+            )
+        }
+        tdist = {
+            (int(r["gx"]), int(r["gy"])): int(r["dist"])
+            for r in marked.join(cdk, ["gx", "gy"]).select(
+                "gx", "gy", "dist"
+            ).collect()
+        }
+        rows = []
+        for tid, x, y in tgt_rows:
+            if (x, y) not in tdist:
+                continue  # unreachable target
+            while True:
+                hit = nxt.get((x, y))
+                if hit is None:  # sources carry no pred row
+                    rows.append((tid, x, y, 0))
+                    break
+                d, px, py = hit
+                rows.append((tid, x, y, d))
+                x, y = px, py
+        if metrics is not None:
+            metrics["walk_rounds"] = 0
+            metrics["pred_rows"] = n_pred
+        return spark.createDataFrame(
+            rows, "tid long, gx long, gy long, dist long"
+        )
+    ptr = pred.select("gx", "gy", "pgx", "pgy")
+    n_marked = marked.count()
+    rounds = 0
+    while rounds < max_rounds:
+        step = (
+            marked.join(ptr, ["gx", "gy"], "inner")
+            .filter(F.col("pgx") >= 0)
+            .select("tid", F.col("pgx").alias("gx"), F.col("pgy").alias("gy"))
+        )
+        marked = marked.unionByName(step).distinct().localCheckpoint()
+        rounds += 1
+        n2 = marked.count()
+        if n2 == n_marked:
+            break
+        n_marked = n2
+        # frozen (chain shorter than the next jump) rows can never fire
+        # a step nor serve as a composition hop: drop them, so ptr holds
+        # only cells with >= 2^r chain remaining and shrinks to empty
+        p2 = ptr.alias("a").join(
+            ptr.alias("b"),
+            (F.col("a.pgx") == F.col("b.gx")) & (F.col("a.pgy") == F.col("b.gy")),
+            "inner",
+        ).select(
+            F.col("a.gx").alias("gx"), F.col("a.gy").alias("gy"),
+            F.col("b.pgx").alias("pgx"), F.col("b.pgy").alias("pgy"),
+        )
+        ptr = p2.localCheckpoint()
+    else:
+        raise RuntimeError(
+            f"least_cost_path: walk open after {max_rounds} doubling rounds"
+        )
+    if metrics is not None:
+        metrics["walk_rounds"] = rounds
+    return marked.join(cdk.select("gx", "gy", "dist"), ["gx", "gy"]).select(
+        "tid", "gx", "gy", "dist"
+    )

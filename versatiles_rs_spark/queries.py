@@ -6552,6 +6552,93 @@ def q_isochrone_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COST_PATH_TARGETS = [(60, 110), (305, 202), (290, 195)]
+
+
+def _cost_path_oracle_sql() -> str:
+    """Recursive walk replay of least_cost_path on the wall fixture: the
+    distance surface is pure arithmetic (octile west / gap-funnel east),
+    so the predecessor of a cell is computable IN the recursive arm —
+    the first ascending-ESRI-code neighbor q (in-world, not wall) with
+    dist(q) + (2+2)*scale == dist(p).  Three targets, one arm; each
+    iteration carries 3 slim rows (the oracle-walk lesson's safe shape:
+    bounded breadth, no point-level fan-out)."""
+    from .fixtures import COST_WALL_GAP, COST_WALL_X
+    from .operators.focal import _D8_DELTA
+
+    gx0, gy0 = COST_WALL_X, COST_WALL_GAP
+
+    def dist_of(xe: str, ye: str) -> str:
+        def oct_(cx: int, cy: int) -> str:
+            m = f"least(abs(({xe}) - {cx}), abs(({ye}) - {cy}))"
+            M = f"greatest(abs(({xe}) - {cx}), abs(({ye}) - {cy}))"
+            return f"(20 * (({M}) - ({m})) + 28 * ({m}))"
+
+        dg = min(
+            20 * (max(abs(gx0 - sx), abs(gy0 - sy))
+                  - min(abs(gx0 - sx), abs(gy0 - sy)))
+            + 28 * min(abs(gx0 - sx), abs(gy0 - sy))
+            for sx, sy in _COST_SOURCES
+        )
+        west = f"least({', '.join(oct_(sx, sy) for sx, sy in _COST_SOURCES)})"
+        east = f"({dg} + {oct_(gx0, gy0)})"
+        return f"(CASE WHEN ({xe}) <= {gx0} THEN {west} ELSE {east} END)"
+
+    conds, nxs, nys = [], [], []
+    for code, (dx, dy) in sorted(_D8_DELTA.items()):
+        scale = 7 if dx and dy else 5
+        nx, ny = f"(gx + {dx})", f"(gy + {dy})"
+        valid = (
+            f"{nx} BETWEEN 0 AND 511 AND {ny} BETWEEN 0 AND 511 "
+            f"AND NOT ({nx} = {gx0} AND {ny} <> {gy0})"
+        )
+        cond = f"({valid} AND {dist_of(nx, ny)} + {4 * scale} = d)"
+        conds.append(cond)
+        nxs.append(f"WHEN {cond} THEN {nx}")
+        nys.append(f"WHEN {cond} THEN {ny}")
+    tgts = ", ".join(f"({i + 1}, {x}, {y})"
+                     for i, (x, y) in enumerate(_COST_PATH_TARGETS))
+    not_src = " AND ".join(
+        f"NOT (gx = {sx} AND gy = {sy})" for sx, sy in _COST_SOURCES
+    )
+    return f"""
+    WITH RECURSIVE walk AS (
+      SELECT tid, gx, gy FROM (VALUES {tgts}) t(tid, gx, gy)
+      UNION ALL
+      SELECT tid,
+        CASE {' '.join(nxs)} END AS gx,
+        CASE {' '.join(nys)} END AS gy
+      FROM (SELECT tid, gx, gy, {dist_of('gx', 'gy')} AS d FROM walk)
+      WHERE {not_src}
+    )
+    SELECT tid, gx, gy, CAST({dist_of('gx', 'gy')} AS BIGINT) AS dist
+    FROM walk
+    """
+
+
+@register("cost_path", _cost_path_oracle_sql())
+def q_cost_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-cost path backtrace — GRASS r.drain / ArcGIS Cost Path (the
+    reference has no raster analysis): the full minimum-cost path from 3
+    targets back to the nearest source over the wall fixture, the east
+    targets routing through the gap.  Distributed shape: the border-
+    Jacobi distance solve, ONE slim pred stencil pass (8 ascending-code
+    shifted compares over (dist, cost) grids + 1px halo — the tie-break
+    is replayed exactly by the SQL walk), then mark-propagation pointer
+    doubling on the functional pred forest: log2(longest path) slim
+    self-join rounds (doubling is sound here precisely because pred has
+    out-degree 1).  dist strictly decreases along each path, so the
+    result is self-ordering."""
+    from . import fixtures
+    from .operators.costdist import least_cost_path
+
+    tiles = fixtures.cost_wall_raster_df(spark, partitions=4)
+    return least_cost_path(
+        tiles, _COST_SOURCES, _COST_PATH_TARGETS,
+        tile_size=256, super_tiles=2, blocked=255,
+    )
+
+
 def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
     """Replay of d8_flow_length: the shared D8 derivation, then the exact
     Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
