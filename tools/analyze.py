@@ -21,12 +21,21 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py all       pts.parquet
     python tools/analyze.py hydro     dem.{mbtiles,pmtiles,versatiles,tar,parquet}
                                       [--zoom Z] [--min-accum 64] [--super-tiles 1]
+    python tools/analyze.py viewshed  dem.<container> [--observers gx,gy;...]
+                                      [--radius R] [--height H]
+    python tools/analyze.py polygonize dem.<container> [--band-step 32]
+    python tools/analyze.py cost      cost.<container> [--sources gx,gy;...]
+                                      [--targets gx,gy;...] [--blocked V]
 
 `hydro` is the raster command: it takes a TILE source (any container the
 engine reads, or a parquet tile table) holding single-band DEM tiles at
 --zoom, and runs the hydrology stack — optional Priority-Flood
 depression filling (--fill) + D8 basins (pointer doubling) + two-phase
 flow accumulation — printing fill, basin and stream-network stats.
+`viewshed` runs the integer-exact R3 observer viewshed; `polygonize`
+vectorizes elevation bands into ring/hole features; `cost` runs cost
+distance + allocation (and least-cost paths when --targets is given)
+treating the band as a traversal-cost raster.
 
 Expected columns: lon/lat (double); trends/emerging also need ts
 (timestamp); dbscan needs an id column (--id, default the first column).
@@ -272,6 +281,67 @@ def _run_polygonize(spark, args) -> dict:
     }
 
 
+def _run_cost(spark, args) -> dict:
+    """Cost distance / allocation / least-cost paths over a tile source
+    treated as a cost raster (operators/costdist.py)."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.operators.costdist import (
+        cost_distance,
+        least_cost_path,
+    )
+
+    def parse_cells(spec):
+        return [tuple(map(int, p.split(","))) for p in spec.split(";") if p]
+
+    sources = parse_cells(args.sources)
+    targets = parse_cells(args.targets) if args.targets else []
+    tiles = _load_tiles(spark, args.table, args.zoom).localCheckpoint()
+    m: dict = {}
+    cd = cost_distance(
+        tiles, sources, tile_size=args.tile_size, blocked=args.blocked,
+        allocate=True, metrics=m,
+    ).localCheckpoint()
+    agg = cd.agg(
+        F.count("*").alias("cells"),
+        F.sum((F.col("dist") >= 0).cast("long")).alias("reachable"),
+        F.max("dist").alias("max_dist"),
+    ).collect()[0]
+    alloc = {
+        int(r["src"]): int(r["n"])
+        for r in cd.filter(F.col("src") > 0)
+        .groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    out = {
+        "table": args.table,
+        "cost": {
+            "sources": len(sources),
+            "cells": agg["cells"],
+            "reachable": int(agg["reachable"]),
+            "max_dist": int(agg["max_dist"]),
+            "dijkstra_rounds": m.get("dijkstra_rounds"),
+            "allocation": alloc,
+        },
+    }
+    if targets:
+        pm: dict = {}
+        paths = least_cost_path(
+            tiles, sources, targets, tile_size=args.tile_size,
+            blocked=args.blocked, metrics=pm,
+        )
+        rows = (
+            paths.groupBy("tid")
+            .agg(F.count("*").alias("cells"), F.max("dist").alias("total"))
+            .orderBy("tid")
+            .collect()
+        )
+        out["cost"]["paths"] = [
+            {"tid": r["tid"], "cells": r["cells"], "total_cost": int(r["total"])}
+            for r in rows
+        ]
+    return out
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="analyze")
     ap.add_argument(
@@ -279,7 +349,7 @@ def main(argv=None):
         choices=["hotspots", "trends", "emerging", "dbscan", "od",
                  "moran", "geary", "ripley", "idw", "shortest",
                  "stdbscan", "similar", "coloc", "kde", "clusters",
-                 "hydro", "viewshed", "polygonize", "all"],
+                 "hydro", "viewshed", "polygonize", "cost", "all"],
     )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
@@ -314,6 +384,13 @@ def main(argv=None):
                     help="observer eye height above terrain (viewshed)")
     ap.add_argument("--band-step", type=int, default=32,
                     help="elevation band width for zone derivation (polygonize)")
+    ap.add_argument("--sources", default="256,256",
+                    help="semicolon-separated gx,gy source cells (cost)")
+    ap.add_argument("--targets", default="",
+                    help="semicolon-separated gx,gy target cells for "
+                         "least-cost paths (cost)")
+    ap.add_argument("--blocked", type=int, default=None,
+                    help="impassable raster value (cost)")
     ap.add_argument("--by", dest="by_col", default="user_id",
                     help="trajectory grouping column for the od command")
     ap.add_argument("--lon", default="lon")
@@ -329,11 +406,13 @@ def main(argv=None):
 
     spark = get_spark(app_name="analyze", master=args.master, shuffle_partitions=8)
 
-    if args.command in ("hydro", "viewshed", "polygonize"):
+    if args.command in ("hydro", "viewshed", "polygonize", "cost"):
         if args.command == "hydro":
             out = _run_hydro(spark, args, F)
         elif args.command == "viewshed":
             out = _run_viewshed(spark, args)
+        elif args.command == "cost":
+            out = _run_cost(spark, args)
         else:
             out = _run_polygonize(spark, args)
         print(json.dumps(out))
