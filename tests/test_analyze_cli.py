@@ -286,3 +286,37 @@ def test_analyze_polygonize_over_mbtiles(spark, tmp_path):
     assert p["n_zones"] == len(p["zones"]) >= 2
     for z in p["zones"]:
         assert z["parts"] >= 1 and z["perimeter_vertices"] >= 4
+
+
+def test_analyze_cost_over_mbtiles(spark, tmp_path):
+    """The cost command reports distance/allocation/path stats pinned to
+    the wall fixture's closed forms."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    path = str(tmp_path / "cost.mbtiles")
+    tiles = fixtures.cost_wall_raster_df(spark, partitions=2).select(
+        F.lit(1).alias("z"), "x", "y", "bytes"
+    )
+    assert write_mbtiles(tiles, path, {"format": "png"}) == 4
+
+    out = run_analyze(
+        "cost", path, "--zoom", "1", "--blocked", "255",
+        "--sources", "50,100;120,450", "--targets", "305,202",
+    )
+    c = out["cost"]
+    assert c["cells"] == 512 * 512 - 511        # wall cells excluded
+    assert c["reachable"] == c["cells"]          # the gap drains everything
+    assert c["allocation"][f"1"] + c["allocation"][f"2"] == c["cells"]
+    # east side (211*512 cells east of the wall, minus nothing) is all
+    # source 1 (gap-nearest), so source 1 dominates
+    assert c["allocation"]["1"] > c["allocation"]["2"]
+    # path to (305, 202): through the gap -> 255 steps + endpoints
+    p = c["paths"][0]
+    assert p["tid"] == 1
+    # dist(target) = dg + oct(gap, target) = 5800 + (20*1 + 28*2)... octile
+    # (dx=5, dy=2): 20*3 + 28*2 = 116
+    assert p["total_cost"] == 5800 + 116
+    assert p["cells"] == 250 + 5 + 1  # chebyshev legs + both endpoints
