@@ -391,3 +391,78 @@ def test_vpl_raster_fill_then_flowaccum(spark, tmp_path):
     # filled flat renders a UNIFORM low accumulation block:
     pit = img[11:16, 11:16]
     assert (pit == pit[0, 0]).all() and pit[0, 0] == 16  # acc=1 -> 16*bitlen(1)
+
+
+def test_vpl_raster_costdist(spark, tmp_path):
+    """Engine-extension cost analysis in the pipeline language: a uniform
+    cost-1 directory piped through raster_costdist yields the octile
+    metric as a log2 ramp — dist(p) = 10*(M-m) + 14*m from the source."""
+    import numpy as np
+
+    from versatiles_rs_spark.codecs import decode_image, encode_png
+    from versatiles_rs_spark.plans.vpl import run_vpl
+
+    n, ts = 64, 32
+    for ty in range(n // ts):
+        for tx in range(n // ts):
+            d = tmp_path / "cost" / "1" / str(tx)
+            d.mkdir(parents=True, exist_ok=True)
+            v = np.ones((ts, ts), dtype=np.uint8)
+            (d / f"{ty}.png").write_bytes(
+                bytes(encode_png(np.ascontiguousarray(v)[:, :, None]))
+            )
+    df = run_vpl(
+        spark,
+        f'from_container filename="{tmp_path / "cost"}" | '
+        f'raster_costdist sources="10,20" tile_size="{ts}" super_tiles="2" zoom="1"',
+    )
+    rows = {(r["x"], r["y"]): decode_image(bytes(r["bytes"]))[:, :, 0]
+            for r in df.collect()}
+    assert len(rows) == 4
+    xs = np.arange(n, dtype=np.int64)
+    dxa = np.abs(xs[None, :] - 10)
+    dya = np.abs(xs[:, None] - 20)
+    M, m = np.maximum(dxa, dya), np.minimum(dxa, dya)
+    dist = 10 * (M - m) + 14 * m
+    bits = np.zeros_like(dist)
+    for k in range(63):
+        bits += (dist >> k) > 0
+    want_full = np.minimum(255, 16 * bits)
+    want_full[20, 10] = 0  # source itself: dist 0 renders 0
+    for (tx, ty), img in rows.items():
+        want = want_full[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+        np.testing.assert_array_equal(img.astype(np.int64), want)
+
+
+def test_vpl_raster_viewshed(spark, tmp_path):
+    """Engine-extension viewshed in the pipeline language: a flat DEM
+    with a raised observer renders 255 inside the window (everything
+    visible over a plane), 0 outside it."""
+    import numpy as np
+
+    from versatiles_rs_spark.codecs import decode_image, encode_png
+    from versatiles_rs_spark.plans.vpl import run_vpl
+
+    n, ts = 64, 32
+    for ty in range(n // ts):
+        for tx in range(n // ts):
+            d = tmp_path / "dem" / "1" / str(tx)
+            d.mkdir(parents=True, exist_ok=True)
+            v = np.full((ts, ts), 7, dtype=np.uint8)
+            (d / f"{ty}.png").write_bytes(
+                bytes(encode_png(np.ascontiguousarray(v)[:, :, None]))
+            )
+    df = run_vpl(
+        spark,
+        f'from_container filename="{tmp_path / "dem"}" | '
+        f'raster_viewshed observers="32,32" radius="12" height="3" '
+        f'tile_size="{ts}" zoom="1"',
+    )
+    rows = {(r["x"], r["y"]): decode_image(bytes(r["bytes"]))[:, :, 0]
+            for r in df.collect()}
+    assert len(rows) == 4
+    full = np.zeros((n, n), dtype=np.int64)
+    full[32 - 12 : 32 + 13, 32 - 12 : 32 + 13] = 255  # raised eye sees all
+    for (tx, ty), img in rows.items():
+        want = full[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+        np.testing.assert_array_equal(img.astype(np.int64), want)

@@ -440,6 +440,71 @@ def _raster_flowaccum(df, tile_size="256", super_tiles="1", zoom=None, **kw):
     return out.select(F.lit(z).cast("long").alias("z"), "x", "y", "bytes", "fmt")
 
 
+@transform("raster_costdist")
+def _raster_costdist(df, sources="256,256", tile_size="256", super_tiles="1",
+                     blocked=None, zoom=None, **kw):
+    """Engine extension: cost raster tiles -> cost-distance surface
+    rendered as log2-ramp grayscale tiles in the pipeline language (the
+    GRASS r.cost operator as a VPL stage; unreachable cells render 0).
+    `sources` is a semicolon-separated gx,gy list."""
+    from pyspark.sql import functions as F
+
+    from ..operators.costdist import cost_distance
+    from ..operators.hydro import accumulation_to_tiles
+
+    z = int(zoom) if zoom is not None else df.agg(F.max("z")).first()[0]
+    tiles = df.filter(F.col("z") == z).select("x", "y", "bytes")
+    srcs = [tuple(map(int, p.split(","))) for p in str(sources).split(";") if p]
+    cd = cost_distance(
+        tiles, srcs, tile_size=int(tile_size), super_tiles=int(super_tiles),
+        blocked=None if blocked is None else int(blocked),
+    )
+    out = accumulation_to_tiles(
+        cd.filter(F.col("dist") >= 0).select("gx", "gy", F.col("dist").alias("acc")),
+        tile_size=int(tile_size),
+    )
+    return out.select(F.lit(z).cast("long").alias("z"), "x", "y", "bytes", "fmt")
+
+
+@transform("raster_viewshed")
+def _raster_viewshed(df, observers="256,256", radius="48", height="2",
+                     tile_size="256", zoom=None, **kw):
+    """Engine extension: DEM tiles -> viewshed mask tiles (255 = visible
+    from any observer, 64 = inside a window but hidden, 0 = outside all
+    windows) in the pipeline language — the integer-exact R3 viewshed as
+    a VPL stage.  `observers` is a semicolon-separated gx,gy list."""
+    from pyspark.sql import functions as F
+
+    from ..operators.hydro import accumulation_to_tiles
+    from ..operators.viewshed import viewshed
+
+    z = int(zoom) if zoom is not None else df.agg(F.max("z")).first()[0]
+    tiles = df.filter(F.col("z") == z).select("x", "y", "bytes")
+    obs = [
+        (i + 1, *map(int, p.split(",")))
+        for i, p in enumerate(str(observers).split(";"))
+        if p
+    ]
+    vis = viewshed(
+        tiles, obs, radius=int(radius), height=int(height),
+        tile_size=int(tile_size),
+    )
+    # collapse overlapping windows (visible from ANY observer wins),
+    # then pick values whose log2 ramp lands on the documented levels:
+    # bit_length(2^16-1) = 16 -> clamped 255; bit_length(15) = 4 -> 64
+    lvl = (
+        vis.groupBy("gx", "gy")
+        .agg(F.max("visible").alias("v"))
+        .select(
+            "gx", "gy",
+            F.when(F.col("v") > 0, F.lit((1 << 16) - 1))
+            .otherwise(F.lit(15)).alias("acc"),
+        )
+    )
+    out = accumulation_to_tiles(lvl, tile_size=int(tile_size))
+    return out.select(F.lit(z).cast("long").alias("z"), "x", "y", "bytes", "fmt")
+
+
 @transform("raster_format")
 def _raster_format(df, format: str = "png", quality="85", **kw):
     from ..operators.raster import raster_format
