@@ -132,6 +132,7 @@ HEADLINE = [
     "cost_allocation",
     "isochrone_tiles",
     "cost_path",
+    "basin_polygons",
 ]
 
 

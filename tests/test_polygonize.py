@@ -102,3 +102,25 @@ def test_diagonal_pinch_stays_two_rings():
     feats = {f["properties"]["zone"]: f for f in polygonize_features(_edges_df(z))}
     g = feats[7]["geometry"]
     assert g["type"] == "MultiPolygon" and len(g["coordinates"]) == 2
+
+
+def test_relation_polygonize_matches_fn_polygonize(spark):
+    """zone_edges_from_relation (pure-JVM rook joins) over the full cell
+    relation == the tile-decode extraction for the same zones."""
+    from versatiles_rs_spark.operators.polygonize import zone_edges_from_relation
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    via_fn = {
+        (int(r.zone), int(r.sx), int(r.sy), int(r.ex), int(r.ey))
+        for r in zone_boundary_edges(tiles, lambda v: v // 32).collect()
+    }
+    gx = np.arange(512, dtype=np.int64)
+    world = fixtures.dem_value(gx[None, :], gx[:, None]) // 32
+    pdf = pd.DataFrame({"gx": np.tile(gx, 512), "gy": np.repeat(gx, 512)})
+    pdf["zone"] = world[pdf["gy"].to_numpy(), pdf["gx"].to_numpy()]
+    cells = spark.createDataFrame(pdf)
+    via_rel = {
+        (int(r.zone), int(r.sx), int(r.sy), int(r.ex), int(r.ey))
+        for r in zone_edges_from_relation(cells).collect()
+    }
+    assert via_rel == via_fn

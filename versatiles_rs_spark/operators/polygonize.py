@@ -173,3 +173,47 @@ def polygonize_features(edges: pd.DataFrame) -> list[dict]:
             }
         )
     return feats
+
+
+def zone_edges_from_relation(cells: DataFrame) -> DataFrame:
+    """Polygonize over an arbitrary (gx, gy, zone) CELL RELATION — for
+    zones that are not per-tile derivable (drainage basins, cluster
+    labels, cost allocations): directed per-zone boundary edges via four
+    rook LEFT self-joins, entirely JVM-side (no Python, no payload) —
+    Catalyst plans plain shuffled hash joins on the slim cell keys, so
+    this shape survives any scale the cell relation itself does.
+
+    A cell emits the _DIRS-convention directed edge for a side iff the
+    rook neighbor is absent from the relation or holds a different zone
+    — exactly the tile-local extraction + cancellation of
+    zone_boundary_edges, but with the neighbor looked up relationally
+    instead of from the decoded grid."""
+    out = None
+    for dr, dc, sxo, syo, exo, eyo in (
+        (1, 0, 0, 1, 1, 1),   # S
+        (0, 1, 1, 1, 1, 0),   # E
+        (-1, 0, 1, 0, 0, 0),  # N
+        (0, -1, 0, 0, 0, 1),  # W
+    ):
+        nb = cells.select(
+            (F.col("gx") - dc).alias("jx"),
+            (F.col("gy") - dr).alias("jy"),
+            F.col("zone").alias("nzone"),
+        )
+        arm = (
+            cells.join(
+                nb,
+                (F.col("gx") == F.col("jx")) & (F.col("gy") == F.col("jy")),
+                "left",
+            )
+            .filter(F.col("nzone").isNull() | (F.col("nzone") != F.col("zone")))
+            .select(
+                "zone",
+                (F.col("gx") + sxo).alias("sx"),
+                (F.col("gy") + syo).alias("sy"),
+                (F.col("gx") + exo).alias("ex"),
+                (F.col("gy") + eyo).alias("ey"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out

@@ -6639,6 +6639,87 @@ def q_cost_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _basin_polygons_oracle_sql(zoom: int, rounds: int, min_px: int) -> str:
+    """Replay of basin_polygons: the d8_basins doubling schedule labels
+    every cell, HAVING count(*) >= min_px keeps the large basins, and
+    four rook LEFT self-joins emit each kept basin's directed boundary
+    edges (_DIRS convention) — a neighbor outside the kept set (small
+    basin, or off-universe) is a boundary.  `cells` is referenced five
+    times -> MATERIALIZED."""
+    n = (1 << zoom) * 256
+    base = 4294967296
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
+    succcase = (
+        f"CASE WHEN {smax} <= 0 THEN gx * {base} + gy "
+        + " ".join(
+            f"WHEN s_{k} = {smax} THEN (gx + {dx}) * {base} + (gy + {dy})"
+            for k, _code, _m, (dx, dy) in dirs
+        )
+        + " END"
+    )
+    doubling = "".join(
+        f",\n    d{r} AS MATERIALIZED (SELECT a.id, coalesce(b.label, a.label) AS label"
+        f" FROM d{r - 1} a LEFT JOIN d{r - 1} b ON a.label = b.id)"
+        for r in range(1, rounds + 1)
+    )
+    arms = []
+    for dr, dc, sxo, syo, exo, eyo in (
+        (1, 0, 0, 1, 1, 1),   # S
+        (0, 1, 1, 1, 1, 0),   # E
+        (-1, 0, 1, 0, 0, 0),  # N
+        (0, -1, 0, 0, 0, 1),  # W
+    ):
+        arms.append(f"""
+      SELECT c.zone, c.gx + {sxo} AS sx, c.gy + {syo} AS sy,
+             c.gx + {exo} AS ex, c.gy + {eyo} AS ey
+      FROM cells c LEFT JOIN cells nb
+        ON nb.gx = c.gx + {dc} AND nb.gy = c.gy + {dr}
+      WHERE nb.zone IS NULL OR nb.zone <> c.zone""")
+    return f"""
+    WITH {parts["prefix"]},
+    d0 AS MATERIALIZED (SELECT gx * {base} + gy AS id, {succcase} AS label FROM sc)
+    {doubling},
+    big AS (SELECT label FROM d{rounds} GROUP BY label HAVING count(*) >= {min_px}),
+    cells AS MATERIALIZED (
+      SELECT d.id // {base} AS gx, d.id % {base} AS gy, d.label AS zone
+      FROM d{rounds} d JOIN big b ON d.label = b.label
+    )
+    {" UNION ALL ".join(arms)}
+    """
+
+
+@register("basin_polygons", _basin_polygons_oracle_sql(zoom=1, rounds=6, min_px=200))
+def q_basin_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hydrology-to-vector composition: drainage basins POLYGONIZED — the
+    boundary edges of every large basin (>= 200 px), ready for the
+    rings_from_edges / polygonize_features driver tail and MVT export.
+    Basins are not per-tile derivable (each label is a global flow-trace
+    result), so this exercises zone_edges_from_relation: polygonize over
+    an arbitrary (gx, gy, zone) CELL RELATION via four rook LEFT
+    self-joins — entirely JVM-side, no Python, no payload; Catalyst plans
+    slim shuffled hash joins that survive any scale the cell relation
+    does.  The oracle replays the doubling schedule, the HAVING filter
+    and the same four joins."""
+    from . import fixtures
+    from .operators.focal import _ID_BASE, d8_basins, d8_successors, focal_terrain_pixels
+    from .operators.polygonize import zone_edges_from_relation
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    labels = d8_basins(d8_successors(focal_terrain_pixels(tiles)), rounds=6)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("n_px"))
+    big = sizes.filter(F.col("n_px") >= 200).select("label")
+    cells = (
+        labels.join(big, "label")
+        .select(
+            F.expr(f"id div {_ID_BASE}").alias("gx"),
+            (F.col("id") % F.lit(_ID_BASE)).alias("gy"),
+            F.col("label").alias("zone"),
+        )
+    )
+    return zone_edges_from_relation(cells)
+
+
 def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
     """Replay of d8_flow_length: the shared D8 derivation, then the exact
     Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
