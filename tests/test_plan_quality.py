@@ -314,3 +314,61 @@ def test_r4_stats_no_python_no_cartesian(spark, sf_dir, name):
     plan = plan_of(Q.REGISTRY[name].fn(spark, sf_dir))
     assert "EvalPython" not in plan and "PythonUDF" not in plan, name
     assert "CartesianProduct" not in plan, f"{name} degenerated to n^2"
+
+
+def test_relation_polygonize_pure_jvm(spark):
+    """zone_edges_from_relation: zero Python nodes, no cartesian product
+    — four rook equi-joins on slim cell keys is the whole plan."""
+    import pandas as pd
+    import numpy as np
+
+    from versatiles_rs_spark.operators.polygonize import zone_edges_from_relation
+
+    pdf = pd.DataFrame(
+        {"gx": np.arange(100) % 10, "gy": np.arange(100) // 10,
+         "zone": np.arange(100) % 3}
+    )
+    plan = plan_of(zone_edges_from_relation(spark.createDataFrame(pdf)))
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_viewshed_single_arrow_pipeline(spark):
+    """viewshed: exactly one mapInPandas (decode + window clip) feeding
+    exactly one applyInPandas (per-observer solve); the shuffle between
+    them moves clipped window bytes only — the tile payload column never
+    enters an Exchange."""
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.viewshed import viewshed
+
+    # checkpoint the fixture so its own generator MapInPandas is not in
+    # the pinned plan
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4).localCheckpoint()
+    out = viewshed(tiles, [(1, 256, 256)], radius=32, height=2)
+    plan = plan_of(out)
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"
+
+
+def test_cost_distance_border_rounds_slim(spark):
+    """cost_distance's iterated relation: the border rows that ride every
+    round are pure longs (sx, sy, gx, gy, w) — the payload column appears
+    in no Exchange of the final plan (rounds are checkpointed, so the
+    gate pins the emit-all pass, which re-reads cached tile bytes
+    group-locally)."""
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.costdist import cost_distance
+
+    tiles = fixtures.cost_wall_raster_df(spark, partitions=4)
+    out = cost_distance(
+        tiles, [(50, 100)], tile_size=256, super_tiles=2, blocked=255
+    )
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "data#" not in line, f"payload in shuffle: {line.strip()[:140]}"
