@@ -133,6 +133,7 @@ HEADLINE = [
     "isochrone_tiles",
     "cost_path",
     "basin_polygons",
+    "horizon_angle",
 ]
 
 

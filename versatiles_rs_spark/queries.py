@@ -6720,6 +6720,53 @@ def q_basin_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zone_edges_from_relation(cells)
 
 
+def _horizon_oracle_sql(gy0: int, gy1: int) -> str:
+    """Brute-force replay of the westward fixed-point horizon for a band
+    of rows: every (cell, western-cell) pair, quantized tangent via
+    shifted integer division (numerator kept non-negative so Spark's
+    floor semantics and DuckDB's // agree), grouped max, clipped at 0.
+    The band keeps the pair relation at ~8M rows."""
+    from .fixtures import dem_sql
+
+    K = 255 * 65536  # lifts (e_q - e_p) * 2^16 >= -207 * 2^16 above zero
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, 512)) AS v),
+    ys AS (SELECT unnest(range({gy0}, {gy1})) AS v),
+    cells AS MATERIALIZED (
+      SELECT a.v AS gx, b.v AS gy, {dem_sql('a.v', 'b.v')} AS e
+      FROM xs a, ys b
+    )
+    SELECT c.gx, c.gy,
+      CAST(greatest(0, coalesce(max(
+        ((w.e - c.e) * 65536 + {K} * (c.gx - w.gx)) // (c.gx - w.gx) - {K}
+      ), 0)) AS BIGINT) AS horizon
+    FROM cells c LEFT JOIN cells w ON w.gy = c.gy AND w.gx < c.gx
+    GROUP BY c.gx, c.gy
+    """
+
+
+@register("horizon_angle", _horizon_oracle_sql(192, 256))
+def q_horizon_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizon angles — the GRASS r.horizon / shadow-casting primitive
+    (the reference has no terrain analysis): the westward horizon
+    tangent per cell as an exact FIXED-POINT integer
+    max(0, floor(tan * 2^16)) over the ridge DEM, reported for a 64-row
+    band (the oracle is the quadratic pair replay; the band bounds it).
+    Distributed shape: ONE decode pass solves each super-tile's local
+    horizon with O(G) offset sweeps and emits per-row UPPER-CONVEX-HULL
+    points (the classic tangency fact: any cell further east maximizes
+    over hull points only, and floor-quantization preserves max order);
+    hull rows re-key east (prefix-tree mergeable at cluster scale) and a
+    slim phase B takes the max of local and hull tangents.  Payload
+    decodes once; everything shuffled is slim longs."""
+    from . import fixtures
+    from .operators.horizon import horizon_angle
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    out = horizon_angle(tiles, tile_size=256, super_tiles=1, direction="W")
+    return out.filter((F.col("gy") >= 192) & (F.col("gy") < 256))
+
+
 def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
     """Replay of d8_flow_length: the shared D8 derivation, then the exact
     Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
