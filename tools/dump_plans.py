@@ -31,6 +31,10 @@ NOTES = {
     "traj_similarity": "Trajectory Jaccard: distinct (user, cell) projection, inverted-index self-join on the packed cell long, slim (ua, ub) count agg; integer threshold — no float compares.",
     "flow_accum": "Two-phase D8 flow accumulation, phase-B plan (phase A + the border-graph Jacobi run eagerly): tile payload crosses exactly ONE Exchange (the super-tile groupBy); halo strips cached (InMemoryTableScan); inflow rows are slim longs unioned in.",
     "stream_tiles": "Stream network -> MVT: the channel-pixel relation checkpointed once, choropleth render is repartition + sortWithinPartitions + ONE mapInPandas (no per-group machinery), per-tile peak agg joins the slim stats only — no payload in the join.",
+    "viewshed": "R3 viewshed: ONE MapInPandas (decode + window clip, blobs reduced to window sub-rectangles) -> ONE FlatMapGroupsInPandas per observer; the only Exchange moves clipped window bytes, never the tile payload.",
+    "basin_polygons": "Relational polygonize of flow-trace basins: the doubling output joins big labels, then FOUR rook shuffled hash joins on slim (gx, gy) keys — zero Python nodes below the checkpointed label relation, no cartesian.",
+    "cost_distance": "Border-Jacobi Dijkstra, emit-all pass (rounds run eagerly): the group re-reads cached tile bytes (InMemoryTableScan-equivalent localCheckpoint) and unions slim halo longs; dist emerges from one FlatMapGroupsInPandas.",
+    "horizon_angle": "Hull-merge horizon, phase-B plan: both stages are FlatMapGroupsInPandas over slim (long) rows — the DEM payload was consumed in phase A\'s single decode; the band filter sits on the final projection.",
 }
 
 
