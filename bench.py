@@ -134,6 +134,7 @@ HEADLINE = [
     "cost_path",
     "basin_polygons",
     "horizon_angle",
+    "terrain_openness",
 ]
 
 

@@ -20,10 +20,13 @@ from test_hydro_fuzz import dem_to_tiles
 
 
 def brute_horizon(e: np.ndarray, direction: str = "W") -> np.ndarray:
-    v = e if direction == "W" else e[:, ::-1]
-    q = local_horizon(v.astype(np.int64))
-    out = np.maximum(q, 0)
-    return out if direction == "W" else out[:, ::-1]
+    v = e.T if direction in ("N", "S") else e
+    if direction in ("E", "S"):
+        v = v[:, ::-1]
+    q = np.maximum(local_horizon(v.astype(np.int64)), 0)
+    if direction in ("E", "S"):
+        q = q[:, ::-1]
+    return q.T if direction in ("N", "S") else q
 
 
 def test_local_matches_pairwise_loop():
@@ -59,7 +62,9 @@ def test_hull_merge_equals_full_scan():
 
 
 @pytest.mark.parametrize(
-    "seed,s,direction", [(21, 1, "W"), (22, 2, "W"), (23, 2, "E"), (24, 4, "W")]
+    "seed,s,direction",
+    [(21, 1, "W"), (22, 2, "W"), (23, 2, "E"), (24, 4, "W"),
+     (25, 2, "N"), (26, 2, "S")],
 )
 def test_fuzz_distributed_matches_global(spark, seed, s, direction):
     n, ts = 64, 16

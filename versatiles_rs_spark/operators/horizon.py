@@ -106,28 +106,33 @@ def horizon_angle(
     band: int = 0,
 ) -> DataFrame:
     """(x, y, bytes) DEM tile table -> (gx, gy, horizon): the fixed-point
-    westward (or, direction="E", eastward) horizon tangent
-    max(0, floor(tan * 2^16)) for every cell.  N/S directions compose
-    with operators.transform.swap_xy_df."""
-    if direction not in ("W", "E"):
-        raise ValueError("horizon_angle: direction must be 'W' or 'E'")
+    horizon tangent max(0, floor(tan * 2^16)) for every cell along one
+    of the four cardinal rays.  The kernel always looks WEST; "E"
+    mirrors the x axis, "N"/"S" transpose the world (tile coordinates
+    swapped at the relation level, grids transposed at decode) so
+    columns become rows — coordinates un-transform on emission."""
+    if direction not in ("W", "E", "N", "S"):
+        raise ValueError("horizon_angle: direction must be W/E/N/S")
     ts, S = int(tile_size), int(super_tiles)
     G = S * ts
-    flip = direction == "E"
+    flip = direction in ("E", "S")
+    swap = direction in ("N", "S")
+    axis_col = "y" if swap else "x"
     n_sx = (
-        int(tiles.agg(F.max("x")).collect()[0][0]) + 1 + S - 1
-    ) // S  # super-tile columns in the world
+        int(tiles.agg(F.max(axis_col)).collect()[0][0]) + 1 + S - 1
+    ) // S  # super-tile columns in the (possibly transposed) world
     world_w = n_sx * G
 
     def keyed(t: DataFrame) -> DataFrame:
-        xs = F.col("x").cast("long")
+        xs = F.col("y" if swap else "x").cast("long")
+        ys = F.col("x" if swap else "y").cast("long")
         if flip:  # mirror tiles so the kernel always looks west
             xs = F.lit(world_w // ts - 1) - xs
         return t.select(
             (xs / S).cast("long").alias("sx"),
-            (F.col("y").cast("long") / S).cast("long").alias("sy"),
+            (ys / S).cast("long").alias("sy"),
             (xs * ts).alias("gx0"),
-            (F.col("y") * ts).cast("long").alias("gy0"),
+            (ys * ts).alias("gy0"),
             F.col(payload).alias("data"),
         )
 
@@ -137,6 +142,8 @@ def horizon_angle(
         grid = np.full((G, G), -1, dtype=np.int64)
         for gx0, gy0, data in zip(pdf["gx0"], pdf["gy0"], pdf["data"]):
             v = decode_image(bytes(data))[..., band].astype(np.int64)
+            if swap:
+                v = v.T
             if flip:
                 v = v[:, ::-1]
             r0, c0 = int(gy0) - oy, int(gx0) - ox
@@ -197,7 +204,8 @@ def horizon_angle(
                 q[sel] = np.maximum(q[sel], m)
         out_gx = gx if not flip else (world_w - 1) - gx
         return pd.DataFrame(
-            {"gx": out_gx, "gy": gy,
+            {"gx": gy if swap else out_gx,
+             "gy": out_gx if swap else gy,
              "horizon": np.maximum(q, np.int64(0))}
         )
 

@@ -6767,6 +6767,74 @@ def q_horizon_angle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter((F.col("gy") >= 192) & (F.col("gy") < 256))
 
 
+def _openness_oracle_sql(b0: int, b1: int) -> str:
+    """Brute replay of 4-direction terrain openness for an interior
+    block: the full-world cell grid MATERIALIZED once, four half-line
+    pair arms (row-mates W/E, column-mates N/S) each reduced to its
+    clipped quantized-tangent max, summed per cell.  Block cells are
+    interior, so every arm is non-empty."""
+    from .fixtures import dem_sql
+
+    K = 255 * 65536
+    arms = []
+    for tag, cond, d in (
+        ("w", "c.gy = b.gy AND c.gx < b.gx", "b.gx - c.gx"),
+        ("e", "c.gy = b.gy AND c.gx > b.gx", "c.gx - b.gx"),
+        ("n", "c.gx = b.gx AND c.gy < b.gy", "b.gy - c.gy"),
+        ("s", "c.gx = b.gx AND c.gy > b.gy", "c.gy - b.gy"),
+    ):
+        arms.append(f"""
+      SELECT b.gx, b.gy, '{tag}' AS dir,
+        greatest(0, max(
+          ((c.e - b.e) * 65536 + {K} * ({d})) // ({d}) - {K}
+        )) AS h
+      FROM blk b JOIN cells c ON {cond}
+      GROUP BY b.gx, b.gy""")
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, 512)) AS v),
+    cells AS MATERIALIZED (
+      SELECT a.v AS gx, b.v AS gy, {dem_sql('a.v', 'b.v')} AS e
+      FROM xs a, xs b
+    ),
+    blk AS MATERIALIZED (
+      SELECT * FROM cells
+      WHERE gx BETWEEN {b0} AND {b1 - 1} AND gy BETWEEN {b0} AND {b1 - 1}
+    ),
+    dirs AS ({" UNION ALL ".join(arms)})
+    SELECT gx, gy, CAST(sum(h) AS BIGINT) AS openness
+    FROM dirs GROUP BY gx, gy
+    """
+
+
+@register("terrain_openness", _openness_oracle_sql(224, 288))
+def q_terrain_openness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain openness — the Yokoyama et al. (2002) positive-openness
+    surface in a 4-cardinal-direction approximation, kept INTEGER: the
+    sum of the four fixed-point horizon tangents per cell (high in pits
+    and valleys where terrain blocks the sky, 0 on peaks).  Composes
+    four hull-merge horizon solves (W/E by mirror, N/S by the operator's
+    internal transpose) with one slim 4-way join — payload decodes once
+    per direction, everything joined is longs.  Reported for a 64x64
+    interior block so the quadratic oracle replay stays bounded."""
+    from . import fixtures
+    from .operators.horizon import horizon_angle
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4).localCheckpoint()
+    blk = lambda df: df.filter(
+        (F.col("gx") >= 224) & (F.col("gx") < 288)
+        & (F.col("gy") >= 224) & (F.col("gy") < 288)
+    )
+    out = None
+    for i, d in enumerate(("W", "E", "N", "S")):
+        h = blk(horizon_angle(tiles, tile_size=256, super_tiles=1, direction=d))
+        h = h.withColumnRenamed("horizon", f"h{i}")
+        out = h if out is None else out.join(h, ["gx", "gy"])
+    return out.select(
+        "gx", "gy",
+        (F.col("h0") + F.col("h1") + F.col("h2") + F.col("h3")).alias("openness"),
+    )
+
+
 def _flow_length_oracle_sql(zoom: int, rounds: int) -> str:
     """Replay of d8_flow_length: the shared D8 derivation, then the exact
     Wyllie doubling schedule — (ptr, dist) pairs, dist' = dist +
