@@ -466,3 +466,82 @@ def test_vpl_raster_viewshed(spark, tmp_path):
     for (tx, ty), img in rows.items():
         want = full[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
         np.testing.assert_array_equal(img.astype(np.int64), want)
+
+
+def test_vpl_raster_shadow(spark, tmp_path):
+    """Cast shadows in the pipeline language: a single wall column under
+    a 30-degree western sun shadows exactly the cells whose horizon
+    tangent exceeds tan(30 deg) — the closed-form shadow length."""
+    import math
+
+    import numpy as np
+
+    from versatiles_rs_spark.codecs import decode_image, encode_png
+    from versatiles_rs_spark.operators.horizon import SCALE
+    from versatiles_rs_spark.plans.vpl import run_vpl
+
+    n, ts = 64, 32
+    e = np.zeros((n, n), dtype=np.uint8)
+    e[:, 10] = 40
+    for ty in range(n // ts):
+        for tx in range(n // ts):
+            d = tmp_path / "dem" / "1" / str(tx)
+            d.mkdir(parents=True, exist_ok=True)
+            sub = e[ty * ts : (ty + 1) * ts, tx * ts : (tx + 1) * ts]
+            (d / f"{ty}.png").write_bytes(
+                bytes(encode_png(np.ascontiguousarray(sub)[:, :, None]))
+            )
+    df = run_vpl(
+        spark,
+        f'from_container filename="{tmp_path / "dem"}" | '
+        f'raster_shadow azimuth="W" altitude="30" tile_size="{ts}" zoom="1"',
+    )
+    rows = {(r["x"], r["y"]): decode_image(bytes(r["bytes"]))[:, :, 0]
+            for r in df.collect()}
+    thr = int(math.tan(math.radians(30.0)) * SCALE)
+    want_row = np.full(n, 255, dtype=np.int64)
+    for c in range(11, n):
+        if 40 * SCALE // (c - 10) > thr:
+            want_row[c] = 64
+    for (tx, ty), img in rows.items():
+        want = np.broadcast_to(
+            want_row[tx * ts : (tx + 1) * ts][None, :], (ts, ts)
+        )
+        np.testing.assert_array_equal(img.astype(np.int64), want)
+    # the shadow is finite and nontrivial: length = floor(40 / tan30),
+    # clipped by the world edge (wall at column 10, world width 64)
+    assert (want_row == 64).sum() == min(
+        int(40 / math.tan(math.radians(30.0))), n - 11
+    )
+
+
+def test_vpl_raster_calc(spark, tmp_path):
+    """Map algebra in the pipeline language: expr runs with numpy
+    semantics, clips to uint8, and rejects names outside the whitelist."""
+    import numpy as np
+    import pytest as _pytest
+
+    from versatiles_rs_spark.codecs import decode_image, encode_png
+    from versatiles_rs_spark.plans.vpl import run_vpl
+
+    ts = 32
+    d = tmp_path / "dem" / "0" / "0"
+    d.mkdir(parents=True, exist_ok=True)
+    a = np.arange(ts * ts, dtype=np.uint8).reshape(ts, ts) % 200
+    (d / "0.png").write_bytes(bytes(encode_png(np.ascontiguousarray(a)[:, :, None])))
+    df = run_vpl(
+        spark,
+        f'from_container filename="{tmp_path / "dem"}" | '
+        f'raster_calc expr="minimum(a * 2 + 10, 255)"',
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    img = decode_image(bytes(rows[0].bytes))[:, :, 0]
+    want = np.minimum(a.astype(np.float64) * 2 + 10, 255).astype(np.uint8)
+    np.testing.assert_array_equal(img, want)
+    with _pytest.raises(Exception):
+        run_vpl(
+            spark,
+            f'from_container filename="{tmp_path / "dem"}" | '
+            f'raster_calc expr="__import__(chr(111))"',
+        )

@@ -505,6 +505,80 @@ def _raster_viewshed(df, observers="256,256", radius="48", height="2",
     return out.select(F.lit(z).cast("long").alias("z"), "x", "y", "bytes", "fmt")
 
 
+@transform("raster_shadow")
+def _raster_shadow(df, azimuth="W", altitude="30", tile_size="256",
+                   super_tiles="1", zoom=None, **kw):
+    """Engine extension: DEM tiles -> cast-shadow mask tiles (255 = lit,
+    64 = shadowed) for a cardinal sun azimuth — a cell is shadowed iff
+    its fixed-point horizon tangent toward the sun exceeds
+    floor(tan(altitude) * 2^16), the gdaldem-shadow rule on the
+    hull-merge horizon operator."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ..operators.horizon import SCALE, horizon_angle
+    from ..operators.hydro import accumulation_to_tiles
+
+    z = int(zoom) if zoom is not None else df.agg(F.max("z")).first()[0]
+    tiles = df.filter(F.col("z") == z).select("x", "y", "bytes")
+    thr = int(math.tan(math.radians(float(altitude))) * SCALE)
+    h = horizon_angle(
+        tiles, tile_size=int(tile_size), super_tiles=int(super_tiles),
+        direction=str(azimuth),
+    )
+    lvl = h.select(
+        "gx", "gy",
+        F.when(F.col("horizon") > thr, F.lit(15))      # bit_length 4 -> 64
+        .otherwise(F.lit((1 << 16) - 1)).alias("acc"),  # -> 255
+    )
+    out = accumulation_to_tiles(lvl, tile_size=int(tile_size))
+    return out.select(F.lit(z).cast("long").alias("z"), "x", "y", "bytes", "fmt")
+
+
+@transform("raster_calc")
+def _raster_calc(df, expr="a", tile_size="256", **kw):
+    """Engine extension: per-pixel map algebra in the pipeline language
+    (the gdal_calc analog) — `expr` is evaluated per tile with numpy
+    semantics over a restricted namespace: `a` is the tile's first band
+    as float64, plus abs/minimum/maximum/sqrt/log2/clip/where and
+    numeric literals.  The result clips to uint8.  One fused Arrow pass,
+    no shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    from ..codecs import decode_image, encode_png
+
+    allowed = {
+        "abs": np.abs, "minimum": np.minimum, "maximum": np.maximum,
+        "sqrt": np.sqrt, "log2": np.log2, "clip": np.clip,
+        "where": np.where, "floor": np.floor,
+    }
+    code = compile(str(expr), "<raster_calc>", "eval")
+    for name in code.co_names:
+        if name not in allowed and name != "a":
+            raise ValueError(f"raster_calc: name {name!r} not allowed")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for z, x, y, blob in zip(pdf["z"], pdf["x"], pdf["y"], pdf["bytes"]):
+                a = decode_image(bytes(blob))[..., 0].astype(np.float64)
+                v = eval(code, {"__builtins__": {}}, {**allowed, "a": a})
+                v = np.clip(np.asarray(v, dtype=np.float64), 0, 255)
+                rows.append(
+                    (int(z), int(x), int(y),
+                     encode_png(v.astype(np.uint8)[:, :, None]), "png")
+                )
+            yield pd.DataFrame(
+                rows, columns=["z", "x", "y", "bytes", "fmt"]
+            )
+
+    return df.select("z", "x", "y", "bytes").mapInPandas(
+        run, schema="z long, x long, y long, bytes binary, fmt string"
+    )
+
+
 @transform("raster_format")
 def _raster_format(df, format: str = "png", quality="85", **kw):
     from ..operators.raster import raster_format
