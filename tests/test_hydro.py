@@ -717,3 +717,59 @@ def test_flow_accumulation_corner_exit_leaves_raster(spark):
     got = {(int(r.gx), int(r.gy)): int(r.acc) for r in pdf.itertuples()}
     assert got[(16, 1)] == int(exp[0, 15]) and got[(16, 1)] > 15
     assert m["coarse_inflow_total"] >= 15
+
+
+def _floor_log2_ratio(p: int, q: int) -> int:
+    """Exact floor(log2(p/q)) for positive ints — the python twin of
+    hydro.floor_log2_ratio_sql (same two-branch identity)."""
+    if p >= q:
+        return (p // q).bit_length() - 1
+    return -(((q - 1) // p).bit_length())
+
+
+def test_floor_log2_ratio_identity_exhaustive():
+    """Both branches of the bin()/length() integer-log identity against
+    the Fraction ground truth over a dense p, q lattice (incl. exact
+    powers of two, the classic off-by-one zone)."""
+    from fractions import Fraction
+
+    for p in list(range(1, 200)) + [2**40, 2**40 + 1, 2**62]:
+        for q in list(range(1, 200)) + [2**40, 2**40 + 1, 2**62]:
+            r = Fraction(p, q)
+            k = _floor_log2_ratio(p, q)
+            assert Fraction(2) ** k <= r < Fraction(2) ** (k + 1), (p, q, k)
+
+
+def test_wetness_index_matches_global(spark):
+    """TWI/SPI surfaces == brute force: full-mosaic terrain_fields score
+    + global accumulation + exact integer log2, pixel for pixel."""
+    from versatiles_rs_spark.operators.hydro import wetness_index
+
+    zoom, n = 1, 512
+    v = dem_mosaic(n)
+    f = terrain_fields(v)
+    acc, valid = global_accumulation(v)
+    score = f["score"]
+
+    tiles = fixtures.dem_raster_df(spark, zoom=zoom, partitions=4)
+    got = wetness_index(tiles, tile_size=256, super_tiles=1).toPandas()
+    assert len(got) == int(valid.sum())
+    gxa = got["gx"].to_numpy() - 1
+    gya = got["gy"].to_numpy() - 1
+    assert np.array_equal(got["acc"].to_numpy(), acc[gya, gxa])
+    assert np.array_equal(got["score"].to_numpy(), score[gya, gxa])
+    exp_twi = np.array(
+        [9999 if s <= 0 else _floor_log2_ratio(2 * a * a, s)
+         for a, s in zip(acc[gya, gxa].tolist(), score[gya, gxa].tolist())],
+        dtype=np.int64,
+    )
+    exp_spi = np.array(
+        [-9999 if s <= 0 else _floor_log2_ratio(a * a * s, 2)
+         for a, s in zip(acc[gya, gxa].tolist(), score[gya, gxa].tolist())],
+        dtype=np.int64,
+    )
+    assert np.array_equal(got["twi_q"].to_numpy(), exp_twi)
+    assert np.array_equal(got["spi_q"].to_numpy(), exp_spi)
+    # the fixture DEM must exercise both log branches and the flat sentinel
+    assert (exp_twi == 9999).any() or (score == 0).sum() == 0
+    assert (got["twi_q"].to_numpy() != 9999).any()

@@ -126,6 +126,12 @@ def terrain_fields(padded: np.ndarray) -> dict[str, np.ndarray]:
         "tpi8": 8 * c - nsum,
         "frange": vmax - vmin,
         "d8": d8,
+        # steepest distance-corrected descent SCORE (mult * drop^2 with
+        # mult = 2 cardinal / 1 diagonal), clamped to 0 on flats/pits.
+        # tan^2(slope) == score / 2 EXACTLY in elevation-units-per-cell
+        # (cardinal: drop^2 = score/2; diagonal: drop^2/2 = score/2), so
+        # downstream wetness/stream-power math stays integer-rational.
+        "score": np.maximum(best, np.int64(0)),
     }
 
 
@@ -162,6 +168,7 @@ def focal_terrain_pixels(
     tile_size: int = 256,
     payload: str = "bytes",
     band: int = 0,
+    extra: tuple = (),
 ) -> DataFrame:
     """Per-PIXEL terrain fields (gx, gy, elev, d8) over a single-zoom tile
     table, border-exact via the same two-pass halo exchange as
@@ -171,22 +178,29 @@ def focal_terrain_pixels(
 
     This is the TauDEM-style slim raster-as-relation representation that
     feeds flow algorithms: ~32 bytes/pixel of longs instead of payload
-    blobs, so downstream joins/iterations never touch image bytes."""
+    blobs, so downstream joins/iterations never touch image bytes.
+
+    `extra` names additional terrain_fields outputs to emit as columns
+    (e.g. ("score",) for the steepest-descent score that wetness /
+    stream-power indices need) — same fused passes, zero extra decode."""
     ts = int(tile_size)
     if ts < 8:
         raise ValueError("tile_size must be >= 8 for the 2px frame layout")
     pay = payload
-    pix_cols = ["gx", "gy", "elev", "d8"]
+    pix_cols = ["gx", "gy", "elev", "d8", *extra]
 
     def emit_pixels(x: int, y: int, f: dict, grid_c: np.ndarray, mask: np.ndarray,
                     row0: int, col0: int) -> pd.DataFrame:
         rr, cc = np.nonzero(mask)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "gx": x * ts + col0 + cc,
             "gy": y * ts + row0 + rr,
             "elev": grid_c[mask],
             "d8": f["d8"][mask],
         })
+        for name in extra:
+            out[name] = f[name][mask]
+        return out
 
     def pass1(batches):
         for pdf in batches:
@@ -204,7 +218,7 @@ def focal_terrain_pixels(
                 p["x"] = x
                 p["y"] = y
                 frames.append(p)
-                strips_rows.append([0, 0, 0, 0, 1, 0, _pack_frame(v), x, y])
+                strips_rows.append([0] * len(pix_cols) + [1, 0, _pack_frame(v), x, y])
                 strips = {
                     0: v[0:1, 0:1], 1: v[0:1, :], 2: v[0:1, -1:],
                     3: v[:, 0:1], 4: v[:, -1:],
@@ -215,7 +229,7 @@ def focal_terrain_pixels(
                     if nx < 0 or ny < 0:
                         continue
                     strips_rows.append(
-                        [0, 0, 0, 0, 2, 7 - pos,
+                        [0] * len(pix_cols) + [2, 7 - pos,
                          strips[pos].astype(np.uint8).tobytes(), nx, ny]
                     )
             cols = pix_cols + ["kind", "pos", "data", "x", "y"]

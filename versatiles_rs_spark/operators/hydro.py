@@ -1271,3 +1271,86 @@ def fill_depressions(
         .groupBy("sx", "sy")
         .applyInPandas(lambda pdf: solve_b(pdf), schema=schema)
     )
+
+
+def floor_log2_ratio_sql(p: str, q: str, div: str = "div") -> str:
+    """Exact ``floor(log2(p / q))`` for positive-integer SQL expressions,
+    float-free on BOTH engines (Spark `div`, DuckDB `//`): minimal binary
+    string length is the integer log.  For p >= q,
+    floor(log2(p/q)) == floor(log2(p div q)) == length(bin(p div q)) - 1;
+    for p < q the reciprocal identity
+    floor(log2(p/q)) == -(floor(log2((q-1) div p)) + 1) == -length(bin(...))
+    holds because q/p in (2^(m-1), 2^m]  <=>  (q-1) div p in [2^(m-1), 2^m-1].
+    Every interpolation site is parenthesized (CLAUDE.md oracle-macro
+    lesson).  Requires p >= 1 and q >= 1; result CAST to BIGINT so Spark's
+    INT length() and DuckDB's BIGINT length() hash identically."""
+    return (
+        f"CAST(CASE WHEN ({p}) >= ({q}) "
+        f"THEN length(bin(({p}) {div} ({q}))) - 1 "
+        f"ELSE -length(bin((({q}) - 1) {div} ({p}))) END AS BIGINT)"
+    )
+
+
+def wetness_index(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    super_tiles: int = 1,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """(gx, gy, acc, score, twi_q, spi_q) — quantized Topographic Wetness
+    Index (Beven & Kirkby 1979, TOPMODEL; SAGA/GRASS r.topidx analog) and
+    Stream Power Index surfaces over a tiled DEM.  No such analysis
+    exists in the reference (its raster ops are per-tile pixel transforms).
+
+    TWI = ln(a / tan b) and SPI = ln(a * tan b) with a = upstream
+    contributing cells (D8 flow accumulation) and tan^2 b = score / 2
+    (the steepest distance-corrected descent score terrain_fields
+    computes: mult*drop^2, mult 2 cardinal / 1 diagonal — exactly
+    2*tan^2 in elevation-units-per-cell for BOTH neighbor classes).
+    Rather than evaluate ln() in float (libm last-ulp drift breaks the
+    cross-engine hash), both indices are published as the exact integer
+    quantization onto the log2 lattice:
+
+        twi_q = floor(log2(a^2 / tan^2 b)) = floor(log2(2*acc^2 / score))
+        spi_q = floor(log2(a^2 * tan^2 b)) = floor(log2(acc^2 * score / 2))
+
+    which is the monotone transform floor(2/ln2 * TWI) — same ordering,
+    same wet/dry classification power, bit-identical on both engines via
+    floor_log2_ratio_sql.  Flat cells (score = 0, tan b = 0) take the
+    documented sentinels twi_q = 9999 (infinitely wet: no outflow
+    gradient) and spi_q = -9999 (zero stream power).
+
+    Distributed shape (100 TB): ONE fused decode pass per input
+    (focal_terrain_pixels emits the score beside d8 at zero extra cost;
+    flow_accumulation runs its two-phase Barnes solve), then one slim
+    long-only equi-join on (gx, gy) — both sides are already
+    super-tile-partitioned pixel relations, payload never re-enters.
+    Index math is pure JVM (bin/length/div), no Python.  int64 bound:
+    2*acc^2 needs acc < 2^31 cells upstream (a ~2,000 km^2 basin at 30 m
+    cells); past the bound both indices publish NULL (a visible signal,
+    never a silent int64 wrap) — pre-scale acc before squaring if a
+    basin that large ever matters (1-bit quantizer error)."""
+    from .focal import focal_terrain_pixels
+
+    pixels = focal_terrain_pixels(tiles, tile_size, payload, band, extra=("score",))
+    acc = flow_accumulation(
+        tiles, tile_size=tile_size, super_tiles=super_tiles,
+        payload=payload, band=band,
+    )
+    j = acc.join(pixels.select("gx", "gy", "score"), on=["gx", "gy"])
+    twi = floor_log2_ratio_sql("2 * acc * acc", "score")
+    spi = floor_log2_ratio_sql("acc * acc * score", "2")
+    return j.select(
+        "gx", "gy", "acc", "score",
+        F.expr(
+            f"CASE WHEN score <= 0 THEN CAST(9999 AS BIGINT) "
+            f"WHEN acc >= 2147483648 THEN CAST(NULL AS BIGINT) "
+            f"ELSE {twi} END"
+        ).alias("twi_q"),
+        F.expr(
+            f"CASE WHEN score <= 0 THEN CAST(-9999 AS BIGINT) "
+            f"WHEN acc >= 2147483648 THEN CAST(NULL AS BIGINT) "
+            f"ELSE {spi} END"
+        ).alias("spi_q"),
+    )

@@ -6142,6 +6142,74 @@ def q_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flow_accumulation(tiles, tile_size=256, super_tiles=1)
 
 
+def _twi_oracle_sql(zoom: int) -> str:
+    """flow_accum's recursive closure walk + the shared D8 score CASEs,
+    joined and pushed through the SAME float-free floor(log2(p/q))
+    macro the engine evaluates (hydro.floor_log2_ratio_sql with DuckDB's
+    `//`) — bin()/length() integer log agrees bit-for-bit across engines,
+    so TWI/SPI hash-match without ever touching libm."""
+    from .operators.hydro import floor_log2_ratio_sql
+
+    n = (1 << zoom) * 256
+    parts = _d8_sql_parts(n)
+    dirs, smax = parts["dirs"], parts["smax"]
+    sgx = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gx + {dx}" for k, _c, _m, (dx, _dy) in dirs
+    ) + " END"
+    sgy = f"CASE WHEN {smax} <= 0 THEN NULL " + " ".join(
+        f"WHEN s_{k} = {smax} THEN gy + {dy}" for k, _c, _m, (_dx, dy) in dirs
+    ) + " END"
+    score = "greatest(" + ", ".join(f"s_{k}" for k, _, _, _ in dirs) + ", 0)"
+    twi = floor_log2_ratio_sql("2 * acc * acc", "score", div="//")
+    spi = floor_log2_ratio_sql("acc * acc * score", "2", div="//")
+    return f"""
+    WITH RECURSIVE {parts["prefix"]},
+    sm AS MATERIALIZED (SELECT gx, gy, {sgx} AS nx0, {sgy} AS ny0,
+      CAST({score} AS BIGINT) AS score FROM sc),
+    succ AS MATERIALIZED (SELECT gx, gy,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN nx0 END AS nx,
+      CASE WHEN nx0 BETWEEN 1 AND {n - 2} AND ny0 BETWEEN 1 AND {n - 2} THEN ny0 END AS ny
+      FROM sm),
+    walk AS (
+      SELECT gx AS cx, gy AS cy FROM succ
+      UNION ALL
+      SELECT s.nx, s.ny FROM walk w JOIN succ s ON s.gx = w.cx AND s.gy = w.cy
+      WHERE s.nx IS NOT NULL
+    ),
+    fa AS (SELECT cx AS gx, cy AS gy, CAST(count(*) AS BIGINT) AS acc
+      FROM walk GROUP BY 1, 2)
+    SELECT fa.gx, fa.gy, fa.acc, sm.score,
+      CASE WHEN sm.score <= 0 THEN CAST(9999 AS BIGINT)
+           WHEN fa.acc >= 2147483648 THEN CAST(NULL AS BIGINT)
+           ELSE {twi} END AS twi_q,
+      CASE WHEN sm.score <= 0 THEN CAST(-9999 AS BIGINT)
+           WHEN fa.acc >= 2147483648 THEN CAST(NULL AS BIGINT)
+           ELSE {spi} END AS spi_q
+    FROM fa JOIN sm ON fa.gx = sm.gx AND fa.gy = sm.gy
+    """
+
+
+@register("twi_surface", _twi_oracle_sql(zoom=1))
+def q_twi_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topographic Wetness Index + Stream Power Index surfaces over the
+    zoom-1 DEM (TOPMODEL / SAGA "Topographic Wetness Index" / GRASS
+    r.topidx + r.watershed SPI analog — the reference has no terrain
+    analysis at all; its raster ops are per-tile pixel transforms,
+    versatiles_image/src/lib.rs).  Both indices publish on the exact
+    integer log2 lattice (floor(log2(2*acc^2/score)) — a monotone
+    transform of ln(a/tan b), see hydro.wetness_index) so the quantized
+    values hash-match DuckDB without a single libm call on either side.
+    Distributed shape: the ONE fused decode emits d8 + descent score
+    together, flow accumulation solves two-phase Barnes, and the final
+    TWI join moves only (long, long, long) pixel rows; index math is
+    pure JVM bin()/length()/div."""
+    from . import fixtures
+    from .operators.hydro import wetness_index
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    return wetness_index(tiles, tile_size=256, super_tiles=1)
+
+
 def _resolve_flats_oracle_sql() -> str:
     """Closed-form truth for flat resolution over the terraced fixture
     (fixtures.dem_terrace_value): every terrace is an 8px flat strip
