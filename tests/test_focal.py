@@ -340,3 +340,105 @@ def test_focal_terrain_payload_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"
+
+
+# ---------------------------------------------------------------------------
+# Horn slope / aspect statistics (gdaldem slope + aspect parity)
+# ---------------------------------------------------------------------------
+
+def _global_slope_aspect(n_px_side: int, tile_size: int = 256):
+    """Independent ground truth: Horn p/q by explicit slicing over the
+    full mosaic (NOT via terrain_fields), octants by the documented
+    integer predicates, grouped by owning tile."""
+    gx = np.arange(n_px_side, dtype=np.int64)
+    v = dem_value(gx[None, :], gx[:, None])
+    c = lambda dr, dc: v[1 + dr : n_px_side - 1 + dr, 1 + dc : n_px_side - 1 + dc]
+    nw, n_, ne = c(-1, -1), c(-1, 0), c(-1, 1)
+    w_, e_ = c(0, -1), c(0, 1)
+    sw, s_, se = c(1, -1), c(1, 0), c(1, 1)
+    p = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+    q = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+    e, n = -p, q
+    sl = p * p + q * q
+    preds = [
+        (e == 0) & (n == 0),
+        (n > 0) & (e >= 0) & (n > e),
+        (e > 0) & (n > 0) & (e >= n),
+        (e > 0) & (n <= 0) & (e > -n),
+        (e > 0) & (n < 0) & (-n >= e),
+        (n < 0) & (e <= 0) & (-n > -e),
+        (e < 0) & (n < 0) & (-e >= -n),
+        (e < 0) & (n >= 0) & (-e > n),
+        (e < 0) & (n > 0) & (n >= -e),
+    ]
+    n_tiles = n_px_side // tile_size
+    out = {}
+    for ty in range(n_tiles):
+        for tx in range(n_tiles):
+            r0 = max(ty * tile_size, 1)
+            r1 = min((ty + 1) * tile_size, n_px_side - 1)
+            c0 = max(tx * tile_size, 1)
+            c1 = min((tx + 1) * tile_size, n_px_side - 1)
+            sub = lambda a: a[r0 - 1 : r1 - 1, c0 - 1 : c1 - 1]
+            slm = sub(sl)
+            out[(tx, ty)] = (
+                [slm.size]
+                + [int(sub(pr).sum()) for pr in preds]
+                + [int(slm.sum()), int(slm.max()) if slm.size else -1]
+            )
+    return out
+
+
+_SLOPE_KEYS = [
+    "n_px", "n_flat", "n_n", "n_ne", "n_e", "n_se", "n_s", "n_sw", "n_w",
+    "n_nw", "sum_sl", "max_sl",
+]
+
+
+def test_slope_aspect_distributed_matches_global(spark):
+    from versatiles_rs_spark.operators.focal import slope_aspect_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=8)
+    got = {
+        (r["x"], r["y"]): [r[k] for k in _SLOPE_KEYS]
+        for r in slope_aspect_stats(tiles).collect()
+    }
+    assert got == _global_slope_aspect(1024)
+
+
+def test_aspect_octants_partition_the_plane():
+    """Every non-flat (e, n) falls in EXACTLY one octant, and away from
+    bin boundaries the integer predicates agree with clockwise-from-north
+    angle binning (floor(angle / 45)); boundaries follow the documented
+    half-open rule."""
+    rng = np.random.default_rng(7)
+    e = rng.integers(-50, 51, size=4096)
+    n = rng.integers(-50, 51, size=4096)
+    preds = [
+        (n > 0) & (e >= 0) & (n > e),
+        (e > 0) & (n > 0) & (e >= n),
+        (e > 0) & (n <= 0) & (e > -n),
+        (e > 0) & (n < 0) & (-n >= e),
+        (n < 0) & (e <= 0) & (-n > -e),
+        (e < 0) & (n < 0) & (-e >= -n),
+        (e < 0) & (n >= 0) & (-e > n),
+        (e < 0) & (n > 0) & (n >= -e),
+    ]
+    stack = np.stack(preds)
+    nonflat = ~((e == 0) & (n == 0))
+    assert (stack.sum(axis=0)[nonflat] == 1).all()
+    assert (stack.sum(axis=0)[~nonflat] == 0).all()
+    # angle check away from the exact 45-degree boundaries
+    interior = nonflat & (e != 0) & (n != 0) & (np.abs(e) != np.abs(n))
+    ang = np.degrees(np.arctan2(e[interior], n[interior])) % 360.0
+    assert (stack[:, interior].argmax(axis=0) == (ang // 45).astype(int)).all()
+
+
+def test_slope_aspect_payload_never_shuffles(spark):
+    from versatiles_rs_spark.operators.focal import slope_aspect_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=2)
+    plan = slope_aspect_stats(tiles)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"

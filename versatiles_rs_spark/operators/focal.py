@@ -120,12 +120,21 @@ def terrain_fields(padded: np.ndarray) -> dict[str, np.ndarray]:
         best = np.where(take, s, best)
         d8 = np.where(take, np.int64(code), d8)
     d8 = np.where(best > 0, d8, np.int64(0))
+    # Horn (1981) 3rd-order finite differences, kept as INTEGER numerators
+    # (the /(8*cell) denominators cancel in every ratio/classification):
+    #   p = dz/dx * 8cell  (positive = east side higher)
+    #   q = dz/dy * 8cell  (positive = south side higher; gy grows south)
+    e_, se_, s_, sw_, w_, nw_, n_, ne_ = nbrs
+    p = (ne_ + 2 * e_ + se_) - (nw_ + 2 * w_ + sw_)
+    q = (sw_ + 2 * s_ + se_) - (nw_ + 2 * n_ + ne_)
     return {
         "valid": valid,
         "tri": tri,
         "tpi8": 8 * c - nsum,
         "frange": vmax - vmin,
         "d8": d8,
+        "p": p,
+        "q": q,
         # steepest distance-corrected descent SCORE (mult * drop^2 with
         # mult = 2 cardinal / 1 diagonal), clamped to 0 on flats/pits.
         # tan^2(slope) == score / 2 EXACTLY in elevation-units-per-cell
@@ -474,10 +483,32 @@ def focal_terrain_stats(
     n_px, sum_tri, sum_tpi, sum_abs_tpi, n_sinks, sum_d8, sum_range
     covering every pixel of that tile that has a full 3x3 neighborhood
     in the GLOBAL raster (interior + ring; global border pixels drop)."""
+    return _two_pass_stats(tiles, tile_size, payload, band, _AGG_COLS, _partial_row)
+
+
+def _two_pass_stats(
+    tiles: DataFrame,
+    tile_size: int,
+    payload: str,
+    band: int,
+    agg_cols: list[str],
+    partial_fn,
+    max_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared halo-exchange driver for per-tile focal aggregates.
+
+    `partial_fn(x, y, fields, mask) -> list` emits one partial row
+    ([x, y] + agg_cols values) from the kernel fields restricted to
+    `mask`; columns named in `max_cols` combine across partials with
+    F.max (initialize them to -1 on empty masks), all others with
+    F.sum.  The plan shape (one mapInPandas decode pass, one slim strip
+    shuffle, one final aggregation) is identical for every metric set —
+    see the module docstring."""
     ts = int(tile_size)
     if ts < 8:
         raise ValueError("tile_size must be >= 8 for the 2px frame layout")
     pay = payload
+    out_schema = "x long, y long, " + ", ".join(f"{c} long" for c in agg_cols)
 
     def pass1(batches):
         for pdf in batches:
@@ -488,9 +519,9 @@ def focal_terrain_stats(
                 # interior: tile pixels 1..ts-2 — full 3x3 support in-tile
                 f = terrain_fields(v)
                 inner = np.ones((ts - 2, ts - 2), dtype=bool)
-                rows.append(_partial_row(x, y, f, inner) + [0, 0, None])
+                rows.append(partial_fn(x, y, f, inner) + [0, 0, None])
                 # own 2px frame -> self
-                rows.append([x, y, 0, 0, 0, 0, 0, 0, 0, 1, 0, _pack_frame(v)])
+                rows.append([x, y] + [0] * len(agg_cols) + [1, 0, _pack_frame(v)])
                 # 1px edges + corner bytes -> 8 neighbors
                 strips = {
                     0: v[0:1, 0:1], 1: v[0:1, :], 2: v[0:1, -1:],
@@ -506,18 +537,18 @@ def focal_terrain_stats(
                         continue
                     # receiver-relative position of us = mirrored pos
                     rows.append(
-                        [nx, ny, 0, 0, 0, 0, 0, 0, 0, 2, 7 - pos,
-                         strips[pos].astype(np.uint8).tobytes()]
+                        [nx, ny] + [0] * len(agg_cols)
+                        + [2, 7 - pos, strips[pos].astype(np.uint8).tobytes()]
                     )
-            cols = ["x", "y"] + _AGG_COLS + ["kind", "pos", "data"]
+            cols = ["x", "y"] + agg_cols + ["kind", "pos", "data"]
             yield pd.DataFrame(rows, columns=cols)
 
     p1_schema = (
-        "x long, y long, " + ", ".join(f"{c} long" for c in _AGG_COLS)
+        "x long, y long, " + ", ".join(f"{c} long" for c in agg_cols)
         + ", kind int, pos int, data binary"
     )
     p1 = tiles.mapInPandas(pass1, schema=p1_schema)
-    interior = p1.filter(F.col("kind") == 0).select("x", "y", *_AGG_COLS)
+    interior = p1.filter(F.col("kind") == 0).select("x", "y", *agg_cols)
     strips = p1.filter(F.col("kind") > 0).select("x", "y", "kind", "pos", "data")
 
     def ring(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -544,18 +575,105 @@ def focal_terrain_stats(
         if not frame_seen:
             # strips addressed to a tile that doesn't exist (outside the
             # pyramid): no frame row -> no output
-            return pd.DataFrame({c: [] for c in ["x", "y"] + _AGG_COLS}).astype("int64")
+            return pd.DataFrame({c: [] for c in ["x", "y"] + agg_cols}).astype("int64")
         f = terrain_fields(grid)
         ringmask = np.zeros((ts, ts), dtype=bool)
         ringmask[0, :] = ringmask[-1, :] = True
         ringmask[:, 0] = ringmask[:, -1] = True
         mask = ringmask & f["valid"]
-        return pd.DataFrame([_partial_row(x, y, f, mask)], columns=["x", "y"] + _AGG_COLS)
+        return pd.DataFrame([partial_fn(x, y, f, mask)], columns=["x", "y"] + agg_cols)
 
-    ring_partials = strips.groupBy("x", "y").applyInPandas(ring, schema=_OUT_SCHEMA)
+    ring_partials = strips.groupBy("x", "y").applyInPandas(ring, schema=out_schema)
+    aggs = [
+        (F.max(c) if c in max_cols else F.sum(c)).alias(c) for c in agg_cols
+    ]
     return (
         interior.unionByName(ring_partials)
         .groupBy("x", "y")
-        .agg(*[F.sum(c).alias(c) for c in _AGG_COLS])
+        .agg(*aggs)
         .filter(F.col("n_px") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Horn slope / aspect statistics (gdaldem slope + gdaldem aspect parity)
+# ---------------------------------------------------------------------------
+
+# 45-degree aspect octants of the steepest-DESCENT direction, clockwise
+# from north; each bin is half-open [left edge, right edge).  With
+# e = descent east component = -p and n = descent north component = q
+# (gy grows south, so higher south elevation pushes descent north), the
+# bins are exclusive and exhaustive over (e, n) != (0, 0) — pure integer
+# sign/magnitude tests, so Spark and DuckDB classify identically.
+_ASPECT_BINS = [
+    ("n_n", "({n}) > 0 AND ({e}) >= 0 AND ({n}) > ({e})"),      # [N,  NE)
+    ("n_ne", "({e}) > 0 AND ({n}) > 0 AND ({e}) >= ({n})"),     # [NE, E)
+    ("n_e", "({e}) > 0 AND ({n}) <= 0 AND ({e}) > -({n})"),     # [E,  SE)
+    ("n_se", "({e}) > 0 AND ({n}) < 0 AND -({n}) >= ({e})"),    # [SE, S)
+    ("n_s", "({n}) < 0 AND ({e}) <= 0 AND -({n}) > -({e})"),    # [S,  SW)
+    ("n_sw", "({e}) < 0 AND ({n}) < 0 AND -({e}) >= -({n})"),   # [SW, W)
+    ("n_w", "({e}) < 0 AND ({n}) >= 0 AND -({e}) > ({n})"),     # [W,  NW)
+    ("n_nw", "({e}) < 0 AND ({n}) > 0 AND ({n}) >= -({e})"),    # [NW, N)
+]
+
+_SLOPE_COLS = (
+    ["n_px", "n_flat"] + [c for c, _ in _ASPECT_BINS] + ["sum_sl", "max_sl"]
+)
+
+
+def _aspect_counts(e: np.ndarray, n: np.ndarray, mask: np.ndarray) -> list[int]:
+    """Numpy twin of the _ASPECT_BINS SQL predicates (same comparisons)."""
+    out = [int((mask & (e == 0) & (n == 0)).sum())]
+    preds = [
+        (n > 0) & (e >= 0) & (n > e),
+        (e > 0) & (n > 0) & (e >= n),
+        (e > 0) & (n <= 0) & (e > -n),
+        (e > 0) & (n < 0) & (-n >= e),
+        (n < 0) & (e <= 0) & (-n > -e),
+        (e < 0) & (n < 0) & (-e >= -n),
+        (e < 0) & (n >= 0) & (-e > n),
+        (e < 0) & (n > 0) & (n >= -e),
+    ]
+    out.extend(int((mask & p).sum()) for p in preds)
+    return out
+
+
+def _slope_partial_row(
+    x: int, y: int, f: dict[str, np.ndarray], mask: np.ndarray
+) -> list:
+    p, q = f["p"], f["q"]
+    e, n = -p, q
+    sl = p * p + q * q
+    slm = sl[mask]
+    return (
+        [int(x), int(y), int(mask.sum())]
+        + _aspect_counts(e, n, mask)
+        + [int(slm.sum()), int(slm.max()) if slm.size else -1]
+    )
+
+
+def slope_aspect_stats(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """Per-tile Horn (1981) slope + aspect statistics — the gdaldem
+    slope/aspect pair (gdal apps/gdaldem_lib.cpp) as border-exact
+    integer aggregates over a tiled DEM.
+
+    Per pixel with a full 3x3 neighborhood:
+      sl        (8*cell*tan(slope))^2 = p^2 + q^2 with p, q the Horn
+                third-order finite-difference numerators — the slope
+                magnitude squared, integer-exact.
+      aspect    45-degree compass octant of the steepest-descent
+                direction (_ASPECT_BINS), plus 'flat' when p = q = 0.
+
+    Output per tile: n_px, n_flat, n_n .. n_nw (aspect histogram),
+    sum_sl, max_sl.  Same two-pass halo-exchange shape (and scale
+    story) as focal_terrain_stats: tiles decode once, only ~3 KB/tile
+    of border strips shuffle, every key receives <= 9 rows."""
+    return _two_pass_stats(
+        tiles, tile_size, payload, band, _SLOPE_COLS, _slope_partial_row,
+        max_cols=("max_sl",),
     )

@@ -5981,6 +5981,67 @@ def q_terrain_focal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return focal_terrain_stats(tiles, tile_size=256)
 
 
+def _slope_aspect_oracle_sql(zoom: int) -> str:
+    """Closed-form replay of slope_aspect_stats: Horn p/q numerators from
+    the 9-neighbor DEM values, then the IDENTICAL octant predicates as
+    operators/focal._ASPECT_BINS (integer sign/magnitude tests — bins are
+    exclusive and exhaustive, so no CASE-order dependence)."""
+    from .fixtures import dem_sql
+    from .operators.focal import _ASPECT_BINS
+
+    n = (1 << zoom) * 256
+    offs = {
+        "nw": (-1, -1), "n": (0, -1), "ne": (1, -1),
+        "w": (-1, 0), "c": (0, 0), "e": (1, 0),
+        "sw": (-1, 1), "s": (0, 1), "se": (1, 1),
+    }
+    vcols = ",\n      ".join(
+        f"{dem_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
+    )
+    bins = ",\n      ".join(
+        f"CAST(sum(CASE WHEN {pred.format(e='ec', n='nc')} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS {name}"
+        for name, pred in _ASPECT_BINS
+    )
+    return f"""
+    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
+    v9 AS (SELECT gx, gy,
+      {vcols}
+    FROM px),
+    pq AS (SELECT gx, gy,
+      (v_ne + 2 * v_e + v_se) - (v_nw + 2 * v_w + v_sw) AS p,
+      (v_sw + 2 * v_s + v_se) - (v_nw + 2 * v_n + v_ne) AS q
+    FROM v9),
+    m AS (SELECT gx // 256 AS x, gy // 256 AS y,
+      -p AS ec, q AS nc, p * p + q * q AS sl FROM pq)
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n_px,
+      CAST(sum(CASE WHEN ec = 0 AND nc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+      {bins},
+      CAST(sum(sl) AS BIGINT) AS sum_sl,
+      CAST(max(sl) AS BIGINT) AS max_sl
+    FROM m GROUP BY 1, 2
+    """
+
+
+@register("slope_aspect", _slope_aspect_oracle_sql(zoom=2))
+def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem slope + aspect (GDAL apps/gdaldem_lib.cpp, Horn 1981) as
+    border-exact integer per-tile statistics: slope magnitude squared
+    (p^2 + q^2, the (8*cell*tan)^2 numerator) and the 45-degree aspect
+    octant histogram of the steepest-descent direction, 'flat' when both
+    Horn derivatives vanish.  Same two-pass halo-exchange shape as
+    terrain_focal (decode once, ~3 KB strips through the one slim
+    shuffle, <= 9 rows per key); the hash pins the Horn stencil, the
+    octant sign tests, and the halo addressing at once."""
+    from . import fixtures
+    from .operators.focal import slope_aspect_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=16)
+    return slope_aspect_stats(tiles, tile_size=256)
+
+
 def _d8_sql_parts(n: int, value_sql=None) -> dict:
     """The ONE SQL definition of the per-pixel D8 derivation shared by
     every hydrology oracle (basins + flow accumulation): 9-neighbor DEM
