@@ -6042,6 +6042,74 @@ def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slope_aspect_stats(tiles, tile_size=256)
 
 
+def _euclidean_distance_oracle_sql(
+    n: int = 256, block: int = 32, md: int = 48, mod: int = 149, K: int = 1 << 20
+) -> str:
+    """Brute-force replay of the separable EDT: per-cell min over ALL
+    features of the packed key K*d^2 + src (lexicographic (d^2, id) by
+    construction), bounded-radius join, per-block rollup over the FULL
+    block universe so unreached cells are counted."""
+    x8, y8 = tile_xy_sql(_EV_LON, _EV_LAT, 8)
+    md2 = md * md
+    return f"""
+    WITH f AS (
+      SELECT DISTINCT {x8} AS fx, {y8} AS fy
+      FROM events WHERE event_id % {mod} = 0
+    ),
+    fid AS (SELECT fx, fy, fx * {n} + fy AS src FROM f),
+    xs AS (SELECT unnest(range({n})) AS cx),
+    ys AS (SELECT unnest(range({n})) AS cy),
+    cells AS (SELECT cx, cy FROM xs CROSS JOIN ys),
+    best AS (
+      SELECT c.cx, c.cy,
+        min(CAST((c.cx - fx) * (c.cx - fx) + (c.cy - fy) * (c.cy - fy)
+            AS BIGINT) * {K} + src) AS pk
+      FROM cells c JOIN fid
+        ON fx BETWEEN c.cx - {md} AND c.cx + {md}
+       AND fy BETWEEN c.cy - {md} AND c.cy + {md}
+       AND (c.cx - fx) * (c.cx - fx) + (c.cy - fy) * (c.cy - fy) <= {md2}
+      GROUP BY 1, 2
+    ),
+    cb AS (
+      SELECT c.cx // {block} AS bx, c.cy // {block} AS by, b.pk
+      FROM cells c LEFT JOIN best b ON b.cx = c.cx AND b.cy = c.cy
+    )
+    SELECT bx, by,
+      CAST(count(pk) AS BIGINT) AS n_reached,
+      CAST({block * block} - count(pk) AS BIGINT) AS n_unreached,
+      CAST(coalesce(sum(pk // {K}), 0) AS BIGINT) AS sum_d2,
+      CAST(coalesce(max(pk // {K}), -1) AS BIGINT) AS max_d2,
+      CAST(coalesce(sum(pk % {K}), 0) AS BIGINT) AS sum_src
+    FROM cb GROUP BY 1, 2
+    """
+
+
+@register("euclidean_distance", _euclidean_distance_oracle_sql())
+def q_euclidean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean distance + allocation surface (functions/edt.py —
+    the gdal_proximity / ArcGIS Euclidean Distance + Allocation pair):
+    nearest-feature squared distance and source id for every cell of the
+    zoom-8 grid within 48 cells of a feature, rolled up per 32x32 block.
+    Distributed shape = the separable Felzenszwalb EDT as two grouped
+    passes (per feature COLUMN, then per output ROW) with exact integer
+    parabola-envelope boundaries; everything shuffled is (long, long,
+    long) and the per-cell surface never materializes — block partials
+    are emitted inside the row kernel.  The packed K*d^2 + id min makes
+    the allocation tie-break (min d^2, then min id) a plain integer min,
+    so the oracle replays the whole surface as one aggregate."""
+    from .functions.edt import euclidean_distance
+    from .udfs import derived_lat_expr, derived_lon_expr, tile_x_expr, tile_y_expr
+
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 149 == 0)
+    lon = derived_lon_expr(F.col("event_id"))
+    lat = derived_lat_expr(F.col("event_id"))
+    feats = ev.select(
+        tile_x_expr(lon, 8).cast("long").alias("gx"),
+        tile_y_expr(lat, 8).cast("long").alias("gy"),
+    ).select("gx", "gy", (F.col("gx") * 256 + F.col("gy")).alias("src_id"))
+    return euclidean_distance(feats, n=256, block=32, max_dist=48)
+
+
 def _d8_sql_parts(n: int, value_sql=None) -> dict:
     """The ONE SQL definition of the per-pixel D8 derivation shared by
     every hydrology oracle (basins + flow accumulation): 9-neighbor DEM
