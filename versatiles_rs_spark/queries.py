@@ -6110,6 +6110,100 @@ def q_euclidean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return euclidean_distance(feats, n=256, block=32, max_dist=48)
 
 
+def _region_group_oracle_sql(n: int = 64) -> str:
+    """Full replay of region_group: identical run-length window arithmetic
+    (islands-and-gaps), segment adjacency join, then the recursive
+    min-label walk over the SEGMENT graph — never cells (the
+    oracle-walk-contraction lesson); every multi-referenced CTE
+    MATERIALIZED and the two edge arms deduped with an explicit
+    SELECT DISTINCT over UNION ALL."""
+    x6, y6 = tile_xy_sql(_EV_LON, _EV_LAT, 6)
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT {x6} AS gx, {y6} AS gy FROM events
+    ), occ AS (
+      SELECT gx, gy, count(*) AS cnt FROM pts GROUP BY 1, 2
+    ), xs AS (SELECT unnest(range({n})) AS gx),
+    ys AS (SELECT unnest(range({n})) AS gy),
+    cells AS MATERIALIZED (
+      SELECT x.gx, y.gy, least(coalesce(o.cnt, 0), 3) AS zv
+      FROM xs x CROSS JOIN ys y
+      LEFT JOIN occ o ON o.gx = x.gx AND o.gy = y.gy
+    ), runs AS (
+      SELECT gx, gy, zv,
+        CASE WHEN lag(zv) OVER w IS NULL OR lag(zv) OVER w <> zv
+                  OR lag(gx) OVER w <> gx - 1 THEN 1 ELSE 0 END AS brk
+      FROM cells WINDOW w AS (PARTITION BY gy ORDER BY gx)
+    ), segs AS MATERIALIZED (
+      SELECT min(gy) * {n} + min(gx) AS seg_id, gy,
+             min(gx) AS x0, max(gx) AS x1, min(zv) AS zv, count(*) AS len
+      FROM (SELECT gx, gy, zv,
+              sum(brk) OVER (PARTITION BY gy ORDER BY gx) AS seg
+            FROM runs)
+      GROUP BY gy, seg
+    ), edges AS MATERIALIZED (
+      SELECT DISTINCT u, w FROM (
+        SELECT a.seg_id AS u, b.seg_id AS w FROM segs a JOIN segs b
+          ON b.gy = a.gy + 1 AND b.zv = a.zv
+         AND b.x0 <= a.x1 AND a.x0 <= b.x1
+        UNION ALL
+        SELECT b.seg_id, a.seg_id FROM segs a JOIN segs b
+          ON b.gy = a.gy + 1 AND b.zv = a.zv
+         AND b.x0 <= a.x1 AND a.x0 <= b.x1
+      )
+    ), walk(nd, l) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.w, k.l FROM walk k JOIN edges e ON e.u = k.nd
+    ), comp AS (
+      SELECT nd AS seg_id, min(l) AS region FROM walk GROUP BY nd
+    ), lab AS (
+      SELECT s.zv, s.len, s.x0, s.x1, s.gy,
+             coalesce(c.region, s.seg_id) AS region
+      FROM segs s LEFT JOIN comp c USING (seg_id)
+    )
+    SELECT region, min(zv) AS v, CAST(sum(len) AS BIGINT) AS n_cells,
+           min(x0) AS min_gx, min(gy) AS min_gy,
+           max(x1) AS max_gx, max(gy) AS max_gy
+    FROM lab GROUP BY region
+    """
+
+
+@register("region_group", _region_group_oracle_sql())
+def q_region_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region Group / r.clump (operators/regions.py): 4-connected
+    equal-value regions of the zoom-6 event-density zone grid (zone =
+    min(cell count, 3); empty cells are a real zone, so the background is
+    labeled too).  The distributed shape is run-length contraction — per
+    grid row, maximal equal-value runs collapse to one segment via two
+    JVM windows, adjacency is an equi-join on (row+1, value) with the
+    interval overlap as residual, and connected components run on the
+    slim (long, long) SEGMENT graph — a giant uniform region costs its
+    run count, never its cell count."""
+    from .operators.regions import region_group
+    from .udfs import derived_lat_expr, derived_lon_expr, tile_x_expr, tile_y_expr
+
+    n = 64
+    ev = load(spark, sf_dir, "events")
+    lon = derived_lon_expr(F.col("event_id"))
+    lat = derived_lat_expr(F.col("event_id"))
+    occ = (
+        ev.select(
+            tile_x_expr(lon, 6).cast("long").alias("gx"),
+            tile_y_expr(lat, 6).cast("long").alias("gy"),
+        )
+        .groupBy("gx", "gy").agg(F.count("*").alias("cnt"))
+    )
+    universe = (
+        spark.range(n).select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(n).select(F.col("id").alias("gy")))
+    )
+    cells = universe.join(occ, ["gx", "gy"], "left").select(
+        "gx", "gy", F.least(F.coalesce("cnt", F.lit(0)), F.lit(3)).alias("v")
+    )
+    return region_group(cells, n)
+
+
 def _d8_sql_parts(n: int, value_sql=None) -> dict:
     """The ONE SQL definition of the per-pixel D8 derivation shared by
     every hydrology oracle (basins + flow accumulation): 9-neighbor DEM
