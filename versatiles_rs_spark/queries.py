@@ -6110,6 +6110,92 @@ def q_euclidean_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return euclidean_distance(feats, n=256, block=32, max_dist=48)
 
 
+_CLON, _CLAT = derived_lonlat_sql("c_custkey * 17 + 3")
+
+
+def _areal_interp_oracle_sql() -> str:
+    """Replay of areal_interpolate over the nation-rect source layer and
+    customer-rect target layer: identical milli-degree corner arithmetic,
+    half-open overlap products, and the per-pair milli-precision floor
+    quotient (non-negative operands, so DuckDB // == Spark div)."""
+    return f"""
+    WITH src AS (
+      SELECT n_nationkey AS src_id,
+        CAST(floor(({_NLON}) * 1.0e3) AS BIGINT) AS sx,
+        CAST(floor(({_NLAT}) * 1.0e3) AS BIGINT) AS sy,
+        CAST(20000 + (n_nationkey % 7) * 2000 AS BIGINT) AS hw,
+        CAST(12000 + (n_nationkey % 5) * 2000 AS BIGINT) AS hh,
+        CAST(n_nationkey * 37 % 1000 + 10 AS BIGINT) AS value
+      FROM nation
+    ), s2 AS (
+      SELECT src_id, sx - hw AS sx0, sx + hw AS sx1,
+             sy - hh AS sy0, sy + hh AS sy1, value FROM src
+    ), tg AS (
+      SELECT c_custkey AS tgt_id,
+        CAST(floor(({_CLON}) * 1.0e3) AS BIGINT) AS tx,
+        CAST(floor(({_CLAT}) * 1.0e3) AS BIGINT) AS ty
+      FROM customer
+    ), t2 AS (
+      SELECT tgt_id, tx - 8000 AS tx0, tx + 8000 AS tx1,
+             ty - 5000 AS ty0, ty + 5000 AS ty1 FROM tg
+    ), pr AS (
+      SELECT t.tgt_id,
+        CASE WHEN s.src_id IS NULL THEN 0 ELSE 1 END AS hit,
+        -- least/greatest ignore NULLs in DuckDB too: gate on the hit
+        CASE WHEN s.src_id IS NULL THEN 0
+             ELSE (least(sx1, tx1) - greatest(sx0, tx0))
+                * (least(sy1, ty1) - greatest(sy0, ty0)) END AS ov,
+        coalesce(value * (least(sx1, tx1) - greatest(sx0, tx0))
+               * (least(sy1, ty1) - greatest(sy0, ty0)) * 1000, 0) AS num,
+        coalesce((sx1 - sx0) * (sy1 - sy0), 1) AS den
+      FROM t2 t LEFT JOIN s2 s
+        ON s.sx0 < t.tx1 AND t.tx0 < s.sx1
+       AND s.sy0 < t.ty1 AND t.ty0 < s.sy1
+    )
+    SELECT tgt_id, CAST(sum(hit) AS BIGINT) AS n_src,
+           CAST(sum(ov) AS BIGINT) AS overlap_area,
+           CAST(sum(num // den) AS BIGINT) AS est_milli
+    FROM pr GROUP BY tgt_id
+    """
+
+
+@register("areal_interp", _areal_interp_oracle_sql())
+def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Areal interpolation (functions/overlay.py — ArcGIS Areal
+    Interpolation / Tobler areal weighting, the rect tier of polygon
+    overlay): nation-zone values reaggregated onto customer target rects
+    proportionally to exact integer overlap area, milli-precision floor
+    quotient per pair so the sum is exact end to end.  The 25-zone source
+    layer broadcasts; the scale path for two large layers (overlap-min-
+    corner cell assignment — an exact equi-key, no dedup pass) is
+    documented in the module."""
+    from .functions.overlay import areal_interpolate
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    nation = load(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey") * 31 + 7
+    sx = F.floor(derived_lon_expr(nk) * 1000).cast("long")
+    sy = F.floor(derived_lat_expr(nk) * 1000).cast("long")
+    hw = (F.lit(20000) + (F.col("n_nationkey") % 7) * 2000).cast("long")
+    hh = (F.lit(12000) + (F.col("n_nationkey") % 5) * 2000).cast("long")
+    src = nation.select(
+        F.col("n_nationkey").alias("src_id"),
+        (sx - hw).alias("x0"), (sx + hw).alias("x1"),
+        (sy - hh).alias("y0"), (sy + hh).alias("y1"),
+        (F.col("n_nationkey") * 37 % 1000 + 10).alias("value"),
+    )
+    cust = load(spark, sf_dir, "customer")
+    ck = F.col("c_custkey") * 17 + 3
+    tx = F.floor(derived_lon_expr(ck) * 1000).cast("long")
+    ty = F.floor(derived_lat_expr(ck) * 1000).cast("long")
+    tgt = cust.select(
+        F.col("c_custkey").alias("tgt_id"),
+        (tx - 8000).alias("x0"), (tx + 8000).alias("x1"),
+        (ty - 5000).alias("y0"), (ty + 5000).alias("y1"),
+    )
+    return areal_interpolate(src, tgt)
+
+
 def _region_group_oracle_sql(n: int = 64) -> str:
     """Full replay of region_group: identical run-length window arithmetic
     (islands-and-gaps), segment adjacency join, then the recursive
