@@ -93,3 +93,82 @@ def test_crossings_plan_broadcast_edges_one_window_shuffle(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # the lag window only
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# segment_intersections: large x large cell-bucketed layer join
+# ---------------------------------------------------------------------------
+
+def _seg_brute(A, B):
+    """Exact integer proper-intersection over all pairs."""
+    def orient(ax, ay, bx, by, px, py):
+        return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+
+    out = set()
+    for aid, ax1, ay1, ax2, ay2 in A:
+        for bid, bx1, by1, bx2, by2 in B:
+            d1 = orient(ax1, ay1, ax2, ay2, bx1, by1)
+            d2 = orient(ax1, ay1, ax2, ay2, bx2, by2)
+            d3 = orient(bx1, by1, bx2, by2, ax1, ay1)
+            d4 = orient(bx1, by1, bx2, by2, ax2, ay2)
+            if ((d1 > 0) != (d2 > 0) and d1 != 0 and d2 != 0
+                    and (d3 > 0) != (d4 > 0) and d3 != 0 and d4 != 0):
+                out.add((aid, bid))
+    return out
+
+
+def _seg_df(spark, rows, idc):
+    return spark.createDataFrame(
+        rows, f"{idc} long, x1 long, y1 long, x2 long, y2 long"
+    )
+
+
+def test_segment_intersections_match_bruteforce(spark):
+    import numpy as np
+    from versatiles_rs_spark.joins.crossings import segment_intersections
+
+    rng = np.random.default_rng(41)
+
+    def mk(n, seed_off):
+        rows = []
+        for i in range(n):
+            x, y = int(rng.integers(0, 300)), int(rng.integers(0, 300))
+            dx, dy = int(rng.integers(-60, 61)), int(rng.integers(-60, 61))
+            rows.append((i + seed_off, x, y, max(x + dx, 0), max(y + dy, 0)))
+        return rows
+
+    A, B = mk(60, 0), mk(60, 1000)
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in segment_intersections(
+            _seg_df(spark, A, "a_id"), _seg_df(spark, B, "b_id"), cell=50
+        ).collect()
+    }
+    assert got == _seg_brute(A, B)
+
+
+def test_segment_intersections_once_per_pair_across_cells(spark):
+    """A pair crossing inside a bbox that spans MANY cells must appear
+    exactly once (canonical-cell dedup), and touches don't count."""
+    from versatiles_rs_spark.joins.crossings import segment_intersections
+
+    A = [(1, 0, 10, 100, 10)]           # long horizontal
+    B = [(2, 50, 0, 50, 20),            # proper crossing
+         (3, 0, 10, 0, 30),             # touches A's endpoint -> not counted
+         (4, 60, 10, 90, 10)]           # collinear overlap -> d == 0, not counted
+    rows = segment_intersections(
+        _seg_df(spark, A, "a_id"), _seg_df(spark, B, "b_id"), cell=8
+    ).collect()
+    assert [(r["a_id"], r["b_id"]) for r in rows] == [(1, 2)]
+
+
+def test_segment_intersections_plan_equi_join_no_broadcast(spark):
+    from versatiles_rs_spark.joins.crossings import segment_intersections
+
+    A = [(1, 0, 0, 10, 10)]
+    B = [(2, 0, 10, 10, 0)]
+    plan = segment_intersections(
+        _seg_df(spark, A, "a_id"), _seg_df(spark, B, "b_id"), cell=16
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "Python" not in plan

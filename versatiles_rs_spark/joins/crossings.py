@@ -78,6 +78,76 @@ def fence_crossings(
     return s.join(e, (d1 * d2 < 0) & (d3 * d4 < 0))
 
 
+def segment_intersections(
+    a: DataFrame,
+    b: DataFrame,
+    cell: int,
+    a_id: str = "a_id",
+    b_id: str = "b_id",
+) -> DataFrame:
+    """Proper-intersection join between two LARGE segment layers (road
+    networks, utility lines) — the layer-x-layer sibling of
+    fence_crossings, with no broadcast side.
+
+    Inputs carry INTEGER, NON-NEGATIVE endpoint coordinates
+    (id, x1, y1, x2, y2) — integer cross products make every orientation
+    test exact, and non-negative operands make `div`-bucketing equal to
+    DuckDB's `//` (the round-half-tie lesson's integer-division rule).
+
+    Shape: each segment explodes to the grid cells its BBOX covers
+    (fan-out = O(length/cell), bounded for map-scale segments); candidates
+    meet in an equi-join on the packed cell; each surviving pair is
+    counted EXACTLY once by keeping only the cell that contains the min
+    corner of the two bboxes' intersection (the same no-dedup-pass trick
+    as range_join.py, lifted to 2-D).  Orientation signs are compared
+    explicitly ((d1>0 AND d2<0) OR ...) — a d1*d2 product of int cross
+    terms could overflow int64.  Touching endpoints (any orientation 0)
+    do not count, matching fence_crossings.
+    """
+    def prep(df, idc, p):
+        return df.select(
+            F.col(idc),
+            F.col("x1").cast("long").alias(f"{p}x1"),
+            F.col("y1").cast("long").alias(f"{p}y1"),
+            F.col("x2").cast("long").alias(f"{p}x2"),
+            F.col("y2").cast("long").alias(f"{p}y2"),
+            F.expr(f"least(x1, x2) div {cell}").alias("cx0"),
+            F.expr(f"greatest(x1, x2) div {cell}").alias("cx1"),
+            F.expr(f"least(y1, y2) div {cell}").alias("cy0"),
+            F.expr(f"greatest(y1, y2) div {cell}").alias("cy1"),
+        ).select(
+            idc, f"{p}x1", f"{p}y1", f"{p}x2", f"{p}y2",
+            F.explode(F.sequence("cx0", "cx1")).alias("cx"),
+            "cy0", "cy1",
+        ).select(
+            idc, f"{p}x1", f"{p}y1", f"{p}x2", f"{p}y2", "cx",
+            F.explode(F.sequence("cy0", "cy1")).alias("cy"),
+        )
+
+    ae = prep(a, a_id, "a")
+    be = prep(b, b_id, "b")
+    pairs = ae.join(be, ["cx", "cy"])
+    # canonical cell = the one containing the bbox-intersection min corner
+    canon_x = F.expr(
+        f"greatest(least(ax1, ax2), least(bx1, bx2)) div {cell}"
+    ) == F.col("cx")
+    canon_y = F.expr(
+        f"greatest(least(ay1, ay2), least(by1, by2)) div {cell}"
+    ) == F.col("cy")
+    d1 = _orient(F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
+                 F.col("bx1"), F.col("by1"))
+    d2 = _orient(F.col("ax1"), F.col("ay1"), F.col("ax2"), F.col("ay2"),
+                 F.col("bx2"), F.col("by2"))
+    d3 = _orient(F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"),
+                 F.col("ax1"), F.col("ay1"))
+    d4 = _orient(F.col("bx1"), F.col("by1"), F.col("bx2"), F.col("by2"),
+                 F.col("ax2"), F.col("ay2"))
+    opp = lambda u, v: ((u > 0) & (v < 0)) | ((u < 0) & (v > 0))
+    return pairs.filter(canon_x & canon_y & opp(d1, d2) & opp(d3, d4)).select(
+        a_id, b_id
+    )
+
+
 def polygon_edges(
     fences: DataFrame,
     fence_id: str = "fence_id",

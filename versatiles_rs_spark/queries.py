@@ -6196,6 +6196,93 @@ def q_areal_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return areal_interpolate(src, tgt)
 
 
+_OLON, _OLAT = derived_lonlat_sql("o_orderkey * 13 + 5")
+
+
+def _seg_intersections_oracle_sql(cell: int = 4000) -> str:
+    """Full replay of segment_intersections: identical integer segment
+    synthesis, bbox cell fan-out (two staged unnest(range(...)) — DuckDB's
+    range() is not lateral-capable), packed-cell equi-join, canonical
+    min-corner dedup cell, and explicit opposite-sign orientation tests
+    (no d1*d2 product — int64 overflow)."""
+    def layer(src, idc, lon, lat, mx, my):
+        return f"""
+      SELECT {idc} AS id,
+        CAST(floor(({lon}) * 1.0e3) AS BIGINT) + 200000 AS x1,
+        CAST(floor(({lat}) * 1.0e3) AS BIGINT) + 200000 AS y1,
+        CAST(floor(({lon}) * 1.0e3) AS BIGINT) + 200000
+          + (CAST({idc} AS BIGINT) * {mx} % 4001) - 2000 AS x2,
+        CAST(floor(({lat}) * 1.0e3) AS BIGINT) + 200000
+          + (CAST({idc} AS BIGINT) * {my} % 4001) - 2000 AS y2
+      FROM {src}"""
+
+    def cells(tbl):
+        return f"""
+      SELECT id, x1, y1, x2, y2, cy0, cy1,
+             unnest(range(least(x1, x2) // {cell},
+                          greatest(x1, x2) // {cell} + 1)) AS cx
+      FROM (SELECT *, least(y1, y2) // {cell} AS cy0,
+                   greatest(y1, y2) // {cell} AS cy1 FROM {tbl})"""
+
+    orient = (
+        lambda ax, ay, bx, by, px, py:
+        f"(({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax}))"
+    )
+    d1 = orient("a.x1", "a.y1", "a.x2", "a.y2", "b.x1", "b.y1")
+    d2 = orient("a.x1", "a.y1", "a.x2", "a.y2", "b.x2", "b.y2")
+    d3 = orient("b.x1", "b.y1", "b.x2", "b.y2", "a.x1", "a.y1")
+    d4 = orient("b.x1", "b.y1", "b.x2", "b.y2", "a.x2", "a.y2")
+    opp = lambda u, v: f"(({u} > 0 AND {v} < 0) OR ({u} < 0 AND {v} > 0))"
+    return f"""
+    WITH la AS ({layer('events', 'event_id', _EV_LON, _EV_LAT, 7919, 104729)}),
+    lb AS ({layer('orders', 'o_orderkey', _OLON, _OLAT, 3571, 28657)}),
+    ca AS ({cells('la')}),
+    ca2 AS (SELECT id, x1, y1, x2, y2, cx,
+                   unnest(range(cy0, cy1 + 1)) AS cy FROM ca),
+    cb AS ({cells('lb')}),
+    cb2 AS (SELECT id, x1, y1, x2, y2, cx,
+                   unnest(range(cy0, cy1 + 1)) AS cy FROM cb)
+    SELECT a.id AS a_id, b.id AS b_id
+    FROM ca2 a JOIN cb2 b USING (cx, cy)
+    WHERE greatest(least(a.x1, a.x2), least(b.x1, b.x2)) // {cell} = cx
+      AND greatest(least(a.y1, a.y2), least(b.y1, b.y2)) // {cell} = cy
+      AND {opp(d1, d2)} AND {opp(d3, d4)}
+    """
+
+
+@register("seg_intersections", _seg_intersections_oracle_sql())
+def q_seg_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-x-large line-layer intersection join (joins/crossings.py::
+    segment_intersections — the road-crossings primitive; PostGIS
+    ST_Intersects on segment layers, GRASS v.overlay's candidate core):
+    two synthetic integer segment layers (events-derived and orders-
+    derived short segments in shifted milli-degrees), cell-bucketed
+    candidates meeting in ONE packed-cell equi-join (no broadcast, no
+    cartesian), each pair tested in exactly one canonical cell (the
+    bbox-intersection min corner), exact int64 orientation signs."""
+    from .joins.crossings import segment_intersections
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    def layer(df, idc, pt_key, mx, my):
+        key = F.col(idc)
+        px = (F.floor(derived_lon_expr(pt_key) * 1000).cast("long") + 200000)
+        py = (F.floor(derived_lat_expr(pt_key) * 1000).cast("long") + 200000)
+        return df.select(
+            key.alias("id"),
+            px.alias("x1"), py.alias("y1"),
+            (px + (key.cast("long") * mx % 4001) - 2000).alias("x2"),
+            (py + (key.cast("long") * my % 4001) - 2000).alias("y2"),
+        )
+
+    ev = load(spark, sf_dir, "events").select("event_id")
+    od = load(spark, sf_dir, "orders").select("o_orderkey")
+    a = layer(ev, "event_id", F.col("event_id"), 7919, 104729) \
+        .withColumnRenamed("id", "a_id")
+    b = layer(od, "o_orderkey", F.col("o_orderkey") * 13 + 5, 3571, 28657) \
+        .withColumnRenamed("id", "b_id")
+    return segment_intersections(a, b, cell=4000)
+
+
 def _region_group_oracle_sql(n: int = 64) -> str:
     """Full replay of region_group: identical run-length window arithmetic
     (islands-and-gaps), segment adjacency join, then the recursive
