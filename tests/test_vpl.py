@@ -545,3 +545,41 @@ def test_vpl_raster_calc(spark, tmp_path):
             f'from_container filename="{tmp_path / "dem"}" | '
             f'raster_calc expr="__import__(chr(111))"',
         )
+
+
+def test_vpl_raster_colorrelief(spark, tmp_path):
+    """gdaldem color-relief in the pipeline language: exact stop values
+    map to exact colors, midpoints interpolate linearly, values outside
+    the table clamp to the end colors."""
+    import numpy as np
+
+    from versatiles_rs_spark.codecs import decode_image, encode_dem, encode_image
+    from versatiles_rs_spark.operators.raster import color_relief_kernel
+    from versatiles_rs_spark.plans.vpl import run_vpl
+
+    y, x = np.mgrid[0:32, 0:32]
+    heights = (x * 10.0) - 20.0  # spans below/at/between/above the stops
+    d = tmp_path / "dem" / "3" / "1"
+    d.mkdir(parents=True)
+    (d / "2.png").write_bytes(
+        bytes(encode_image(encode_dem(heights, "terrarium"), "png"))
+    )
+    df = run_vpl(
+        spark,
+        f'from_container filename="{tmp_path / "dem"}" | '
+        'raster_colorrelief dem_schema="terrarium" '
+        'color_table="0:0,0,255;100:0,255,0;200:255,255,255"',
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    img = decode_image(bytes(rows[0].bytes))[:, :, :3]
+    stops = [(0.0, 0, 0, 255), (100.0, 0, 255, 0), (200.0, 255, 255, 255)]
+    want = color_relief_kernel(heights, stops)
+    assert np.abs(img.astype(int) - want.astype(int)).max() <= 1  # DEM codec quantization
+    # closed-form spot checks on the kernel itself
+    k = color_relief_kernel(np.array([[-50.0, 0.0, 50.0, 100.0, 999.0]]), stops)
+    assert k[0, 0].tolist() == [0, 0, 255]      # clamp below
+    assert k[0, 1].tolist() == [0, 0, 255]      # exact first stop
+    assert k[0, 2].tolist() == [0, 128, 128]    # midpoint blend (rint half-up)
+    assert k[0, 3].tolist() == [0, 255, 0]      # exact middle stop
+    assert k[0, 4].tolist() == [255, 255, 255]  # clamp above

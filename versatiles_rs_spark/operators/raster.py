@@ -366,6 +366,58 @@ def dem_hillshade(
     return df.mapInPandas(run, schema=df.schema)
 
 
+def color_relief_kernel(
+    heights: np.ndarray, stops: list[tuple[float, int, int, int]]
+) -> np.ndarray:
+    """gdaldem color-relief ramp (apps/gdaldem_lib.cpp ColorAssociation
+    semantics, default interpolation mode): linear RGB interpolation
+    between ascending (elevation, r, g, b) stops, clamped to the first /
+    last color outside the table.  (H, W) heights -> (H, W, 3) uint8."""
+    st = sorted(stops)
+    vs = np.array([s[0] for s in st], dtype=np.float64)
+    cols = np.array([[s[1], s[2], s[3]] for s in st], dtype=np.float64)
+    h = heights.astype(np.float64)
+    idx = np.searchsorted(vs, h, side="right") - 1
+    lo = np.clip(idx, 0, vs.size - 1)
+    hi = np.clip(idx + 1, 0, vs.size - 1)
+    span = np.where(vs[hi] > vs[lo], vs[hi] - vs[lo], 1.0)
+    t = np.clip((h - vs[lo]) / span, 0.0, 1.0)
+    rgb = cols[lo] * (1.0 - t[..., None]) + cols[hi] * t[..., None]
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def dem_color_relief(
+    df: DataFrame,
+    stops: list[tuple[float, int, int, int]],
+    schema: str = "mapbox",
+    payload: str = "bytes",
+    out_fmt: str = "png",
+) -> DataFrame:
+    """DEM tile table -> color-relief tile table (the gdaldem
+    color-relief mode) in ONE fused Arrow pass: decode RGB-encoded
+    elevations, ramp-map, re-encode — payload crosses Arrow once, no
+    shuffle, same plan shape as dem_hillshade."""
+    if not stops:
+        raise ValueError("color relief needs at least one (value, r, g, b) stop")
+    from ..codecs import decode_dem, decode_image, encode_image
+
+    def run(batches):
+        import pandas as pd  # noqa: F401  (batches are pandas already)
+
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload]:
+                rgb = decode_image(bytes(blob))[:, :, :3]
+                heights = decode_dem(rgb, schema=schema)
+                out.append(encode_image(color_relief_kernel(heights, stops), out_fmt))
+            pdf = pdf.copy()
+            pdf[payload] = out
+            pdf["fmt"] = out_fmt
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
 def incremental_pyramid_update(
     levels_old: dict[int, DataFrame],
     changed: DataFrame,

@@ -403,6 +403,25 @@ def _raster_hillshade(df, dem_schema="mapbox", azimuth="315", altitude="45",
     )
 
 
+@transform("raster_colorrelief")
+def _raster_colorrelief(df, color_table="0:0,0,255;128:0,255,0;255:255,255,255",
+                        dem_schema="mapbox", **kw):
+    """Engine extension: gdaldem color-relief in the pipeline language.
+    `color_table` is "elev:r,g,b;elev:r,g,b;..." ascending stops; linear
+    interpolation between stops, clamped outside (gdaldem defaults)."""
+    from ..operators.raster import dem_color_relief
+
+    stops = []
+    for part in str(color_table).split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        v, rgb = part.split(":")
+        r, g, b = (int(c) for c in rgb.split(","))
+        stops.append((float(v), r, g, b))
+    return dem_color_relief(df, stops, schema=dem_schema)
+
+
 @transform("raster_fill")
 def _raster_fill(df, tile_size="256", super_tiles="1", zoom=None, **kw):
     """Engine extension: Priority-Flood depression filling in the
