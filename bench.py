@@ -135,6 +135,13 @@ HEADLINE = [
     "basin_polygons",
     "horizon_angle",
     "terrain_openness",
+    "twi_surface",
+    "slope_aspect",
+    "euclidean_distance",
+    "region_group",
+    "areal_interp",
+    "seg_intersections",
+    "near_segments",
 ]
 
 

@@ -172,3 +172,70 @@ def test_segment_intersections_plan_equi_join_no_broadcast(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "Python" not in plan
+
+
+# ---------------------------------------------------------------------------
+# points_near_segments: ST_DWithin point x segment layer join
+# ---------------------------------------------------------------------------
+
+def _near_brute(P, S, dist):
+    out = set()
+    d2 = dist * dist
+    for pid, px, py in P:
+        for sid, x1, y1, x2, y2 in S:
+            dx, dy = x2 - x1, y2 - y1
+            pax, pay = px - x1, py - y1
+            pbx, pby = px - x2, py - y2
+            L = dx * dx + dy * dy
+            t = pax * dx + pay * dy
+            if L > 0 and 0 <= t <= L:
+                cross = dx * pay - dy * pax
+                ok = cross * cross <= d2 * L
+            else:
+                ok = min(pax * pax + pay * pay, pbx * pbx + pby * pby) <= d2
+            if ok:
+                out.add((pid, sid))
+    return out
+
+
+def test_points_near_segments_match_bruteforce(spark):
+    import numpy as np
+    from versatiles_rs_spark.joins.crossings import points_near_segments
+
+    rng = np.random.default_rng(53)
+    P = [(i, int(rng.integers(100, 500)), int(rng.integers(100, 500)))
+         for i in range(80)]
+    S = []
+    for i in range(40):
+        x, y = int(rng.integers(100, 500)), int(rng.integers(100, 500))
+        S.append((i, x, y, x + int(rng.integers(-60, 61)),
+                  y + int(rng.integers(-60, 61))))
+    pdf = spark.createDataFrame(P, "pid long, px long, py long")
+    sdf = spark.createDataFrame(S, "sid long, x1 long, y1 long, x2 long, y2 long")
+    got = {
+        (r["pid"], r["sid"])
+        for r in points_near_segments(pdf, sdf, dist=30, cell=40).collect()
+    }
+    assert got == _near_brute(P, S, 30)
+
+
+def test_points_near_segments_cases(spark):
+    from versatiles_rs_spark.joins.crossings import points_near_segments
+
+    S = [(1, 100, 100, 200, 100),   # horizontal segment
+         (2, 300, 300, 300, 300)]   # degenerate (point) segment
+    P = [
+        (1, 150, 110),  # perpendicular case, d = 10 <= 10
+        (2, 150, 111),  # perpendicular, d = 11 > 10
+        (3, 210, 100),  # past the endpoint, d = 10 (endpoint case)
+        (4, 208, 106),  # past the endpoint, d = 10 exactly (6-8-10)
+        (5, 305, 300),  # degenerate segment, d = 5
+        (6, 311, 300),  # degenerate, d = 11 > 10
+    ]
+    pdf = spark.createDataFrame(P, "pid long, px long, py long")
+    sdf = spark.createDataFrame(S, "sid long, x1 long, y1 long, x2 long, y2 long")
+    got = sorted(
+        (r["pid"], r["sid"])
+        for r in points_near_segments(pdf, sdf, dist=10, cell=64).collect()
+    )
+    assert got == [(1, 1), (3, 1), (4, 1), (5, 2)]

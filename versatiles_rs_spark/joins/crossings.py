@@ -148,6 +148,70 @@ def segment_intersections(
     )
 
 
+def points_near_segments(
+    points: DataFrame,
+    segs: DataFrame,
+    dist: int,
+    cell: int,
+    point_id: str = "pid",
+    seg_id: str = "sid",
+) -> DataFrame:
+    """ST_DWithin for a point layer against a segment layer (PostGIS
+    ST_DWithin / ArcGIS Near's search-radius form): all (point, segment)
+    pairs with exact squared point-segment distance <= dist^2.
+
+    Integer, non-negative coordinates; the test is EXACT int64 rational
+    arithmetic with no division: with a, b the endpoints and p the point,
+      t = (p-a)·(b-a), L = |b-a|^2:
+        0 <= t <= L  ->  perpendicular case: cross(b-a, p-a)^2 <= dist^2 * L
+        else         ->  nearer-endpoint case: min(|p-a|^2, |p-b|^2) <= dist^2
+    All operands are DIFFERENCES bounded by the candidate radius, so the
+    squares stay far under int64 even though absolute coordinates are
+    large.
+
+    Candidates: each segment explodes to the cells of its bbox EXPANDED
+    by `dist` (any qualifying point lies inside that expansion); a point
+    lives in exactly ONE cell, so each candidate pair meets exactly once —
+    no dedup pass.  One packed-cell equi-join, pure JVM."""
+    p = points.select(
+        F.col(point_id),
+        F.col("px").cast("long"), F.col("py").cast("long"),
+        F.expr(f"px div {cell}").alias("cx"),
+        F.expr(f"py div {cell}").alias("cy"),
+    )
+    s = segs.select(
+        F.col(seg_id),
+        F.col("x1").cast("long").alias("sx1"), F.col("y1").cast("long").alias("sy1"),
+        F.col("x2").cast("long").alias("sx2"), F.col("y2").cast("long").alias("sy2"),
+        F.expr(f"(least(x1, x2) - {dist}) div {cell}").alias("cx0"),
+        F.expr(f"(greatest(x1, x2) + {dist}) div {cell}").alias("cx1"),
+        F.expr(f"(least(y1, y2) - {dist}) div {cell}").alias("cy0"),
+        F.expr(f"(greatest(y1, y2) + {dist}) div {cell}").alias("cy1"),
+    )
+    # NOTE: least(x1,x2) - dist can go negative only if coords < dist at the
+    # world edge; require callers to shift by at least `dist` so the floor
+    # bucketing stays in div == // territory.
+    se = s.select(
+        seg_id, "sx1", "sy1", "sx2", "sy2",
+        F.explode(F.sequence("cx0", "cx1")).alias("cx"), "cy0", "cy1",
+    ).select(
+        seg_id, "sx1", "sy1", "sx2", "sy2", "cx",
+        F.explode(F.sequence("cy0", "cy1")).alias("cy"),
+    )
+    pairs = p.join(se, ["cx", "cy"])
+    dx, dy = F.col("sx2") - F.col("sx1"), F.col("sy2") - F.col("sy1")
+    pax, pay = F.col("px") - F.col("sx1"), F.col("py") - F.col("sy1")
+    pbx, pby = F.col("px") - F.col("sx2"), F.col("py") - F.col("sy2")
+    L = dx * dx + dy * dy
+    t = pax * dx + pay * dy
+    cross = dx * pay - dy * pax
+    d2 = F.lit(int(dist) * int(dist))
+    perp = (t >= 0) & (t <= L) & (L > 0) & (cross * cross <= d2 * L)
+    ends = F.least(pax * pax + pay * pay, pbx * pbx + pby * pby) <= d2
+    keep = F.when((L > 0) & (t >= 0) & (t <= L), perp).otherwise(ends)
+    return pairs.filter(keep).select(point_id, seg_id)
+
+
 def polygon_edges(
     fences: DataFrame,
     fence_id: str = "fence_id",

@@ -6283,6 +6283,98 @@ def q_seg_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_intersections(a, b, cell=4000)
 
 
+def _near_segments_oracle_sql(dist: int = 3000, cell: int = 4000) -> str:
+    """Replay of points_near_segments: identical expanded-bbox cell
+    fan-out, single-cell point bucketing, and the exact rational
+    point-segment distance CASE (no division; every operand a bounded
+    difference)."""
+    d2 = dist * dist
+    return f"""
+    WITH lb AS (
+      SELECT o_orderkey AS sid,
+        CAST(floor(({_OLON}) * 1.0e3) AS BIGINT) + 200000 AS x1,
+        CAST(floor(({_OLAT}) * 1.0e3) AS BIGINT) + 200000 AS y1,
+        CAST(floor(({_OLON}) * 1.0e3) AS BIGINT) + 200000
+          + (CAST(o_orderkey AS BIGINT) * 3571 % 4001) - 2000 AS x2,
+        CAST(floor(({_OLAT}) * 1.0e3) AS BIGINT) + 200000
+          + (CAST(o_orderkey AS BIGINT) * 28657 % 4001) - 2000 AS y2
+      FROM orders
+    ), sc AS (
+      SELECT sid, x1, y1, x2, y2, cy0, cy1,
+             unnest(range((least(x1, x2) - {dist}) // {cell},
+                          (greatest(x1, x2) + {dist}) // {cell} + 1)) AS cx
+      FROM (SELECT *, (least(y1, y2) - {dist}) // {cell} AS cy0,
+                   (greatest(y1, y2) + {dist}) // {cell} AS cy1 FROM lb)
+    ), sc2 AS (
+      SELECT sid, x1, y1, x2, y2, cx,
+             unnest(range(cy0, cy1 + 1)) AS cy FROM sc
+    ), pts AS (
+      SELECT event_id AS pid,
+        CAST(floor(({_EV_LON}) * 1.0e3) AS BIGINT) + 200000 AS px,
+        CAST(floor(({_EV_LAT}) * 1.0e3) AS BIGINT) + 200000 AS py
+      FROM events
+    ), pc AS (
+      SELECT pid, px, py, px // {cell} AS cx, py // {cell} AS cy FROM pts
+    ), cand AS (
+      SELECT pid, sid, px, py, x1, y1, x2, y2,
+             x2 - x1 AS dx, y2 - y1 AS dy,
+             px - x1 AS pax, py - y1 AS pay,
+             px - x2 AS pbx, py - y2 AS pby
+      FROM pc JOIN sc2 USING (cx, cy)
+    ), hit AS (
+      SELECT pid, sid FROM cand
+      WHERE CASE WHEN dx * dx + dy * dy > 0
+                  AND pax * dx + pay * dy >= 0
+                  AND pax * dx + pay * dy <= dx * dx + dy * dy
+            THEN (dx * pay - dy * pax) * (dx * pay - dy * pax)
+                 <= {d2} * (dx * dx + dy * dy)
+            ELSE least(pax * pax + pay * pay, pbx * pbx + pby * pby) <= {d2}
+            END
+    )
+    SELECT pid, CAST(count(*) AS BIGINT) AS n_near,
+           CAST(sum(sid) AS BIGINT) AS sum_sid
+    FROM hit GROUP BY pid
+    """
+
+
+@register("near_segments", _near_segments_oracle_sql())
+def q_near_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_DWithin point-x-line join (joins/crossings.py::
+    points_near_segments — PostGIS ST_DWithin / ArcGIS Near search
+    radius): event points within 3 milli-degree-thousandths of the
+    orders-derived road layer, aggregated per point (match count + id
+    checksum).  Candidates meet in ONE packed-cell equi-join (segments
+    explode to their dist-expanded bbox cells; a point lives in exactly
+    one cell, so pairs need no dedup); the distance test is exact int64
+    rational arithmetic with no division."""
+    from .joins.crossings import points_near_segments
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    od = load(spark, sf_dir, "orders").select("o_orderkey")
+    okey = F.col("o_orderkey")
+    slon = F.col("o_orderkey") * 13 + 5
+    sx = (F.floor(derived_lon_expr(slon) * 1000).cast("long") + 200000)
+    sy = (F.floor(derived_lat_expr(slon) * 1000).cast("long") + 200000)
+    segs = od.select(
+        okey.alias("sid"),
+        sx.alias("x1"), sy.alias("y1"),
+        (sx + (okey.cast("long") * 3571 % 4001) - 2000).alias("x2"),
+        (sy + (okey.cast("long") * 28657 % 4001) - 2000).alias("y2"),
+    )
+    ev = load(spark, sf_dir, "events").select("event_id")
+    pts = ev.select(
+        F.col("event_id").alias("pid"),
+        (F.floor(derived_lon_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("px"),
+        (F.floor(derived_lat_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("py"),
+    )
+    pairs = points_near_segments(pts, segs, dist=3000, cell=4000)
+    return pairs.groupBy("pid").agg(
+        F.count("*").alias("n_near"), F.sum("sid").alias("sum_sid")
+    )
+
+
 def _region_group_oracle_sql(n: int = 64) -> str:
     """Full replay of region_group: identical run-length window arithmetic
     (islands-and-gaps), segment adjacency join, then the recursive
