@@ -142,6 +142,7 @@ HEADLINE = [
     "areal_interp",
     "seg_intersections",
     "near_segments",
+    "dissolve_area",
 ]
 
 

@@ -70,3 +70,71 @@ def test_areal_interp_broadcasts_and_stays_jvm(spark):
     plan = areal_interpolate(s, t)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# dissolve_area: union-of-rects area per group
+# ---------------------------------------------------------------------------
+
+def _union_area_brute(rects):
+    """Exact union area by cell rasterization over the integer grid
+    (small extents only)."""
+    if not rects:
+        return 0
+    import numpy as np
+    x0 = min(r[0] for r in rects); x1 = max(r[1] for r in rects)
+    y0 = min(r[2] for r in rects); y1 = max(r[3] for r in rects)
+    g = np.zeros((y1 - y0, x1 - x0), dtype=bool)
+    for rx0, rx1, ry0, ry1 in rects:
+        g[ry0 - y0 : ry1 - y0, rx0 - x0 : rx1 - x0] = True
+    return int(g.sum())
+
+
+def test_dissolve_area_matches_rasterized_union(spark):
+    import numpy as np
+    from versatiles_rs_spark.functions.overlay import dissolve_area
+
+    rng = np.random.default_rng(61)
+    rows = []
+    groups = {}
+    for gid in range(6):
+        rects = []
+        for _ in range(rng.integers(1, 9)):
+            x0 = int(rng.integers(0, 60)); y0 = int(rng.integers(0, 60))
+            w = int(rng.integers(1, 25)); h = int(rng.integers(1, 25))
+            rects.append((x0, x0 + w, y0, y0 + h))
+            rows.append((gid, x0, x0 + w, y0, y0 + h))
+        groups[gid] = rects
+    df = spark.createDataFrame(rows, "gid long, x0 long, x1 long, y0 long, y1 long")
+    got = {r["gid"]: r["union_area"] for r in dissolve_area(df).collect()}
+    assert got == {g: _union_area_brute(rs) for g, rs in groups.items()}
+
+
+def test_dissolve_area_cases(spark):
+    from versatiles_rs_spark.functions.overlay import dissolve_area
+
+    rows = [
+        # gid 1: identical duplicates -> counted once
+        (1, 0, 10, 0, 10), (1, 0, 10, 0, 10),
+        # gid 2: abutting halves (half-open) -> seamless union
+        (2, 0, 5, 0, 10), (2, 5, 10, 0, 10),
+        # gid 3: containment
+        (3, 0, 10, 0, 10), (3, 2, 4, 2, 4),
+        # gid 4: disjoint islands
+        (4, 0, 2, 0, 2), (4, 10, 12, 10, 12),
+    ]
+    df = spark.createDataFrame(rows, "gid long, x0 long, x1 long, y0 long, y1 long")
+    got = {
+        r["gid"]: (r["n_rects"], r["union_area"]) for r in dissolve_area(df).collect()
+    }
+    assert got == {1: (2, 100), 2: (2, 100), 3: (2, 100), 4: (2, 8)}
+
+
+def test_dissolve_area_stays_jvm(spark):
+    from versatiles_rs_spark.functions.overlay import dissolve_area
+
+    df = spark.createDataFrame(
+        [(1, 0, 4, 0, 4)], "gid long, x0 long, x1 long, y0 long, y1 long"
+    )
+    plan = dissolve_area(df)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -6283,6 +6283,94 @@ def q_seg_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_intersections(a, b, cell=4000)
 
 
+def _dissolve_area_oracle_sql() -> str:
+    """Replay of dissolve_area: identical strip decomposition (lead
+    window over distinct x-corners), strip-cover join, islands-and-gaps
+    y-interval merge (running max over PRECEDING rows), integer area
+    fold."""
+    return f"""
+    WITH pts AS (
+      SELECT o_orderkey AS k,
+        CAST(floor(({_OLON}) * 1.0e3) AS BIGINT) + 200000 AS px,
+        CAST(floor(({_OLAT}) * 1.0e3) AS BIGINT) + 200000 AS py,
+        CAST(o_orderkey AS BIGINT) % 13 AS m13,
+        CAST(o_orderkey AS BIGINT) % 7 AS m7
+      FROM orders
+    ), r AS (
+      SELECT (px // 30000) * 1000 + (py // 30000) AS gid,
+             px - (m13 + 2) * 500 AS x0, px + (m13 + 2) * 500 AS x1,
+             py - (m7 + 2) * 500 AS y0, py + (m7 + 2) * 500 AS y1
+      FROM pts
+    ), xs AS (
+      SELECT DISTINCT gid, x FROM (
+        SELECT gid, x0 AS x FROM r UNION ALL SELECT gid, x1 FROM r)
+    ), strips AS (
+      SELECT gid, x AS sx0, lead(x) OVER (PARTITION BY gid ORDER BY x) AS sx1
+      FROM xs
+    ), cover AS (
+      SELECT s.gid, s.sx0, s.sx1, r.y0, r.y1
+      FROM strips s JOIN r ON r.gid = s.gid
+      WHERE s.sx1 IS NOT NULL AND r.x0 <= s.sx0 AND r.x1 >= s.sx1
+    ), isl AS (
+      SELECT gid, sx0, sx1, y0, y1,
+        CASE WHEN y0 > coalesce(max(y1) OVER (
+              PARTITION BY gid, sx0 ORDER BY y0, y1
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              {-(1 << 62)}) THEN 1 ELSE 0 END AS brk
+      FROM cover
+    ), isl2 AS (
+      SELECT gid, sx0, sx1, y0, y1,
+        sum(brk) OVER (PARTITION BY gid, sx0 ORDER BY y0, y1) AS island
+      FROM isl
+    ), per_island AS (
+      SELECT gid, sx0, sx1, island, max(y1) - min(y0) AS covered
+      FROM isl2 GROUP BY 1, 2, 3, 4
+    ), per_strip AS (
+      SELECT gid, sx0, sx1, sum(covered) AS cov
+      FROM per_island GROUP BY 1, 2, 3
+    ), areas AS (
+      SELECT gid, sum((sx1 - sx0) * cov) AS union_area FROM per_strip GROUP BY 1
+    ), stats AS (
+      SELECT gid, count(*) AS n_rects, min(x0) AS min_x, min(y0) AS min_y,
+             max(x1) AS max_x, max(y1) AS max_y
+      FROM r GROUP BY 1
+    )
+    SELECT s.gid, CAST(s.n_rects AS BIGINT) AS n_rects,
+           CAST(coalesce(a.union_area, 0) AS BIGINT) AS union_area,
+           s.min_x, s.min_y, s.max_x, s.max_y
+    FROM stats s LEFT JOIN areas a USING (gid)
+    """
+
+
+@register("dissolve_area", _dissolve_area_oracle_sql())
+def q_dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dissolve-by-zone union area (functions/overlay.py::dissolve_area —
+    PostGIS ST_Area(ST_Union(...)) GROUP BY zone / ArcGIS Dissolve, rect
+    tier): order-derived parcels grouped by their 30k-milli-degree region
+    cell, overlap-free EXACT integer union area per zone via strip
+    decomposition + islands-and-gaps interval merging — pure JVM windows,
+    no geometry library, overlaps counted once by construction."""
+    from .functions.overlay import dissolve_area
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    od = load(spark, sf_dir, "orders").select("o_orderkey")
+    key = F.col("o_orderkey") * 13 + 5
+    staged = od.select(
+        (F.floor(derived_lon_expr(key) * 1000).cast("long") + 200000).alias("px"),
+        (F.floor(derived_lat_expr(key) * 1000).cast("long") + 200000).alias("py"),
+        ((F.col("o_orderkey").cast("long") % 13 + 2) * 500).alias("hw"),
+        ((F.col("o_orderkey").cast("long") % 7 + 2) * 500).alias("hh"),
+    )
+    rects = staged.select(
+        F.expr("(px div 30000) * 1000 + (py div 30000)").alias("gid"),
+        (F.col("px") - F.col("hw")).alias("x0"),
+        (F.col("px") + F.col("hw")).alias("x1"),
+        (F.col("py") - F.col("hh")).alias("y0"),
+        (F.col("py") + F.col("hh")).alias("y1"),
+    )
+    return dissolve_area(rects)
+
+
 def _near_segments_oracle_sql(dist: int = 3000, cell: int = 4000) -> str:
     """Replay of points_near_segments: identical expanded-bbox cell
     fan-out, single-cell point bucketing, and the exact rational
