@@ -35,6 +35,10 @@ NOTES = {
     "basin_polygons": "Relational polygonize of flow-trace basins: the doubling output joins big labels, then FOUR rook shuffled hash joins on slim (gx, gy) keys — zero Python nodes below the checkpointed label relation, no cartesian.",
     "cost_distance": "Border-Jacobi Dijkstra, emit-all pass (rounds run eagerly): the group re-reads cached tile bytes (InMemoryTableScan-equivalent localCheckpoint) and unions slim halo longs; dist emerges from one FlatMapGroupsInPandas.",
     "horizon_angle": "Hull-merge horizon, phase-B plan: both stages are FlatMapGroupsInPandas over slim (long) rows — the DEM payload was consumed in phase A\'s single decode; the band filter sits on the final projection.",
+    "euclidean_distance": "Separable EDT: two FlatMapGroupsInPandas passes over (long, long, long) rows — per feature COLUMN then per output ROW; block partials emitted inside the row kernel so the n^2 cell surface never exists as a relation; final agg + full-universe left join.",
+    "region_group": "Run-length contraction: two JVM windows produce segments, adjacency is a shuffled hash equi-join on (gy+1, value) with the interval overlap as residual, the contracted graph collapses on the driver (guarded union-find) and rejoins as a broadcast — zero Python nodes.",
+    "seg_intersections": "Layer x layer crossings: bbox cell fan-out via two Generate explodes, ONE packed-cell shuffled hash join (no broadcast, no cartesian), canonical-cell + orientation-sign filters inline in the join projection; all JVM.",
+    "dissolve_area": "Union area by zone: distinct x-corner lead window -> strip-cover join -> islands-and-gaps windows -> integer area folds; every Exchange carries (long) zone keys and corners; zero Python.",
 }
 
 
