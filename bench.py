@@ -143,6 +143,7 @@ HEADLINE = [
     "seg_intersections",
     "near_segments",
     "dissolve_area",
+    "sieve_regions",
 ]
 
 

@@ -93,6 +93,7 @@ def region_group(
     n: int,
     value_col: str = "v",
     max_driver_edges: int = 2_000_000,
+    return_segments: bool = False,
 ) -> DataFrame:
     """Label 4-connected equal-value regions of a (gx, gy, v) cell
     relation on an n-wide grid.  Output: one row per region —
@@ -128,6 +129,8 @@ def region_group(
     labeled = segs.join(cc, segs["seg_id"] == cc["id"], "left").select(
         segs["*"], F.coalesce(cc["component"], segs["seg_id"]).alias("region")
     )
+    if return_segments:
+        return labeled
     return labeled.groupBy("region").agg(
         F.min("v").alias("v"),
         F.sum("len").alias("n_cells"),
@@ -135,4 +138,82 @@ def region_group(
         F.min("gy").alias("min_gy"),
         F.max("x1").alias("max_gx"),
         F.max("gy").alias("max_gy"),
+    )
+
+
+def sieve_small_regions(
+    cells: DataFrame,
+    n: int,
+    min_cells: int,
+    value_col: str = "v",
+    max_driver_edges: int = 2_000_000,
+) -> DataFrame:
+    """gdal_sieve / GRASS r.reclass.area: remove regions smaller than
+    `min_cells` by merging each into its LARGEST neighboring SURVIVING
+    region (size >= min_cells; ties -> smallest region label), in ONE
+    SIMULTANEOUS pass — absorbed cells always land on labels that
+    survive, so the output is well-formed; a small region surrounded
+    only by small regions keeps its label (run another pass to cascade).
+    GDAL's sequential size-order merge is order-dependent; the
+    simultaneous pass is the deterministic, SQL-replayable variant and
+    is documented as this engine's semantics.
+
+    Output: post-sieve region stats (region, v, n_cells) where v is the
+    absorbing region's zone value.  Region adjacency comes from the
+    SEGMENT relation (rook: vertical interval overlaps + horizontal run
+    boundaries), so the edge list is O(runs), never O(cells)."""
+    labeled = region_group(
+        cells, n, value_col, max_driver_edges, return_segments=True
+    ).localCheckpoint()
+    sizes = labeled.groupBy("region").agg(
+        F.min("v").alias("v"), F.sum("len").alias("n_cells")
+    ).localCheckpoint()
+
+    a, b = labeled.alias("a"), labeled.alias("b")
+    vert = a.join(
+        b,
+        (F.col("b.gy") == F.col("a.gy") + 1)
+        & (F.col("b.x0") <= F.col("a.x1"))
+        & (F.col("a.x0") <= F.col("b.x1"))
+        & (F.col("a.region") != F.col("b.region")),
+    ).select(F.col("a.region").alias("ra"), F.col("b.region").alias("rb"))
+    horiz = a.join(
+        b,
+        (F.col("b.gy") == F.col("a.gy"))
+        & (F.col("b.x0") == F.col("a.x1") + 1)
+        & (F.col("a.region") != F.col("b.region")),
+    ).select(F.col("a.region").alias("ra"), F.col("b.region").alias("rb"))
+    edges = (
+        vert.unionByName(horiz)
+        .unionByName(vert.select(F.col("rb").alias("ra"), F.col("ra").alias("rb")))
+        .unionByName(horiz.select(F.col("rb").alias("ra"), F.col("ra").alias("rb")))
+        .distinct()
+    )
+
+    small = sizes.filter(F.col("n_cells") < min_cells).select(
+        F.col("region").alias("ra")
+    )
+    nbr = (
+        edges.join(small, "ra")
+        .join(
+            sizes.filter(F.col("n_cells") >= min_cells).select(
+                F.col("region").alias("rb"), F.col("n_cells").alias("nbr_cells")
+            ),
+            "rb",
+        )
+    )
+    w = Window.partitionBy("ra").orderBy(F.desc("nbr_cells"), F.asc("rb"))
+    target = (
+        nbr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("ra").alias("region"), F.col("rb").alias("new_region"))
+    )
+    moved = sizes.join(target, "region", "left").select(
+        F.coalesce("new_region", "region").alias("final"), "n_cells"
+    )
+    final_sizes = moved.groupBy("final").agg(F.sum("n_cells").alias("n_cells"))
+    keep_v = sizes.select("region", "v")
+    return (
+        final_sizes.join(keep_v, final_sizes["final"] == keep_v["region"])
+        .select(F.col("final").alias("region"), "v", "n_cells")
     )

@@ -6463,16 +6463,16 @@ def q_near_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _region_group_oracle_sql(n: int = 64) -> str:
-    """Full replay of region_group: identical run-length window arithmetic
+def _region_ctes(n: int = 64) -> str:
+    """Shared CTE chain (through `lab`: labeled segments) replaying
+    region_group: identical run-length window arithmetic
     (islands-and-gaps), segment adjacency join, then the recursive
     min-label walk over the SEGMENT graph — never cells (the
     oracle-walk-contraction lesson); every multi-referenced CTE
     MATERIALIZED and the two edge arms deduped with an explicit
     SELECT DISTINCT over UNION ALL."""
     x6, y6 = tile_xy_sql(_EV_LON, _EV_LAT, 6)
-    return f"""
-    WITH RECURSIVE pts AS (
+    return f"""pts AS (
       SELECT {x6} AS gx, {y6} AS gy FROM events
     ), occ AS (
       SELECT gx, gy, count(*) AS cnt FROM pts GROUP BY 1, 2
@@ -6510,16 +6510,103 @@ def _region_group_oracle_sql(n: int = 64) -> str:
       SELECT e.w, k.l FROM walk k JOIN edges e ON e.u = k.nd
     ), comp AS (
       SELECT nd AS seg_id, min(l) AS region FROM walk GROUP BY nd
-    ), lab AS (
+    ), lab AS MATERIALIZED (
       SELECT s.zv, s.len, s.x0, s.x1, s.gy,
              coalesce(c.region, s.seg_id) AS region
       FROM segs s LEFT JOIN comp c USING (seg_id)
-    )
+    )"""
+
+
+def _region_group_oracle_sql(n: int = 64) -> str:
+    return f"""
+    WITH RECURSIVE {_region_ctes(n)}
     SELECT region, min(zv) AS v, CAST(sum(len) AS BIGINT) AS n_cells,
            min(x0) AS min_gx, min(gy) AS min_gy,
            max(x1) AS max_gx, max(gy) AS max_gy
     FROM lab GROUP BY region
     """
+
+
+def _sieve_oracle_sql(n: int = 64, min_cells: int = 20) -> str:
+    """sieve_small_regions replay: region adjacency from the labeled
+    SEGMENT relation (vertical overlaps + horizontal run boundaries,
+    both arms MATERIALIZED per the CTE-inlining lesson), largest
+    surviving neighbor by (size DESC, label ASC) row_number, one-pass
+    re-aggregation."""
+    return f"""
+    WITH RECURSIVE {_region_ctes(n)},
+    rsz AS MATERIALIZED (
+      SELECT region, min(zv) AS v, CAST(sum(len) AS BIGINT) AS n_cells
+      FROM lab GROUP BY region
+    ), vert AS MATERIALIZED (
+      SELECT a.region AS ra, b.region AS rb
+      FROM lab a JOIN lab b
+        ON b.gy = a.gy + 1 AND b.x0 <= a.x1 AND a.x0 <= b.x1
+       AND a.region <> b.region
+    ), horiz AS MATERIALIZED (
+      SELECT a.region AS ra, b.region AS rb
+      FROM lab a JOIN lab b
+        ON b.gy = a.gy AND b.x0 = a.x1 + 1 AND a.region <> b.region
+    ), redges AS (
+      SELECT DISTINCT ra, rb FROM (
+        SELECT ra, rb FROM vert UNION ALL SELECT rb, ra FROM vert
+        UNION ALL SELECT ra, rb FROM horiz UNION ALL SELECT rb, ra FROM horiz
+      )
+    ), cand AS (
+      SELECT e.ra, e.rb, z.n_cells AS nbr_cells
+      FROM redges e
+      JOIN rsz s ON s.region = e.ra AND s.n_cells < {min_cells}
+      JOIN rsz z ON z.region = e.rb AND z.n_cells >= {min_cells}
+    ), tgt AS (
+      SELECT ra AS region, rb AS new_region FROM (
+        SELECT ra, rb, row_number() OVER (
+          PARTITION BY ra ORDER BY nbr_cells DESC, rb ASC) AS rk
+        FROM cand)
+      WHERE rk = 1
+    ), moved AS (
+      SELECT coalesce(t.new_region, z.region) AS final, z.n_cells
+      FROM rsz z LEFT JOIN tgt t ON t.region = z.region
+    ), fs AS (
+      SELECT final, CAST(sum(n_cells) AS BIGINT) AS n_cells
+      FROM moved GROUP BY final
+    )
+    SELECT fs.final AS region, z.v, fs.n_cells
+    FROM fs JOIN rsz z ON z.region = fs.final
+    """
+
+
+@register("sieve_regions", _sieve_oracle_sql())
+def q_sieve_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_sieve / r.reclass.area (operators/regions.py::
+    sieve_small_regions): regions of the zoom-6 event-density zone grid
+    below 20 cells merge into their largest SURVIVING neighbor (ties ->
+    smallest label) in one simultaneous pass — the deterministic,
+    SQL-replayable variant of GDAL's sequential size-order merge.
+    Adjacency comes from the labeled segment relation (O(runs) edges),
+    targets from one rank window, so the sieve costs two slim joins on
+    top of region_group."""
+    from .operators.regions import sieve_small_regions
+    from .udfs import derived_lat_expr, derived_lon_expr, tile_x_expr, tile_y_expr
+
+    n = 64
+    ev = load(spark, sf_dir, "events")
+    lon = derived_lon_expr(F.col("event_id"))
+    lat = derived_lat_expr(F.col("event_id"))
+    occ = (
+        ev.select(
+            tile_x_expr(lon, 6).cast("long").alias("gx"),
+            tile_y_expr(lat, 6).cast("long").alias("gy"),
+        )
+        .groupBy("gx", "gy").agg(F.count("*").alias("cnt"))
+    )
+    universe = (
+        spark.range(n).select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(n).select(F.col("id").alias("gy")))
+    )
+    cells = universe.join(occ, ["gx", "gy"], "left").select(
+        "gx", "gy", F.least(F.coalesce("cnt", F.lit(0)), F.lit(3)).alias("v")
+    )
+    return sieve_small_regions(cells, n, min_cells=20)
 
 
 @register("region_group", _region_group_oracle_sql())
