@@ -132,3 +132,36 @@ def test_image_quality_gates(spark):
     assert rows[0].entropy > 7.0  # white noise: near-8-bit-max entropy
     # kernel parity with a direct numpy evaluation
     assert abs(rows[0].blur_score - blur_kernel(sharp.astype(np.float64).mean(axis=2))) < 1e-9
+
+
+def test_dct_phash_invariances(spark):
+    """Real-pixel DCT pHash: identical images hash identically; a uniform
+    brightness shift flips at most the DC bit; an unrelated image is far
+    (near 32 of 64 bits)."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark.codecs import encode_image
+    from versatiles_rs_spark.multimodal import dct_phash_kernel, image_phash
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 200, (48, 48, 3)).astype(np.uint8)
+    brighter = np.clip(base.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 200, (48, 48, 3)).astype(np.uint8)
+
+    h_base = dct_phash_kernel(base)
+    assert h_base == dct_phash_kernel(base.copy())
+    d_bright = bin(h_base ^ dct_phash_kernel(brighter)).count("1")
+    assert d_bright <= 4  # brightness shift barely moves the hash
+    d_other = bin(h_base ^ dct_phash_kernel(other)).count("1")
+    assert d_other >= 16
+
+    # through Spark: fused pass adds dphash, values match the kernel
+    rows = [(i, bytes(encode_image(img, "png")))
+            for i, img in enumerate([base, brighter, other])]
+    df = spark.createDataFrame(rows, "image_id long, bytes binary")
+    got = {r["image_id"]: r["dphash"] for r in image_phash(df).collect()}
+    assert got[0] == h_base
+    assert got[1] == dct_phash_kernel(brighter)
+    plan = image_phash(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # one fused pass, no shuffle

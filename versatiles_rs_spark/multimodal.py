@@ -110,6 +110,48 @@ def image_features(df: DataFrame, payload: str = "bytes") -> DataFrame:
     return df.mapInPandas(run, schema=schema)
 
 
+def dct_phash_kernel(img: np.ndarray) -> int:
+    """Classic DCT perceptual hash (pHash.org / python-imagehash
+    algorithm) over REAL decoded pixels — the pixel-level companion of
+    the input table's synthetic `phash` column: grayscale -> 32x32 ->
+    2-D DCT-II -> 8x8 low-frequency block -> bit per coefficient above
+    the block median (median computed EXCLUDING the DC term, so a
+    uniform brightness shift flips at most the DC bit).  Returns int64;
+    composes directly with functions/phash.py's pigeonhole blocking,
+    which works on any 64-bit fingerprint."""
+    g = img[..., :3].mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    g = resize_kernel(g[:, :, None].astype(np.float64), 32, 32)[:, :, 0]
+    n = 32
+    k = np.arange(n, dtype=np.float64)
+    C = np.cos(np.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2.0 * n))
+    d = C @ g @ C.T
+    block = d[:8, :8].flatten()
+    med = np.median(block[1:])
+    bits = block > med
+    return int(
+        np.int64(bits @ (1 << np.arange(64, dtype=np.uint64)).astype(np.int64))
+    )
+
+
+def image_phash(df: DataFrame, payload: str = "bytes") -> DataFrame:
+    """Add a `dphash bigint` column: real-pixel DCT perceptual hash per
+    image, one fused Arrow pass (decode once, no shuffle)."""
+    from .udfs import schema_with
+
+    schema = schema_with(df.schema, ("dphash", "bigint"))
+
+    def run(batches):
+        for pdf in batches:
+            hashes = [
+                dct_phash_kernel(decode_image(bytes(blob))) for blob in pdf[payload]
+            ]
+            pdf = pdf.copy()
+            pdf["dphash"] = hashes
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def blur_kernel(gray: np.ndarray) -> float:
     """Variance of the 4-neighbor Laplacian — the standard cheap sharpness
     estimator (OpenCV's variance_of_laplacian): blurred images have weak
