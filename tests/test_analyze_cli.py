@@ -320,3 +320,17 @@ def test_analyze_cost_over_mbtiles(spark, tmp_path):
     # (dx=5, dy=2): 20*3 + 28*2 = 116
     assert p["total_cost"] == 5800 + 116
     assert p["cells"] == 250 + 5 + 1  # chebyshev legs + both endpoints
+
+
+def test_analyze_regions_and_distance(pts_parquet):
+    out = run_analyze("regions", pts_parquet, "--zoom", "5", "--min-cells", "6")
+    rg = out["regions"]
+    assert rg["regions"] > rg["after_sieve"] > 0
+    assert rg["largest"][0]["n_cells"] >= rg["largest"][-1]["n_cells"]
+    # zone histogram covers the whole 32x32 grid
+    assert sum(r["n_cells"] for r in rg["largest"]) <= 1024
+
+    out = run_analyze("distance", pts_parquet, "--zoom", "5", "--max-dist", "4")
+    dd = out["distance"]
+    assert dd["cells_reached"] + dd["cells_unreached"] == 1024
+    assert 0 < dd["max_d2"] <= 16

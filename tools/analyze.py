@@ -18,6 +18,8 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py coloc     pts.parquet [--type event_type] [--radius-deg 1.0]
     python tools/analyze.py kde       pts.parquet [--zoom 6] [--radius 2]
     python tools/analyze.py clusters  pts.parquet [--zoom 6]         # marker bubbles
+    python tools/analyze.py regions   pts.parquet [--zoom 6] [--min-cells 8]
+    python tools/analyze.py distance  pts.parquet [--zoom 6] [--max-dist D]
     python tools/analyze.py all       pts.parquet
     python tools/analyze.py hydro     dem.{mbtiles,pmtiles,versatiles,tar,parquet}
                                       [--zoom Z] [--min-accum 64] [--super-tiles 1]
@@ -349,7 +351,7 @@ def main(argv=None):
         choices=["hotspots", "trends", "emerging", "dbscan", "od",
                  "moran", "geary", "ripley", "idw", "shortest",
                  "stdbscan", "similar", "coloc", "kde", "clusters",
-                 "hydro", "viewshed", "polygonize", "cost", "all"],
+                 "regions", "distance", "hydro", "viewshed", "polygonize", "cost", "all"],
     )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
@@ -360,6 +362,10 @@ def main(argv=None):
     ap.add_argument("--radii", default="0.25,0.5,1.0",
                     help="comma-separated radii in degrees for the ripley command")
     ap.add_argument("--min-pts", type=int, default=None)
+    ap.add_argument("--min-cells", type=int, default=8,
+                    help="sieve threshold in cells (regions)")
+    ap.add_argument("--max-dist", type=int, default=None,
+                    help="distance horizon in cells (distance)")
     ap.add_argument("--eps-time", type=int, default=3600,
                     help="temporal radius in seconds for the stdbscan command")
     ap.add_argument("--type", dest="type_col", default="event_type",
@@ -425,7 +431,7 @@ def main(argv=None):
     cmds = (
         ["hotspots", "trends", "emerging", "dbscan", "od", "moran", "geary",
          "ripley", "idw", "shortest", "stdbscan", "similar", "coloc", "kde",
-         "clusters"]
+         "clusters", "regions", "distance"]
         if args.command == "all"
         else [args.command]
     )
@@ -651,6 +657,60 @@ def main(argv=None):
             out["clusters"] = {
                 "zooms": per_zoom,
                 "top": _top_rows(df.filter(F.col("z") == args.zoom), "n_points", args.top),
+            }
+        elif cmd == "regions":
+            from versatiles_rs_spark.functions.hotspots import cell_counts
+            from versatiles_rs_spark.operators.regions import (
+                region_group, sieve_small_regions,
+            )
+
+            n = 1 << args.zoom
+            occ = cell_counts(pts, args.lon, args.lat, args.zoom)
+            universe = (
+                spark.range(n).select(F.col("id").alias("gx"))
+                .crossJoin(spark.range(n).select(F.col("id").alias("gy")))
+            )
+            cells = universe.join(
+                occ.select(F.col("x").alias("gx"), F.col("y").alias("gy"), "cnt"),
+                ["gx", "gy"], "left",
+            ).select(
+                "gx", "gy",
+                F.least(F.coalesce("cnt", F.lit(0)), F.lit(3)).alias("v"),
+            )
+            raw = region_group(cells, n).cache()
+            sieved = sieve_small_regions(cells, n, min_cells=args.min_cells)
+            out["regions"] = {
+                "zoom": args.zoom,
+                "regions": raw.count(),
+                "after_sieve": sieved.count(),
+                "min_cells": args.min_cells,
+                "largest": [r.asDict() for r in
+                            raw.orderBy(F.col("n_cells").desc())
+                            .limit(args.top).collect()],
+            }
+        elif cmd == "distance":
+            from versatiles_rs_spark.functions.edt import euclidean_distance
+            from versatiles_rs_spark.functions.hotspots import cell_counts
+
+            n = 1 << args.zoom
+            feats = cell_counts(pts, args.lon, args.lat, args.zoom).select(
+                F.col("x").alias("gx"), F.col("y").alias("gy"),
+                (F.col("x") * n + F.col("y")).alias("src_id"),
+            )
+            block = max(n // 8, 1)
+            md = args.max_dist
+            blocks = euclidean_distance(
+                feats, n, block=block, max_dist=md
+            ).cache()
+            tot = blocks.agg(
+                F.sum("n_reached").alias("r"), F.sum("n_unreached").alias("u"),
+                F.sum("sum_d2").alias("s"), F.max("max_d2").alias("m"),
+            ).collect()[0]
+            out["distance"] = {
+                "zoom": args.zoom, "max_dist": md,
+                "cells_reached": tot["r"], "cells_unreached": tot["u"],
+                "max_d2": tot["m"],
+                "mean_d2_milli": int(tot["s"] * 1000 // tot["r"]) if tot["r"] else None,
             }
         elif cmd == "dbscan":
             from versatiles_rs_spark.joins.dbscan import grid_dbscan
