@@ -144,6 +144,7 @@ HEADLINE = [
     "near_segments",
     "dissolve_area",
     "sieve_regions",
+    "accessibility_2sfca",
 ]
 
 

@@ -6371,6 +6371,79 @@ def q_dissolve_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dissolve_area(rects)
 
 
+_SLON, _SLAT = derived_lonlat_sql("s_suppkey * 23 + 11")
+
+
+def _two_step_fca_oracle_sql(radius: int = 8000, scale: int = 1_000_000) -> str:
+    """Replay of two_step_fca: identical 3x3 catchment-cell ring (two
+    staged unnests), exact squared-distance gate, floor-quotient ratios
+    (non-negative operands), integer accessibility sums."""
+    r2 = radius * radius
+    return f"""
+    WITH sup AS (
+      SELECT s_suppkey AS sid,
+        CAST(floor(({_SLON}) * 1.0e3) AS BIGINT) + 200000 AS sx,
+        CAST(floor(({_SLAT}) * 1.0e3) AS BIGINT) + 200000 AS sy,
+        CAST(s_suppkey % 20 + 5 AS BIGINT) AS capacity
+      FROM supplier
+    ), s1 AS (
+      SELECT sid, sx, sy, capacity,
+             sx // {radius} + unnest([-1, 0, 1]) AS cx, sy // {radius} AS cy0
+      FROM sup
+    ), se AS (
+      SELECT sid, sx, sy, capacity, cx, cy0 + unnest([-1, 0, 1]) AS cy FROM s1
+    ), dem AS (
+      SELECT event_id AS pid,
+        CAST(floor(({_EV_LON}) * 1.0e3) AS BIGINT) + 200000 AS px,
+        CAST(floor(({_EV_LAT}) * 1.0e3) AS BIGINT) + 200000 AS py
+      FROM events
+    ), dc AS (
+      SELECT pid, px, py, px // {radius} AS cx, py // {radius} AS cy FROM dem
+    ), pairs AS MATERIALIZED (
+      SELECT pid, sid, capacity
+      FROM dc JOIN se USING (cx, cy)
+      WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= {r2}
+    ), ratios AS (
+      SELECT sid, (min(capacity) * {scale}) // count(*) AS ratio
+      FROM pairs GROUP BY sid
+    )
+    SELECT pid, CAST(count(*) AS BIGINT) AS n_supply,
+           CAST(sum(ratio) AS BIGINT) AS access
+    FROM pairs JOIN ratios USING (sid) GROUP BY pid
+    """
+
+
+@register("accessibility_2sfca", _two_step_fca_oracle_sql())
+def q_accessibility_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step floating catchment accessibility (functions/access.py —
+    Luo & Wang 2003, the standard GIS service-accessibility statistic):
+    supplier sites with synthetic capacities vs the event demand layer,
+    8-milli-degree-thousand catchments.  ONE candidate pair join (3x3
+    catchment-cell ring, no dedup pass) localCheckpointed and reused by
+    both steps; ratios and accessibility are exact integer floor
+    quotients — zero floats."""
+    from .functions.access import two_step_fca
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey")
+    skey = F.col("s_suppkey") * 23 + 11
+    supply = sup.select(
+        F.col("s_suppkey").alias("sid"),
+        (F.floor(derived_lon_expr(skey) * 1000).cast("long") + 200000).alias("sx"),
+        (F.floor(derived_lat_expr(skey) * 1000).cast("long") + 200000).alias("sy"),
+        (F.col("s_suppkey") % 20 + 5).alias("capacity"),
+    )
+    ev = load(spark, sf_dir, "events").select("event_id")
+    demand = ev.select(
+        F.col("event_id").alias("pid"),
+        (F.floor(derived_lon_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("px"),
+        (F.floor(derived_lat_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("py"),
+    )
+    return two_step_fca(demand, supply, radius=8000)
+
+
 def _near_segments_oracle_sql(dist: int = 3000, cell: int = 4000) -> str:
     """Replay of points_near_segments: identical expanded-bbox cell
     fan-out, single-cell point bucketing, and the exact rational
