@@ -103,6 +103,7 @@ HEADLINE = [
     "lisa_clusters",
     "bivariate_moran",
     "kde_heatmap",
+    "stkde_heatmap",
     "idw_fill",
     "st_dbscan_events",
     "traj_similarity",

@@ -256,13 +256,83 @@ def test_kde_heatmap_matches_numpy_convolution(spark):
     assert len(out) == int((ref > 0).sum())
 
 
+def test_stkde_matches_numpy_3d_convolution(spark):
+    """stkde_heatmap == a dense 3-D numpy convolution: space clips to the
+    grid, time bins spill one past the data range; absolute epoch bins."""
+    from versatiles_rs_spark.functions.kde import binomial_kernel, stkde_heatmap
+
+    zoom, radius, t_radius = 4, 2, 1
+    bin_us = 86_400 * 1_000_000  # 1-day bins
+    pts = _rng_points(seed=61, n=300)
+    rng = np.random.default_rng(62)
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    ts_us = base_us + rng.integers(0, 10 * 86_400, 300) * 1_000_000
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lon": [p[0] for p in pts],
+                "lat": [p[1] for p in pts],
+                "ts": pd.to_datetime(ts_us, unit="us"),
+            }
+        ),
+        schema="lon double, lat double, ts timestamp_ntz",
+    )
+    out = {
+        (r.x, r.y, r.tbin): r.density
+        for r in stkde_heatmap(
+            df, zoom=zoom, bin_micros=bin_us, radius=radius, t_radius=t_radius
+        ).collect()
+    }
+
+    dim = 1 << zoom
+    t0 = base_us // bin_us
+    nt = 10  # occupied day-bins t0 .. t0+9
+    cube = np.zeros((dim, dim, nt + 2), dtype=np.int64)  # +1 spill each end
+    for (lon, lat), us in zip(pts, ts_us.tolist()):
+        xf = dim * (lon / 360.0 + 0.5)
+        yf = dim * (
+            0.5
+            - 0.5 * math.log(math.tan(lat * math.pi / 360.0 + math.pi / 4.0)) / math.pi
+        )
+        x = min(max(int(math.floor(xf)), 0), dim - 1)
+        y = min(max(int(math.floor(yf)), 0), dim - 1)
+        cube[x, y, us // bin_us - t0 + 1] += 1
+    w = np.array(binomial_kernel(radius), dtype=np.int64)
+    wt = np.array(binomial_kernel(t_radius), dtype=np.int64)
+    ref = np.zeros_like(cube)
+    xs, ys, ts = np.nonzero(cube)
+    for x, y, t in zip(xs, ys, ts):
+        c = cube[x, y, t]
+        for dx in range(-radius, radius + 1):
+            for dy in range(-radius, radius + 1):
+                for dt in range(-t_radius, t_radius + 1):
+                    xx, yy, tt = x + dx, y + dy, t + dt
+                    if 0 <= xx < dim and 0 <= yy < dim and 0 <= tt < nt + 2:
+                        ref[xx, yy, tt] += (
+                            c * w[dx + radius] * w[dy + radius] * wt[dt + t_radius]
+                        )
+    assert len(out) == int((ref > 0).sum())
+    for (x, y, tb), d in out.items():
+        assert ref[x, y, tb - t0 + 1] == d
+    # time spill: bins before the first / after the last occupied bin exist
+    tbs = {tb for (_, _, tb) in out}
+    assert min(tbs) == t0 - 1 and max(tbs) == t0 + nt
+
+
 def test_kde_and_bivariate_plans_stay_jvm_side(spark):
     from versatiles_rs_spark.functions.kde import kde_heatmap
     from versatiles_rs_spark.functions.moran import bivariate_morans_i
 
+    from versatiles_rs_spark.functions.kde import stkde_heatmap
+
     pts = _rng_points(seed=41, n=60)
     df = _points_df(spark, pts)
-    for frame in (kde_heatmap(df, zoom=4), bivariate_morans_i(df, df, zoom=4)):
+    df_t = df.withColumn("ts", F.to_timestamp(F.lit("2024-01-05 00:00:00")))
+    for frame in (
+        kde_heatmap(df, zoom=4),
+        stkde_heatmap(df_t, zoom=4),
+        bivariate_morans_i(df, df, zoom=4),
+    ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 

@@ -3976,6 +3976,66 @@ def q_kde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kde_heatmap(ev, lon_col="lon", lat_col="lat", zoom=6, radius=2)
 
 
+_STKDE_BIN = 7 * 86_400 * 1_000_000  # 1-week time bins
+
+
+def _stkde_sql(zoom: int = 6, radius: int = 2, t_radius: int = 1) -> str:
+    """Oracle for stkde_heatmap: the 3-D separable binomial convolution
+    with VALUES weight tables — space clips to the grid, time does not.
+    epoch_us // bin (floor) == Spark `div` on the non-negative 2024
+    epochs."""
+    from .functions.kde import binomial_kernel
+
+    mx = (1 << zoom) - 1
+    w = binomial_kernel(radius)
+    wt = binomial_kernel(t_radius)
+    vals = ", ".join(f"({d - radius}, {w[d]})" for d in range(2 * radius + 1))
+    tvals = ", ".join(
+        f"({d - t_radius}, {wt[d]})" for d in range(2 * t_radius + 1)
+    )
+    return f"""
+    WITH pts AS (
+      SELECT {_EV_LON} AS lon, {_EV_LAT} AS lat,
+             epoch_us(ts) // {_STKDE_BIN} AS tbin
+      FROM events
+    ), cells AS (
+      SELECT {tile_xy_sql('lon', 'lat', zoom)[0]} AS x,
+             {tile_xy_sql('lon', 'lat', zoom)[1]} AS y,
+             tbin, CAST(count(*) AS BIGINT) AS cnt
+      FROM pts GROUP BY 1, 2, 3
+    )
+    SELECT c.x + dx.v AS x, c.y + dy.v AS y, c.tbin + dt.v AS tbin,
+           CAST(sum(c.cnt * dx.w * dy.w * dt.w) AS BIGINT) AS density
+    FROM cells c,
+         (VALUES {vals}) dx(v, w),
+         (VALUES {vals}) dy(v, w),
+         (VALUES {tvals}) dt(v, w)
+    WHERE c.x + dx.v BETWEEN 0 AND {mx} AND c.y + dy.v BETWEEN 0 AND {mx}
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("stkde_heatmap", _stkde_sql())
+def q_stkde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time kernel density (functions/kde.py stkde_heatmap): the
+    space-time-cube heat layer — a 3-D binomial kernel over per-
+    (cell, week-bin) event counts, exact int64 end to end. Explode runs
+    on the aggregated cube relation (75 structs/occupied cell), never
+    points; time bins are absolute epoch_us div bin."""
+    from .functions.kde import stkde_heatmap
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+        F.col("ts"),
+    )
+    return stkde_heatmap(
+        ev, lon_col="lon", lat_col="lat", ts_col="ts",
+        zoom=6, bin_micros=_STKDE_BIN, radius=2, t_radius=1,
+    )
+
+
 def _cluster_markers_sql(min_zoom: int = 4, max_zoom: int = 8) -> str:
     """Oracle for cluster_markers: the base-zoom cell aggregation with
     int64 micro-degree centroid sums, re-aggregated per level (unrolled
