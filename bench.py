@@ -104,6 +104,7 @@ HEADLINE = [
     "bivariate_moran",
     "kde_heatmap",
     "stkde_heatmap",
+    "directional_dist",
     "idw_fill",
     "st_dbscan_events",
     "traj_similarity",

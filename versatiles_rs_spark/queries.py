@@ -4036,6 +4036,78 @@ def q_stkde_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sde_sql(scale: int = 10_000) -> str:
+    """Oracle for std_dev_ellipse: HUGEINT exact moments (DuckDB's
+    sum(BIGINT) and explicit HUGEINT casts mirror Spark's DECIMAL(38,0)
+    sums — hugeint->double and BigDecimal->double are both correctly
+    rounded, pinned bit-identical in test_ellipse.py), then the same
+    trig-free sqrt-only eigen epilogue."""
+    sc = f"{float(scale):.17e}"
+    return f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor((({_EV_LON}) + 1.80000000000000000e+02) * {sc}) AS BIGINT) AS qx,
+             CAST(floor((({_EV_LAT}) + 9.00000000000000000e+01) * {sc}) AS BIGINT) AS qy
+      FROM events
+    ), agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+             sum(CAST(qx AS HUGEINT) * qx) AS sxx,
+             sum(CAST(qy AS HUGEINT) * qy) AS syy,
+             sum(CAST(qx AS HUGEINT) * qy) AS sxy
+      FROM pts GROUP BY 1
+    ), mom AS (
+      SELECT event_type, n,
+             CAST(sx // n AS DOUBLE) / {sc} - 1.80000000000000000e+02 AS lon_c,
+             CAST(sy // n AS DOUBLE) / {sc} - 9.00000000000000000e+01 AS lat_c,
+             CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS varx,
+             CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS vary,
+             CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS cov
+      FROM agg
+    ), eig AS (
+      SELECT *, (varx + vary + sqrt((varx - vary) * (varx - vary)
+                                    + 4.0 * cov * cov)) / 2.0 AS lam1,
+             greatest((varx + vary - sqrt((varx - vary) * (varx - vary)
+                                          + 4.0 * cov * cov)) / 2.0,
+                      0.0) AS lam2
+      FROM mom
+    )
+    SELECT event_type, n AS n_points, lon_c, lat_c,
+           round(sqrt(2.0 * lam1) / {sc}, 6) AS sigma1_deg,
+           round(sqrt(2.0 * lam2) / {sc}, 6) AS sigma2_deg,
+           round(CASE WHEN cov = 0.0 THEN CASE WHEN varx >= vary THEN 1.0 ELSE 0.0 END
+                 ELSE cov / sqrt(cov * cov + (lam1 - varx) * (lam1 - varx)) END,
+                 6) AS ex,
+           round(CASE WHEN cov = 0.0 THEN CASE WHEN varx >= vary THEN 0.0 ELSE 1.0 END
+                 ELSE (lam1 - varx) / sqrt(cov * cov + (lam1 - varx) * (lam1 - varx)) END,
+                 6) AS ey
+    FROM eig
+    """
+
+
+@register("directional_dist", _sde_sql())
+def q_directional_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional distribution / standard deviational ellipse
+    (functions/ellipse.py) per event type: mean center + 1-sigma ellipse
+    axes + unit major-axis eigenvector, from five exact integer sums (the
+    DECIMAL(38,0) <-> HUGEINT bit-identical-cast contract) and a trig-free
+    sqrt-only epilogue. One slim aggregation, one row per type."""
+    from .functions.ellipse import std_dev_ellipse
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+        F.col("event_type"),
+    )
+    return std_dev_ellipse(
+        ev, lon_col="lon", lat_col="lat", group_col="event_type"
+    )
+
+
 def _cluster_markers_sql(min_zoom: int = 4, max_zoom: int = 8) -> str:
     """Oracle for cluster_markers: the base-zoom cell aggregation with
     int64 micro-degree centroid sums, re-aggregated per level (unrolled
