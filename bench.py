@@ -105,6 +105,7 @@ HEADLINE = [
     "kde_heatmap",
     "stkde_heatmap",
     "directional_dist",
+    "huff_market",
     "idw_fill",
     "st_dbscan_events",
     "traj_similarity",

@@ -6576,6 +6576,87 @@ def q_accessibility_2sfca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_step_fca(demand, supply, radius=8000)
 
 
+def _huff_oracle_sql(
+    radius: int = 8000, scale: int = 1_000_000_000_000, prob_scale: int = 1_000
+) -> str:
+    """Replay of huff_market_share: same catchment ring join as the
+    2SFCA oracle, inverse-square gravity weights as exact floor
+    quotients, positive-weight filter BEFORE denominators, prob_scale
+    floor-quotient probabilities.  wp is referenced twice (den + probs)
+    -> AS MATERIALIZED per the CTE-inlining lesson."""
+    r2 = radius * radius
+    return f"""
+    WITH sup AS (
+      SELECT s_suppkey AS sid,
+        CAST(floor(({_SLON}) * 1.0e3) AS BIGINT) + 200000 AS sx,
+        CAST(floor(({_SLAT}) * 1.0e3) AS BIGINT) + 200000 AS sy,
+        CAST(s_suppkey % 20 + 5 AS BIGINT) AS attract
+      FROM supplier
+    ), s1 AS (
+      SELECT sid, sx, sy, attract,
+             sx // {radius} + unnest([-1, 0, 1]) AS cx, sy // {radius} AS cy0
+      FROM sup
+    ), se AS (
+      SELECT sid, sx, sy, attract, cx, cy0 + unnest([-1, 0, 1]) AS cy FROM s1
+    ), dem AS (
+      SELECT event_id AS pid,
+        CAST(floor(({_EV_LON}) * 1.0e3) AS BIGINT) + 200000 AS px,
+        CAST(floor(({_EV_LAT}) * 1.0e3) AS BIGINT) + 200000 AS py
+      FROM events
+    ), dc AS (
+      SELECT pid, px, py, px // {radius} AS cx, py // {radius} AS cy FROM dem
+    ), wp AS MATERIALIZED (
+      SELECT pid, sid,
+             (attract * {scale})
+               // ((px - sx) * (px - sx) + (py - sy) * (py - sy) + 1) AS w
+      FROM dc JOIN se USING (cx, cy)
+      WHERE (px - sx) * (px - sx) + (py - sy) * (py - sy) <= {r2}
+        AND (attract * {scale})
+              // ((px - sx) * (px - sx) + (py - sy) * (py - sy) + 1) > 0
+    ), den AS (
+      SELECT pid, CAST(sum(w) AS BIGINT) AS den FROM wp GROUP BY pid
+    ), probs AS (
+      SELECT sid, (w * {prob_scale}) // den AS p
+      FROM wp JOIN den USING (pid)
+    )
+    SELECT sid, CAST(count(*) AS BIGINT) AS n_reached,
+           CAST(sum(p) AS BIGINT) AS demand_milli,
+           CAST(CAST(sum(p) AS BIGINT) AS DOUBLE)
+             / {float(prob_scale):.17e} AS expected
+    FROM probs GROUP BY sid
+    """
+
+
+@register("huff_market", _huff_oracle_sql())
+def q_huff_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Huff gravity market share (functions/access.py::huff_market_share
+    — Huff 1963, the ArcGIS Business Analyst market-capture statistic):
+    supplier sites with synthetic attractiveness vs the event demand
+    layer over the SAME catchment pair join as accessibility_2sfca;
+    inverse-square decay and probabilities as exact integer floor
+    quotients — zero floats in any exchange."""
+    from .functions.access import huff_market_share
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey")
+    skey = F.col("s_suppkey") * 23 + 11
+    supply = sup.select(
+        F.col("s_suppkey").alias("sid"),
+        (F.floor(derived_lon_expr(skey) * 1000).cast("long") + 200000).alias("sx"),
+        (F.floor(derived_lat_expr(skey) * 1000).cast("long") + 200000).alias("sy"),
+        (F.col("s_suppkey") % 20 + 5).alias("attract"),
+    )
+    ev = load(spark, sf_dir, "events").select("event_id")
+    demand = ev.select(
+        F.col("event_id").alias("pid"),
+        (F.floor(derived_lon_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("px"),
+        (F.floor(derived_lat_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("py"),
+    )
+    return huff_market_share(demand, supply, radius=8000)
+
+
 def _near_segments_oracle_sql(dist: int = 3000, cell: int = 4000) -> str:
     """Replay of points_near_segments: identical expanded-bbox cell
     fan-out, single-cell point bucketing, and the exact rational
