@@ -62,6 +62,78 @@ def encode_png(img: np.ndarray, compress_level: int = 6) -> bytes:
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
+def median_cut_palette(pixels: np.ndarray, n_colors: int = 256):
+    """Deterministic Heckbert median-cut: (N, C) uint8 pixels -> (K<=n,
+    C) uint8 palette.  Every step has a total order: boxes split by
+    largest pixel count (first index on ties), along the widest channel
+    (lowest on ties), at the weighted median of a lexicographic sort;
+    entries are count-weighted means with half-up integer rounding; the
+    final palette is lexicographically sorted (np.unique).  No RNG, no
+    k-means init — two runs on the same pixels are byte-identical."""
+    colors, counts = np.unique(pixels.reshape(-1, pixels.shape[-1]), axis=0, return_counts=True)
+    boxes = [(colors, counts)]
+    while len(boxes) < n_colors:
+        sizes = [c.sum() if len(c) > 1 else 0 for _, c in boxes]
+        b = int(np.argmax(sizes))
+        if sizes[b] == 0:  # nothing splittable left
+            break
+        cols, cnts = boxes[b]
+        spread = cols.max(axis=0).astype(np.int32) - cols.min(axis=0)
+        ch = int(np.argmax(spread))
+        order = np.lexsort(tuple(cols[:, k] for k in range(cols.shape[1] - 1, -1, -1) if k != ch) + (cols[:, ch],))
+        cols, cnts = cols[order], cnts[order]
+        half = cnts.sum() / 2.0
+        cut = int(np.searchsorted(np.cumsum(cnts), half)) + 1
+        cut = min(max(cut, 1), len(cols) - 1)
+        boxes[b] = (cols[:cut], cnts[:cut])
+        boxes.append((cols[cut:], cnts[cut:]))
+    pal = np.array(
+        [
+            (
+                (cols.astype(np.uint64) * cnts[:, None].astype(np.uint64)).sum(axis=0)
+                + np.uint64(int(cnts.sum()) // 2)
+            )
+            // np.uint64(cnts.sum())
+            for cols, cnts in boxes
+        ],
+        dtype=np.uint8,
+    )
+    return np.unique(pal, axis=0)
+
+
+def nearest_palette_index(pixels: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """Exact nearest palette entry per pixel (squared distance, lowest
+    index on ties — argmin is first-match)."""
+    flat = pixels.reshape(-1, pixels.shape[-1]).astype(np.int32)
+    d = ((flat[:, None, :] - palette[None, :, :].astype(np.int32)) ** 2).sum(axis=2)
+    return d.argmin(axis=1).astype(np.uint8)
+
+
+def encode_png8(img: np.ndarray, n_colors: int = 256, compress_level: int = 6) -> bytes:
+    """Palette (color type 3) PNG — the pngquant/tile-server "PNG8"
+    path: median-cut quantize to <=n_colors, PLTE (+tRNS when the image
+    has alpha), 1 byte/pixel scanlines.  Gray promotes to RGB, LumaA to
+    RGBA (PLTE is RGB by spec).  Typically 2-4x smaller than RGB8 for
+    map tiles at visually-lossless error."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif img.shape[2] == 2:
+        img = np.concatenate([np.repeat(img[:, :, :1], 3, axis=2), img[:, :, 1:]], axis=2)
+    h, w, c = img.shape
+    pal = median_cut_palette(img, n_colors)
+    idx = nearest_palette_index(img, pal).reshape(h, w)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    chunks = _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal[:, :3].tobytes())
+    if c == 4:
+        chunks += _chunk(b"tRNS", pal[:, 3].tobytes())
+    rows = np.zeros((h, 1 + w), dtype=np.uint8)
+    rows[:, 1:] = idx
+    chunks += _chunk(b"IDAT", zlib.compress(rows.tobytes(), compress_level))
+    return PNG_SIG + chunks + _chunk(b"IEND", b"")
+
+
 def _paeth(a, b, c):
     p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
     pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
@@ -78,6 +150,7 @@ def decode_png(blob: bytes) -> np.ndarray:
     w = h = None
     color_type = None
     idat = b""
+    plte = trns = None
     while pos < len(blob):
         (length,) = struct.unpack(">I", blob[pos : pos + 4])
         tag = blob[pos + 4 : pos + 8]
@@ -87,11 +160,15 @@ def decode_png(blob: bytes) -> np.ndarray:
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
             if depth != 8 or interlace != 0:
                 raise ValueError("only 8-bit non-interlaced PNG supported")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif tag == b"IDAT":
             idat += data
         elif tag == b"IEND":
             break
-    c = _CHANNELS[color_type]
+    c = 1 if color_type == 3 else _CHANNELS[color_type]
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * c)
     filters = raw[:, 0]
     data = raw[:, 1:].reshape(h, w, c).copy()
@@ -117,6 +194,17 @@ def decode_png(blob: bytes) -> np.ndarray:
         else:
             raise ValueError(f"bad filter {f}")
         prev = row
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        idx = data[:, :, 0]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            pal = np.concatenate([plte, alpha[:, None]], axis=1)
+        else:
+            pal = plte
+        return pal[idx]
     return data
 
 

@@ -172,6 +172,37 @@ def raster_format(
     return df.mapInPandas(run, schema=df.schema)
 
 
+@register_operator("raster_palette")
+def raster_palette(
+    df: DataFrame,
+    n_colors: int = 256,
+    payload: str = "bytes",
+    fmt_col: str = "fmt",
+) -> DataFrame:
+    """Quantize tiles to palette PNG8 (the pngquant / TileMill "PNG8
+    tiles" serving optimization — 2-4x smaller payloads at map-tile
+    color counts): deterministic median-cut (codecs.median_cut_palette),
+    PLTE+tRNS encode, ONE fused Arrow pass (decode-quantize-encode;
+    payload bytes cross the Arrow boundary once).  fmt stays "png" —
+    PNG8 is plain PNG to every client."""
+    n_colors = int(n_colors)
+
+    def run(batches):
+        from ..codecs import encode_png8
+
+        for pdf in batches:
+            out = []
+            for blob in pdf[payload]:
+                img = decode_image(bytes(blob))
+                out.append(encode_png8(img, n_colors))
+            pdf = pdf.copy()
+            pdf[payload] = pd.Series(out, index=pdf.index)
+            pdf[fmt_col] = "png"
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
 @register_operator("raster_overscale")
 def raster_overscale(
     df: DataFrame, from_zoom: int, to_zoom: int, payload: str = "bytes", fmt_col: str = "fmt"

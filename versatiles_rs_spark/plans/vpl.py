@@ -605,6 +605,15 @@ def _raster_format(df, format: str = "png", quality="85", **kw):
     return raster_format(df, target_fmt=format, quality=quality)
 
 
+@transform("raster_palette")
+def _raster_palette(df, colors="256", **kw):
+    """Engine extension: palette-PNG8 quantization (pngquant analog) in
+    the pipeline language."""
+    from ..operators.raster import raster_palette
+
+    return raster_palette(df, n_colors=int(colors))
+
+
 @transform("flip_y")
 def _flip_y(df, **kw):
     from ..operators.transform import flip_y_df
