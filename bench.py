@@ -140,6 +140,8 @@ HEADLINE = [
     "terrain_openness",
     "twi_surface",
     "slope_aspect",
+    "contour_stats",
+    "tabulate_area",
     "euclidean_distance",
     "region_group",
     "areal_interp",

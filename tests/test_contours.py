@@ -67,3 +67,47 @@ def test_dem_contours_spark_and_simplify_composition(spark):
     kept = simplify_lines(with_ids, eps=0.05)
     per_line = {r.line_id: r["count"] for r in kept.groupBy("line_id").count().collect()}
     assert set(per_line.values()) == {2}
+
+
+def test_contour_stats_matches_global_brute_force(spark):
+    """Border-exact crossing statistics: the distributed strip-join plan
+    must equal a numpy evaluation over the whole zoom-1 mosaic, edge by
+    edge — any misowned or dropped tile-boundary edge flips a count."""
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.fixtures import dem_value
+    from versatiles_rs_spark.operators.contours import contour_stats
+
+    levels = [32, 64, 96, 128, 160, 192]
+    n = 512
+    g = np.arange(n, dtype=np.int64)
+    v = dem_value(g[None, :], g[:, None])
+
+    expected = {}
+    # horizontal edges (west pixel owns), vertical edges (north pixel owns)
+    for e0, e1, ox, oy in (
+        (v[:, :-1], v[:, 1:], g[None, :-1], g[:, None] * np.ones((1, n - 1), np.int64)),
+        (v[:-1, :], v[1:, :], g[None, :] * np.ones((n - 1, 1), np.int64), g[:-1, None]),
+    ):
+        lo, hi = np.minimum(e0, e1), np.maximum(e0, e1)
+        tx, ty = (np.broadcast_to(ox, lo.shape) // 256, np.broadcast_to(oy, lo.shape) // 256)
+        for lv in levels:
+            cross = (lo < lv) & (lv <= hi)
+            for t in range(4):
+                m = cross & (tx == t % 2) & (ty == t // 2)
+                if not m.any():
+                    continue
+                key = (t % 2, t // 2, lv)
+                add = (
+                    int(m.sum()),
+                    int((lv - lo[m]).sum()),
+                    int((hi[m] - lo[m]).sum()),
+                )
+                cur = expected.get(key, (0, 0, 0))
+                expected[key] = tuple(a + b for a, b in zip(cur, add))
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    got = {
+        (r.x, r.y, r.level): (r.n_cross, r.num_sum, r.span_sum)
+        for r in contour_stats(tiles, levels=levels, tile_size=256).collect()
+    }
+    assert got == expected

@@ -388,3 +388,27 @@ def test_dem_hillshade_spark(spark):
     want = hillshade_kernel(heights)
     assert img.shape[0] == 30 and (img[:, :, 0] == img[:, :, 1]).all()
     assert np.abs(img[:, :, 0].astype(int) - want.astype(int)).max() <= 1
+
+
+def test_raster_crosstab_matches_global_brute_force(spark):
+    """Tabulate Area parity: the distributed 2-D bincount over PNG tiles
+    must equal a numpy cross-tab of the closed-form class surfaces."""
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.fixtures import dem_value, landcover_value
+    from versatiles_rs_spark.operators.raster import raster_crosstab
+
+    n = 512
+    g = np.arange(n, dtype=np.int64)
+    a = dem_value(g[None, :], g[:, None]) // 32
+    b = landcover_value(g[None, :], g[:, None])
+    expected = {}
+    for ca, cb in zip(a.ravel(), b.ravel()):
+        expected[(int(ca), int(cb))] = expected.get((int(ca), int(cb)), 0) + 1
+
+    tiles = fixtures.class_raster_df(spark, zoom=1, partitions=4)
+    got = {
+        (r.class_a, r.class_b): r.n_px
+        for r in raster_crosstab(tiles, band_a=0, band_b=1, quant_a=32).collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == n * n  # every pixel counted exactly once

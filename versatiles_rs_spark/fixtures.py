@@ -545,6 +545,52 @@ def dem_raster_df(spark: SparkSession, zoom: int = 3, partitions: int = 16) -> D
     return _dem_tiles(spark, zoom=zoom, partitions=partitions, fn=dem_value)
 
 
+def landcover_value(gx: np.ndarray, gy: np.ndarray) -> np.ndarray:
+    """Deterministic synthetic land-cover class at global pixel (gx, gy),
+    int64 in [0, 4]: 64px macro blocks shifted by the diagonal texture
+    wave — blocky patches with irregular diagonal borders, so class
+    regions straddle tiles and every (elevation band x class) cell of
+    the cross-tab is populated. All operands non-negative, so % and
+    integer division agree between numpy, Spark and DuckDB."""
+    return (gx // 64 + 2 * (gy // 64) + (gx + 2 * gy) // 128) % 5
+
+
+def landcover_sql(gx_expr: str, gy_expr: str) -> str:
+    """DuckDB replay of landcover_value (same non-negative // and %
+    convention as dem_sql)."""
+    gx, gy = f"({gx_expr})", f"({gy_expr})"
+    return f"(({gx} // 64 + 2 * ({gy} // 64) + ({gx} + 2 * {gy}) // 128) % 5)"
+
+
+def class_raster_df(spark: SparkSession, zoom: int = 1, partitions: int = 4) -> DataFrame:
+    """Single-zoom two-band class raster (x, y, bytes): REAL RGB PNG
+    tiles with band 0 = dem_value elevation and band 1 = landcover_value
+    class — the cross-tabulation (ArcGIS Tabulate Area / GDAL Combine)
+    fixture. One PNG encode per tile, generated distributed."""
+    n = 1 << zoom
+
+    def gen(batches):
+        from .codecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                x, y = int(i) % n, int(i) // n
+                gx = np.arange(x * 256, (x + 1) * 256, dtype=np.int64)
+                gy = np.arange(y * 256, (y + 1) * 256, dtype=np.int64)
+                a = dem_value(gx[None, :], gy[:, None]).astype(np.uint8)
+                b = landcover_value(gx[None, :], gy[:, None]).astype(np.uint8)
+                img = np.stack([a, b, np.zeros_like(a)], axis=-1)
+                rows.append((x, y, encode_png(img)))
+            yield pd.DataFrame(rows, columns=["x", "y", "bytes"])
+
+    return (
+        spark.range(n * n)
+        .repartition(partitions)
+        .mapInPandas(gen, schema="x long, y long, bytes binary")
+    )
+
+
 def _dem_tiles(spark: SparkSession, zoom: int, partitions: int, fn) -> DataFrame:
     n = 1 << zoom
 

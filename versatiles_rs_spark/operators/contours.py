@@ -22,7 +22,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs import decode_image
 
 # case -> list of (edge_a, edge_b) segments; edges: 0=AB top, 1=BC right,
 # 2=CD bottom, 3=DA left; corner bits: A(x,y)=1, B(x+1,y)=2, C(x+1,y+1)=4,
@@ -172,3 +174,153 @@ def dem_contours(
             )
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Border-exact contour crossing statistics (cross-engine verifiable path)
+# ---------------------------------------------------------------------------
+# dem_contours above is the RENDER path: per-tile polylines (GDAL treats
+# each raster independently too).  contour_stats below is the border-EXACT
+# accounting path: every lattice edge of the GLOBAL mosaic — including the
+# ones straddling tile boundaries — owned by its west/north pixel's tile,
+# crossed against literal levels with exact integer interpolation sums, so
+# a DuckDB oracle can verify the whole distributed plan by hash:
+#
+#   pass 1 (mapInPandas, no shuffle): each tile decodes ONCE, counts its
+#     interior edge crossings per level (slim partial rows), and emits its
+#     first column/row as an array<long> strip addressed to the west/north
+#     neighbor plus its last column/row addressed to itself.
+#   pass 2 (pure JVM): inner-join own-last with neighbor-first strips on
+#     (x, y, dir) — global-border strips find no partner and drop —
+#     explode(arrays_zip) to slim (lo, hi) rows, cross the literal level
+#     list, groupBy.  union with interior partials, final sum.
+#
+# At 100 TB: payload decodes exactly once and never enters an Exchange;
+# boundary traffic is 2*tile_size longs per tile (~4 KB) keyed by tile
+# coordinate with <= 2 rows per join key — unskewable; output is bounded
+# by tiles x levels.
+
+def _level_partials(
+    x: int, y: int, lo: np.ndarray, hi: np.ndarray, levels: list[int]
+) -> list[list[int]]:
+    """Slim per-level partial rows for a batch of edges given as parallel
+    low/high endpoint arrays."""
+    rows = []
+    for lv in levels:
+        cross = (lo < lv) & (lv <= hi)
+        n = int(cross.sum())
+        if n == 0:
+            continue
+        rows.append(
+            [
+                x,
+                y,
+                int(lv),
+                n,
+                int(lv) * n - int(lo[cross].sum()),
+                int(hi[cross].sum() - lo[cross].sum()),
+            ]
+        )
+    return rows
+
+
+def contour_stats(
+    tiles: DataFrame,
+    levels: list[int],
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """Per-(tile, level) marching-squares crossing statistics over a
+    single-zoom tile table (x, y, bytes): n_cross edge crossings,
+    num_sum = sum(L - lo) and span_sum = sum(hi - lo) — the exact integer
+    pieces of every GDAL contour vertex's interpolation parameter.
+
+    Every lattice edge is owned by the tile of its west/north pixel;
+    edges to a nonexistent tile (global raster border) do not exist.
+    Tiles with zero crossings at a level emit no row (contour lines do
+    not cross flat tiles)."""
+    ts = int(tile_size)
+    lvls = sorted(int(v) for v in levels)
+    if not lvls:
+        raise ValueError("contour_stats: need at least one level")
+    pay = payload
+
+    p1_schema = (
+        "x long, y long, level long, n_cross long, num_sum long, "
+        "span_sum long, dir int, side int, vals array<long>"
+    )
+
+    def pass1(batches):
+        for pdf in batches:
+            agg_rows: list[list] = []
+            strip_rows: list[list] = []
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf[pay]):
+                x, y = int(x), int(y)
+                v = decode_image(bytes(blob))[..., band].astype(np.int64)
+                # interior horizontal edges (west->east pairs) + vertical
+                # (north->south pairs), both pixels in-tile
+                e0 = np.concatenate([v[:, :-1].ravel(), v[:-1, :].ravel()])
+                e1 = np.concatenate([v[:, 1:].ravel(), v[1:, :].ravel()])
+                lo = np.minimum(e0, e1)
+                hi = np.maximum(e0, e1)
+                for row in _level_partials(x, y, lo, hi, lvls):
+                    agg_rows.append(row + [-1, 0, None])
+                # halo strips: dir 0 = horizontal edges across the east
+                # tile border (columns), dir 1 = vertical across south
+                # (rows); side 0 = own last line (owner), side 1 = own
+                # first line addressed to the owning west/north neighbor
+                pad = [0, 0, 0]  # n_cross, num_sum, span_sum placeholders
+                strip_rows.append([x, y, 0] + pad + [0, 0, v[:, -1].tolist()])
+                if x > 0:
+                    strip_rows.append([x - 1, y, 0] + pad + [0, 1, v[:, 0].tolist()])
+                strip_rows.append([x, y, 0] + pad + [1, 0, v[-1, :].tolist()])
+                if y > 0:
+                    strip_rows.append([x, y - 1, 0] + pad + [1, 1, v[0, :].tolist()])
+            cols = [
+                "x", "y", "level", "n_cross", "num_sum", "span_sum",
+                "dir", "side", "vals",
+            ]
+            yield pd.DataFrame(agg_rows + strip_rows, columns=cols)
+
+    p1 = tiles.mapInPandas(pass1, schema=p1_schema)
+    # dir = -1 marks interior per-level partial rows; dir >= 0 marks strips
+    interior = p1.filter(F.col("dir") == -1).select(
+        "x", "y", "level", "n_cross", "num_sum", "span_sum"
+    )
+    strips = p1.filter(F.col("dir") >= 0).select("x", "y", "dir", "side", "vals")
+    own = strips.filter(F.col("side") == 0).select("x", "y", "dir", F.col("vals").alias("a"))
+    nbr = strips.filter(F.col("side") == 1).select("x", "y", "dir", F.col("vals").alias("b"))
+    # boundary edges: own last line zipped with the neighbor's first line;
+    # exploded rows are slim (two longs), bounded by 2*ts per tile
+    pairs = own.join(nbr, on=["x", "y", "dir"])
+    edge = pairs.select(
+        "x",
+        "y",
+        F.explode(F.arrays_zip("a", "b")).alias("z"),
+    ).select(
+        "x",
+        "y",
+        F.least(F.col("z.a"), F.col("z.b")).alias("lo"),
+        F.greatest(F.col("z.a"), F.col("z.b")).alias("hi"),
+    )
+    lv = F.explode(F.array(*[F.lit(v).cast("long") for v in lvls])).alias("level")
+    boundary = (
+        edge.select("x", "y", "lo", "hi", lv)
+        .filter((F.col("lo") < F.col("level")) & (F.col("level") <= F.col("hi")))
+        .groupBy("x", "y", "level")
+        .agg(
+            F.count("*").alias("n_cross"),
+            F.sum(F.col("level") - F.col("lo")).alias("num_sum"),
+            F.sum(F.col("hi") - F.col("lo")).alias("span_sum"),
+        )
+    )
+    return (
+        interior.unionByName(boundary)
+        .groupBy("x", "y", "level")
+        .agg(
+            F.sum("n_cross").alias("n_cross"),
+            F.sum("num_sum").alias("num_sum"),
+            F.sum("span_sum").alias("span_sum"),
+        )
+    )

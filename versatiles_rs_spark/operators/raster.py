@@ -705,3 +705,47 @@ def rasterize_polygons(
         ", bytes binary, fmt string" if emit_bytes else ""
     )
     return tiles.mapInPandas(burn, schema=schema)
+
+
+def raster_crosstab(
+    tiles: DataFrame,
+    band_a: int = 0,
+    band_b: int = 1,
+    quant_a: int = 1,
+    quant_b: int = 1,
+    payload: str = "bytes",
+) -> DataFrame:
+    """Cross-tabulation of two class bands of a tiled raster — the ArcGIS
+    Tabulate Area / GDAL `Combine` reduction (absent from the reference
+    toolbox, whose raster ops are per-tile pixel transforms): one output
+    row per observed (class_a, class_b) pair with its pixel count, where
+    class = band_value // quant (quant > 1 reclassifies a continuous band
+    into equal-width bins map-side, e.g. elevation // 32 -> 32 m bands).
+
+    100 TB shape: each tile decodes ONCE in a single Arrow crossing and
+    emits at most classes_a x classes_b slim partial rows (a 2-D
+    bincount), so the shuffle moves O(tiles x observed-class-pairs)
+    integers and the payload never enters an Exchange; the final groupBy
+    is over the tiny class-pair key space — no skew risk at any input
+    size (hot classes just sum bigger int64 partials)."""
+    qa, qb = int(quant_a), int(quant_b)
+    if qa < 1 or qb < 1:
+        raise ValueError("raster_crosstab: quant_a/quant_b must be >= 1")
+
+    def run(batches):
+        for pdf in batches:
+            out = {"class_a": [], "class_b": [], "n": []}
+            for blob in pdf[payload]:
+                img = decode_image(bytes(blob))
+                a = img[..., band_a].astype(np.int64) // qa
+                b = img[..., band_b].astype(np.int64) // qb
+                nb = int(b.max()) + 1
+                packed = np.bincount((a * nb + b).ravel())
+                nz = np.nonzero(packed)[0]
+                out["class_a"].extend((nz // nb).tolist())
+                out["class_b"].extend((nz % nb).tolist())
+                out["n"].extend(packed[nz].tolist())
+            yield pd.DataFrame(out)
+
+    partials = tiles.mapInPandas(run, schema="class_a long, class_b long, n long")
+    return partials.groupBy("class_a", "class_b").agg(F.sum("n").alias("n_px"))

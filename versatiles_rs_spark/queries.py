@@ -8626,6 +8626,95 @@ def q_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strahler_order(universe, streams, doubling_rounds=3)
 
 
+def _contour_oracle_sql(zoom: int, interval: int, n_levels: int) -> str:
+    """Closed-form replay of contour_stats over the synthetic DEM: every
+    lattice edge (horizontal = west->east pixel pairs, vertical =
+    north->south), owned by its first pixel's tile, crossed with the
+    literal level list; crossing test and interpolation sums are pure
+    integer arithmetic on fixtures.dem_sql values."""
+    from .fixtures import dem_sql
+
+    n = (1 << zoom) * 256
+    lvls = ", ".join(str(interval * (i + 1)) for i in range(n_levels))
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, {n})) AS gx),
+    ys AS (SELECT unnest(range(0, {n})) AS gy),
+    lv AS (SELECT unnest([{lvls}]) AS level),
+    he AS (SELECT gx // 256 AS x, gy // 256 AS y,
+           {dem_sql('gx', 'gy')} AS e0, {dem_sql('gx + 1', 'gy')} AS e1
+           FROM (SELECT unnest(range(0, {n - 1})) AS gx) CROSS JOIN ys),
+    ve AS (SELECT gx // 256 AS x, gy // 256 AS y,
+           {dem_sql('gx', 'gy')} AS e0, {dem_sql('gx', 'gy + 1')} AS e1
+           FROM xs CROSS JOIN (SELECT unnest(range(0, {n - 1})) AS gy)),
+    edges AS (
+      SELECT x, y, least(e0, e1) AS lo, greatest(e0, e1) AS hi FROM he
+      UNION ALL
+      SELECT x, y, least(e0, e1) AS lo, greatest(e0, e1) AS hi FROM ve)
+    SELECT x, y, CAST(level AS BIGINT) AS level,
+      CAST(count(*) AS BIGINT) AS n_cross,
+      CAST(sum(level - lo) AS BIGINT) AS num_sum,
+      CAST(sum(hi - lo) AS BIGINT) AS span_sum
+    FROM edges CROSS JOIN lv
+    WHERE lo < level AND level <= hi
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("contour_stats", _contour_oracle_sql(zoom=2, interval=32, n_levels=6))
+def q_contour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdal_contour parity statistics (operators/contour.py::contour_stats)
+    over the zoom-2 REAL-PNG DEM: per (tile, level) lattice-edge crossing
+    count plus the exact integer numerator/denominator sums of every GDAL
+    contour vertex's interpolation parameter t = (L - e0)/(e1 - e0)
+    (gdal/alg/contour.cpp semantics; the reference repo has no contour
+    operator — engine-extension toolbox parity).  Distributed shape:
+    payload decodes ONCE per tile map-side; tile-straddling edges pair
+    through a 2x256-long strip join in pure JVM (<= 2 rows per key,
+    unskewable); per-level output is tiles x levels.  A hash match proves
+    PNG round-trip, strip pairing/ownership AND the integer crossing +
+    interpolation arithmetic at once."""
+    from . import fixtures
+    from .operators.contours import contour_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=16)
+    return contour_stats(tiles, levels=[32 * i for i in range(1, 7)], tile_size=256)
+
+
+def _tabulate_oracle_sql(zoom: int, quant_a: int) -> str:
+    """Closed-form replay of raster_crosstab over the two-band class
+    fixture: both class surfaces recomputed per pixel from their integer
+    closed forms, grouped by the (elevation band, land-cover class) pair."""
+    from .fixtures import dem_sql, landcover_sql
+
+    n = (1 << zoom) * 256
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, {n})) AS gx),
+    ys AS (SELECT unnest(range(0, {n})) AS gy),
+    px AS (SELECT {dem_sql('gx', 'gy')} // {quant_a} AS class_a,
+                  {landcover_sql('gx', 'gy')} AS class_b
+           FROM xs CROSS JOIN ys)
+    SELECT class_a, class_b, CAST(count(*) AS BIGINT) AS n_px
+    FROM px GROUP BY 1, 2
+    """
+
+
+@register("tabulate_area", _tabulate_oracle_sql(zoom=1, quant_a=32))
+def q_tabulate_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster cross-tabulation (operators/raster.py::raster_crosstab —
+    ArcGIS Tabulate Area / GDAL Combine parity) over the zoom-1 two-band
+    REAL-PNG class raster: pixel counts per (elevation // 32 band,
+    land-cover class) pair.  Payload decodes once map-side into a 2-D
+    bincount; only O(tiles x class-pairs) integer partials shuffle, and
+    the final groupBy key space is the tiny class grid — unskewable by
+    construction.  The hash match proves PNG round-trip of BOTH bands,
+    the map-side reclassify quantisation and the partial-sum combine."""
+    from . import fixtures
+    from .operators.raster import raster_crosstab
+
+    tiles = fixtures.class_raster_df(spark, zoom=1, partitions=4)
+    return raster_crosstab(tiles, band_a=0, band_b=1, quant_a=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
