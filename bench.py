@@ -140,6 +140,7 @@ HEADLINE = [
     "terrain_openness",
     "twi_surface",
     "slope_aspect",
+    "curvature",
     "contour_stats",
     "tabulate_area",
     "euclidean_distance",

@@ -442,3 +442,118 @@ def test_slope_aspect_payload_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"
+
+
+# ---------------------------------------------------------------------------
+# Zevenbergen & Thorne curvature
+# ---------------------------------------------------------------------------
+
+_CURV_KEYS = [
+    "n_px", "sum_lap", "sum_abs_lap", "n_convex", "n_concave", "n_planar",
+    "n_plan_pos", "n_plan_neg", "n_plan_zero",
+    "n_prof_pos", "n_prof_neg", "n_prof_zero",
+]
+
+
+def _global_curvature(n_px_side: int, tile_size: int = 256):
+    """Independent ground truth: Z&T numerators by explicit slicing over
+    the full mosaic (NOT via terrain_fields), grouped by owning tile."""
+    gx = np.arange(n_px_side, dtype=np.int64)
+    v = dem_value(gx[None, :], gx[:, None])
+    c = lambda dr, dc: v[1 + dr : n_px_side - 1 + dr, 1 + dc : n_px_side - 1 + dc]
+    nw, n_, ne = c(-1, -1), c(-1, 0), c(-1, 1)
+    w_, cc, e_ = c(0, -1), c(0, 0), c(0, 1)
+    sw, s_, se = c(1, -1), c(1, 0), c(1, 1)
+    g, h = e_ - w_, n_ - s_
+    d, e = w_ + e_ - 2 * cc, n_ + s_ - 2 * cc
+    f = ne + sw - nw - se
+    lap = d + e
+    plan = 2 * d * h * h + 2 * e * g * g - f * g * h
+    prof = -(2 * d * g * g + 2 * e * h * h + f * g * h)
+    n_tiles = n_px_side // tile_size
+    out = {}
+    for ty in range(n_tiles):
+        for tx in range(n_tiles):
+            r0 = max(ty * tile_size, 1)
+            r1 = min((ty + 1) * tile_size, n_px_side - 1)
+            c0 = max(tx * tile_size, 1)
+            c1 = min((tx + 1) * tile_size, n_px_side - 1)
+            sub = lambda a: a[r0 - 1 : r1 - 1, c0 - 1 : c1 - 1]
+            lp, pl, pr = sub(lap), sub(plan), sub(prof)
+            out[(tx, ty)] = [
+                lp.size, int(lp.sum()), int(np.abs(lp).sum()),
+                int((lp < 0).sum()), int((lp > 0).sum()), int((lp == 0).sum()),
+                int((pl > 0).sum()), int((pl < 0).sum()), int((pl == 0).sum()),
+                int((pr > 0).sum()), int((pr < 0).sum()), int((pr == 0).sum()),
+            ]
+    return out
+
+
+def test_curvature_distributed_matches_global(spark):
+    from versatiles_rs_spark.operators.focal import curvature_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=8)
+    got = {
+        (r["x"], r["y"]): [r[k] for k in _CURV_KEYS]
+        for r in curvature_stats(tiles).collect()
+    }
+    assert got == _global_curvature(1024)
+
+
+def test_curvature_analytic_surfaces():
+    """Closed-form sanity on analytic patches via terrain_fields:
+    a tilted plane is planar everywhere (lap = plan = prof = 0); a
+    paraboloid pit v = x^2 + y^2 is concave (lap > 0) with negative
+    profile curvature away from the apex; its dome mirror is convex with
+    the mirrored signs; plan/prof signs at slope-flat pixels are zero."""
+    from versatiles_rs_spark.operators.focal import terrain_fields
+
+    def fields(v):
+        pad = np.full((v.shape[0] + 2, v.shape[1] + 2), -1, dtype=np.int64)
+        pad[1:-1, 1:-1] = v
+        return terrain_fields(pad)
+
+    # tilted plane v = 3x + 2y + 10 over a 16x16 patch
+    x = np.arange(16, dtype=np.int64)
+    plane = 3 * x[None, :] + 2 * x[:, None] + 10
+    f = fields(plane)
+    inner = np.zeros((16, 16), dtype=bool)
+    inner[1:-1, 1:-1] = True
+    lap = (f["dnum"] + f["enum"])[inner]
+    g, h = f["gnum"], f["hnum"]
+    plan = (2 * f["dnum"] * h * h + 2 * f["enum"] * g * g - f["fnum"] * g * h)[inner]
+    prof = (-(2 * f["dnum"] * g * g + 2 * f["enum"] * h * h + f["fnum"] * g * h))[inner]
+    assert (lap == 0).all() and (plan == 0).all() and (prof == 0).all()
+
+    # paraboloid pit v = (x-8)^2 + (y-8)^2 (clipped inner ring only)
+    cx = (x - 8) ** 2
+    pit = cx[None, :] + cx[:, None]
+    fp = fields(pit)
+    lap_p = (fp["dnum"] + fp["enum"])[inner]
+    assert (lap_p > 0).all()  # d2 = +2 each axis -> lap = 4 everywhere
+    g, h = fp["gnum"], fp["hnum"]
+    prof_p = -(2 * fp["dnum"] * g * g + 2 * fp["enum"] * h * h + fp["fnum"] * g * h)
+    sloped = inner & ((g != 0) | (h != 0))
+    assert (prof_p[sloped] < 0).all()  # uphill-accelerating everywhere
+    flat = inner & (g == 0) & (h == 0)
+    plan_p = 2 * fp["dnum"] * h * h + 2 * fp["enum"] * g * g - fp["fnum"] * g * h
+    assert (plan_p[flat] == 0).all() and (prof_p[flat] == 0).all()
+
+    # dome mirror: every sign flips
+    dome = 512 - pit
+    fd = fields(dome)
+    lap_d = (fd["dnum"] + fd["enum"])[inner]
+    assert (lap_d < 0).all()
+    g, h = fd["gnum"], fd["hnum"]
+    prof_d = -(2 * fd["dnum"] * g * g + 2 * fd["enum"] * h * h + fd["fnum"] * g * h)
+    assert (prof_d[sloped] > 0).all()
+
+
+def test_curvature_payload_never_shuffles(spark):
+    from versatiles_rs_spark.operators.focal import curvature_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=2)
+    plan = curvature_stats(tiles)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"

