@@ -141,6 +141,7 @@ HEADLINE = [
     "twi_surface",
     "slope_aspect",
     "curvature",
+    "majority_filter",
     "contour_stats",
     "tabulate_area",
     "euclidean_distance",

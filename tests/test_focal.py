@@ -557,3 +557,83 @@ def test_curvature_payload_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"
+
+
+# ---------------------------------------------------------------------------
+# Focal majority (mode) filter
+# ---------------------------------------------------------------------------
+
+def _global_majority(n_px_side: int, n_classes: int = 5, tile_size: int = 256):
+    """Independent ground truth: per-pixel 3x3 mode by explicit slicing
+    (ties to smallest class), grouped by owning tile."""
+    from versatiles_rs_spark.fixtures import landcover_value
+
+    gx = np.arange(n_px_side, dtype=np.int64)
+    v = landcover_value(gx[None, :], gx[:, None])
+    c = lambda dr, dc: v[1 + dr : n_px_side - 1 + dr, 1 + dc : n_px_side - 1 + dc]
+    cells = [c(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+    counts = np.zeros((n_classes,) + cells[0].shape, dtype=np.int64)
+    for cell in cells:
+        for k in range(n_classes):
+            counts[k] += cell == k
+    mode = counts.argmax(axis=0)
+    changed = mode != c(0, 0)
+    n_tiles = n_px_side // tile_size
+    out = {}
+    for ty in range(n_tiles):
+        for tx in range(n_tiles):
+            r0 = max(ty * tile_size, 1)
+            r1 = min((ty + 1) * tile_size, n_px_side - 1)
+            c0 = max(tx * tile_size, 1)
+            c1 = min((tx + 1) * tile_size, n_px_side - 1)
+            sub = lambda a: a[r0 - 1 : r1 - 1, c0 - 1 : c1 - 1]
+            m = sub(mode)
+            out[(tx, ty)] = (
+                [m.size, int(sub(changed).sum())]
+                + [int((m == k).sum()) for k in range(n_classes)]
+            )
+    return out
+
+
+def test_majority_distributed_matches_global(spark):
+    from versatiles_rs_spark.operators.focal import majority_stats
+
+    keys = ["n_px", "n_changed"] + [f"n_cls_{k}" for k in range(5)]
+    tiles = fixtures.class_raster_df(spark, zoom=1, partitions=4)
+    got = {
+        (r["x"], r["y"]): [r[k] for k in keys]
+        for r in majority_stats(tiles, n_classes=5, band=1).collect()
+    }
+    assert got == _global_majority(512)
+
+
+def test_majority_kernel_tie_rule():
+    """Mode ties go to the SMALLEST class; uniform windows never change;
+    a strict majority always wins regardless of the center value."""
+    from versatiles_rs_spark.operators.focal import majority_fields
+
+    kern = majority_fields(3)
+    # window with classes {0: 4, 1: 4, 2: 1} -> tie 0 vs 1 -> mode 0
+    patch = np.array([
+        [0, 0, 1],
+        [0, 0, 1],
+        [1, 1, 2],
+    ], dtype=np.int64)
+    pad = np.full((5, 5), -1, dtype=np.int64)
+    pad[1:-1, 1:-1] = patch
+    f = kern(pad)
+    assert f["mode"][1, 1] == 0 and f["valid"][1, 1]
+    assert not f["valid"][0, 0]  # sentinel corner in window
+    # uniform window: mode == center, changed False
+    pad[1:-1, 1:-1] = 2
+    f = kern(pad)
+    assert f["mode"][1, 1] == 2 and not f["changed"][1, 1]
+    # strict majority of 1s around a center 0
+    patch = np.array([
+        [1, 1, 1],
+        [1, 0, 1],
+        [2, 2, 0],
+    ], dtype=np.int64)
+    pad[1:-1, 1:-1] = patch
+    f = kern(pad)
+    assert f["mode"][1, 1] == 1 and f["changed"][1, 1]

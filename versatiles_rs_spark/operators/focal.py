@@ -229,7 +229,7 @@ def focal_terrain_pixels(
             for x, y, blob in zip(pdf["x"], pdf["y"], pdf[pay]):
                 x, y = int(x), int(y)
                 v = decode_image(bytes(blob))[..., band].astype(np.int64)
-                f = terrain_fields(v)
+                f = kern(v)
                 inner = np.ones((ts - 2, ts - 2), dtype=bool)
                 p = emit_pixels(x, y, f, v[1:-1, 1:-1], inner, 1, 1)
                 p["kind"] = 0
@@ -287,7 +287,7 @@ def focal_terrain_pixels(
                 grid[(0 if dr < 0 else ts + 1), (0 if dc < 0 else ts + 1)] = a[0]
         if not frame_seen:
             return pd.DataFrame({c: pd.Series(dtype="int64") for c in pix_cols})
-        f = terrain_fields(grid)
+        f = kern(grid)
         ringmask = np.zeros((ts, ts), dtype=bool)
         ringmask[0, :] = ringmask[-1, :] = True
         ringmask[:, 0] = ringmask[:, -1] = True
@@ -505,6 +505,7 @@ def _two_pass_stats(
     agg_cols: list[str],
     partial_fn,
     max_cols: tuple[str, ...] = (),
+    kernel=None,
 ) -> DataFrame:
     """Shared halo-exchange driver for per-tile focal aggregates.
 
@@ -512,9 +513,12 @@ def _two_pass_stats(
     ([x, y] + agg_cols values) from the kernel fields restricted to
     `mask`; columns named in `max_cols` combine across partials with
     F.max (initialize them to -1 on empty masks), all others with
-    F.sum.  The plan shape (one mapInPandas decode pass, one slim strip
+    F.sum.  `kernel(padded) -> fields dict` defaults to terrain_fields;
+    any 3x3 kernel that honors the <0 sentinel convention slots in.
+    The plan shape (one mapInPandas decode pass, one slim strip
     shuffle, one final aggregation) is identical for every metric set —
     see the module docstring."""
+    kern = kernel or terrain_fields
     ts = int(tile_size)
     if ts < 8:
         raise ValueError("tile_size must be >= 8 for the 2px frame layout")
@@ -528,7 +532,7 @@ def _two_pass_stats(
                 x, y = int(x), int(y)
                 v = decode_image(bytes(blob))[..., band].astype(np.int64)
                 # interior: tile pixels 1..ts-2 — full 3x3 support in-tile
-                f = terrain_fields(v)
+                f = kern(v)
                 inner = np.ones((ts - 2, ts - 2), dtype=bool)
                 rows.append(partial_fn(x, y, f, inner) + [0, 0, None])
                 # own 2px frame -> self
@@ -587,7 +591,7 @@ def _two_pass_stats(
             # strips addressed to a tile that doesn't exist (outside the
             # pyramid): no frame row -> no output
             return pd.DataFrame({c: [] for c in ["x", "y"] + agg_cols}).astype("int64")
-        f = terrain_fields(grid)
+        f = kern(grid)
         ringmask = np.zeros((ts, ts), dtype=bool)
         ringmask[0, :] = ringmask[-1, :] = True
         ringmask[:, 0] = ringmask[:, -1] = True
@@ -759,4 +763,71 @@ def curvature_stats(
     of strips per tile in the only shuffle, <= 9 rows per key."""
     return _two_pass_stats(
         tiles, tile_size, payload, band, _CURV_COLS, _curv_partial_row
+    )
+
+
+# ---------------------------------------------------------------------------
+# Focal majority (mode) filter statistics (ArcGIS Majority Filter /
+# GRASS r.neighbors method=mode parity)
+# ---------------------------------------------------------------------------
+
+def majority_fields(n_classes: int):
+    """Build a 3x3 mode kernel over a class raster with alphabet
+    [0, n_classes): per pixel, the most frequent value of the 9-cell
+    window (center included), ties broken to the SMALLEST class — the
+    numpy argmax-first rule, replayed identically by the oracle's
+    ascending CASE.  Returns fields: valid, mode, changed (mode !=
+    center)."""
+    nc = int(n_classes)
+
+    def kernel(padded: np.ndarray) -> dict[str, np.ndarray]:
+        h, w = padded.shape[0] - 2, padded.shape[1] - 2
+
+        def sl(dr: int, dc: int) -> np.ndarray:
+            return padded[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+
+        c = sl(0, 0)
+        cells = [sl(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)]
+        valid = np.ones(c.shape, dtype=bool)
+        for cell in cells:
+            valid &= cell >= 0
+        counts = np.zeros((nc, h, w), dtype=np.int64)
+        for cell in cells:
+            for k in range(nc):
+                counts[k] += cell == k
+        mode = counts.argmax(axis=0).astype(np.int64)  # first max = smallest class
+        return {"valid": valid, "mode": mode, "changed": mode != c}
+
+    return kernel
+
+
+def majority_stats(
+    tiles: DataFrame,
+    n_classes: int,
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """Per-tile 3x3 majority-filter statistics over a tiled class raster
+    (ArcGIS Majority Filter / GRASS r.neighbors mode; the reference's
+    raster ops are strictly per-tile — engine-extension toolbox parity):
+    n_px, n_changed (pixels the filter would rewrite) and the mode-class
+    histogram n_cls_0..n_cls_{k-1}, border-exact across tile seams.
+
+    Same two-pass halo shape (and 100 TB story) as focal_terrain_stats;
+    this variant just swaps the kernel: the class-count stack is a
+    9*n_classes-slice numpy pass, and ties take the smallest class so
+    Spark and the SQL oracle classify identically."""
+    cols = ["n_px", "n_changed"] + [f"n_cls_{k}" for k in range(int(n_classes))]
+
+    def partial(x: int, y: int, f: dict[str, np.ndarray], mask: np.ndarray) -> list:
+        m = f["mode"][mask]
+        return (
+            [int(x), int(y), int(mask.sum()), int(f["changed"][mask].sum())]
+            + [int((m == k).sum()) for k in range(int(n_classes))]
+        )
+
+    return _two_pass_stats(
+        tiles, tile_size, payload, band, cols, partial,
+        kernel=majority_fields(n_classes),
     )

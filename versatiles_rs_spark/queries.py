@@ -8781,6 +8781,74 @@ def q_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curvature_stats(tiles, tile_size=256)
 
 
+def _majority_oracle_sql(zoom: int, n_classes: int) -> str:
+    """Closed-form replay of majority_stats over the land-cover band:
+    per-class counts of the 9-cell window from landcover_sql at the 9
+    offsets, mode via an ASCENDING >= CASE chain (ties to the smallest
+    class — numpy argmax-first replayed exactly)."""
+    from .fixtures import landcover_sql
+
+    n = (1 << zoom) * 256
+    offs = [("c", 0, 0)] + [
+        (f"p{i}", dx, dy)
+        for i, (dx, dy) in enumerate(
+            (dx, dy) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dx, dy) != (0, 0)
+        )
+    ]
+    vcols = ",\n      ".join(
+        f"{landcover_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, dx, dy in offs
+    )
+    names = [k for k, _, _ in offs]
+    cnts = ",\n      ".join(
+        "(" + " + ".join(f"CASE WHEN v_{nm} = {k} THEN 1 ELSE 0 END" for nm in names)
+        + f") AS cnt_{k}"
+        for k in range(n_classes)
+    )
+    mode_case = "CASE " + " ".join(
+        f"WHEN {' AND '.join(f'cnt_{k} >= cnt_{j}' for j in range(k + 1, n_classes))} THEN {k}"
+        for k in range(n_classes - 1)
+    ) + f" ELSE {n_classes - 1} END"
+    cls_sums = ",\n      ".join(
+        f"CAST(sum(CASE WHEN mode = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_cls_{k}"
+        for k in range(n_classes)
+    )
+    return f"""
+    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
+    v9 AS (SELECT gx, gy,
+      {vcols}
+    FROM px),
+    ct AS (SELECT gx, gy, v_c,
+      {cnts}
+    FROM v9),
+    m AS (SELECT gx // 256 AS x, gy // 256 AS y, v_c,
+      {mode_case} AS mode
+    FROM ct)
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n_px,
+      CAST(sum(CASE WHEN mode <> v_c THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      {cls_sums}
+    FROM m GROUP BY 1, 2
+    """
+
+
+@register("majority_filter", _majority_oracle_sql(zoom=1, n_classes=5))
+def q_majority_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 focal majority filter (ArcGIS Majority Filter / GRASS
+    r.neighbors mode; operators/focal.py::majority_stats) over the
+    zoom-1 two-band class raster's land-cover band: per-tile count of
+    pixels the filter rewrites plus the mode-class histogram,
+    border-exact across tile seams via the shared halo exchange (payload
+    decodes once, ~3 KB strips in the only shuffle, <= 9 rows per key).
+    The hash pins the class-count stack, the smallest-class tie rule and
+    the halo addressing."""
+    from . import fixtures
+    from .operators.focal import majority_stats
+
+    tiles = fixtures.class_raster_df(spark, zoom=1, partitions=4)
+    return majority_stats(tiles, n_classes=5, tile_size=256, band=1)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
