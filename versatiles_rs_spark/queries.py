@@ -8849,6 +8849,61 @@ def q_majority_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return majority_stats(tiles, n_classes=5, tile_size=256, band=1)
 
 
+_ZONAL_PCT_ORACLE = """
+    WITH zk AS (SELECT unnest(range(0, 24)) AS zone_id),
+    z AS (
+      SELECT zone_id,
+        (zone_id * 37) % 1800 AS x0, (zone_id * 53) % 1800 AS y0,
+        100 + (zone_id * 17) % 200 AS w, 100 + (zone_id * 29) % 200 AS h
+      FROM zk
+    ),
+    gxs AS (SELECT zone_id, unnest(range(x0, x0 + w)) AS gx FROM z),
+    gys AS (SELECT zone_id, unnest(range(y0, y0 + h)) AS gy FROM z),
+    px AS (
+      SELECT gxs.zone_id, (7 * gx + 13 * gy) % 251 AS val
+      FROM gxs JOIN gys USING (zone_id)
+    ),
+    ct AS (SELECT zone_id, val, count(*) AS n FROM px GROUP BY 1, 2),
+    cu AS (SELECT zone_id, val, n,
+      sum(n) OVER (PARTITION BY zone_id ORDER BY val) AS cum,
+      sum(n) OVER (PARTITION BY zone_id) AS n_px,
+      max(n) OVER (PARTITION BY zone_id) AS mx
+    FROM ct)
+    SELECT zone_id, CAST(max(n_px) AS BIGINT) AS n_px,
+      CAST(min(CASE WHEN n = mx THEN val END) AS BIGINT) AS mode_val,
+      CAST(min(CASE WHEN cum >= (25 * n_px + 99) // 100 THEN val END) AS BIGINT) AS p25,
+      CAST(min(CASE WHEN cum >= (50 * n_px + 99) // 100 THEN val END) AS BIGINT) AS p50,
+      CAST(min(CASE WHEN cum >= (75 * n_px + 99) // 100 THEN val END) AS BIGINT) AS p75
+    FROM cu GROUP BY 1
+    """
+
+
+@register("zonal_percentiles", _ZONAL_PCT_ORACLE)
+def q_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact zonal order statistics (operators/raster.py::
+    zonal_percentiles — ArcGIS Zonal Statistics MEDIAN/PERCENTILE/
+    MAJORITY) over the zoom-3 zonal raster: per-zone nearest-rank
+    p25/p50/p75 + majority value via distributed histogram inversion —
+    tiles decode once and emit <= 256 slim (zone, val, n) partials per
+    touched zone, the only shuffle moves O(zones x 256) integers, and the
+    quantile is read off a <= 256-row per-zone cumulative window (vs a
+    full-data sort at 10^12 pixels).  Mode ties -> smallest value;
+    percentile rule: smallest val with cum >= ceil(p*n/100) — the oracle
+    replays both verbatim."""
+    from . import fixtures
+    from .operators.raster import zonal_percentiles
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=3, partitions=16)
+    zones = spark.range(24).select(
+        F.col("id").alias("zone_id"),
+        ((F.col("id") * 37) % 1800).alias("x0"),
+        ((F.col("id") * 53) % 1800).alias("y0"),
+        ((F.col("id") * 37) % 1800 + 100 + (F.col("id") * 17) % 200).alias("x1"),
+        ((F.col("id") * 53) % 1800 + 100 + (F.col("id") * 29) % 200).alias("y1"),
+    )
+    return zonal_percentiles(tiles, zones, percentiles=(25, 50, 75), tile_size=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
