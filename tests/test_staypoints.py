@@ -1,0 +1,144 @@
+"""Stay-point detection (functions/sessions.py::staypoints): planted
+stop/move trajectories, dwell/min_fixes thresholds, tie-break and
+sequence determinism, brute-force parity on a synthesized trajectory."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from versatiles_rs_spark.functions.sessions import staypoints
+from versatiles_rs_spark.tile_math import lonlat_to_tile
+
+T0 = datetime.datetime(2024, 5, 1, 8, 0, 0)
+
+
+def _mk(spark, rows):
+    """rows: (event_id, user_id, minutes_offset, lon, lat)"""
+    data = [
+        (eid, uid, T0 + datetime.timedelta(minutes=m), float(lon), float(lat))
+        for eid, uid, m, lon, lat in rows
+    ]
+    return spark.createDataFrame(
+        data, "event_id long, user_id long, ts timestamp_ntz, lon double, lat double"
+    )
+
+
+def _stops(df, **kw):
+    return [
+        (
+            r["user_id"], r["stay_seq"], r["cx"], r["cy"],
+            r["n_fixes"], r["dwell_us"],
+        )
+        for r in staypoints(df, by=("user_id",), **kw)
+        .orderBy("user_id", "stay_seq")
+        .collect()
+    ]
+
+
+def test_planted_stops_and_moves(spark):
+    # user 1: 3 fixes parked west (stop), 1 transit fix, 4 fixes parked
+    # east (stop). user 2: alternates cells every fix -> no stop.
+    rows = [
+        (1, 1, 0, -90.0, 0.0),
+        (2, 1, 5, -90.0, 0.0),
+        (3, 1, 10, -90.0, 0.0),
+        (4, 1, 15, 0.0, 40.0),
+        (5, 1, 20, 90.0, 0.0),
+        (6, 1, 25, 90.0, 0.0),
+        (7, 1, 30, 90.0, 0.0),
+        (8, 1, 35, 90.0, 0.0),
+        (9, 2, 0, -90.0, 0.0),
+        (10, 2, 5, 90.0, 0.0),
+        (11, 2, 10, -90.0, 0.0),
+    ]
+    got = _stops(_mk(spark, rows), zoom=3, min_fixes=3)
+    wx, wy = lonlat_to_tile(-90.0, 0.0, 3)
+    ex, ey = lonlat_to_tile(90.0, 0.0, 3)
+    assert got == [
+        (1, 1, wx, wy, 3, 10 * 60_000_000),
+        (1, 2, ex, ey, 4, 15 * 60_000_000),
+    ]
+
+
+def test_min_dwell_filters_short_stops(spark):
+    # 3 fixes spanning only 2 minutes: passes min_fixes but not a
+    # 5-minute dwell floor.
+    rows = [(1, 1, 0, 10.0, 10.0), (2, 1, 1, 10.0, 10.0), (3, 1, 2, 10.0, 10.0)]
+    assert _stops(_mk(spark, rows), zoom=3, min_fixes=3) != []
+    assert (
+        _stops(_mk(spark, rows), zoom=3, min_fixes=3, min_dwell_us=5 * 60_000_000)
+        == []
+    )
+
+
+def test_revisit_is_a_new_stop(spark):
+    # stop A, move away, return to the SAME cell: two distinct stops with
+    # increasing stay_seq, not one merged run.
+    rows = [
+        (1, 1, 0, -90.0, 0.0),
+        (2, 1, 5, -90.0, 0.0),
+        (3, 1, 10, -90.0, 0.0),
+        (4, 1, 15, 90.0, 0.0),
+        (5, 1, 20, -90.0, 0.0),
+        (6, 1, 25, -90.0, 0.0),
+        (7, 1, 30, -90.0, 0.0),
+    ]
+    got = _stops(_mk(spark, rows), zoom=3, min_fixes=3)
+    wx, wy = lonlat_to_tile(-90.0, 0.0, 3)
+    assert [(g[0], g[1], g[2], g[3], g[4]) for g in got] == [
+        (1, 1, wx, wy, 3),
+        (1, 2, wx, wy, 3),
+    ]
+
+
+def test_tied_timestamps_resolve_by_event_id(spark):
+    # 3 fixes at the identical timestamp in one cell: ordering falls back
+    # to event_id, the run still forms, dwell is 0 (passes min_dwell 0).
+    rows = [(3, 9, 0, 10.0, 10.0), (1, 9, 0, 10.0, 10.0), (2, 9, 0, 10.0, 10.0)]
+    got = _stops(_mk(spark, rows), zoom=3, min_fixes=3)
+    assert len(got) == 1 and got[0][4] == 3 and got[0][5] == 0
+
+
+def test_bruteforce_parity(spark):
+    # deterministic pseudo-random walk with planted dwells vs a pure
+    # Python replay of the run semantics
+    def lcg(s):
+        return (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+
+    rows, s = [], 42
+    for uid in range(1, 6):
+        t = 0
+        for i in range(40):
+            s = lcg(s)
+            # dwell in a cell for 1-4 fixes
+            lon = -170.0 + (s >> 8) % 340
+            lat = -80.0 + (s >> 24) % 160
+            for k in range((s >> 40) % 4 + 1):
+                rows.append((uid * 1000 + len(rows), uid, t, lon, lat))
+                t += 7
+    df = _mk(spark, rows)
+    got = _stops(df, zoom=6, min_fixes=2)
+
+    # brute force
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, uid, m, lon, lat in rows:
+        by_user[uid].append((m * 60_000_000, eid, lon, lat))
+    want = []
+    for uid in sorted(by_user):
+        fixes = sorted(by_user[uid])
+        runs, cur = [], None
+        for us, eid, lon, lat in fixes:
+            c = lonlat_to_tile(lon, lat, 6)
+            if cur and cur[0] == c:
+                cur[1].append(us)
+            else:
+                cur = (c, [us])
+                runs.append(cur)
+        seq = 0
+        for (cx, cy), uss in runs:
+            if len(uss) >= 2:
+                seq += 1
+                want.append((uid, seq, cx, cy, len(uss), uss[-1] - uss[0]))
+    assert got == want

@@ -167,3 +167,80 @@ def od_flows(
             F.countDistinct(*by).cast("long").alias("n_users"),
         )
     )
+
+
+def staypoints(
+    df,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    by: Sequence[str] = ("user_id",),
+    zoom: int = 8,
+    min_fixes: int = 3,
+    min_dwell_us: int = 0,
+):
+    """Stay-point (stop/move) segmentation of entity trajectories — the
+    Li et al. (2008) stop-detection staple of mobility pipelines,
+    collapsed to its cheapest deterministic form: a STOP is a maximal run
+    of consecutive fixes inside the SAME web-mercator tile cell at `zoom`
+    (cell side bounds the roam radius, replacing the float
+    distance-to-anchor test with an integer cell equality the SQL oracle
+    replays bit-exactly) lasting >= min_fixes fixes and >= min_dwell_us
+    microseconds.
+
+    Output per qualifying stop: by-keys, stay_seq (1-based among the
+    entity's qualifying stops, in time order), cx, cy, n_fixes, start_us,
+    dwell_us (exact integer micros).
+
+    Determinism: fixes are ordered by (epoch micros, id_col) — the same
+    total order contract as od_flows.  Plan shape: ONE shuffle (the
+    per-entity window; the run groupBy and the stay_seq window reuse the
+    same partitioning), every exchanged column a long.  At 10^12 fixes
+    the per-entity history is bounded (device streams), so no key is
+    skewed beyond a device's own volume — same scale story as
+    sessionize."""
+    from ..udfs import tile_x_expr, tile_y_expr
+
+    by = list(by)
+    dtype = dict(df.dtypes)[ts_col]
+    if dtype in ("timestamp", "timestamp_ntz"):
+        kind = "TIMESTAMP_NTZ" if dtype == "timestamp_ntz" else "TIMESTAMP"
+        us = F.expr(
+            f"timestampdiff(MICROSECOND, {kind} '1970-01-01 00:00:00', {ts_col})"
+        )
+    else:
+        us = F.col(ts_col).cast("long")
+    slim = df.select(
+        *by,
+        us.alias("_us"),
+        F.col(id_col).cast("long").alias("_id"),
+        tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("cx"),
+        tile_y_expr(F.col(lat_col), F.lit(zoom)).alias("cy"),
+    )
+    w = Window.partitionBy(*by).orderBy(F.col("_us").asc(), F.col("_id").asc())
+    run = Window.partitionBy(*by).orderBy(F.col("_us").asc(), F.col("_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    moved = (
+        F.lag("cx").over(w).isNull()
+        | (F.col("cx") != F.lag("cx").over(w))
+        | (F.col("cy") != F.lag("cy").over(w))
+    )
+    runs = slim.withColumn("_run", F.sum(F.when(moved, 1).otherwise(0)).over(run))
+    stops = (
+        runs.groupBy(*by, "_run", "cx", "cy")
+        .agg(
+            F.count("*").alias("n_fixes"),
+            F.min("_us").alias("start_us"),
+            (F.max("_us") - F.min("_us")).alias("dwell_us"),
+        )
+        .filter(
+            (F.col("n_fixes") >= int(min_fixes))
+            & (F.col("dwell_us") >= int(min_dwell_us))
+        )
+    )
+    seq = Window.partitionBy(*by).orderBy(F.col("start_us").asc())
+    return stops.withColumn("stay_seq", F.row_number().over(seq)).select(
+        *by, "stay_seq", "cx", "cy", "n_fixes", "start_us", "dwell_us"
+    )

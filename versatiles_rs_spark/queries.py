@@ -8904,6 +8904,80 @@ def q_zonal_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_percentiles(tiles, zones, percentiles=(25, 50, 75), tile_size=256)
 
 
+def _staypoints_sql() -> str:
+    """Oracle for staypoints: the same synthesized block trajectory
+    (key = user_id * 4096 + rn // 4 -> derived lon/lat), then the
+    identical cell-run windows — moved flag, run id, run groupBy, stay
+    sequence — all integer."""
+    from .udfs import derived_lonlat_sql, tile_xy_sql
+
+    lon, lat = derived_lonlat_sql("user_id * 4096 + (rn - 1) // 4")
+    cx, cy = tile_xy_sql(f"({lon})", f"({lat})", 8)
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), t AS (
+      SELECT user_id, event_id, us, {cx} AS cx, {cy} AS cy FROM e
+    ), flag AS (
+      SELECT *, CASE WHEN lag(cx) OVER w IS NULL
+                       OR cx <> lag(cx) OVER w OR cy <> lag(cy) OVER w
+                     THEN 1 ELSE 0 END AS moved
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), runs AS (
+      SELECT *, CAST(sum(moved) OVER (
+        PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+      ) AS BIGINT) AS run FROM flag
+    ), stops AS (
+      SELECT user_id, run, cx, cy,
+        CAST(count(*) AS BIGINT) AS n_fixes,
+        CAST(min(us) AS BIGINT) AS start_us,
+        CAST(max(us) - min(us) AS BIGINT) AS dwell_us
+      FROM runs GROUP BY 1, 2, 3, 4
+      HAVING count(*) >= 3
+    )
+    SELECT user_id,
+      CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_us) AS INTEGER)
+        AS stay_seq,
+      cx, cy, n_fixes, start_us, dwell_us
+    FROM stops
+    """
+
+
+@register("staypoints", _staypoints_sql())
+def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stay-point / stop detection (functions/sessions.py::staypoints —
+    Li et al. 2008 stop-move segmentation, deterministic cell-run form)
+    over a synthesized block trajectory: each user's time-ordered fixes
+    share a location for blocks of 4 (key = user*4096 + rn//4), so stops
+    are maximal same-cell runs >= 3 fixes at zoom 8.  ONE shuffle — the
+    per-user window; the run groupBy and stay_seq window reuse its
+    partitioning; every exchanged column a long.  The oracle replays the
+    same windows, so the hash pins ordering, run segmentation, and the
+    dwell arithmetic."""
+    from pyspark.sql import Window
+
+    from .functions.sessions import staypoints
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)"),
+        F.col("event_id"),
+    )
+    key = F.col("user_id") * 4096 + F.floor((F.row_number().over(w) - 1) / 4)
+    traj = ev.select(
+        "user_id", "event_id", "ts",
+        derived_lon_expr(key).alias("lon"),
+        derived_lat_expr(key).alias("lat"),
+    )
+    return staypoints(
+        traj, lon_col="lon", lat_col="lat", ts_col="ts", id_col="event_id",
+        by=("user_id",), zoom=8, min_fixes=3,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
