@@ -64,6 +64,7 @@ HEADLINE = [
     "asof_events",
     "sessionize",
     "od_flows",
+    "staypoints",
     "flow_tiles",
     "flow_pagerank",
     "flow_shortest",
