@@ -189,6 +189,7 @@ def focal_terrain_pixels(
     payload: str = "bytes",
     band: int = 0,
     extra: tuple = (),
+    kernel=None,
 ) -> DataFrame:
     """Per-PIXEL terrain fields (gx, gy, elev, d8) over a single-zoom tile
     table, border-exact via the same two-pass halo exchange as
@@ -202,10 +203,14 @@ def focal_terrain_pixels(
 
     `extra` names additional terrain_fields outputs to emit as columns
     (e.g. ("score",) for the steepest-descent score that wetness /
-    stream-power indices need) — same fused passes, zero extra decode."""
+    stream-power indices need) — same fused passes, zero extra decode.
+    `kernel(padded) -> fields dict` defaults to terrain_fields, same
+    pluggable-kernel contract as focal_terrain_stats (must emit "d8",
+    "valid", and every name in `extra`)."""
     ts = int(tile_size)
     if ts < 8:
         raise ValueError("tile_size must be >= 8 for the 2px frame layout")
+    kern = kernel or terrain_fields
     pay = payload
     pix_cols = ["gx", "gy", "elev", "d8", *extra]
 
