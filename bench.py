@@ -65,6 +65,7 @@ HEADLINE = [
     "sessionize",
     "od_flows",
     "staypoints",
+    "radius_gyration",
     "flow_tiles",
     "flow_pagerank",
     "flow_shortest",

@@ -142,3 +142,39 @@ def test_bruteforce_parity(spark):
                 seq += 1
                 want.append((uid, seq, cx, cy, len(uss), uss[-1] - uss[0]))
     assert got == want
+
+
+def test_radius_of_gyration_bruteforce(spark):
+    # exact parallel-axis moments vs a pure python replay, including the
+    # single-fix (rg=0) and stationary-user edges
+    from versatiles_rs_spark.functions.sessions import radius_of_gyration
+
+    rows = [
+        (1, 1, 0, -90.0, 0.0),
+        (2, 1, 5, 90.0, 0.0),
+        (3, 1, 10, 0.0, 40.0),
+        (4, 2, 0, 10.0, 10.0),   # stationary: rg = 0
+        (5, 2, 5, 10.0, 10.0),
+        (6, 3, 0, -170.0, -70.0),  # single fix: rg = 0
+    ]
+    df = _mk(spark, rows)
+    got = {
+        r["user_id"]: (r["n_fixes"], r["mx_milli"], r["my_milli"], r["rg2_milli"])
+        for r in radius_of_gyration(df, by=("user_id",), zoom=5).collect()
+    }
+    from collections import defaultdict
+
+    pts = defaultdict(list)
+    for _, uid, _, lon, lat in rows:
+        cx, cy = lonlat_to_tile(lon, lat, 5)
+        pts[uid].append((int(cx), int(cy)))
+    want = {}
+    for uid, cs in pts.items():
+        n = len(cs)
+        sx = sum(c[0] for c in cs)
+        sy = sum(c[1] for c in cs)
+        ssq = sum(c[0] ** 2 + c[1] ** 2 for c in cs)
+        num = n * ssq - sx * sx - sy * sy
+        want[uid] = (n, sx * 1000 // n, sy * 1000 // n, (num // n) * 1000 // n)
+    assert got == want
+    assert got[2][3] == 0 and got[3][3] == 0

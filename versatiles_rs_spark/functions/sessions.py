@@ -244,3 +244,60 @@ def staypoints(
     return stops.withColumn("stay_seq", F.row_number().over(seq)).select(
         *by, "stay_seq", "cx", "cy", "n_fixes", "start_us", "dwell_us"
     )
+
+
+def radius_of_gyration(
+    df,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    by: Sequence[str] = ("user_id",),
+    zoom: int = 7,
+):
+    """Radius of gyration per entity — the Gonzalez/Hidalgo/Barabasi 2008
+    mobility-range staple: rg^2 = E[|r - r_mean|^2] over an entity's
+    visited positions, here on the integer web-mercator cell lattice at
+    `zoom` so every moment is an exact int64 sum (same lattice trick as
+    staypoints).
+
+    By the parallel-axis identity, n^2 * rg^2 = n*Σ(cx^2+cy^2) - (Σcx)^2
+    - (Σcy)^2 — a single non-negative int64 numerator (Cauchy-Schwarz),
+    computed from ONE map-side-combined groupBy (no window, no second
+    pass).  Output rg2_milli = ((num div n) * 1000) div n: two int64
+    floor divisions on non-negative operands, which Spark `div` and
+    DuckDB `//` resolve identically (round-half lesson: never float-round
+    a quotient in an oracle-paired query), plus the exact milli-cell mean
+    center (mx_milli, my_milli) and n_fixes.
+
+    Overflow bound (documented per the PageRank-guard advice): cell
+    coords < 2^zoom so Σ(cx^2+cy^2) <= n * 2^(2*zoom+1) and the numerator
+    n*ssq <= n^2 * 2^(2*zoom+1) must stay under 2^63 — at the default
+    zoom 7 that holds to n = 1.4e7 fixes PER ENTITY (device streams are
+    bounded far below that); raising zoom costs head-room, asserted here
+    rather than wrapped silently."""
+    if 2 * zoom + 1 > 40:
+        raise ValueError(
+            f"zoom={zoom} leaves <2^11 per-entity fix head-room before "
+            "n^2*2^(2z+1) overflows int64; use zoom <= 19 and mind the bound"
+        )
+    from ..udfs import tile_x_expr, tile_y_expr
+
+    by = list(by)
+    cx = tile_x_expr(F.col(lon_col), F.lit(zoom))
+    cy = tile_y_expr(F.col(lat_col), F.lit(zoom))
+    slim = df.select(*by, cx.alias("cx"), cy.alias("cy"))
+    agg = slim.groupBy(*by).agg(
+        F.count("*").alias("n_fixes"),
+        F.sum("cx").alias("_sx"),
+        F.sum("cy").alias("_sy"),
+        F.sum(F.col("cx") * F.col("cx") + F.col("cy") * F.col("cy")).alias("_ssq"),
+    )
+    return agg.select(
+        *by,
+        "n_fixes",
+        F.expr("_sx * 1000 div n_fixes").alias("mx_milli"),
+        F.expr("_sy * 1000 div n_fixes").alias("my_milli"),
+        F.expr(
+            "((n_fixes * _ssq - _sx * _sx - _sy * _sy) div n_fixes) "
+            "* 1000 div n_fixes"
+        ).alias("rg2_milli"),
+    )

@@ -8978,6 +8978,67 @@ def q_staypoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _radius_gyration_sql() -> str:
+    """Oracle for radius_gyration: same block trajectory as staypoints,
+    then the exact parallel-axis moments — every sum CAST to BIGINT
+    (DuckDB sum(BIGINT) returns HUGEINT) and both floor divisions `//`
+    on non-negative operands, matching Spark's `div`."""
+    from .udfs import derived_lonlat_sql, tile_xy_sql
+
+    lon, lat = derived_lonlat_sql("user_id * 4096 + (rn - 1) // 4")
+    cx, cy = tile_xy_sql(f"({lon})", f"({lat})", 7)
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), t AS (
+      SELECT user_id, {cx} AS cx, {cy} AS cy FROM e
+    ), m AS (
+      SELECT user_id,
+        CAST(count(*) AS BIGINT) AS n_fixes,
+        CAST(sum(cx) AS BIGINT) AS sx,
+        CAST(sum(cy) AS BIGINT) AS sy,
+        CAST(sum(cx * cx + cy * cy) AS BIGINT) AS ssq
+      FROM t GROUP BY 1
+    )
+    SELECT user_id, n_fixes,
+      sx * 1000 // n_fixes AS mx_milli,
+      sy * 1000 // n_fixes AS my_milli,
+      ((n_fixes * ssq - sx * sx - sy * sy) // n_fixes) * 1000 // n_fixes
+        AS rg2_milli
+    FROM m
+    """
+
+
+@register("radius_gyration", _radius_gyration_sql())
+def q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius of gyration per user (functions/sessions.py::
+    radius_of_gyration — Gonzalez et al. 2008 mobility range) over the
+    same synthesized block trajectory as staypoints.  ONE shuffle for the
+    metric itself (map-side-combined groupBy of four int64 moments; the
+    trajectory synthesis window adds the input's own); rg^2 exact via the
+    parallel-axis numerator, emitted as two non-negative int64 floor
+    divisions both engines resolve identically."""
+    from pyspark.sql import Window
+
+    from .functions.sessions import radius_of_gyration
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)"),
+        F.col("event_id"),
+    )
+    key = F.col("user_id") * 4096 + F.floor((F.row_number().over(w) - 1) / 4)
+    traj = ev.select(
+        "user_id",
+        derived_lon_expr(key).alias("lon"),
+        derived_lat_expr(key).alias("lat"),
+    )
+    return radius_of_gyration(traj, by=("user_id",), zoom=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
