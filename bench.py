@@ -66,6 +66,7 @@ HEADLINE = [
     "od_flows",
     "staypoints",
     "radius_gyration",
+    "jump_lengths",
     "flow_tiles",
     "flow_pagerank",
     "flow_shortest",

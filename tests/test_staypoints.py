@@ -178,3 +178,53 @@ def test_radius_of_gyration_bruteforce(spark):
         want[uid] = (n, sx * 1000 // n, sy * 1000 // n, (num // n) * 1000 // n)
     assert got == want
     assert got[2][3] == 0 and got[3][3] == 0
+
+
+def test_jump_length_histogram_bruteforce(spark):
+    # power-of-two binning incl. the d2=0 bin and exact power boundaries
+    # (d2=1,2,4) vs a python replay on the staypoints lcg walk
+    from versatiles_rs_spark.functions.sessions import jump_length_histogram
+
+    def lcg(s):
+        return (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+
+    rows, s = [], 7
+    for uid in range(1, 5):
+        t = 0
+        for i in range(60):
+            s = lcg(s)
+            lon = -170.0 + (s >> 8) % 340
+            lat = -80.0 + (s >> 24) % 160
+            rows.append((uid * 1000 + i, uid, t, lon, lat))
+            t += 3
+        # planted exact-power displacements: same cell (d2=0) then a
+        # +1-cell lon step at zoom 6 (cell width 360/64 = 5.625 deg)
+        rows.append((uid * 1000 + 900, uid, t, 0.1, 0.1))
+        rows.append((uid * 1000 + 901, uid, t + 3, 0.1, 0.1))      # d2=0
+        rows.append((uid * 1000 + 902, uid, t + 6, 5.725, 0.1))    # d2=1
+    df = _mk(spark, rows)
+    got = {
+        r["jump_bin"]: (r["n_jumps"], r["n_entities"], r["min_d2"], r["max_d2"])
+        for r in jump_length_histogram(df, by=("user_id",), zoom=6).collect()
+    }
+
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, uid, m, lon, lat in rows:
+        by_user[uid].append((m * 60_000_000, eid, lon, lat))
+    bins = defaultdict(list)
+    for uid, fixes in by_user.items():
+        fixes.sort()
+        cells = [tuple(int(v) for v in lonlat_to_tile(lon, lat, 6))
+                 for _, _, lon, lat in fixes]
+        for a, b in zip(cells, cells[1:]):
+            d2 = (b[0] - a[0]) ** 2 + (b[1] - a[1]) ** 2
+            bins[0 if d2 == 0 else d2.bit_length()].append((uid, d2))
+    want = {
+        b: (len(v), len({u for u, _ in v}), min(d for _, d in v),
+            max(d for _, d in v))
+        for b, v in bins.items()
+    }
+    assert got == want
+    assert 0 in got and 1 in got  # planted d2=0 and d2=1 jumps present

@@ -9039,6 +9039,70 @@ def q_radius_gyration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return radius_of_gyration(traj, by=("user_id",), zoom=7)
 
 
+def _jump_lengths_sql() -> str:
+    """Oracle for jump_lengths: block trajectory, lag window, then the
+    identical integer bin — length(bin(d2)) is the minimal binary string
+    in BOTH engines (= floor(log2 d2)+1), so power-of-two boundaries
+    cannot tie-break differently the way float log2 would."""
+    from .udfs import derived_lonlat_sql, tile_xy_sql
+
+    lon, lat = derived_lonlat_sql("user_id * 4096 + (rn - 1) // 4")
+    cx, cy = tile_xy_sql(f"({lon})", f"({lat})", 7)
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), t AS (
+      SELECT user_id, event_id, us, {cx} AS cx, {cy} AS cy FROM e
+    ), j AS (
+      SELECT user_id,
+        (cx - lag(cx) OVER w) * (cx - lag(cx) OVER w)
+          + (cy - lag(cy) OVER w) * (cy - lag(cy) OVER w) AS d2
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    )
+    SELECT
+      CAST(CASE WHEN d2 = 0 THEN 0 ELSE length(bin(d2)) END AS BIGINT)
+        AS jump_bin,
+      CAST(count(*) AS BIGINT) AS n_jumps,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_entities,
+      CAST(min(d2) AS BIGINT) AS min_d2,
+      CAST(max(d2) AS BIGINT) AS max_d2
+    FROM j WHERE d2 IS NOT NULL GROUP BY 1
+    """
+
+
+@register("jump_lengths", _jump_lengths_sql())
+def q_jump_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jump-length distribution (functions/sessions.py::
+    jump_length_histogram — Brockmann et al. 2006 displacement scaling)
+    over the staypoints block trajectory: squared cell displacement
+    between consecutive fixes, power-of-two bins via the integer
+    length(bin(d2)) identity.  One per-user window shuffle + a
+    constant-size histogram aggregation (<= 2*(zoom+1)+2 rows at ANY
+    scale), longs only."""
+    from pyspark.sql import Window
+
+    from .functions.sessions import jump_length_histogram
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)"),
+        F.col("event_id"),
+    )
+    key = F.col("user_id") * 4096 + F.floor((F.row_number().over(w) - 1) / 4)
+    traj = ev.select(
+        "user_id", "event_id", "ts",
+        derived_lon_expr(key).alias("lon"),
+        derived_lat_expr(key).alias("lat"),
+    )
+    return jump_length_histogram(
+        traj, lon_col="lon", lat_col="lat", ts_col="ts", id_col="event_id",
+        by=("user_id",), zoom=7,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
