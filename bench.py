@@ -67,6 +67,7 @@ HEADLINE = [
     "staypoints",
     "radius_gyration",
     "jump_lengths",
+    "location_regularity",
     "flow_tiles",
     "flow_pagerank",
     "flow_shortest",

@@ -228,3 +228,36 @@ def test_jump_length_histogram_bruteforce(spark):
     }
     assert got == want
     assert 0 in got and 1 in got  # planted d2=0 and d2=1 jumps present
+
+
+def test_location_regularity_bruteforce(spark):
+    # top-location share incl. the tie case (two cells with equal top
+    # counts -> smallest (cx, cy) wins) vs a python replay
+    from versatiles_rs_spark.functions.sessions import location_regularity
+
+    rows = [
+        # user 1: 3 fixes west, 2 east -> west anchor, share 600000 ppm
+        (1, 1, 0, -90.0, 0.0),
+        (2, 1, 5, -90.0, 0.0),
+        (3, 1, 10, -90.0, 0.0),
+        (4, 1, 15, 90.0, 0.0),
+        (5, 1, 20, 90.0, 0.0),
+        # user 2: exact 2-2 tie between east and west cells
+        (6, 2, 0, -90.0, 0.0),
+        (7, 2, 5, -90.0, 0.0),
+        (8, 2, 10, 90.0, 0.0),
+        (9, 2, 15, 90.0, 0.0),
+    ]
+    df = _mk(spark, rows)
+    got = {
+        r["user_id"]: (
+            r["n_fixes"], r["n_cells"], r["top_cx"], r["top_cy"],
+            r["top_n"], r["top_share_ppm"],
+        )
+        for r in location_regularity(df, by=("user_id",), zoom=3).collect()
+    }
+    wx, wy = (int(v) for v in lonlat_to_tile(-90.0, 0.0, 3))
+    ex, ey = (int(v) for v in lonlat_to_tile(90.0, 0.0, 3))
+    top2 = min((wx, wy), (ex, ey))  # tie -> smallest (cx, cy)
+    assert got[1] == (5, 2, wx, wy, 3, 600000)
+    assert got[2] == (4, 2, top2[0], top2[1], 2, 500000)

@@ -365,3 +365,60 @@ def jump_length_histogram(
             F.max("d2").alias("max_d2"),
         )
     )
+
+
+def location_regularity(
+    df,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    by: Sequence[str] = ("user_id",),
+    zoom: int = 7,
+):
+    """Mobility regularity per entity — the Song et al. 2010
+    predictability input: the share of an entity's fixes spent at its
+    single most-visited cell (home/work anchor), plus the visited-cell
+    count.  High share = routine mover, low = explorer.
+
+    Ties at the top count resolve to the smallest (cx, cy) — an explicit
+    total order, never engine-dependent arbitrary pick.  top_share_ppm is
+    an exact parts-per-million floor division on non-negative int64
+    (top_n <= n_fixes <= 9.2e12 before top_n * 1e6 could overflow).
+
+    Plan: groupBy(by, cell) visit counts (map-side combined — the heavy
+    reduction happens before any shuffle), then ONE per-entity window
+    pass computing rank, Σn and cell count together on the already-slim
+    counts relation (<= visited-cell rows per entity, not fixes)."""
+    from ..udfs import tile_x_expr, tile_y_expr
+
+    by = list(by)
+    counts = (
+        df.select(
+            *by,
+            tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("cx"),
+            tile_y_expr(F.col(lat_col), F.lit(zoom)).alias("cy"),
+        )
+        .groupBy(*by, "cx", "cy")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(*by)
+    rank = F.row_number().over(
+        w.orderBy(F.col("n").desc(), F.col("cx").asc(), F.col("cy").asc())
+    )
+    return (
+        counts.select(
+            *by, "cx", "cy", "n",
+            rank.alias("_rk"),
+            F.sum("n").over(w).alias("n_fixes"),
+            F.count("*").over(w).cast("long").alias("n_cells"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            *by,
+            "n_fixes",
+            "n_cells",
+            F.col("cx").alias("top_cx"),
+            F.col("cy").alias("top_cy"),
+            F.col("n").alias("top_n"),
+            F.expr("n * 1000000 div n_fixes").alias("top_share_ppm"),
+        )
+    )

@@ -9103,6 +9103,65 @@ def q_jump_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _location_regularity_sql() -> str:
+    """Oracle for location_regularity: same visit counts, same explicit
+    (n DESC, cx, cy) tie order, window sums CAST to BIGINT (HUGEINT
+    lesson applies to window aggregates too), `//` on non-negatives."""
+    from .udfs import derived_lonlat_sql, tile_xy_sql
+
+    lon, lat = derived_lonlat_sql("user_id * 4096 + (rn - 1) // 4")
+    cx, cy = tile_xy_sql(f"({lon})", f"({lat})", 7)
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), t AS (
+      SELECT user_id, {cx} AS cx, {cy} AS cy FROM e
+    ), c AS (
+      SELECT user_id, cx, cy, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2, 3
+    ), r AS (
+      SELECT user_id, cx, cy, n,
+        row_number() OVER (PARTITION BY user_id ORDER BY n DESC, cx, cy) AS rk,
+        CAST(sum(n) OVER (PARTITION BY user_id) AS BIGINT) AS n_fixes,
+        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_cells
+      FROM c
+    )
+    SELECT user_id, n_fixes, n_cells,
+      cx AS top_cx, cy AS top_cy, n AS top_n,
+      n * 1000000 // n_fixes AS top_share_ppm
+    FROM r WHERE rk = 1
+    """
+
+
+@register("location_regularity", _location_regularity_sql())
+def q_location_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mobility regularity (functions/sessions.py::location_regularity —
+    Song et al. 2010 predictability input: top-location share) over the
+    staypoints block trajectory.  Map-combined visit-count groupBy, then
+    one per-entity window pass over the slim counts relation (visited
+    cells, not fixes); explicit (n DESC, cx, cy) tie order and exact ppm
+    floor division keep both engines bit-identical."""
+    from pyspark.sql import Window
+
+    from .functions.sessions import location_regularity
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)"),
+        F.col("event_id"),
+    )
+    key = F.col("user_id") * 4096 + F.floor((F.row_number().over(w) - 1) / 4)
+    traj = ev.select(
+        "user_id",
+        derived_lon_expr(key).alias("lon"),
+        derived_lat_expr(key).alias("lat"),
+    )
+    return location_regularity(traj, by=("user_id",), zoom=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
