@@ -68,6 +68,7 @@ HEADLINE = [
     "radius_gyration",
     "jump_lengths",
     "location_regularity",
+    "visitation_gini",
     "flow_tiles",
     "flow_pagerank",
     "flow_shortest",

@@ -261,3 +261,45 @@ def test_location_regularity_bruteforce(spark):
     top2 = min((wx, wy), (ex, ey))  # tie -> smallest (cx, cy)
     assert got[1] == (5, 2, wx, wy, 3, 600000)
     assert got[2] == (4, 2, top2[0], top2[1], 2, 500000)
+
+
+def test_visitation_gini_bruteforce(spark):
+    # rank closed form vs the O(k^2) pairwise definition
+    # G = sum_ij |n_i - n_j| / (2 k sum n), exact ppm floor
+    from versatiles_rs_spark.functions.sessions import visitation_gini
+
+    rows = [
+        # user 1: uniform 2-2-2 over three cells -> Gini 0... wait,
+        # rank form: (2*(1*2+2*2+3*2) - 4*6)/(3*6) = (24-24)/18 = 0
+        (1, 1, 0, -150.0, 0.0), (2, 1, 5, -150.0, 0.0),
+        (3, 1, 10, 0.0, 40.0), (4, 1, 15, 0.0, 40.0),
+        (5, 1, 20, 150.0, 0.0), (6, 1, 25, 150.0, 0.0),
+        # user 2: 1-1-6 concentration
+        (7, 2, 0, -150.0, 0.0),
+        (8, 2, 5, 0.0, 40.0),
+        (9, 2, 10, 150.0, 0.0), (10, 2, 15, 150.0, 0.0),
+        (11, 2, 20, 150.0, 0.0), (12, 2, 25, 150.0, 0.0),
+        (13, 2, 30, 150.0, 0.0), (14, 2, 35, 150.0, 0.0),
+    ]
+    df = _mk(spark, rows)
+    got = {
+        r["user_id"]: (r["n_cells"], r["n_fixes"], r["gini_ppm"])
+        for r in visitation_gini(df, by=("user_id",), zoom=3).collect()
+    }
+    from collections import Counter, defaultdict
+
+    cells = defaultdict(Counter)
+    for _, uid, _, lon, lat in rows:
+        cells[uid][tuple(int(v) for v in lonlat_to_tile(lon, lat, 3))] += 1
+    for uid, cnt in cells.items():
+        ns = list(cnt.values())
+        k, N = len(ns), sum(ns)
+        num = sum(abs(a - b) for a in ns for b in ns)  # = 2*(2*sum i*n - (k+1)N)
+        want_ppm = (num // 2 * 1000000) // (k * N) if num % 2 == 0 else None
+        # pairwise sum is always even; cross-check the rank form directly
+        srt = sorted(ns)
+        rank_num = 2 * sum((i + 1) * n for i, n in enumerate(srt)) - (k + 1) * N
+        assert num == 2 * rank_num
+        assert got[uid] == (k, N, rank_num * 1000000 // (k * N))
+    assert got[1][2] == 0  # uniform -> 0
+    assert got[2][2] > 300000  # concentrated -> high

@@ -422,3 +422,59 @@ def location_regularity(
             F.expr("n * 1000000 div n_fixes").alias("top_share_ppm"),
         )
     )
+
+
+def visitation_gini(
+    df,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    by: Sequence[str] = ("user_id",),
+    zoom: int = 7,
+):
+    """Gini coefficient of an entity's visitation frequencies — the
+    inequality companion to location_regularity's top-share: 0 = every
+    visited cell equally often, ->1 = a single dominant anchor.  Used in
+    mobility analysis as the full-distribution concentration measure
+    (regularity only sees the top cell).
+
+    Exactly rational via the rank closed form on ascending-sorted counts:
+    G = (2*Σ i*n_(i) - (k+1)*N) / (k*N) with k visited cells and N = Σn —
+    equal counts commute in the weighted sum, so any tie order yields the
+    same value; ranks still use the explicit (n, cx, cy) order so the
+    intermediate relation is deterministic too.  Emitted as exact ppm:
+    numerator is non-negative (Chebyshev sum inequality), both operands
+    int64-safe to ~3e9 fixes/entity * 1e6 cells (2Σi*n <= 2kN, * 1e6).
+
+    Plan: the same map-combined visit-count groupBy as
+    location_regularity, one per-entity rank window over the slim counts
+    relation, one final groupBy — fixes never shuffle, cells do."""
+    from ..udfs import tile_x_expr, tile_y_expr
+
+    by = list(by)
+    counts = (
+        df.select(
+            *by,
+            tile_x_expr(F.col(lon_col), F.lit(zoom)).alias("cx"),
+            tile_y_expr(F.col(lat_col), F.lit(zoom)).alias("cy"),
+        )
+        .groupBy(*by, "cx", "cy")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy(*by).orderBy(
+        F.col("n").asc(), F.col("cx").asc(), F.col("cy").asc()
+    )
+    ranked = counts.withColumn("_i", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy(*by).agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("n").alias("n_fixes"),
+        F.sum(F.col("_i") * F.col("n")).alias("_s"),
+    )
+    return agg.select(
+        *by,
+        "n_cells",
+        "n_fixes",
+        F.expr(
+            "(2 * _s - (n_cells + 1) * n_fixes) * 1000000 "
+            "div (n_cells * n_fixes)"
+        ).alias("gini_ppm"),
+    )

@@ -9162,6 +9162,68 @@ def q_location_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return location_regularity(traj, by=("user_id",), zoom=7)
 
 
+def _visitation_gini_sql() -> str:
+    """Oracle for visitation_gini: same counts, same ascending rank, same
+    rank closed form; sums CAST to BIGINT, `//` on non-negatives."""
+    from .udfs import derived_lonlat_sql, tile_xy_sql
+
+    lon, lat = derived_lonlat_sql("user_id * 4096 + (rn - 1) // 4")
+    cx, cy = tile_xy_sql(f"({lon})", f"({lat})", 7)
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), t AS (
+      SELECT user_id, {cx} AS cx, {cy} AS cy FROM e
+    ), c AS (
+      SELECT user_id, cx, cy, CAST(count(*) AS BIGINT) AS n
+      FROM t GROUP BY 1, 2, 3
+    ), r AS (
+      SELECT user_id, n,
+        CAST(row_number() OVER (
+          PARTITION BY user_id ORDER BY n, cx, cy) AS BIGINT) AS i
+      FROM c
+    ), a AS (
+      SELECT user_id,
+        CAST(count(*) AS BIGINT) AS n_cells,
+        CAST(sum(n) AS BIGINT) AS n_fixes,
+        CAST(sum(i * n) AS BIGINT) AS s
+      FROM r GROUP BY 1
+    )
+    SELECT user_id, n_cells, n_fixes,
+      (2 * s - (n_cells + 1) * n_fixes) * 1000000 // (n_cells * n_fixes)
+        AS gini_ppm
+    FROM a
+    """
+
+
+@register("visitation_gini", _visitation_gini_sql())
+def q_visitation_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visitation-inequality Gini (functions/sessions.py::visitation_gini
+    — full-distribution concentration, the companion to
+    location_regularity's top-share) over the staypoints block
+    trajectory.  Map-combined visit counts, per-entity rank window on the
+    slim cells relation, exact rank-closed-form ppm output."""
+    from pyspark.sql import Window
+
+    from .functions.sessions import visitation_gini
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)"),
+        F.col("event_id"),
+    )
+    key = F.col("user_id") * 4096 + F.floor((F.row_number().over(w) - 1) / 4)
+    traj = ev.select(
+        "user_id",
+        derived_lon_expr(key).alias("lon"),
+        derived_lat_expr(key).alias("lat"),
+    )
+    return visitation_gini(traj, by=("user_id",), zoom=7)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
