@@ -372,3 +372,18 @@ def test_cost_distance_border_rounds_slim(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "data#" not in line, f"payload in shuffle: {line.strip()[:140]}"
+
+
+@pytest.mark.parametrize(
+    "name", ["staypoints", "radius_gyration", "jump_lengths",
+             "location_regularity", "visitation_gini"]
+)
+def test_mobility_metrics_jvm_slim_partitioned(spark, sf_dir, name):
+    """The mobility metric family (functions/sessions.py): zero Python
+    nodes (cell lattice + window + groupBy is all JVM), no cartesian
+    product, and every window is entity-partitioned — a SinglePartition
+    window would funnel 10^12 fixes through one task."""
+    plan = plan_of(Q.REGISTRY[name].fn(spark, sf_dir))
+    assert "EvalPython" not in plan and "PythonUDF" not in plan, name
+    assert "CartesianProduct" not in plan, name
+    assert "SinglePartition" not in plan, f"{name}: unpartitioned window"

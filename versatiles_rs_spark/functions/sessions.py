@@ -1,7 +1,12 @@
-"""Gap-based sessionization and deterministic hash sampling.
+"""Gap-based sessionization, deterministic hash sampling, and the
+trajectory/mobility metric family (od_flows, staypoints,
+radius_of_gyration, jump_length_histogram, location_regularity,
+visitation_gini).
 
-Two staples of an event/training-data pipeline that the reference (a tile
-toolbox) has no analog for, expressed as pure window/column plans:
+Staples of an event/training-data pipeline that the reference (a tile
+toolbox) has no analog for, expressed as pure window/column plans —
+every metric works on the integer web-mercator cell lattice so the SQL
+oracle replays it bit-exactly, and every exchange carries longs only:
 
 - sessionize: assign a session sequence number per entity, starting a new
   session whenever the gap to the previous event exceeds a threshold. ONE
