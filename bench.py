@@ -114,6 +114,7 @@ HEADLINE = [
     "idw_fill",
     "st_dbscan_events",
     "traj_similarity",
+    "map_match",
     "reach_tiles",
     "colocation",
     "quadrat_test",

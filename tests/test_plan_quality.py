@@ -387,3 +387,16 @@ def test_mobility_metrics_jvm_slim_partitioned(spark, sf_dir, name):
     assert "EvalPython" not in plan and "PythonUDF" not in plan, name
     assert "CartesianProduct" not in plan, name
     assert "SinglePartition" not in plan, f"{name}: unpartitioned window"
+
+
+def test_map_match_pure_jvm_slim_dp(spark, sf_dir):
+    """map_match: the unrolled Viterbi must stay a single pure-JVM DAG —
+    zero Python nodes, no cartesian product (candidates meet on packed
+    cell keys), no SinglePartition window (the DP is trajectory-keyed
+    groupBys) — and the candidate relation is cached (InMemoryRelation)
+    so the T DP references plus the decode join scan it once."""
+    plan = plan_of(Q.REGISTRY["map_match"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "InMemoryTableScan" in plan, "candidate relation not cached"

@@ -9224,6 +9224,134 @@ def q_visitation_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visitation_gini(traj, by=("user_id",), zoom=7)
 
 
+def _map_match_oracle_sql(
+    dist: int = 8000, k: int = 4, n_steps: int = 6, penalty: int = 10_000_000
+) -> str:
+    """Oracle for map_match: BRUTE-FORCE path enumeration (no Viterbi) —
+    candidates from a plain cross-join predicate (the cell fan-out is an
+    engine optimization, not a semantic), every k^T candidate path scored
+    with the identical positional-rank total, min per trajectory, and the
+    winning path unnested via 6 UNION ALL arms.  `cand` is referenced T
+    times and `path`/`chosen` twice -> MATERIALIZED (CTE-inlining
+    lesson).  All arithmetic int64: cross <= 2e3 * 3.6e5 * 2 ~ 1.1e9,
+    cross^2 ~ 1.2e18 < 2^63; path totals <= (6 * 6.4e7 + 5e7) * 4096."""
+    d2 = dist * dist
+    flon, flat = derived_lonlat_sql("uid * 8 + step")
+    kt = k**n_steps
+    sw = " + ".join(
+        f"(CASE WHEN c{t}.sid <> c{t - 1}.sid THEN 1 ELSE 0 END)"
+        for t in range(2, n_steps + 1)
+    )
+    emits = " + ".join(f"c{t}.emit" for t in range(1, n_steps + 1))
+    ties = " + ".join(
+        f"c{t}.r * {k ** (n_steps - t)}" for t in range(1, n_steps + 1)
+    )
+    joins = "\n".join(
+        f"      JOIN cand c{t} ON c{t}.uid = c1.uid AND c{t}.step = {t}"
+        for t in range(2, n_steps + 1)
+    )
+    cols = ", ".join(
+        f"c{t}.sid AS s{t}, c{t}.emit AS e{t}" for t in range(1, n_steps + 1)
+    )
+    arms = "\n    UNION ALL ".join(
+        f"SELECT uid AS user_id, CAST({t} AS BIGINT) AS step, s{t} AS sid, "
+        f"e{t} AS emit FROM chosen"
+        for t in range(1, n_steps + 1)
+    )
+    return f"""
+    WITH segs AS MATERIALIZED (
+      SELECT o_orderkey AS sid,
+        CAST(floor(({_OLON}) * 1.0e3) AS BIGINT) + 200000 AS x1,
+        CAST(floor(({_OLAT}) * 1.0e3) AS BIGINT) + 200000 AS y1,
+        CAST(floor(({_OLON}) * 1.0e3) AS BIGINT) + 200000
+          + (CAST(o_orderkey AS BIGINT) * 3571 % 4001) - 2000 AS x2,
+        CAST(floor(({_OLAT}) * 1.0e3) AS BIGINT) + 200000
+          + (CAST(o_orderkey AS BIGINT) * 28657 % 4001) - 2000 AS y2
+      FROM orders
+    ), fx AS MATERIALIZED (
+      SELECT uid, step,
+        CAST(floor(({flon}) * 1.0e3) AS BIGINT) + 200000 AS px,
+        CAST(floor(({flat}) * 1.0e3) AS BIGINT) + 200000 AS py
+      FROM (SELECT DISTINCT CAST(user_id AS BIGINT) AS uid FROM events)
+      CROSS JOIN (SELECT unnest(range(1, {n_steps + 1})) AS step)
+    ), pair AS (
+      SELECT uid, step, sid,
+        x2 - x1 AS dx, y2 - y1 AS dy,
+        px - x1 AS pax, py - y1 AS pay,
+        px - x2 AS pbx, py - y2 AS pby
+      FROM fx CROSS JOIN segs
+    ), em AS (
+      SELECT uid, step, sid,
+        CASE WHEN dx * dx + dy * dy > 0
+              AND pax * dx + pay * dy >= 0
+              AND pax * dx + pay * dy <= dx * dx + dy * dy
+        THEN ((dx * pay - dy * pax) * (dx * pay - dy * pax))
+             // (dx * dx + dy * dy)
+        ELSE least(pax * pax + pay * pay, pbx * pbx + pby * pby) END AS emit
+      FROM pair
+    ), cand AS MATERIALIZED (
+      SELECT uid, step, sid, emit,
+        row_number() OVER (PARTITION BY uid, step ORDER BY emit, sid) - 1 AS r
+      FROM em WHERE emit <= {d2}
+      QUALIFY row_number() OVER (PARTITION BY uid, step ORDER BY emit, sid)
+              <= {k}
+    ), path AS MATERIALIZED (
+      SELECT c1.uid,
+        ({emits} + {penalty} * ({sw})) * {kt} + {ties} AS total,
+        {cols}
+      FROM cand c1
+{joins}
+      WHERE c1.step = 1
+    ), best AS MATERIALIZED (
+      SELECT uid, min(total) AS total FROM path GROUP BY uid
+    ), chosen AS MATERIALIZED (
+      SELECT p.* FROM path p JOIN best b ON b.uid = p.uid AND b.total = p.total
+    )
+    {arms}
+    """
+
+
+@register("map_match", _map_match_oracle_sql())
+def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HMM map matching (joins/map_match.py — Newson-Krumm / OSRM match /
+    Valhalla Meili): 6-fix GPS windows per user snapped to the
+    orders-derived road layer.  Candidates = expanded-bbox cell equi-join
+    with exact floored squared point-segment distances; the windowed
+    Viterbi is T-1 UNROLLED slim self-joins in ONE Catalyst DAG (states
+    never exceed k rows per trajectory); the unique positional-rank total
+    both breaks ties and DECODES the winning path arithmetically.  The
+    oracle brute-forces all k^T paths — two independent algorithms, one
+    answer."""
+    from .joins.map_match import candidate_segments, map_match
+
+    od = load(spark, sf_dir, "orders").select("o_orderkey")
+    okey = F.col("o_orderkey")
+    slon = F.col("o_orderkey") * 13 + 5
+    sx = F.floor(derived_lon_expr(slon) * 1000).cast("long") + 200000
+    sy = F.floor(derived_lat_expr(slon) * 1000).cast("long") + 200000
+    segs = od.select(
+        okey.alias("sid"),
+        sx.alias("x1"), sy.alias("y1"),
+        (sx + (okey.cast("long") * 3571 % 4001) - 2000).alias("x2"),
+        (sy + (okey.cast("long") * 28657 % 4001) - 2000).alias("y2"),
+    )
+    users = (
+        load(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("long").alias("uid"))
+        .distinct()
+    )
+    key = F.col("uid") * 8 + F.col("step")
+    fixes = users.select(
+        "uid", F.explode(F.sequence(F.lit(1), F.lit(6))).alias("step")
+    ).select(
+        "uid", "step",
+        (F.floor(derived_lon_expr(key) * 1000).cast("long") + 200000).alias("px"),
+        (F.floor(derived_lat_expr(key) * 1000).cast("long") + 200000).alias("py"),
+    )
+    cand = candidate_segments(fixes, segs, dist=8000, cell=8000, k=4)
+    return map_match(cand, n_steps=6, k=4, switch_penalty=10_000_000)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
