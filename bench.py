@@ -112,6 +112,7 @@ HEADLINE = [
     "directional_dist",
     "huff_market",
     "idw_fill",
+    "variogram",
     "st_dbscan_events",
     "traj_similarity",
     "map_match",

@@ -303,7 +303,7 @@ def test_d8_basins_slim_iteration(spark):
 
 @pytest.mark.parametrize(
     "name", ["gearys_c", "idw_fill", "ripley_k", "colocation",
-             "traj_similarity", "st_dbscan_events"]
+             "traj_similarity", "st_dbscan_events", "variogram"]
 )
 def test_r4_stats_no_python_no_cartesian(spark, sf_dir, name):
     """The round-4 analytics family: zero Python nodes and — for the

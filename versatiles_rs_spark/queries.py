@@ -9352,6 +9352,76 @@ def q_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return map_match(cand, n_steps=6, k=4, switch_penalty=10_000_000)
 
 
+def _variogram_oracle_sql(max_lag_deg: float = 1.0, n_bins: int = 8) -> str:
+    """Oracle for variogram: identical micro7 quantization, 3x3
+    neighbor-cell UNORDERED pair join (p.id < q.id), clamped deltas,
+    exact integer squared value differences, the same no-sqrt
+    squared-threshold bin rule, and `//`-on-non-negative gamma_milli."""
+    from .functions.variogram import variogram_bin_sql
+
+    scale = 10_000_000
+    lag = int(round(max_lag_deg * scale))
+    w = lag // n_bins
+    cell = lag
+    slon, slat = scatter_lonlat_sql("event_id")
+    bin_sql = variogram_bin_sql("d2", w, n_bins)
+    return f"""
+    WITH pts AS (
+      SELECT event_id AS id,
+             CAST(floor(({slon}) * 1e7) AS BIGINT) + {180 * scale} AS sx,
+             CAST(floor(({slat}) * 1e7) AS BIGINT) + {90 * scale} AS sy,
+             CAST(floor(value * 100) AS BIGINT) AS v
+      FROM events
+    ), cells AS (
+      SELECT id, sx, sy, v, sx // {cell} AS cx, sy // {cell} AS cy FROM pts
+    ), pairs AS (
+      SELECT least(abs(p.sx - q.sx), {2 * cell}) * least(abs(p.sx - q.sx), {2 * cell})
+           + least(abs(p.sy - q.sy), {2 * cell}) * least(abs(p.sy - q.sy), {2 * cell}) AS d2,
+             (p.v - q.v) * (p.v - q.v) AS sq
+      FROM cells p
+      CROSS JOIN (VALUES (-1), (0), (1)) dx(v)
+      CROSS JOIN (VALUES (-1), (0), (1)) dy(v)
+      JOIN cells q
+        ON q.cx = p.cx + dx.v AND q.cy = p.cy + dy.v AND p.id < q.id
+      WHERE least(abs(p.sx - q.sx), {2 * cell}) * least(abs(p.sx - q.sx), {2 * cell})
+          + least(abs(p.sy - q.sy), {2 * cell}) * least(abs(p.sy - q.sy), {2 * cell})
+          <= {lag * lag}
+    ), binned AS (
+      SELECT {bin_sql} AS lag_bin, sq FROM pairs
+    )
+    SELECT lag_bin,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(sq) AS BIGINT) AS sum_sq,
+           (CAST(sum(sq) AS BIGINT) * 500) // CAST(count(*) AS BIGINT)
+             AS gamma_milli
+    FROM binned GROUP BY lag_bin
+    """
+
+
+@register("variogram", _variogram_oracle_sql())
+def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram (functions/variogram.py — Matheron 1963,
+    GSLIB gamv / gstat::variogram) of the event value field at 8
+    equal-width lag bins up to 1 degree: density-bounded unordered pairs
+    from the 3x3 neighbor-cell equi-join, exact int64 squared cent
+    differences, sqrt-free squared-threshold binning, floor-division
+    milli-gamma.  The range/sill/nugget readout that justifies (or
+    refutes) idw_fill's interpolation radius."""
+    from .functions.variogram import empirical_variogram
+    from .udfs import scatter_lat_expr, scatter_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        scatter_lon_expr(F.col("event_id")).alias("lon"),
+        scatter_lat_expr(F.col("event_id")).alias("lat"),
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+    )
+    return empirical_variogram(
+        ev, id_col="id", lon_col="lon", lat_col="lat", value_col="v",
+        max_lag_deg=1.0, n_bins=8,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
