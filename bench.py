@@ -154,6 +154,7 @@ HEADLINE = [
     "tabulate_area",
     "euclidean_distance",
     "region_group",
+    "landscape_metrics",
     "areal_interp",
     "seg_intersections",
     "near_segments",

@@ -1,0 +1,107 @@
+"""FRAGSTATS class metrics (functions/landscape.py): brute-force parity.
+
+Reference: per-cell python BFS labeling + side counting over the raw
+grid — the engine must reproduce it from the contracted segment relation
+exactly."""
+
+from collections import deque
+
+import numpy as np
+import pandas as pd
+
+from versatiles_rs_spark.functions.landscape import class_metrics
+
+
+def brute(grid: np.ndarray):
+    n, m = grid.shape  # rows (gy), cols (gx); engine assumes square n==m
+    lab = -np.ones_like(grid)
+    patches = {}  # label -> (v, cells)
+    nxt = 0
+    for y in range(n):
+        for x in range(m):
+            if lab[y, x] >= 0:
+                continue
+            v = grid[y, x]
+            q, cells = deque([(y, x)]), 0
+            lab[y, x] = nxt
+            while q:
+                cy, cx = q.popleft()
+                cells += 1
+                for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                    ny, nx_ = cy + dy, cx + dx
+                    if 0 <= ny < n and 0 <= nx_ < m and lab[ny, nx_] < 0 and grid[ny, nx_] == v:
+                        lab[ny, nx_] = nxt
+                        q.append((ny, nx_))
+            patches[nxt] = (v, cells)
+            nxt += 1
+    te = {}
+    for y in range(n):
+        for x in range(m):
+            v = grid[y, x]
+            for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                ny, nx_ = y + dy, x + dx
+                if not (0 <= ny < n and 0 <= nx_ < m):
+                    te[v] = te.get(v, 0) + 1  # landscape boundary side
+                elif grid[ny, nx_] != v:
+                    te[v] = te.get(v, 0) + 1
+    out = {}
+    for v in np.unique(grid):
+        sizes = [c for (pv, c) in patches.values() if pv == v]
+        tot, np_, big = sum(sizes), len(sizes), max(sizes)
+        area = n * m
+        out[int(v)] = dict(
+            n_patches=np_, class_cells=tot, largest=big,
+            total_edge=te.get(v, 0),
+            pland_ppm=tot * 1_000_000 // area,
+            lpi_ppm=big * 1_000_000 // area,
+            mps_milli=tot * 1000 // np_,
+            ed_ppm=te.get(v, 0) * 1_000_000 // area,
+        )
+    return out
+
+
+def run(spark, grid):
+    n = grid.shape[0]
+    ys, xs = np.mgrid[0:n, 0:n]
+    pdf = pd.DataFrame(
+        {"gx": xs.ravel(), "gy": ys.ravel(), "v": grid.ravel()}
+    )
+    got = class_metrics(spark.createDataFrame(pdf), n).toPandas()
+    return {int(r["v"]): r for _, r in got.iterrows()}
+
+
+COLS = ["n_patches", "class_cells", "largest", "total_edge",
+        "pland_ppm", "lpi_ppm", "mps_milli", "ed_ppm"]
+
+
+def test_random_fuzz_parity(spark):
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        grid = rng.integers(0, 3, (16, 16))
+        got, want = run(spark, grid), brute(grid)
+        assert set(got) == set(want), trial
+        for v in want:
+            for c in COLS:
+                assert got[v][c] == want[v][c], (trial, v, c)
+
+
+def test_checkerboard_all_singletons(spark):
+    n = 8
+    grid = (np.add.outer(np.arange(n), np.arange(n)) % 2).astype(np.int64)
+    got = run(spark, grid)
+    for v in (0, 1):
+        assert got[v]["n_patches"] == n * n // 2
+        assert got[v]["largest"] == 1
+        # every cell's 4 sides are edges (neighbors differ or boundary)
+        assert got[v]["total_edge"] == 4 * (n * n // 2)
+
+
+def test_uniform_single_patch_edge_is_perimeter(spark):
+    n = 8
+    grid = np.zeros((n, n), dtype=np.int64)
+    got = run(spark, grid)
+    assert got[0]["n_patches"] == 1
+    assert got[0]["class_cells"] == n * n
+    assert got[0]["total_edge"] == 4 * n
+    assert got[0]["pland_ppm"] == 1_000_000
+    assert got[0]["lpi_ppm"] == 1_000_000

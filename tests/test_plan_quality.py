@@ -400,3 +400,15 @@ def test_map_match_pure_jvm_slim_dp(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
     assert "InMemoryTableScan" in plan, "candidate relation not cached"
+
+
+def test_landscape_metrics_pure_jvm(spark, sf_dir):
+    """landscape_metrics: zero Python nodes — patches, edges, and ratios
+    all derive from the contracted segment relation in JVM expressions
+    (the only non-relational step is region_group's guarded driver
+    union-find, which is not part of this plan).  The 64x64 universe
+    lattice crossJoin is a constant-size literal grid, so no cartesian
+    assert here (same shape as region_group/sieve_regions)."""
+    plan = plan_of(Q.REGISTRY["landscape_metrics"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "SinglePartition" not in plan

@@ -9422,6 +9422,86 @@ def q_variogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _landscape_oracle_sql(n: int = 64) -> str:
+    """Oracle for landscape_metrics: the shared region-CTE chain (lab =
+    labeled segments, MATERIALIZED) extended with the identical
+    different-value overlap join (vertical edges), run-boundary join
+    (horizontal edges), and grid-border arms; vert/horiz each feed two
+    UNION arms -> MATERIALIZED (CTE-inlining lesson); `//` on
+    non-negative ints for every derived ratio."""
+    area = n * n
+    return f"""
+    WITH RECURSIVE {_region_ctes(n)},
+    patches AS (
+      SELECT zv, region, CAST(sum(len) AS BIGINT) AS cells
+      FROM lab GROUP BY 1, 2
+    ), cls AS (
+      SELECT zv, CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(cells) AS BIGINT) AS tot,
+             CAST(max(cells) AS BIGINT) AS big
+      FROM patches GROUP BY 1
+    ), vert AS MATERIALIZED (
+      SELECT a.zv AS va, b.zv AS vb,
+             least(a.x1, b.x1) - greatest(a.x0, b.x0) + 1 AS e
+      FROM lab a JOIN lab b
+        ON b.gy = a.gy + 1 AND b.x0 <= a.x1 AND a.x0 <= b.x1
+       AND a.zv <> b.zv
+    ), horiz AS MATERIALIZED (
+      SELECT a.zv AS va, b.zv AS vb, 1 AS e
+      FROM lab a JOIN lab b ON b.gy = a.gy AND b.x0 = a.x1 + 1
+    ), cedges AS (
+      SELECT va AS zv, e FROM vert UNION ALL SELECT vb, e FROM vert
+      UNION ALL SELECT va, e FROM horiz UNION ALL SELECT vb, e FROM horiz
+      UNION ALL SELECT zv, len AS e FROM lab WHERE gy = 0
+      UNION ALL SELECT zv, len AS e FROM lab WHERE gy = {n - 1}
+      UNION ALL SELECT zv, 1 AS e FROM lab WHERE x0 = 0
+      UNION ALL SELECT zv, 1 AS e FROM lab WHERE x1 = {n - 1}
+    ), te AS (
+      SELECT zv, CAST(sum(e) AS BIGINT) AS total_edge FROM cedges GROUP BY 1
+    )
+    SELECT cls.zv AS v, np AS n_patches, tot AS class_cells, big AS largest,
+           total_edge,
+           (tot * 1000000) // {area} AS pland_ppm,
+           (big * 1000000) // {area} AS lpi_ppm,
+           (tot * 1000) // np AS mps_milli,
+           (total_edge * 1000000) // {area} AS ed_ppm
+    FROM cls JOIN te ON te.zv = cls.zv
+    """
+
+
+@register("landscape_metrics", _landscape_oracle_sql())
+def q_landscape_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGSTATS class metrics (functions/landscape.py — McGarigal &
+    Marks 1995; landscapemetrics::lsm_c_*) of the zoom-6 event-density
+    zone grid: per class the patch count, class area, largest-patch
+    index, mean patch size, and total edge incl. the landscape boundary
+    — all from the run-length segment relation (patches via
+    region_group's contracted labeling, edges via the different-value
+    overlap join), exact int64 with ppm/milli floor quotients."""
+    from .functions.landscape import class_metrics
+    from .udfs import derived_lat_expr, derived_lon_expr, tile_x_expr, tile_y_expr
+
+    n = 64
+    ev = load(spark, sf_dir, "events")
+    lon = derived_lon_expr(F.col("event_id"))
+    lat = derived_lat_expr(F.col("event_id"))
+    occ = (
+        ev.select(
+            tile_x_expr(lon, 6).cast("long").alias("gx"),
+            tile_y_expr(lat, 6).cast("long").alias("gy"),
+        )
+        .groupBy("gx", "gy").agg(F.count("*").alias("cnt"))
+    )
+    universe = (
+        spark.range(n).select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(n).select(F.col("id").alias("gy")))
+    )
+    cells = universe.join(occ, ["gx", "gy"], "left").select(
+        "gx", "gy", F.least(F.coalesce("cnt", F.lit(0)), F.lit(3)).alias("v")
+    )
+    return class_metrics(cells, n)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
