@@ -86,6 +86,7 @@ HEADLINE = [
     "pack_chunks",
     "corpus_pipeline",
     "zonal_stats",
+    "zonal_correlation",
     "terrain_focal",
     "hotspots_gi",
     "hotspot_tiles",

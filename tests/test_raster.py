@@ -472,3 +472,65 @@ def test_zonal_percentiles_mode_tie_smallest(spark):
     assert r.p100 == int(v.max()) and r.p1 <= int(np.percentile(v, 1.5))
     counts = np.bincount(v)
     assert r.mode_val == int(np.nonzero(counts == counts.max())[0][0])
+
+
+def test_zonal_correlation_matches_bruteforce(spark):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.raster import zonal_correlation
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=2, partitions=4)
+    zdefs = [
+        (0, 10, 10, 60, 40),
+        (1, 200, 200, 400, 300),   # crosses the 256 tile boundary
+        (2, 700, 100, 1000, 900),  # multi-tile both axes
+        (3, 511, 511, 512, 512),   # single pixel -> zero variance -> NULL r
+    ]
+    zones = spark.createDataFrame(
+        pd.DataFrame(zdefs, columns=["zone_id", "x0", "y0", "x1", "y1"])
+    )
+    got = {
+        r.zone_id: r.asDict()
+        for r in zonal_correlation(
+            tiles, zones, fixtures.dem_value, tile_size=256
+        ).collect()
+    }
+    for zid, x0, y0, x1, y1 in zdefs:
+        gx, gy = np.meshgrid(np.arange(x0, x1), np.arange(y0, y1))
+        a = fixtures.zonal_value(gx, gy).astype(np.int64)
+        b = fixtures.dem_value(gx, gy).astype(np.int64)
+        n = a.size
+        sa, sb = int(a.sum()), int(b.sum())
+        sab, sa2, sb2 = int((a * b).sum()), int((a * a).sum()), int((b * b).sum())
+        g = got[zid]
+        assert (g["n_px"], g["sum_a"], g["sum_b"], g["sum_ab"], g["sum_a2"],
+                g["sum_b2"]) == (n, sa, sb, sab, sa2, sb2), zid
+        cov, va, vb = n * sab - sa * sb, n * sa2 - sa * sa, n * sb2 - sb * sb
+        assert (g["cov_n"], g["var_a_n"], g["var_b_n"]) == (cov, va, vb), zid
+        if va > 0 and vb > 0:
+            assert g["r_6"] == round(cov / math.sqrt(float(va) * float(vb)), 6), zid
+        else:
+            assert g["r_6"] is None, zid
+
+
+def test_zonal_correlation_payload_never_in_shuffle(spark):
+    import pandas as pd
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.raster import zonal_correlation
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=2, partitions=4)
+    zones = spark.createDataFrame(
+        pd.DataFrame([(0, 0, 0, 100, 100)], columns=["zone_id", "x0", "y0", "x1", "y1"])
+    )
+    plan = (
+        zonal_correlation(tiles, zones, fixtures.dem_value, tile_size=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"

@@ -591,6 +591,104 @@ def zonal_stats(
     )
 
 
+def zonal_correlation(
+    tiles: DataFrame,
+    zones: DataFrame,
+    surface_fn,
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+    zone_id: str = "zone_id",
+) -> DataFrame:
+    """Per-zone Pearson correlation between a stored raster band and a
+    second surface — the two-raster zonal reduction (ArcGIS Band
+    Collection Statistics / R terra::layerCor, evaluated zonally): does
+    elevation track density, does slope track burn severity, per
+    district.
+
+    `surface_fn(gx, gy) -> int64 array` computes the second surface from
+    GLOBAL pixel coordinates inside the same fused Arrow pass that
+    decodes the stored band — the payload crosses Arrow once, and only
+    slim per-(zone, tile) moment partials (n, Σa, Σb, Σab, Σa², Σb²)
+    ever shuffle; they combine associatively, so giant zones cost their
+    tile count.  The epilogue is exact int64 moment algebra
+    (cov_n = nΣab − ΣaΣb etc.) plus ONE literal float expression for
+    r (round 6), NULL when either variance is zero — identical
+    expression tree in the SQL oracle."""
+    n_zones = zones.count()
+    if n_zones > _ZONAL_MAX_ZONES:
+        raise ValueError(
+            f"zonal_correlation broadcasts the zone table; {n_zones} zones "
+            f"exceeds the {_ZONAL_MAX_ZONES} guard"
+        )
+    zrows = zones.select(zone_id, "x0", "y0", "x1", "y1").collect()
+    zid = np.array([r[0] for r in zrows], dtype=np.int64)
+    zx0 = np.array([r[1] for r in zrows], dtype=np.int64)
+    zy0 = np.array([r[2] for r in zrows], dtype=np.int64)
+    zx1 = np.array([r[3] for r in zrows], dtype=np.int64)
+    zy1 = np.array([r[4] for r in zrows], dtype=np.int64)
+    bc = tiles.sparkSession.sparkContext.broadcast((zid, zx0, zy0, zx1, zy1))
+    ts = int(tile_size)
+
+    def run(batches):
+        izid, ix0, iy0, ix1, iy1 = bc.value
+        cols = ("zone_id", "pn", "psa", "psb", "psab", "psa2", "psb2")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf[payload]):
+                tx0, ty0 = int(x) * ts, int(y) * ts
+                hit = np.nonzero(
+                    (ix0 < tx0 + ts) & (ix1 > tx0) & (iy0 < ty0 + ts) & (iy1 > ty0)
+                )[0]
+                if hit.size == 0:
+                    continue
+                img = decode_image(bytes(blob))
+                a = img[..., band].astype(np.int64)
+                gy, gx = np.mgrid[ty0 : ty0 + ts, tx0 : tx0 + ts]
+                b = surface_fn(gx, gy).astype(np.int64)
+                for j in hit:
+                    cx0, cx1 = max(int(ix0[j]) - tx0, 0), min(int(ix1[j]) - tx0, ts)
+                    cy0, cy1 = max(int(iy0[j]) - ty0, 0), min(int(iy1[j]) - ty0, ts)
+                    wa = a[cy0:cy1, cx0:cx1]
+                    wb = b[cy0:cy1, cx0:cx1]
+                    out["zone_id"].append(int(izid[j]))
+                    out["pn"].append(wa.size)
+                    out["psa"].append(int(wa.sum()))
+                    out["psb"].append(int(wb.sum()))
+                    out["psab"].append(int((wa * wb).sum()))
+                    out["psa2"].append(int((wa * wa).sum()))
+                    out["psb2"].append(int((wb * wb).sum()))
+            yield pd.DataFrame(out)
+
+    partials = tiles.mapInPandas(
+        run,
+        schema="zone_id long, pn long, psa long, psb long, psab long, "
+        "psa2 long, psb2 long",
+    )
+    mom = partials.groupBy("zone_id").agg(
+        F.sum("pn").alias("n_px"),
+        F.sum("psa").alias("sum_a"),
+        F.sum("psb").alias("sum_b"),
+        F.sum("psab").alias("sum_ab"),
+        F.sum("psa2").alias("sum_a2"),
+        F.sum("psb2").alias("sum_b2"),
+    )
+    return mom.select(
+        "zone_id", "n_px", "sum_a", "sum_b", "sum_ab", "sum_a2", "sum_b2",
+        F.expr("n_px * sum_ab - sum_a * sum_b").alias("cov_n"),
+        F.expr("n_px * sum_a2 - sum_a * sum_a").alias("var_a_n"),
+        F.expr("n_px * sum_b2 - sum_b * sum_b").alias("var_b_n"),
+        F.expr(
+            "CASE WHEN n_px * sum_a2 - sum_a * sum_a > 0 "
+            " AND n_px * sum_b2 - sum_b * sum_b > 0 "
+            "THEN round(CAST(n_px * sum_ab - sum_a * sum_b AS DOUBLE) / "
+            "sqrt(CAST(n_px * sum_a2 - sum_a * sum_a AS DOUBLE) * "
+            "CAST(n_px * sum_b2 - sum_b * sum_b AS DOUBLE)), 6) "
+            "ELSE NULL END"
+        ).alias("r_6"),
+    )
+
+
 _BURN_MAX_POLYS = 200_000  # broadcast guard, same scale contract as zonal
 
 

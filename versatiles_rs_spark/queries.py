@@ -9502,6 +9502,77 @@ def q_landscape_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return class_metrics(cells, n)
 
 
+def _zonal_corr_oracle_sql() -> str:
+    """Oracle for zonal_correlation: recompute both surfaces
+    arithmetically per zone pixel (v_a = the zonal_value PNG grid, v_b =
+    the DEM closed form), exact BIGINT moment algebra, and the identical
+    guarded float r epilogue.  A hash match proves the PNG round-trip,
+    the window clipping, AND the moment/epilogue algebra at once."""
+    from .fixtures import dem_sql
+
+    vb = dem_sql("gx", "gy")
+    return f"""
+    WITH zk AS (SELECT unnest(range(0, 24)) AS zone_id),
+    z AS (
+      SELECT zone_id,
+        (zone_id * 37) % 1800 AS x0, (zone_id * 53) % 1800 AS y0,
+        100 + (zone_id * 17) % 200 AS w, 100 + (zone_id * 29) % 200 AS h
+      FROM zk
+    ),
+    gxs AS (SELECT zone_id, unnest(range(x0, x0 + w)) AS gx FROM z),
+    gys AS (SELECT zone_id, unnest(range(y0, y0 + h)) AS gy FROM z),
+    px AS (
+      SELECT gxs.zone_id,
+             (7 * gx + 13 * gy) % 251 AS va,
+             {vb} AS vb
+      FROM gxs JOIN gys USING (zone_id)
+    ), mom AS (
+      SELECT zone_id,
+        CAST(count(*) AS BIGINT) AS n_px,
+        CAST(sum(va) AS BIGINT) AS sum_a,
+        CAST(sum(vb) AS BIGINT) AS sum_b,
+        CAST(sum(va * vb) AS BIGINT) AS sum_ab,
+        CAST(sum(va * va) AS BIGINT) AS sum_a2,
+        CAST(sum(vb * vb) AS BIGINT) AS sum_b2
+      FROM px GROUP BY 1
+    )
+    SELECT zone_id, n_px, sum_a, sum_b, sum_ab, sum_a2, sum_b2,
+      n_px * sum_ab - sum_a * sum_b AS cov_n,
+      n_px * sum_a2 - sum_a * sum_a AS var_a_n,
+      n_px * sum_b2 - sum_b * sum_b AS var_b_n,
+      CASE WHEN n_px * sum_a2 - sum_a * sum_a > 0
+            AND n_px * sum_b2 - sum_b * sum_b > 0
+      THEN round(CAST(n_px * sum_ab - sum_a * sum_b AS DOUBLE) /
+                 sqrt(CAST(n_px * sum_a2 - sum_a * sum_a AS DOUBLE) *
+                      CAST(n_px * sum_b2 - sum_b * sum_b AS DOUBLE)), 6)
+      ELSE NULL END AS r_6
+    FROM mom
+    """
+
+
+@register("zonal_correlation", _zonal_corr_oracle_sql())
+def q_zonal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-raster zonal Pearson correlation (operators/raster.py::
+    zonal_correlation — ArcGIS Band Collection Statistics /
+    terra::layerCor, zonally): the stored zonal_value PNG band against
+    the analytic DEM surface over the 24 zonal_stats rectangles.  Tiles
+    decode once in the fused Arrow pass that also evaluates the second
+    surface from global pixel coords; only slim moment partials shuffle;
+    exact int64 cov/var numerators plus one guarded float r epilogue."""
+    from . import fixtures
+    from .operators.raster import zonal_correlation
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=3, partitions=16)
+    zones = spark.range(24).select(
+        F.col("id").alias("zone_id"),
+        ((F.col("id") * 37) % 1800).alias("x0"),
+        ((F.col("id") * 53) % 1800).alias("y0"),
+        ((F.col("id") * 37) % 1800 + 100 + (F.col("id") * 17) % 200).alias("x1"),
+        ((F.col("id") * 53) % 1800 + 100 + (F.col("id") * 29) % 200).alias("y1"),
+    )
+    return zonal_correlation(tiles, zones, fixtures.dem_value, tile_size=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
