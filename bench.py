@@ -156,6 +156,7 @@ HEADLINE = [
     "euclidean_distance",
     "region_group",
     "landscape_metrics",
+    "join_counts",
     "areal_interp",
     "seg_intersections",
     "near_segments",

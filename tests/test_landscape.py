@@ -105,3 +105,43 @@ def test_uniform_single_patch_edge_is_perimeter(spark):
     assert got[0]["total_edge"] == 4 * n
     assert got[0]["pland_ppm"] == 1_000_000
     assert got[0]["lpi_ppm"] == 1_000_000
+
+
+def brute_joins(grid: np.ndarray):
+    n = grid.shape[0]
+    out = {}
+    for y in range(n):
+        for x in range(n):
+            for dy, dx in ((0, 1), (1, 0)):  # each rook join once
+                ny, nx_ = y + dy, x + dx
+                if ny < n and nx_ < n:
+                    va, vb = sorted((int(grid[y, x]), int(grid[ny, nx_])))
+                    out[(va, vb)] = out.get((va, vb), 0) + 1
+    return out
+
+
+def test_join_counts_fuzz_parity(spark):
+    from versatiles_rs_spark.functions.landscape import join_counts
+
+    rng = np.random.default_rng(9)
+    for trial in range(3):
+        n = 12
+        grid = rng.integers(0, 3, (n, n))
+        ys, xs = np.mgrid[0:n, 0:n]
+        pdf = pd.DataFrame({"gx": xs.ravel(), "gy": ys.ravel(), "v": grid.ravel()})
+        got = join_counts(spark.createDataFrame(pdf), n).toPandas()
+        want = brute_joins(grid)
+        gotd = {(int(r["va"]), int(r["vb"])): int(r["n_joins"]) for _, r in got.iterrows()}
+        assert gotd == want, trial
+        # total joins on a complete lattice is the closed form 2n(n-1)
+        assert sum(gotd.values()) == 2 * n * (n - 1), trial
+        # expectation: exact ppm quotient per pair
+        counts = {int(v): int((grid == v).sum()) for v in np.unique(grid)}
+        big_n, j = n * n, 2 * n * (n - 1)
+        for _, r in got.iterrows():
+            va, vb = int(r["va"]), int(r["vb"])
+            if va == vb:
+                e = j * counts[va] * (counts[va] - 1) * 10**6 // (big_n * (big_n - 1))
+            else:
+                e = 2 * j * counts[va] * counts[vb] * 10**6 // (big_n * (big_n - 1))
+            assert int(r["expected_ppm"]) == e, (trial, va, vb)

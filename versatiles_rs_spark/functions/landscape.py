@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.regions import region_group
+from ..operators.regions import region_group, region_segments
 
 
 def class_metrics(cells: DataFrame, n: int, value_col: str = "v") -> DataFrame:
@@ -110,3 +110,75 @@ def class_metrics(cells: DataFrame, n: int, value_col: str = "v") -> DataFrame:
             F.expr(f"(total_edge * 1000000) div {area}").alias("ed_ppm"),
         )
     )
+
+
+def join_counts(cells: DataFrame, n: int, value_col: str = "v") -> DataFrame:
+    """Cliff-Ord join-count statistics: categorical spatial
+    autocorrelation on the rook lattice (Cliff & Ord 1981; PySAL
+    esda.Join_Counts; the BB/BW/WW test generalized to k classes).
+
+    For every observed unordered class pair (va <= vb): the exact number
+    of adjacent cell pairs ("joins") carrying those classes, and the
+    expectation under the nonfree-sampling null
+        E[J_rr] = J * n_r * (n_r - 1) / (N * (N - 1))
+        E[J_rs] = 2 * J * n_r * n_s / (N * (N - 1))      (r != s)
+    as an exact ppm floor quotient (J = 2n(n-1) rook joins on the full
+    n x n lattice, closed form because the cell relation is complete).
+    Observed >> expected for (r, r) pairs = positive autocorrelation of
+    class r.
+
+    Distributed shape — all three join families read the run-length
+    SEGMENT relation (never cells): same-class horizontal joins are
+    Σ(len - 1) per run (zero joins beyond the run's own row count),
+    different-class horizontal joins are run boundaries, vertical joins
+    are the adjacent-row overlap lengths for EVERY value combination.
+    Only (v, count) longs shuffle.  Pairs with zero observed joins are
+    not emitted (the relation is the observed-join support)."""
+    segs = region_segments(cells, n, value_col).localCheckpoint()
+    hs = segs.filter(F.col("len") > 1).select(
+        F.col("v").alias("va"), F.col("v").alias("vb"),
+        (F.col("len") - 1).alias("e"),
+    )
+    a, b = segs.alias("a"), segs.alias("b")
+    hd = a.join(
+        b, (F.col("b.gy") == F.col("a.gy")) & (F.col("b.x0") == F.col("a.x1") + 1)
+    ).select(
+        F.least(F.col("a.v"), F.col("b.v")).alias("va"),
+        F.greatest(F.col("a.v"), F.col("b.v")).alias("vb"),
+        F.lit(1).alias("e"),
+    )
+    vt = a.join(
+        b,
+        (F.col("b.gy") == F.col("a.gy") + 1)
+        & (F.col("b.x0") <= F.col("a.x1"))
+        & (F.col("a.x0") <= F.col("b.x1")),
+    ).select(
+        F.least(F.col("a.v"), F.col("b.v")).alias("va"),
+        F.greatest(F.col("a.v"), F.col("b.v")).alias("vb"),
+        (
+            F.least(F.col("a.x1"), F.col("b.x1"))
+            - F.greatest(F.col("a.x0"), F.col("b.x0"))
+            + F.lit(1)
+        ).alias("e"),
+    )
+    obs = (
+        hs.unionByName(hd).unionByName(vt)
+        .groupBy("va", "vb")
+        .agg(F.sum("e").cast("long").alias("n_joins"))
+    )
+    cls = segs.groupBy("v").agg(F.sum("len").cast("long").alias("n_r"))
+    big_n = n * n
+    j_tot = 2 * n * (n - 1)
+    denom = big_n * (big_n - 1)
+    out = (
+        obs.join(cls.select(F.col("v").alias("va"), F.col("n_r").alias("na")), "va")
+        .join(cls.select(F.col("v").alias("vb"), F.col("n_r").alias("nb")), "vb")
+        .select(
+            "va", "vb", "n_joins",
+            F.expr(
+                f"CASE WHEN va = vb THEN ({j_tot} * na * (na - 1) * 1000000) div {denom} "
+                f"ELSE (2 * {j_tot} * na * nb * 1000000) div {denom} END"
+            ).alias("expected_ppm"),
+        )
+    )
+    return out

@@ -6749,6 +6749,37 @@ def q_near_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _seg_ctes(n: int = 64) -> str:
+    """CTE chain through `segs` only (run-length contraction of the
+    zone grid, no labeling walk) — the shared prefix of _region_ctes,
+    reusable by oracles that need run segments but not regions
+    (join_counts)."""
+    x6, y6 = tile_xy_sql(_EV_LON, _EV_LAT, 6)
+    return f"""pts AS (
+      SELECT {x6} AS gx, {y6} AS gy FROM events
+    ), occ AS (
+      SELECT gx, gy, count(*) AS cnt FROM pts GROUP BY 1, 2
+    ), xs AS (SELECT unnest(range({n})) AS gx),
+    ys AS (SELECT unnest(range({n})) AS gy),
+    cells AS MATERIALIZED (
+      SELECT x.gx, y.gy, least(coalesce(o.cnt, 0), 3) AS zv
+      FROM xs x CROSS JOIN ys y
+      LEFT JOIN occ o ON o.gx = x.gx AND o.gy = y.gy
+    ), runs AS (
+      SELECT gx, gy, zv,
+        CASE WHEN lag(zv) OVER w IS NULL OR lag(zv) OVER w <> zv
+                  OR lag(gx) OVER w <> gx - 1 THEN 1 ELSE 0 END AS brk
+      FROM cells WINDOW w AS (PARTITION BY gy ORDER BY gx)
+    ), segs AS MATERIALIZED (
+      SELECT min(gy) * {n} + min(gx) AS seg_id, gy,
+             min(gx) AS x0, max(gx) AS x1, min(zv) AS zv, count(*) AS len
+      FROM (SELECT gx, gy, zv,
+              sum(brk) OVER (PARTITION BY gy ORDER BY gx) AS seg
+            FROM runs)
+      GROUP BY gy, seg
+    )"""
+
+
 def _region_ctes(n: int = 64) -> str:
     """Shared CTE chain (through `lab`: labeled segments) replaying
     region_group: identical run-length window arithmetic
@@ -9571,6 +9602,73 @@ def q_zonal_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("id") * 53) % 1800 + 100 + (F.col("id") * 29) % 200).alias("y1"),
     )
     return zonal_correlation(tiles, zones, fixtures.dem_value, tile_size=256)
+
+
+def _join_counts_oracle_sql(n: int = 64) -> str:
+    """Oracle for join_counts: the shared segment CTE chain + the three
+    join families (within-run Σ(len−1), run boundaries, all-value
+    vertical overlaps — each arm feeding one UNION, segs MATERIALIZED),
+    class totals, and the exact ppm expectation quotient."""
+    big_n = n * n
+    j_tot = 2 * n * (n - 1)
+    denom = big_n * (big_n - 1)
+    return f"""
+    WITH {_seg_ctes(n)},
+    fams AS (
+      SELECT zv AS va, zv AS vb, len - 1 AS e FROM segs WHERE len > 1
+      UNION ALL
+      SELECT least(a.zv, b.zv), greatest(a.zv, b.zv), 1
+      FROM segs a JOIN segs b ON b.gy = a.gy AND b.x0 = a.x1 + 1
+      UNION ALL
+      SELECT least(a.zv, b.zv), greatest(a.zv, b.zv),
+             least(a.x1, b.x1) - greatest(a.x0, b.x0) + 1
+      FROM segs a JOIN segs b
+        ON b.gy = a.gy + 1 AND b.x0 <= a.x1 AND a.x0 <= b.x1
+    ), obs AS (
+      SELECT va, vb, CAST(sum(e) AS BIGINT) AS n_joins
+      FROM fams GROUP BY 1, 2
+    ), cls AS MATERIALIZED (
+      SELECT zv, CAST(sum(len) AS BIGINT) AS n_r FROM segs GROUP BY 1
+    )
+    SELECT va, vb, n_joins,
+      CASE WHEN va = vb
+      THEN ({j_tot} * ca.n_r * (ca.n_r - 1) * 1000000) // {denom}
+      ELSE (2 * {j_tot} * ca.n_r * cb.n_r * 1000000) // {denom} END
+        AS expected_ppm
+    FROM obs JOIN cls ca ON ca.zv = obs.va JOIN cls cb ON cb.zv = obs.vb
+    """
+
+
+@register("join_counts", _join_counts_oracle_sql())
+def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff-Ord join-count statistics (functions/landscape.py::
+    join_counts — PySAL esda.Join_Counts, k classes) of the zoom-6
+    event-density zone grid: per unordered class pair the exact rook
+    adjacency count from the run-length segment relation (within-run
+    closed form + boundary + overlap joins) and the nonfree-sampling
+    expectation as an exact ppm quotient."""
+    from .functions.landscape import join_counts
+    from .udfs import derived_lat_expr, derived_lon_expr, tile_x_expr, tile_y_expr
+
+    n = 64
+    ev = load(spark, sf_dir, "events")
+    lon = derived_lon_expr(F.col("event_id"))
+    lat = derived_lat_expr(F.col("event_id"))
+    occ = (
+        ev.select(
+            tile_x_expr(lon, 6).cast("long").alias("gx"),
+            tile_y_expr(lat, 6).cast("long").alias("gy"),
+        )
+        .groupBy("gx", "gy").agg(F.count("*").alias("cnt"))
+    )
+    universe = (
+        spark.range(n).select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(n).select(F.col("id").alias("gy")))
+    )
+    cells = universe.join(occ, ["gx", "gy"], "left").select(
+        "gx", "gy", F.least(F.coalesce("cnt", F.lit(0)), F.lit(3)).alias("v")
+    )
+    return join_counts(cells, n)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
