@@ -111,6 +111,7 @@ HEADLINE = [
     "kde_heatmap",
     "stkde_heatmap",
     "directional_dist",
+    "central_features",
     "huff_market",
     "idw_fill",
     "variogram",

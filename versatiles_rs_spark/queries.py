@@ -9671,6 +9671,61 @@ def q_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_counts(cells, n)
 
 
+def _central_features_oracle_sql(iters: int = 6) -> str:
+    """Oracle for central_features: integer mean init, then `iters`
+    unrolled integer-weighted Weiszfeld rounds (shared round-SQL
+    generator — the weight floor(W / sqrt(d2+1)) is row-wise IEEE and
+    the sums are pure int64, so aggregation order cannot perturb
+    anything).  Every center CTE MATERIALIZED."""
+    from .functions.center import weiszfeld_round_sql
+
+    slon, slat = scatter_lonlat_sql("event_id")
+    rounds = ",\n    ".join(
+        f"c{k} AS MATERIALIZED ({weiszfeld_round_sql(f'c{k - 1}')})"
+        for k in range(1, iters + 1)
+    )
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT event_type AS grp,
+        CAST(floor(({slon}) * 1.0e3) AS BIGINT) + 200000 AS x,
+        CAST(floor(({slat}) * 1.0e3) AS BIGINT) + 200000 AS y
+      FROM events
+    ), base AS MATERIALIZED (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_x,
+        CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_y
+      FROM pts GROUP BY 1
+    ), c0 AS MATERIALIZED (
+      SELECT grp, mean_x AS cx, mean_y AS cy FROM base
+    ),
+    {rounds}
+    SELECT b.grp, b.n, b.mean_x, b.mean_y,
+           c{iters}.cx AS med_x, c{iters}.cy AS med_y
+    FROM base b JOIN c{iters} ON c{iters}.grp = b.grp
+    """
+
+
+@register("central_features", _central_features_oracle_sql())
+def q_central_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean + median center per event type (functions/center.py —
+    ArcGIS Mean Center / Median Center): the geometric median via 6
+    INTEGER-WEIGHTED Weiszfeld rounds unrolled into one Catalyst DAG
+    (broadcast center table per round, map-combined integer sums — the
+    float-aggregation-order hazard engineered out by flooring the
+    row-wise weights to int64)."""
+    from .functions.center import central_features
+    from .udfs import scatter_lat_expr, scatter_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        (F.floor(scatter_lon_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("x"),
+        (F.floor(scatter_lat_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("y"),
+    )
+    return central_features(ev, group_col="grp", x_col="x", y_col="y", iters=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
