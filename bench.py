@@ -64,6 +64,7 @@ HEADLINE = [
     "asof_events",
     "sessionize",
     "od_flows",
+    "od_balance",
     "staypoints",
     "radius_gyration",
     "jump_lengths",
@@ -174,7 +175,8 @@ KEY_QUERIES = [
     "tile_assign", "hilbert_order", "pip_polygons", "knn_kring",
     "minhash_lsh", "semantic_dedup", "mvt_tiles", "raster_pyramid",
     "ann_ivf", "dup_clusters", "corpus_pipeline", "hotspot_tiles",
-    "od_flows", "image_sniff", "tpch_q3",
+    "od_flows",
+    "od_balance", "image_sniff", "tpch_q3",
 ]
 
 # The driver captures only the last 2,000 chars of bench stdout; 74+

@@ -9726,6 +9726,77 @@ def q_central_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return central_features(ev, group_col="grp", x_col="x", y_col="y", iters=6)
 
 
+def _od_balance_oracle_sql(rounds: int = 3) -> str:
+    """Oracle for od_balance: seed + growth-factor targets + 2*rounds
+    unrolled fixed-point Furness half-steps via the shared step-SQL
+    generator.  EVERY w CTE MATERIALIZED — each is referenced twice per
+    following step (sum subquery + join), the exponential-inlining
+    shape."""
+    from .functions.balance import furness_step_sql
+
+    steps = []
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"w{2 * r - 1} AS MATERIALIZED ({furness_step_sql(prev, 'o', 'rt')})"
+        )
+        prev = f"w{2 * r - 1}"
+        steps.append(
+            f"w{2 * r} AS MATERIALIZED ({furness_step_sql(prev, 'd', 'ct')})"
+        )
+        prev = f"w{2 * r}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH seed AS MATERIALIZED (
+      SELECT CAST(user_id % 16 AS BIGINT) AS o,
+             CAST(event_id % 16 AS BIGINT) AS d,
+             CAST(count(*) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2
+    ), rt AS MATERIALIZED (
+      SELECT o, (CAST(sum(w) AS BIGINT) * (100 + (o % 7) * 10)) // 100 AS t_o
+      FROM seed GROUP BY o
+    ), ct AS MATERIALIZED (
+      SELECT d, (CAST(sum(w) AS BIGINT) * (100 + (d % 5) * 15)) // 100 AS t_d
+      FROM seed GROUP BY d
+    ), w0 AS MATERIALIZED (
+      SELECT o, d, w * 1000 AS w FROM seed
+    ),
+    {chain}
+    SELECT o, d, w AS w_milli FROM {prev}
+    """
+
+
+@register("od_balance", _od_balance_oracle_sql())
+def q_od_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-constrained gravity-model balancing (functions/balance.py
+    — Furness 1965 / IPF): the event-derived 16x16 OD seed scaled to
+    growth-factor origin and destination targets by 3 fixed-point
+    Furness rounds unrolled into one DAG — every half-step one
+    map-combined sum + one join, floor division only, no floats
+    anywhere."""
+    from .functions.balance import furness_balance
+
+    ev = load(spark, sf_dir, "events")
+    # cached: referenced by w0 plus the 2*rounds broadcast target joins —
+    # uncached, every reference would replay the events scan+agg
+    seed = (
+        ev.select(
+            (F.col("user_id") % 16).cast("long").alias("o"),
+            (F.col("event_id") % 16).cast("long").alias("d"),
+        )
+        .groupBy("o", "d")
+        .agg(F.count("*").cast("long").alias("w"))
+        .cache()
+    )
+    rt = seed.groupBy("o").agg(
+        F.expr("(sum(w) * (100 + (o % 7) * 10)) div 100").alias("t")
+    )
+    ct = seed.groupBy("d").agg(
+        F.expr("(sum(w) * (100 + (d % 5) * 15)) div 100").alias("t")
+    )
+    return furness_balance(seed, rt, ct, rounds=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
