@@ -88,6 +88,7 @@ HEADLINE = [
     "corpus_pipeline",
     "zonal_stats",
     "zonal_correlation",
+    "tile_ssim",
     "terrain_focal",
     "hotspots_gi",
     "hotspot_tiles",

@@ -534,3 +534,61 @@ def test_zonal_correlation_payload_never_in_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"
+
+
+def test_tile_ssim_identity_is_one_and_degradation_orders(spark):
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.raster import tile_ssim
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=2, partitions=4)
+    ident = tile_ssim(tiles, lambda a: a).toPandas()
+    assert (ident["ssim_6"] == 1.0).all()
+    q17 = tile_ssim(tiles, lambda a: (a // 17) * 17).toPandas()
+    q64 = tile_ssim(tiles, lambda a: (a // 64) * 64).toPandas()
+    assert (q17["ssim_6"] < 1.0).all()
+    # coarser quantization strictly hurts every tile
+    m17 = q17.set_index(["x", "y"])["ssim_6"]
+    m64 = q64.set_index(["x", "y"])["ssim_6"]
+    assert (m64 < m17).all()
+
+
+def test_tile_ssim_matches_formula_bruteforce(spark):
+    import numpy as np
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.raster import tile_ssim
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=2, partitions=4)
+    got = {
+        (r.x, r.y): r
+        for r in tile_ssim(tiles, lambda a: (a // 17) * 17).collect()
+    }
+    c1, c2 = (0.01 * 255.0) ** 2, (0.03 * 255.0) ** 2
+    for (x, y), r in got.items():
+        gx, gy = np.meshgrid(
+            np.arange(x * 256, (x + 1) * 256), np.arange(y * 256, (y + 1) * 256)
+        )
+        a = fixtures.zonal_value(gx, gy).astype(np.float64)
+        b = (a.astype(np.int64) // 17 * 17).astype(np.float64)
+        mu_a, mu_b = a.mean(), b.mean()
+        va = (a * a).mean() - mu_a * mu_a
+        vb = (b * b).mean() - mu_b * mu_b
+        cov = (a * b).mean() - mu_a * mu_b
+        want = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
+            (mu_a**2 + mu_b**2 + c1) * (va + vb + c2)
+        )
+        assert abs(r.ssim_6 - want) < 2e-6, (x, y)
+
+
+def test_tile_ssim_payload_never_in_shuffle(spark):
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.raster import tile_ssim
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=2, partitions=4)
+    plan = (
+        tile_ssim(tiles, lambda a: a)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"

@@ -554,8 +554,6 @@ def zonal_stats(
     zx1 = np.array([r[3] for r in zrows], dtype=np.int64)
     zy1 = np.array([r[4] for r in zrows], dtype=np.int64)
     bc = tiles.sparkSession.sparkContext.broadcast((zid, zx0, zy0, zx1, zy1))
-    ts = int(tile_size)
-
     def run(batches):
         izid, ix0, iy0, ix1, iy1 = bc.value
         for pdf in batches:
@@ -628,8 +626,6 @@ def zonal_correlation(
     zx1 = np.array([r[3] for r in zrows], dtype=np.int64)
     zy1 = np.array([r[4] for r in zrows], dtype=np.int64)
     bc = tiles.sparkSession.sparkContext.broadcast((zid, zx0, zy0, zx1, zy1))
-    ts = int(tile_size)
-
     def run(batches):
         izid, ix0, iy0, ix1, iy1 = bc.value
         cols = ("zone_id", "pn", "psa", "psb", "psab", "psa2", "psb2")
@@ -687,6 +683,89 @@ def zonal_correlation(
             "ELSE NULL END"
         ).alias("r_6"),
     )
+
+
+def tile_ssim(
+    tiles: DataFrame,
+    transform_fn,
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """Per-tile global SSIM quality audit: stored band vs a degraded
+    version computed in-kernel (Wang et al. 2004 single-window SSIM —
+    the re-encode quality gate: "would palette quantization / bit-depth
+    reduction visibly hurt this tile?", scored tile-by-tile so a
+    pyramid job can keep the cheap encoding only where SSIM stays high).
+
+    `transform_fn(band_array) -> int64 array` is the candidate
+    degradation (quantizer, bit-crush) applied to the decoded pixels
+    inside the SAME fused Arrow pass — payload crosses Arrow once and
+    only integer moments (n, Σa, Σb, Σab, Σa², Σb²) leave Python.  The
+    SSIM epilogue is ONE literal-constant float expression over the
+    exact moments (C1 = (0.01*255)^2, C2 = (0.03*255)^2), identical
+    text in the SQL oracle, rounded to 6.
+
+    Output: (x, y, n_px, sum_a, sum_b, sum_ab, sum_a2, sum_b2, ssim_6).
+    """
+    def run(batches):
+        cols = ("x", "y", "pn", "psa", "psb", "psab", "psa2", "psb2")
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf[payload]):
+                img = decode_image(bytes(blob))
+                a = img[..., band].astype(np.int64)
+                b = transform_fn(a).astype(np.int64)
+                out["x"].append(int(x))
+                out["y"].append(int(y))
+                out["pn"].append(a.size)
+                out["psa"].append(int(a.sum()))
+                out["psb"].append(int(b.sum()))
+                out["psab"].append(int((a * b).sum()))
+                out["psa2"].append(int((a * a).sum()))
+                out["psb2"].append(int((b * b).sum()))
+            yield pd.DataFrame(out)
+
+    mom = tiles.mapInPandas(
+        run,
+        schema="x long, y long, pn long, psa long, psb long, psab long, "
+        "psa2 long, psb2 long",
+    )
+    ssim = ssim_epilogue_sql()
+    return mom.select(
+        "x", "y",
+        F.col("pn").alias("n_px"),
+        F.col("psa").alias("sum_a"),
+        F.col("psb").alias("sum_b"),
+        F.col("psab").alias("sum_ab"),
+        F.col("psa2").alias("sum_a2"),
+        F.col("psb2").alias("sum_b2"),
+        F.expr(ssim).alias("ssim_6"),
+    )
+
+
+def ssim_epilogue_sql() -> str:
+    """The identical SSIM expression for the DuckDB oracle (operates on
+    the same column names pn/psa/psb/psab/psa2/psb2)."""
+    c1 = f"{(0.01 * 255.0) ** 2:.17e}"
+    c2 = f"{(0.03 * 255.0) ** 2:.17e}"
+    return (
+        "round(((2.0 * (CAST(psa AS DOUBLE) / CAST(pn AS DOUBLE)) * "
+        "(CAST(psb AS DOUBLE) / CAST(pn AS DOUBLE)) + {c1}) * "
+        "(2.0 * (CAST(psab AS DOUBLE) / CAST(pn AS DOUBLE) - "
+        "(CAST(psa AS DOUBLE) / CAST(pn AS DOUBLE)) * "
+        "(CAST(psb AS DOUBLE) / CAST(pn AS DOUBLE))) + {c2})) / "
+        "(((CAST(psa AS DOUBLE) / CAST(pn AS DOUBLE)) * "
+        "(CAST(psa AS DOUBLE) / CAST(pn AS DOUBLE)) + "
+        "(CAST(psb AS DOUBLE) / CAST(pn AS DOUBLE)) * "
+        "(CAST(psb AS DOUBLE) / CAST(pn AS DOUBLE)) + {c1}) * "
+        "((CAST(psa2 AS DOUBLE) / CAST(pn AS DOUBLE) - "
+        "(CAST(psa AS DOUBLE) / CAST(pn AS DOUBLE)) * "
+        "(CAST(psa AS DOUBLE) / CAST(pn AS DOUBLE))) + "
+        "(CAST(psb2 AS DOUBLE) / CAST(pn AS DOUBLE) - "
+        "(CAST(psb AS DOUBLE) / CAST(pn AS DOUBLE)) * "
+        "(CAST(psb AS DOUBLE) / CAST(pn AS DOUBLE))) + {c2})), 6)"
+    ).format(c1=c1, c2=c2)
 
 
 _BURN_MAX_POLYS = 200_000  # broadcast guard, same scale contract as zonal

@@ -9797,6 +9797,53 @@ def q_od_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return furness_balance(seed, rt, ct, rounds=3)
 
 
+def _tile_ssim_oracle_sql() -> str:
+    """Oracle for tile_ssim: per-tile pixel replay of the zonal_value
+    grid and the //17 quantizer, exact BIGINT moments, and the SHARED
+    SSIM epilogue text (identical expression tree -> identical IEEE
+    doubles -> identical round-6)."""
+    from .operators.raster import ssim_epilogue_sql
+
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, 1024)) AS gx),
+    ys AS (SELECT unnest(range(0, 1024)) AS gy),
+    px AS (
+      SELECT gx // 256 AS x, gy // 256 AS y,
+             (7 * gx + 13 * gy) % 251 AS va,
+             ((7 * gx + 13 * gy) % 251) // 17 * 17 AS vb
+      FROM xs CROSS JOIN ys
+    ), mom AS (
+      SELECT x, y,
+        CAST(count(*) AS BIGINT) AS pn,
+        CAST(sum(va) AS BIGINT) AS psa,
+        CAST(sum(vb) AS BIGINT) AS psb,
+        CAST(sum(va * vb) AS BIGINT) AS psab,
+        CAST(sum(va * va) AS BIGINT) AS psa2,
+        CAST(sum(vb * vb) AS BIGINT) AS psb2
+      FROM px GROUP BY 1, 2
+    )
+    SELECT x, y, pn AS n_px, psa AS sum_a, psb AS sum_b, psab AS sum_ab,
+           psa2 AS sum_a2, psb2 AS sum_b2,
+           {ssim_epilogue_sql()} AS ssim_6
+    FROM mom
+    """
+
+
+@register("tile_ssim", _tile_ssim_oracle_sql())
+def q_tile_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile SSIM re-encode quality audit (operators/raster.py::
+    tile_ssim — Wang et al. 2004 global SSIM): the stored zonal_value
+    PNG band against its 17-step palette-style quantization, scored per
+    zoom-2 tile.  One fused Arrow pass (decode + degrade + moments);
+    only integer moments leave Python; the float SSIM epilogue is the
+    same literal expression in both engines."""
+    from . import fixtures
+    from .operators.raster import tile_ssim
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=2, partitions=8)
+    return tile_ssim(tiles, lambda a: (a // 17) * 17, tile_size=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
