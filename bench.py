@@ -119,6 +119,7 @@ HEADLINE = [
     "variogram",
     "st_dbscan_events",
     "traj_similarity",
+    "contact_pairs",
     "map_match",
     "reach_tiles",
     "colocation",

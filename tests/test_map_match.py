@@ -177,3 +177,45 @@ def test_emission_is_exact_floored_squared_distance(spark):
     dx, dy, pax, pay = 300, 400, px - 1000, py - 1000
     want = (dx * pay - dy * pax) ** 2 // (dx * dx + dy * dy)
     assert list(cand["emit"]) == [want]
+
+
+def test_contact_pairs_bruteforce_and_cap(spark):
+    """contact_pairs (joins/trajectory.py): brute-force slot replay, the
+    distinct-slot (not raw-fix) counting rule, and the hot-slot cap."""
+    import pandas as pd
+
+    from versatiles_rs_spark.joins.trajectory import contact_pairs
+
+    rows = [
+        # users 1,2 co-present in slot (lon 1.0, day 0) TWICE via repeated
+        # fixes -> must count ONE contact for that slot
+        (1, 1.05, 1.05, "2024-01-01 01:00:00"),
+        (1, 1.05, 1.05, "2024-01-01 02:00:00"),
+        (2, 1.06, 1.06, "2024-01-01 03:00:00"),
+        # same pair, different day, same cell -> second contact
+        (1, 1.05, 1.05, "2024-01-03 01:00:00"),
+        (2, 1.06, 1.06, "2024-01-03 01:00:00"),
+        # user 3 meets user 1 only once -> below min_contacts
+        (3, 1.05, 1.05, "2024-01-01 04:00:00"),
+        # crowd slot: users 4..9 all together twice (for the cap test)
+        *[(u, 50.0, 50.0, d)
+          for u in range(4, 10)
+          for d in ("2024-02-01 00:00:00", "2024-02-02 00:00:00")],
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "lon", "lat", "ts"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    df = spark.createDataFrame(pdf)
+    got = contact_pairs(df, zoom=4, bucket_seconds=86400, min_contacts=2).toPandas()
+    pairs = {(int(r["user_a"]), int(r["user_b"])): int(r["n_contacts"])
+             for _, r in got.iterrows()}
+    assert pairs[(1, 2)] == 2
+    assert (1, 3) not in pairs
+    # the crowd of 6 yields all 15 pairs with 2 contacts each
+    crowd = {k: v for k, v in pairs.items() if k[0] >= 4}
+    assert len(crowd) == 15 and all(v == 2 for v in crowd.values())
+    # cap = 5 drops the crowded slots entirely, keeping the 1-2 pair
+    capped = contact_pairs(
+        df, zoom=4, bucket_seconds=86400, min_contacts=2, cell_cap=5
+    ).toPandas()
+    cp = {(int(r["user_a"]), int(r["user_b"])) for _, r in capped.iterrows()}
+    assert cp == {(1, 2)}

@@ -100,3 +100,75 @@ def trajectory_similarity(
         "b_cells",
         F.expr("(inter * 1000) div (a_cells + b_cells - inter)").alias("j_milli"),
     )
+
+
+def contact_pairs(
+    points: DataFrame,
+    user_col: str = "user_id",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    ts_col: str = "ts",
+    zoom: int = 4,
+    bucket_seconds: int = 86400,
+    min_contacts: int = 2,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """Proximity co-occurrence join: which entities were in the SAME
+    place at the SAME time, repeatedly — the contact-tracing / exposure
+    primitive (GAEN-style proximity events; also co-worker/companion
+    inference in mobility mining).
+
+    Space-time key = (grid cell at `zoom`, timestamp div bucket) — both
+    exact int64; DISTINCT (user, cell, bucket) visits feed the inverted
+    space-time index (equi-join on the packed key), so a pair's
+    n_contacts counts distinct co-present (cell, bucket) slots, not raw
+    fix pairs (a chatty device doesn't inflate its contacts).
+
+    100 TB shape mirrors trajectory_similarity: one distinct projection
+    of slim longs, one equi-join, one count aggregation; a slot hosting
+    k users yields k(k-1)/2 candidate pairs — `cell_cap` drops
+    over-crowded slots by broadcast anti-join (a stadium slot pairs
+    everyone with everyone and carries no inference signal), and the
+    single-long key is AQE-skew-splittable.
+
+    Output: (user_a, user_b, n_contacts, first_bucket, last_bucket),
+    user_a < user_b, n_contacts >= min_contacts."""
+    key = (
+        (
+            tile_x_expr(F.col(lon_col), F.lit(zoom)) * F.lit(1 << 21)
+            + tile_y_expr(F.col(lat_col), F.lit(zoom))
+        ) * F.lit(1 << 21)
+        + F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', {ts_col})"
+            f" div {int(bucket_seconds) * 1_000_000}"
+        )
+    )
+    visits = points.select(
+        F.col(user_col).cast("long").alias("u"), key.alias("slot")
+    ).distinct()
+    if cell_cap is not None:
+        hot = (
+            visits.groupBy("slot")
+            .agg(F.count("*").alias("k"))
+            .filter(F.col("k") > F.lit(cell_cap))
+            .select("slot")
+        )
+        visits = visits.join(F.broadcast(hot), on="slot", how="left_anti")
+    bucket = F.pmod("slot", F.lit(1 << 21))
+    out = (
+        visits.select(F.col("u").alias("ua"), "slot")
+        .join(visits.select(F.col("u").alias("ub"), "slot"), on="slot")
+        .filter(F.col("ua") < F.col("ub"))
+        .select("ua", "ub", bucket.alias("bucket"))
+        .groupBy("ua", "ub")
+        .agg(
+            F.count("*").cast("long").alias("n_contacts"),
+            F.min("bucket").alias("first_bucket"),
+            F.max("bucket").alias("last_bucket"),
+        )
+        .filter(F.col("n_contacts") >= F.lit(int(min_contacts)))
+    )
+    return out.select(
+        F.col("ua").alias("user_a"), F.col("ub").alias("user_b"),
+        "n_contacts", "first_bucket", "last_bucket",
+    )

@@ -9844,6 +9844,49 @@ def q_tile_ssim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tile_ssim(tiles, lambda a: (a // 17) * 17, tile_size=256)
 
 
+def _contact_pairs_oracle_sql(zoom: int = 4, bucket_s: int = 86400) -> str:
+    """Oracle for contact_pairs: identical packed space-time slot
+    (cell * 2^21 + day bucket), DISTINCT visits, inverted-index
+    self-join with ua < ub, per-pair distinct-slot counts."""
+    x4, y4 = tile_xy_sql(_EV_LON, _EV_LAT, zoom)
+    return f"""
+    WITH v AS (
+      SELECT DISTINCT CAST(user_id AS BIGINT) AS u,
+        (({x4}) * 2097152 + ({y4})) * 2097152
+          + epoch_us(ts) // {bucket_s * 1_000_000} AS slot
+      FROM events
+    ), pairs AS (
+      SELECT a.u AS ua, b.u AS ub, a.slot % 2097152 AS bucket
+      FROM v a JOIN v b ON b.slot = a.slot AND a.u < b.u
+    )
+    SELECT ua AS user_a, ub AS user_b,
+      CAST(count(*) AS BIGINT) AS n_contacts,
+      CAST(min(bucket) AS BIGINT) AS first_bucket,
+      CAST(max(bucket) AS BIGINT) AS last_bucket
+    FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2
+    """
+
+
+@register("contact_pairs", _contact_pairs_oracle_sql())
+def q_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-time proximity contacts (joins/trajectory.py::contact_pairs
+    — the contact-tracing / companion-inference primitive): user pairs
+    co-present in the same zoom-4 cell during the same DAY at least
+    twice, counted as distinct co-present slots via the packed
+    space-time inverted index."""
+    from .joins.trajectory import contact_pairs
+    from .udfs import derived_lat_expr, derived_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        derived_lon_expr(F.col("event_id")).alias("lon"),
+        derived_lat_expr(F.col("event_id")).alias("lat"),
+    )
+    return contact_pairs(
+        ev, zoom=4, bucket_seconds=86400, min_contacts=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
