@@ -1,0 +1,103 @@
+"""Fixed-round Lloyd k-means over integer coordinates.
+
+The reproducible-pipeline variant of k-means (Lloyd 1957/1982; Spark
+MLlib KMeans is the float/random cousin): deterministic FIXED lattice
+seeds, a FIXED round count, integer centroids by floor division — every
+quantity int64, so the result is bit-identical across engines and runs
+(the property MLlib's random init + float means cannot give, and the
+one that matters for oracle-gated data pipelines: cluster ids that mean
+the same thing on every rerun).
+
+Per round, entirely relational and in ONE Catalyst DAG (no driver loop):
+  1. assignment: points join the (broadcast, <= k rows) centroid table;
+     the argmin over candidates is min(packed) with packed =
+     d2 * k_pad + cid — d2 ties break toward the smaller cluster id,
+     deterministically (the map_match rank-encoding trick, k_pad a
+     power of two above k);
+  2. update: unpack cid, one map-combined groupBy -> new centroids
+     cx = Σx div n, cy = Σy div n.
+
+The points relation is cached (referenced once per round); each round
+adds one shuffle keyed by the point id (argmin) and one by cid (update)
+— nothing but (id, x, y) / (cid, sums) longs in any exchange.  Empty
+clusters drop from the table and stay dropped (inner-join semantics,
+mirrored in the oracle).
+
+Overflow contract: max(d2) * k_pad < 2^63 (world-scale milli-degree
+coordinates leave ~6 orders of headroom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lloyd_kmeans(
+    points: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    k_pad: int = 16,
+) -> DataFrame:
+    """Run `rounds` Lloyd rounds from the deterministic `seeds`
+    (cid, cx, cy) over `points` (id, x, y).  Returns the final centroid
+    table (cid, n_points, cx, cy), cid ascending ids of surviving
+    clusters."""
+    pts = points.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    ).cache()
+    cent = seeds.select("cid", "cx", "cy")
+    for _ in range(int(rounds)):
+        j = pts.join(F.broadcast(cent)).select(
+            "id", "x", "y",
+            (
+                (
+                    (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                    + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+                ) * F.lit(int(k_pad))
+                + F.col("cid")
+            ).alias("packed"),
+        )
+        assign = j.groupBy("id", "x", "y").agg(
+            F.pmod(F.min("packed"), F.lit(int(k_pad))).alias("cid")
+        )
+        cent = assign.groupBy("cid").agg(
+            F.expr("sum(x) div count(*)").alias("cx"),
+            F.expr("sum(y) div count(*)").alias("cy"),
+        )
+    final = pts.join(F.broadcast(cent)).select(
+        "id",
+        (
+            (
+                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+            ) * F.lit(int(k_pad))
+            + F.col("cid")
+        ).alias("packed"),
+    ).groupBy("id").agg(F.pmod(F.min("packed"), F.lit(int(k_pad))).alias("cid"))
+    return (
+        final.groupBy("cid")
+        .agg(F.count("*").cast("long").alias("n_points"))
+        .join(cent, "cid")
+        .select("cid", "n_points", "cx", "cy")
+    )
+
+
+def kmeans_round_sql(prev_cent: str, k_pad: int = 16) -> str:
+    """One oracle round (assignment + update) from centroid CTE
+    `prev_cent` over MATERIALIZED `pts` — identical packed-argmin and
+    floor-division arithmetic."""
+    return f"""
+      SELECT cid,
+        CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS cx,
+        CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS cy
+      FROM (
+        SELECT p.id, p.x, p.y,
+          min(((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy))
+              * {k_pad} + c.cid) % {k_pad} AS cid
+        FROM pts p CROSS JOIN {prev_cent} c
+        GROUP BY 1, 2, 3
+      ) GROUP BY cid
+    """

@@ -9887,6 +9887,70 @@ def q_contact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql(rounds: int = 4, k: int = 8) -> str:
+    """Oracle for kmeans_cells: lattice seeds, `rounds` unrolled Lloyd
+    rounds via the shared round-SQL generator, final assignment +
+    centroid join.  pts and every centroid CTE MATERIALIZED (c_k feeds
+    the next round AND nothing else, but the final c also feeds the
+    output join — twice-referenced)."""
+    from .functions.kmeans import kmeans_round_sql
+
+    slon, slat = scatter_lonlat_sql("event_id")
+    chain = ",\n    ".join(
+        f"c{r} AS MATERIALIZED ({kmeans_round_sql(f'c{r - 1}')})"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT event_id AS id,
+        CAST(floor(({slon}) * 1.0e3) AS BIGINT) + 200000 AS x,
+        CAST(floor(({slat}) * 1.0e3) AS BIGINT) + 200000 AS y
+      FROM events
+    ), c0 AS MATERIALIZED (
+      SELECT j AS cid,
+        CAST(50000 + (j % 4) * 100000 AS BIGINT) AS cx,
+        CAST(140000 + (j // 4) * 120000 AS BIGINT) AS cy
+      FROM (SELECT unnest(range({k})) AS j)
+    ),
+    {chain},
+    fin AS (
+      SELECT p.id,
+        min(((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy))
+            * 16 + c.cid) % 16 AS cid
+      FROM pts p CROSS JOIN c{rounds} c
+      GROUP BY 1
+    )
+    SELECT f.cid, CAST(count(*) AS BIGINT) AS n_points, c.cx, c.cy
+    FROM fin f JOIN c{rounds} c ON c.cid = f.cid
+    GROUP BY 1, 3, 4
+    """
+
+
+@register("kmeans_cells", _kmeans_oracle_sql())
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-round Lloyd k-means (functions/kmeans.py) of
+    the scatter-derived event points, k=8 lattice seeds, 4 rounds in one
+    DAG: packed-argmin assignment (d2 ties break to the smaller cluster
+    id), integer floor-division centroids — bit-identical across engines
+    and reruns, unlike random-init float k-means."""
+    from .functions.kmeans import lloyd_kmeans
+    from .udfs import scatter_lat_expr, scatter_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        (F.floor(scatter_lon_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("x"),
+        (F.floor(scatter_lat_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("y"),
+    )
+    seeds = spark.range(8).select(
+        F.col("id").cast("long").alias("cid"),
+        (50000 + (F.col("id") % 4) * 100000).alias("cx"),
+        (140000 + F.expr("id div 4") * 120000).alias("cy"),
+    )
+    return lloyd_kmeans(ev, seeds, rounds=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
