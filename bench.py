@@ -127,6 +127,7 @@ HEADLINE = [
     "g_function",
     "cross_k",
     "cluster_markers",
+    "kmeans_cells",
     "d8_basins",
     "flow_accum",
     "flow_length",
