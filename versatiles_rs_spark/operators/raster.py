@@ -554,6 +554,8 @@ def zonal_stats(
     zx1 = np.array([r[3] for r in zrows], dtype=np.int64)
     zy1 = np.array([r[4] for r in zrows], dtype=np.int64)
     bc = tiles.sparkSession.sparkContext.broadcast((zid, zx0, zy0, zx1, zy1))
+    ts = int(tile_size)
+
     def run(batches):
         izid, ix0, iy0, ix1, iy1 = bc.value
         for pdf in batches:
@@ -626,6 +628,8 @@ def zonal_correlation(
     zx1 = np.array([r[3] for r in zrows], dtype=np.int64)
     zy1 = np.array([r[4] for r in zrows], dtype=np.int64)
     bc = tiles.sparkSession.sparkContext.broadcast((zid, zx0, zy0, zx1, zy1))
+    ts = int(tile_size)
+
     def run(batches):
         izid, ix0, iy0, ix1, iy1 = bc.value
         cols = ("zone_id", "pn", "psa", "psb", "psab", "psa2", "psb2")
