@@ -105,6 +105,8 @@ HEADLINE = [
     "caption_cap",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
     "morans_i",
     "gearys_c",
     "ripley_k",

@@ -84,7 +84,7 @@ def test_tile_assign_stays_jvm_side(spark, sf_dir):
     assert "codegen id" in plan  # whole-stage codegen active
 
 
-@pytest.mark.parametrize("name", ["tpch_q1", "tile_stats", "tilejson_meta", "quality_score"])
+@pytest.mark.parametrize("name", ["tpch_q1", "tpch_q5", "tpch_q10", "tile_stats", "tilejson_meta", "quality_score"])
 def test_relational_queries_have_no_python(spark, sf_dir, name):
     plan = plan_of(Q.REGISTRY[name].fn(spark, sf_dir))
     assert "EvalPython" not in plan, f"{name} fell off the JVM path"
@@ -412,3 +412,14 @@ def test_landscape_metrics_pure_jvm(spark, sf_dir):
     plan = plan_of(Q.REGISTRY["landscape_metrics"].fn(spark, sf_dir))
     assert "EvalPython" not in plan and "PythonUDF" not in plan
     assert "SinglePartition" not in plan
+
+
+def test_tpch_q5_broadcasts_dims_filter_pushed(spark, sf_dir):
+    """Q5: every dimension side (region/nation/supplier) joins as a
+    broadcast; the region name filter reaches its scan as a pushed
+    filter — the fact tables are the only shuffle participants."""
+    df = Q.REGISTRY["tpch_q5"].fn(spark, sf_dir)
+    plan = formatted_plan(spark, df)
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "PushedFilters" in plan
+    assert "EvalPython" not in plan
