@@ -334,3 +334,64 @@ def test_analyze_regions_and_distance(pts_parquet):
     dd = out["distance"]
     assert dd["cells_reached"] + dd["cells_unreached"] == 1024
     assert 0 < dd["max_d2"] <= 16
+
+
+def test_analyze_contacts_and_center(pts_parquet):
+    out = run_analyze("contacts", pts_parquet, "--zoom", "4")
+    assert out["contacts"]["pairs"] > 0
+    assert out["contacts"]["top"][0]["n_contacts"] >= 2
+    out2 = run_analyze("center", pts_parquet, "--by", "user_id")
+    assert out2["center"]["groups"] > 0
+    row = out2["center"]["top"][0]
+    assert {"mean_x", "mean_y", "med_x", "med_y"} <= set(row)
+
+
+def test_analyze_variogram_and_mapmatch(spark, sf_dir, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.udfs import (
+        derived_lat_expr, derived_lon_expr, scatter_lat_expr, scatter_lon_expr,
+    )
+
+    tmp = tmp_path_factory.mktemp("analyze2")
+    vpts = str(tmp / "vpts.parquet")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id", "user_id", "ts", "value",
+            scatter_lon_expr(F.col("event_id")).alias("lon"),
+            scatter_lat_expr(F.col("event_id")).alias("lat"),
+        )
+        .coalesce(1).write.mode("overwrite").parquet(vpts)
+    )
+    out = run_analyze("variogram", vpts, "--radius-deg", "1.0", "--bins", "8")
+    assert len(out["variogram"]["bins"]) > 0
+    assert all(b["n_pairs"] > 0 for b in out["variogram"]["bins"])
+
+    segs = str(tmp / "segs.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    okey = F.col("o_orderkey")
+    slon = okey * 13 + 5
+    sx = F.floor(derived_lon_expr(slon) * 1000).cast("long") + 200000
+    sy = F.floor(derived_lat_expr(slon) * 1000).cast("long") + 200000
+    (
+        od.select(
+            okey.alias("sid"), sx.alias("x1"), sy.alias("y1"),
+            (sx + (okey.cast("long") * 3571 % 4001) - 2000).alias("x2"),
+            (sy + (okey.cast("long") * 28657 % 4001) - 2000).alias("y2"),
+        )
+        .coalesce(1).write.mode("overwrite").parquet(segs)
+    )
+    fixes = str(tmp / "fixes.parquet")
+    (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(
+            "event_id", "user_id", "ts",
+            derived_lon_expr(F.col("event_id")).alias("lon"),
+            derived_lat_expr(F.col("event_id")).alias("lat"),
+        )
+        .coalesce(1).write.mode("overwrite").parquet(fixes)
+    )
+    out2 = run_analyze("mapmatch", fixes, "--segments", segs, "--steps", "4")
+    assert out2["mapmatch"]["users"] > 0
+    assert out2["mapmatch"]["matched_rows"] == 4 * out2["mapmatch"]["users"]

@@ -20,6 +20,10 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py clusters  pts.parquet [--zoom 6]         # marker bubbles
     python tools/analyze.py regions   pts.parquet [--zoom 6] [--min-cells 8]
     python tools/analyze.py distance  pts.parquet [--zoom 6] [--max-dist D]
+    python tools/analyze.py contacts  pts.parquet [--by user_id] [--bucket-seconds 86400]
+    python tools/analyze.py center    pts.parquet [--by user_id]   # mean + median centers
+    python tools/analyze.py variogram pts.parquet [--value value] [--radius-deg 1.0]
+    python tools/analyze.py mapmatch  pts.parquet --segments seg.parquet [--steps 6]
     python tools/analyze.py all       pts.parquet
     python tools/analyze.py hydro     dem.{mbtiles,pmtiles,versatiles,tar,parquet}
                                       [--zoom Z] [--min-accum 64] [--super-tiles 1]
@@ -351,7 +355,9 @@ def main(argv=None):
         choices=["hotspots", "trends", "emerging", "dbscan", "od",
                  "moran", "geary", "ripley", "idw", "shortest",
                  "stdbscan", "similar", "coloc", "kde", "clusters",
-                 "regions", "distance", "hydro", "viewshed", "polygonize", "cost", "all"],
+                 "regions", "distance", "contacts", "center", "variogram",
+                 "mapmatch",
+                 "hydro", "viewshed", "polygonize", "cost", "all"],
     )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
@@ -399,6 +405,19 @@ def main(argv=None):
                     help="impassable raster value (cost)")
     ap.add_argument("--by", dest="by_col", default="user_id",
                     help="trajectory grouping column for the od command")
+    ap.add_argument("--bucket-seconds", type=int, default=86400,
+                    help="time-bucket width for the contacts command")
+    ap.add_argument("--cell-cap", type=int, default=None,
+                    help="drop space-time slots with more users (contacts)")
+    ap.add_argument("--value", dest="value_col", default="value",
+                    help="field column for the variogram command")
+    ap.add_argument("--segments", default="",
+                    help="road-segment parquet (sid,x1,y1,x2,y2 milli-units) "
+                         "for the mapmatch command")
+    ap.add_argument("--steps", type=int, default=6,
+                    help="fixes per trajectory window (mapmatch)")
+    ap.add_argument("--match-dist", type=int, default=8000,
+                    help="candidate search radius in coordinate units (mapmatch)")
     ap.add_argument("--lon", default="lon")
     ap.add_argument("--lat", default="lat")
     ap.add_argument("--ts", dest="ts_col", default="ts")
@@ -431,7 +450,7 @@ def main(argv=None):
     cmds = (
         ["hotspots", "trends", "emerging", "dbscan", "od", "moran", "geary",
          "ripley", "idw", "shortest", "stdbscan", "similar", "coloc", "kde",
-         "clusters", "regions", "distance"]
+         "clusters", "regions", "distance", "contacts", "center", "variogram"]
         if args.command == "all"
         else [args.command]
     )
@@ -615,6 +634,96 @@ def main(argv=None):
                 "zoom": args.zoom,
                 "pairs": df.count(),
                 "top": _top_rows(df, "j_milli", args.top),
+            }
+        elif cmd == "contacts":
+            from versatiles_rs_spark.joins.trajectory import contact_pairs
+
+            if args.by_col not in pts.columns or args.ts_col not in pts.columns:
+                out["contacts"] = {
+                    "skipped": f"needs {args.by_col} and {args.ts_col} columns"
+                }
+                continue
+            df = contact_pairs(
+                pts, user_col=args.by_col, lon_col=args.lon, lat_col=args.lat,
+                ts_col=args.ts_col, zoom=args.zoom,
+                bucket_seconds=args.bucket_seconds,
+                cell_cap=args.cell_cap,
+            ).cache()
+            out["contacts"] = {
+                "zoom": args.zoom,
+                "bucket_seconds": args.bucket_seconds,
+                "pairs": df.count(),
+                "top": _top_rows(df, "n_contacts", args.top),
+            }
+        elif cmd == "center":
+            from versatiles_rs_spark.functions.center import central_features
+
+            grp = (
+                F.col(args.by_col) if args.by_col in pts.columns else F.lit(0)
+            )
+            milli = pts.select(
+                grp.alias("grp"),
+                (F.floor(F.col(args.lon) * 1000).cast("long") + 200000).alias("x"),
+                (F.floor(F.col(args.lat) * 1000).cast("long") + 200000).alias("y"),
+            )
+            df = central_features(milli).cache()
+            out["center"] = {
+                "groups": df.count(),
+                "top": _top_rows(df, "n", args.top),
+            }
+        elif cmd == "variogram":
+            from versatiles_rs_spark.functions.variogram import empirical_variogram
+
+            if args.value_col not in pts.columns:
+                out["variogram"] = {"skipped": f"needs {args.value_col} column"}
+                continue
+            id_col = args.id_col or pts.columns[0]
+            vpts = pts.select(
+                F.col(id_col).alias("id"), args.lon, args.lat,
+                F.floor(F.col(args.value_col) * 100).cast("long").alias("v"),
+            )
+            df = empirical_variogram(
+                vpts, lon_col=args.lon, lat_col=args.lat,
+                max_lag_deg=args.radius_deg, n_bins=args.bins,
+            ).cache()
+            out["variogram"] = {
+                "max_lag_deg": args.radius_deg,
+                "bins": [r.asDict() for r in df.orderBy("lag_bin").collect()],
+            }
+        elif cmd == "mapmatch":
+            from versatiles_rs_spark.joins.map_match import (
+                candidate_segments, map_match)
+            from pyspark.sql import Window
+
+            if not args.segments:
+                out["mapmatch"] = {"skipped": "needs --segments seg.parquet"}
+                continue
+            segs = spark.read.parquet(args.segments)
+            w = Window.partitionBy(args.by_col).orderBy(
+                args.ts_col, args.id_col or pts.columns[0]
+            )
+            fixes = (
+                pts.withColumn("step", F.row_number().over(w))
+                .filter(F.col("step") <= args.steps)
+                .select(
+                    F.col(args.by_col).cast("long").alias("uid"),
+                    "step",
+                    (F.floor(F.col(args.lon) * 1000).cast("long") + 200000)
+                    .alias("px"),
+                    (F.floor(F.col(args.lat) * 1000).cast("long") + 200000)
+                    .alias("py"),
+                )
+            )
+            cand = candidate_segments(
+                fixes, segs, dist=args.match_dist, cell=args.match_dist, k=4
+            )
+            df = map_match(
+                cand, n_steps=args.steps, k=4, switch_penalty=10_000_000
+            ).cache()
+            out["mapmatch"] = {
+                "steps": args.steps,
+                "matched_rows": df.count(),
+                "users": df.select("user_id").distinct().count(),
             }
         elif cmd == "coloc":
             from versatiles_rs_spark.functions.colocation import colocation_pairs
