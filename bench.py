@@ -74,6 +74,7 @@ HEADLINE = [
     "flow_pagerank",
     "flow_shortest",
     "flow_communities",
+    "cell_triangles",
     "range_join_events",
     "fence_crossings",
     "fence_dwell",

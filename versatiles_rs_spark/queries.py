@@ -10052,6 +10052,94 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _triangles_oracle_sql(zoom: int = 5) -> str:
+    """Oracle for cell_triangles: the identical movement-edge
+    derivation, (degree, id) orientation, single-wedge triangle join,
+    3-arm corner explode, and exact ppm clustering quotient.  und / deg
+    / ori / tri all multi-referenced -> MATERIALIZED."""
+    x5, y5 = tile_xy_sql(_EV_LON, _EV_LAT, zoom)
+    side = 1 << zoom
+    return f"""
+    WITH mv AS (
+      SELECT user_id, ({x5}) * {side} + ({y5}) AS c,
+        row_number() OVER (
+          PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ), trp AS (
+      SELECT a.c AS ca, b.c AS cb
+      FROM mv a JOIN mv b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+    ), und AS MATERIALIZED (
+      SELECT DISTINCT least(ca, cb) AS a, greatest(ca, cb) AS b
+      FROM trp WHERE ca <> cb
+    ), deg AS MATERIALIZED (
+      SELECT n, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+      GROUP BY 1
+    ), ori AS MATERIALIZED (
+      SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.a ELSE u.b END AS u,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+                  THEN u.b ELSE u.a END AS v
+      FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+    ), tri AS MATERIALIZED (
+      SELECT w1.u AS n1, w1.v AS n2, w2.v AS n3
+      FROM ori w1 JOIN ori w2 ON w2.u = w1.u AND w1.v <> w2.v
+      JOIN ori c ON c.u = w1.v AND c.v = w2.v
+    ), pn AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT n1 AS node FROM tri
+        UNION ALL SELECT n2 AS node FROM tri
+        UNION ALL SELECT n3 AS node FROM tri
+      ) GROUP BY 1
+    )
+    SELECT node, deg AS degree, n_triangles,
+      CASE WHEN deg > 1 THEN (n_triangles * 2 * 1000000) // (deg * (deg - 1))
+           ELSE 0 END AS clustering_ppm
+    FROM pn JOIN deg ON deg.n = pn.node
+    """
+
+
+@register("cell_triangles", _triangles_oracle_sql())
+def q_cell_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering (functions/triangles.py —
+    Suri-Vassilvitskii degree-ordered wedge join, GraphX triangleCount
+    role) on the zoom-5 movement cell graph (consecutive event cells per
+    user, undirected, deduped): cohesive-district detection; each
+    triangle found exactly once at its minimum-ordered vertex."""
+    from pyspark.sql import Window
+
+    from .functions.triangles import triangle_counts
+    from .udfs import derived_lat_expr, derived_lon_expr, tile_x_expr, tile_y_expr
+
+    zoom, side = 5, 32
+    ev = load(spark, sf_dir, "events")
+    lon = derived_lon_expr(F.col("event_id"))
+    lat = derived_lat_expr(F.col("event_id"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("timestampdiff(MICROSECOND, TIMESTAMP '1970-01-01 00:00:00', ts)"),
+        F.col("event_id"),
+    )
+    mv = ev.select(
+        "user_id",
+        (tile_x_expr(lon, zoom) * side + tile_y_expr(lat, zoom)).alias("c"),
+        F.row_number().over(w).alias("rn"),
+    )
+    a, b = mv.alias("a"), mv.alias("b")
+    trips = a.join(
+        b,
+        (F.col("b.user_id") == F.col("a.user_id"))
+        & (F.col("b.rn") == F.col("a.rn") + 1),
+    ).select(F.col("a.c").alias("ca"), F.col("b.c").alias("cb"))
+    edges = (
+        trips.filter(F.col("ca") != F.col("cb"))
+        .select(
+            F.least("ca", "cb").alias("a"), F.greatest("ca", "cb").alias("b")
+        )
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
