@@ -90,6 +90,7 @@ HEADLINE = [
     "zonal_stats",
     "zonal_correlation",
     "tile_ssim",
+    "warp_tiles",
     "terrain_focal",
     "hotspots_gi",
     "hotspot_tiles",

@@ -10140,6 +10140,65 @@ def q_cell_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges)
 
 
+def _warp_oracle_sql(
+    num: int = 3, den: int = 2, off: int = 128, out_px: int = 512,
+    in_px: int = 1024,
+) -> str:
+    """Oracle for warp_tiles: per-output-pixel replay of the clamped
+    fixed-point source position, edge-min'd integer bilinear on the
+    analytic zonal surface, per-tile stats.  Every step `//` on
+    non-negative ints — bit-identical to the numpy kernel."""
+    max_fp = (in_px - 1) * 256
+    sf = f"least(greatest((og * {num * 256}) // {den} + {off}, 0), {max_fp})"
+    return f"""
+    WITH ogs AS (SELECT unnest(range(0, {out_px})) AS og),
+    ax AS MATERIALIZED (
+      SELECT og AS ogx, least(({sf}) // 256, {in_px - 2}) AS ix0,
+             ({sf}) - least(({sf}) // 256, {in_px - 2}) * 256 AS fx
+      FROM ogs
+    ), ay AS MATERIALIZED (
+      SELECT og AS ogy, least(({sf}) // 256, {in_px - 2}) AS iy0,
+             ({sf}) - least(({sf}) // 256, {in_px - 2}) * 256 AS fy
+      FROM ogs
+    ), px AS (
+      SELECT ogx // 256 AS x, ogy // 256 AS y,
+        ((256 - fx) * (256 - fy) * ((7 * ix0 + 13 * iy0) % 251)
+         + fx * (256 - fy) * ((7 * (ix0 + 1) + 13 * iy0) % 251)
+         + (256 - fx) * fy * ((7 * ix0 + 13 * (iy0 + 1)) % 251)
+         + fx * fy * ((7 * (ix0 + 1) + 13 * (iy0 + 1)) % 251)
+         + 32768) // 65536 AS v
+      FROM ax CROSS JOIN ay
+    )
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n_px,
+           CAST(sum(v) AS BIGINT) AS sum_v,
+           CAST(min(v) AS BIGINT) AS min_v,
+           CAST(max(v) AS BIGINT) AS max_v
+    FROM px GROUP BY 1, 2
+    """
+
+
+@register("warp_tiles", _warp_oracle_sql())
+def q_warp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Affine raster warp (operators/warp.py::raster_warp — the
+    gdalwarp scale/translate core with exact fixed-point bilinear): the
+    zoom-2 zonal PNG world resampled by 3/2 with a half-pixel offset
+    onto a 2x2 output grid; output tiles explode to the input tiles
+    they need, applyInPandas assembles the mosaic and runs the int64
+    numpy kernel; per-tile pixel stats prove decode + gather + bilinear
+    end-to-end against the per-pixel SQL replay."""
+    from . import fixtures
+    from .operators.warp import raster_warp
+
+    tiles = fixtures.zonal_raster_df(spark, zoom=2, partitions=8)
+    return raster_warp(
+        tiles,
+        in_tiles_x=4, in_tiles_y=4, out_tiles_x=2, out_tiles_y=2,
+        num_x=3, den_x=2, off_x_fp=128,
+        num_y=3, den_y=2, off_y_fp=128,
+        emit="stats",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
