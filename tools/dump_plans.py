@@ -39,6 +39,18 @@ NOTES = {
     "region_group": "Run-length contraction: two JVM windows produce segments, adjacency is a shuffled hash equi-join on (gy+1, value) with the interval overlap as residual, the contracted graph collapses on the driver (guarded union-find) and rejoins as a broadcast — zero Python nodes.",
     "seg_intersections": "Layer x layer crossings: bbox cell fan-out via two Generate explodes, ONE packed-cell shuffled hash join (no broadcast, no cartesian), canonical-cell + orientation-sign filters inline in the join projection; all JVM.",
     "dissolve_area": "Union area by zone: distinct x-corner lead window -> strip-cover join -> islands-and-gaps windows -> integer area folds; every Exchange carries (long) zone keys and corners; zero Python.",
+    "map_match": "Windowed HMM Viterbi as ONE static DAG: cell-fanout candidate join, T-1 unrolled slim self-joins keyed by trajectory id with map-combined groupBy argbest (unique positional-rank totals), arithmetic path decode joining the cached candidate relation — zero Python, all joins broadcast at gate scale.",
+    "variogram": "Empirical semivariogram: micro7 quantization in the scan projection, 9-key explode equi-join (unordered pairs once), clamped int64 d^2 + squared-threshold CASE bins, one slim groupBy; zero Python, zero float.",
+    "landscape_metrics": "FRAGSTATS class metrics: run-length segments (two JVM windows), region labels via the guarded driver union-find broadcast, different-value overlap + run-boundary + border edge arms unioned into one slim groupBy; zero Python nodes.",
+    "od_balance": "Fixed-point Furness: 2*rounds WINDOW half-steps (partitioned by the balanced axis — linear lineage, no self-join lineage duplication), broadcast growth-factor targets from the cached seed; only (o, d, w) longs in any Exchange.",
+    "central_features": "Integer-weighted Weiszfeld: 6 unrolled rounds, each one broadcast center join + map-combined int64 sums; the row-wise IEEE weight floor is the only float, inside the projection; zero Python.",
+    "kmeans_cells": "Fixed-round Lloyd: per round one broadcast centroid join, packed-argmin groupBy(point) then map-combined groupBy(cid); points cached (InMemoryTableScan) across rounds; zero Python.",
+    "cell_triangles": "Degree-ordered triangle count: movement edges deduped, oriented by (deg, id), the oriented relation cached across its three join references; wedge + closing joins are shuffled hash equi-joins on longs; 3-arm corner explode feeds the final slim agg.",
+    "warp_tiles": "Affine warp: output-tile lattice explodes to its bounded input-tile set, ONE payload-carrying Exchange into applyInPandas (pixels must move, as in the overview roll-up), int64 bilinear inside the kernel, stats out.",
+    "tile_ssim": "SSIM audit: one MapInPandas (decode + degrade + integer moments), no payload in any Exchange, literal-constant float epilogue in the final projection.",
+    "zonal_correlation": "Two-surface zonal moments: zones broadcast via SparkContext, one MapInPandas decode+surface pass emitting slim partials, associative combine, exact cov/var numerators + guarded float epilogue.",
+    "contact_pairs": "Space-time contacts: DISTINCT packed-slot projection, inverted-index self-join on one long, slim pair counts; zero Python.",
+    "join_counts": "Cliff-Ord join counts: within-run closed form + boundary + overlap joins off the segment relation, class totals joined twice (broadcast), exact ppm expectation quotient; zero Python.",
 }
 
 
