@@ -45,6 +45,7 @@ HEADLINE = [
     "ann_pq",
     "ann_pq_refine",
     "ann_recall",
+    "pca_component",
     "embed_neardup",
     "semantic_dedup",
     "quality_score",

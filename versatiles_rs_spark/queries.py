@@ -10199,6 +10199,49 @@ def q_warp_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_oracle_sql(rounds: int = 4, n_dims: int = 64) -> str:
+    """Oracle for pca_component: long-form quantized embeddings
+    (list_extract + DOUBLE cast so the float multiply is IEEE-identical
+    to the Spark lambda), non-negative mean floor division, and the
+    shared per-round CTE generator — dot/w/m/v MATERIALIZED per round."""
+    from .functions.pca import pca_round_ctes
+
+    chain = ",\n    ".join(
+        pca_round_ctes(k, f"v{k - 1}") for k in range(1, rounds + 1)
+    )
+    return f"""
+    WITH xq AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS id, i - 1 AS d,
+             CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE) * 127.0)
+                  AS BIGINT) + 127 AS q
+      FROM embeddings, (SELECT unnest(range(1, {n_dims + 1})) AS i) s
+    ), mn AS MATERIALIZED (
+      SELECT d, CAST(sum(q) AS BIGINT) // CAST(count(*) AS BIGINT) AS m
+      FROM xq GROUP BY d
+    ), xc AS MATERIALIZED (
+      SELECT id, xq.d, q - m AS x FROM xq JOIN mn ON mn.d = xq.d
+    ), v0 AS MATERIALIZED (
+      SELECT unnest(range(0, {n_dims})) AS d, CAST(1024 AS BIGINT) AS v
+    ),
+    {chain}
+    SELECT d, v FROM v{rounds}
+    """
+
+
+@register("pca_component", _pca_oracle_sql())
+def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus
+    (functions/pca.py — fixed-point power iteration, the anisotropy /
+    all-but-the-top diagnostic): the 64-vector lives on the driver,
+    each of 4 rounds is one mapInPandas partial-X^T(Xv) pass over the
+    cached quantized vectors (embeddings never explode or shuffle) +
+    a 64-row collect + exact python-int rescale."""
+    from .functions.pca import pca_top_component
+
+    emb = load(spark, sf_dir, "embeddings")
+    return pca_top_component(emb, rounds=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
