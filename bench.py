@@ -46,6 +46,7 @@ HEADLINE = [
     "ann_pq_refine",
     "ann_recall",
     "pca_component",
+    "centroid_confusion",
     "embed_neardup",
     "semantic_dedup",
     "quality_score",

@@ -70,3 +70,60 @@ def test_plan_vectors_never_in_round_exchange(spark, sf_dir):
     rows = df.orderBy("d").collect()
     assert len(rows) == 64
     assert max(abs(r["v"]) for r in rows) == V_SCALE
+
+
+def test_centroid_confusion_replay_and_separable_case(spark):
+    """classify.py: exact replay on random vectors + a cleanly separable
+    2-class case must put all mass on the diagonal."""
+    from versatiles_rs_spark.functions.classify import centroid_confusion
+
+    rng = np.random.default_rng(31)
+    vecs = rng.uniform(-0.6, 0.6, (60, 8)).astype(np.float32)
+    labels = rng.integers(0, 3, 60)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(60),
+            "label": labels,
+            "embedding": [list(map(float, r)) for r in vecs],
+        }
+    )
+    got = (
+        centroid_confusion(spark.createDataFrame(pdf), n_dims=8)
+        .toPandas()
+    )
+    # python replay
+    q = np.floor(vecs.astype(np.float64) * 127.0).astype(np.int64) + 127
+    cents = {}
+    for lv in np.unique(labels):
+        sel = q[labels == lv]
+        cents[int(lv)] = np.array(
+            [int(sel[:, d].sum()) // sel.shape[0] for d in range(8)]
+        )
+    la = sorted(cents)
+    cm = np.stack([cents[lv] for lv in la])
+    want = {}
+    for i in range(60):
+        d2 = ((q[i][None, :] - cm) ** 2).sum(axis=1)
+        packed = d2 * 16 + np.array(la)
+        pred = la[int(np.argmin(packed))]
+        want[(int(labels[i]), pred)] = want.get((int(labels[i]), pred), 0) + 1
+    gotd = {(int(r["label"]), int(r["pred"])): int(r["n"]) for _, r in got.iterrows()}
+    assert gotd == want
+
+    # separable case: two far-apart clusters -> diagonal only
+    far = np.vstack(
+        [
+            rng.uniform(0.4, 0.5, (20, 8)),
+            rng.uniform(-0.5, -0.4, (20, 8)),
+        ]
+    ).astype(np.float32)
+    pdf2 = pd.DataFrame(
+        {
+            "vec_id": np.arange(40),
+            "label": [0] * 20 + [1] * 20,
+            "embedding": [list(map(float, r)) for r in far],
+        }
+    )
+    got2 = centroid_confusion(spark.createDataFrame(pdf2), n_dims=8).toPandas()
+    gotd2 = {(int(r["label"]), int(r["pred"])): int(r["n"]) for _, r in got2.iterrows()}
+    assert gotd2 == {(0, 0): 20, (1, 1): 20}

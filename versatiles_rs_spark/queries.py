@@ -10242,6 +10242,43 @@ def q_pca_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(emb, rounds=4)
 
 
+@register(
+    "centroid_confusion",
+    """
+    WITH xq AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS label,
+             i - 1 AS d,
+             CAST(floor(CAST(list_extract(embedding, i) AS DOUBLE) * 127.0)
+                  AS BIGINT) + 127 AS q
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) s
+    ), cent AS MATERIALIZED (
+      SELECT label, d, CAST(sum(q) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+      FROM xq GROUP BY 1, 2
+    ), dist AS MATERIALIZED (
+      SELECT xq.id, xq.label, cent.label AS cl,
+             CAST(sum((q - c) * (q - c)) AS BIGINT) AS d2
+      FROM xq JOIN cent ON cent.d = xq.d
+      GROUP BY 1, 2, 3
+    ), pick AS (
+      SELECT id, label, min(d2 * 16 + cl) % 16 AS pred FROM dist GROUP BY 1, 2
+    )
+    SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+    FROM pick GROUP BY 1, 2
+    """,
+)
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid confusion matrix over the labeled embeddings
+    (functions/classify.py — Rocchio/NearestCentroid as a label-quality
+    diagnostic): fixed-point quantization, floor-mean class centroids,
+    packed integer argmin (ties to the smaller class); two
+    driver-coordinated mapInPandas passes — embeddings never explode or
+    shuffle; output is the slim (label, pred, n) matrix."""
+    from .functions.classify import centroid_confusion
+
+    emb = load(spark, sf_dir, "embeddings")
+    return centroid_confusion(emb)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
