@@ -168,6 +168,7 @@ HEADLINE = [
     "region_group",
     "landscape_metrics",
     "join_counts",
+    "landscape_diversity",
     "areal_interp",
     "seg_intersections",
     "near_segments",

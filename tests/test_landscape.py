@@ -145,3 +145,37 @@ def test_join_counts_fuzz_parity(spark):
             else:
                 e = 2 * j * counts[va] * counts[vb] * 10**6 // (big_n * (big_n - 1))
             assert int(r["expected_ppm"]) == e, (trial, va, vb)
+
+
+def test_shannon_diversity_matches_float_entropy(spark):
+    """shannon_diversity: the fixed-point SHDI must sit within 2^-18 of
+    the float log2 entropy, and SHEI within ~3e-5 of the float ratio;
+    uniform 4-class landscape gives SHDI = 2.0 bits and SHEI = 1.0
+    exactly (power-of-two counts have exact fixed-point logs)."""
+    import math
+
+    from versatiles_rs_spark.functions.landscape import shannon_diversity
+
+    def run(grid, n):
+        ys, xs = np.mgrid[0:n, 0:n]
+        pdf = pd.DataFrame({"gx": xs.ravel(), "gy": ys.ravel(), "v": grid.ravel()})
+        return shannon_diversity(spark.createDataFrame(pdf), n).collect()[0]
+
+    n = 16
+    # uniform 4 classes in quadrants
+    grid = (np.add.outer(np.arange(n) // 8, 2 * (np.arange(n) // 8)).T).astype(np.int64)
+    r = run(grid, n)
+    assert r["n_classes"] == 4
+    assert r["shdi_fp"] == 2 * (1 << 20)
+    assert r["shei_ppm"] == 1_000_000
+
+    rng = np.random.default_rng(3)
+    grid = rng.integers(0, 5, (n, n))
+    r = run(grid, n)
+    counts = [int((grid == v).sum()) for v in np.unique(grid)]
+    big = n * n
+    want = math.log2(big) - sum(c * math.log2(c) for c in counts) / big
+    got = r["shdi_fp"] / (1 << 20)
+    assert abs(got - want) < 4e-6, (got, want)
+    want_shei = want / math.log2(len(counts))
+    assert abs(r["shei_ppm"] / 1e6 - want_shei) < 5e-5

@@ -182,3 +182,45 @@ def join_counts(cells: DataFrame, n: int, value_col: str = "v") -> DataFrame:
         )
     )
     return out
+
+
+def shannon_diversity(cells: DataFrame, n: int, value_col: str = "v") -> DataFrame:
+    """Landscape-level Shannon diversity (FRAGSTATS SHDI) + evenness
+    (SHEI), exactly, in fixed-point log2 units: with class cell counts
+    n_i over the complete N = n*n lattice,
+
+        SHDI = log2(N) - (Σ n_i * log2(n_i)) / N      (log2 form of
+        -Σ p ln p, unit-scaled)  ->  shdi_fp in 2^-20 log2 units via
+        udfs.log2_fp_stages (bit-by-bit mantissa squaring, float-free)
+        and floor divisions on non-negative ints;
+        SHEI = SHDI / log2(n_classes), reported as exact ppm.
+
+    Both engines run the IDENTICAL staged-column algorithm, so the
+    result is bit-deterministic — no libm entropy.  One row:
+    (n_classes, n_cells, shdi_fp, shei_ppm)."""
+    from ..udfs import log2_fp_stages
+
+    big_n = n * n
+    log2_n_fp = (big_n.bit_length() - 1) * (1 << 20)
+    if big_n & (big_n - 1):
+        raise ValueError("n*n must be a power of two for the closed-form log2(N)")
+    cls = cells.groupBy(value_col).agg(F.count("*").cast("long").alias("x"))
+    st = cls
+    for name, expr in log2_fp_stages(20):
+        st = st.withColumn(name, F.expr(expr))
+    agg = st.select((F.col("x") * F.col("lg")).alias("t")).agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.expr(f"{log2_n_fp} - (sum(t) div {big_n})").alias("shdi_fp"),
+    )
+    # second staging pass: log2(n_classes) on the one-row aggregate
+    st2 = agg.withColumnRenamed("n_classes", "x")
+    for name, expr in log2_fp_stages(20):
+        st2 = st2.withColumn(name, F.expr(expr))
+    return st2.select(
+        F.col("x").alias("n_classes"),
+        F.lit(big_n).cast("long").alias("n_cells"),
+        "shdi_fp",
+        F.expr(
+            "CASE WHEN lg > 0 THEN (shdi_fp * 1000000) div lg ELSE 0 END"
+        ).alias("shei_ppm"),
+    )

@@ -10279,6 +10279,75 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_confusion(emb)
 
 
+def _shdi_oracle_sql(n: int = 64, k: int = 20) -> str:
+    """Oracle for landscape_diversity: class counts off the shared segs
+    chain, then the IDENTICAL staged fixed-point log2 columns
+    (udfs.log2_fp_stages with `//`) as chained CTEs — each stage a named
+    column, never inlined (3^k text blowup otherwise), twice (per-class
+    then n_classes)."""
+    from .udfs import log2_fp_stages
+
+    big_n = n * n
+    log2_n_fp = (big_n.bit_length() - 1) * (1 << k)
+
+    def chain(prefix: str, src: str) -> tuple[str, str]:
+        ctes, prev = [], src
+        for i, (name, expr) in enumerate(log2_fp_stages(k, div="//")):
+            nm = f"{prefix}{i}"
+            ctes.append(f"{nm} AS (SELECT *, {expr} AS {name} FROM {prev})")
+            prev = nm
+        return ",\n    ".join(ctes), prev
+
+    c1, last1 = chain("la", "c0")
+    c2, last2 = chain("lb", "agg1")
+    return f"""
+    WITH {_seg_ctes(n)},
+    c0 AS (SELECT zv, CAST(sum(len) AS BIGINT) AS x FROM segs GROUP BY zv),
+    {c1},
+    agg1 AS (
+      SELECT CAST(count(*) AS BIGINT) AS x,
+             {log2_n_fp} - (CAST(sum(x * lg) AS BIGINT) // {big_n}) AS shdi_fp
+      FROM {last1}
+    ),
+    {c2}
+    SELECT x AS n_classes, CAST({big_n} AS BIGINT) AS n_cells, shdi_fp,
+           CASE WHEN lg > 0 THEN (shdi_fp * 1000000) // lg ELSE 0 END
+             AS shei_ppm
+    FROM {last2}
+    """
+
+
+@register("landscape_diversity", _shdi_oracle_sql())
+def q_landscape_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon diversity + evenness of the zone grid
+    (functions/landscape.py::shannon_diversity — FRAGSTATS SHDI/SHEI)
+    computed EXACTLY in 2^-20 log2 fixed point: the bit-by-bit
+    mantissa-squaring log (udfs.log2_fp_stages) replaces libm entropy,
+    so the statistic is bit-deterministic cross-engine."""
+    from .functions.landscape import shannon_diversity
+    from .udfs import derived_lat_expr, derived_lon_expr, tile_x_expr, tile_y_expr
+
+    n = 64
+    ev = load(spark, sf_dir, "events")
+    lon = derived_lon_expr(F.col("event_id"))
+    lat = derived_lat_expr(F.col("event_id"))
+    occ = (
+        ev.select(
+            tile_x_expr(lon, 6).cast("long").alias("gx"),
+            tile_y_expr(lat, 6).cast("long").alias("gy"),
+        )
+        .groupBy("gx", "gy").agg(F.count("*").alias("cnt"))
+    )
+    universe = (
+        spark.range(n).select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(n).select(F.col("id").alias("gy")))
+    )
+    cells = universe.join(occ, ["gx", "gy"], "left").select(
+        "gx", "gy", F.least(F.coalesce("cnt", F.lit(0)), F.lit(3)).alias("v")
+    )
+    return shannon_diversity(cells, n)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 

@@ -240,3 +240,35 @@ def schema_with(schema, *cols):
     for name, dt in cols:
         fields.append(StructField(name, _parse_datatype_string(dt)))
     return StructType(fields)
+
+
+def log2_fp_stages(k: int, x_col: str = "x", div: str = "div") -> list[tuple[str, str]]:
+    """Staged column definitions computing EXACT fixed-point
+    floor(log2(x) * 2^k) for a positive-integer column `x_col` — the
+    classic bit-by-bit mantissa-squaring log, float-free except one
+    pow(2.0, e) whose argument is an exact small integer (IEEE-exact to
+    2^53 in both engines).
+
+    Returns [(col_name, sql_expr), ...] to apply IN ORDER (Spark:
+    chained withColumn(F.expr(...)); DuckDB: chained `SELECT *, expr AS
+    name FROM prev` CTEs — each intermediate must be a NAMED column,
+    never inlined: the squared mantissa is referenced three times per
+    step and textual inlining would blow up 3^k (the lambda-CSE lesson
+    at the SQL-text level).  Final value lands in column `lg`.
+    Contract: 1 <= x < 2^33 (mantissa shift keeps x * 2^30 in int64)."""
+    stages = [
+        ("e2", f"CAST(length(bin({x_col})) - 1 AS BIGINT)"),
+        ("p2", "CAST(pow(2.0, e2) AS BIGINT)"),
+        ("m0", f"(({x_col}) * 1073741824) {div} p2"),
+        ("f0", "CAST(0 AS BIGINT)"),
+    ]
+    for i in range(1, k + 1):
+        stages.append((f"s{i}", f"(m{i - 1} * m{i - 1}) {div} 1073741824"))
+        stages.append(
+            (f"m{i}", f"CASE WHEN s{i} >= 2147483648 THEN s{i} {div} 2 ELSE s{i} END")
+        )
+        stages.append(
+            (f"f{i}", f"f{i - 1} * 2 + CASE WHEN s{i} >= 2147483648 THEN 1 ELSE 0 END")
+        )
+    stages.append(("lg", f"e2 * {1 << k} + f{k}"))
+    return stages
