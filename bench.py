@@ -52,6 +52,7 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "profile_docs",
+    "source_drift",
     "heavy_hitters",
     "lm_score",
     "snapshot_changes",

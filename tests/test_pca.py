@@ -127,3 +127,36 @@ def test_centroid_confusion_replay_and_separable_case(spark):
     got2 = centroid_confusion(spark.createDataFrame(pdf2), n_dims=8).toPandas()
     gotd2 = {(int(r["label"]), int(r["pred"])): int(r["n"]) for _, r in got2.iterrows()}
     assert gotd2 == {(0, 0): 20, (1, 1): 20}
+
+
+def test_kl_drift_matches_float_and_zero_on_identical(spark):
+    """drift.py: fixed-point KL within 1e-5 bits of the float value on a
+    skewed split; identical distributions give |kl_fp| <= rounding."""
+    import math
+
+    from versatiles_rs_spark.functions.drift import kl_drift
+    from pyspark.sql import functions as F
+
+    rows = (
+        [("a", i) for i in range(400)]
+        + [("b", 1000 + i) for i in range(100)]
+        + [("c", 2000 + i) for i in range(250)]
+    )
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id"])
+    df = spark.createDataFrame(pdf)
+    # skewed split: ids % 4 == 0 -> A (a gets 1/4, b/c get ~1/4 each too,
+    # but counts differ so the distributions diverge)
+    got = kl_drift(df, "source", F.col("doc_id") % 4 == 0).collect()[0]
+    # float reference from the same counts
+    na = {s: sum(1 for ss, i in rows if ss == s and i % 4 == 0) for s in "abc"}
+    nb = {s: sum(1 for ss, i in rows if ss == s and i % 4 != 0) for s in "abc"}
+    N, M = sum(na.values()), sum(nb.values())
+    want = sum(
+        (na[s] / N) * math.log2((na[s] / N) / (nb[s] / M)) for s in "abc"
+    )
+    assert abs(got["kl_fp"] / (1 << 20) - want) < 1e-5, (got["kl_fp"], want)
+    # identical distributions: even split by parity of id ranges
+    sym = [("a", i) for i in range(200)] + [("b", 1000 + i) for i in range(200)]
+    df2 = spark.createDataFrame(pd.DataFrame(sym, columns=["source", "doc_id"]))
+    got2 = kl_drift(df2, "source", F.col("doc_id") % 2 == 0).collect()[0]
+    assert abs(got2["kl_fp"]) <= 2  # pure fixed-point rounding residue

@@ -10348,6 +10348,54 @@ def q_landscape_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shannon_diversity(cells, n)
 
 
+def _kl_drift_oracle_sql() -> str:
+    """Oracle for source_drift: identical conditional counts, shared
+    staged-log2 CTE chains (four of them: per-category a/b, totals a/b),
+    and the offset-positive final quotient."""
+    from .functions.drift import _OFF, kl_ctes_sql
+
+    ca, la = kl_ctes_sql("cnt1", "ka", "na", "lga")
+    cb, lb = kl_ctes_sql(la, "kb", "nb", "lgb")
+    cc, lc = kl_ctes_sql("agg0", "kc", "n_a", "lg_na")
+    cd, ld = kl_ctes_sql(lc, "kd", "n_b", "lg_nb")
+    return f"""
+    WITH cnt0 AS MATERIALIZED (
+      SELECT source AS key,
+        CAST(sum(CASE WHEN doc_id % 10 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        CAST(sum(CASE WHEN doc_id % 10 < 3 THEN 0 ELSE 1 END) AS BIGINT) AS nb
+      FROM documents GROUP BY 1
+    ), cnt1 AS (SELECT * FROM cnt0 WHERE na >= 1 AND nb >= 1),
+    {ca},
+    {cb},
+    agg0 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_categories,
+             CAST(sum(na) AS BIGINT) AS n_a,
+             CAST(sum(nb) AS BIGINT) AS n_b,
+             CAST(sum(na * (lga - lgb)) AS BIGINT) AS term
+      FROM {lb}
+    ),
+    {cc},
+    {cd}
+    SELECT n_categories, n_a, n_b,
+           (term + n_a * (lg_nb - lg_na) + n_a * {_OFF}) // n_a - {_OFF}
+             AS kl_fp
+    FROM {ld}
+    """
+
+
+@register("source_drift", _kl_drift_oracle_sql())
+def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix KL drift between corpus slices (functions/drift.py —
+    the data-mix monitoring metric behind crawl-snapshot dashboards):
+    KL(P_A || P_B) of the document `source` distribution between the
+    doc_id%10<3 slice and the rest, EXACT in 2^-20 fixed-point log2
+    (no libm, offset-positive final quotient)."""
+    from .functions.drift import kl_drift
+
+    docs = load(spark, sf_dir, "documents")
+    return kl_drift(docs, "source", F.col("doc_id") % 10 < 3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
