@@ -88,3 +88,57 @@ def test_windowed_tile_counts_with_watermark(spark, tmp_path):
     ).filter(F.col("timestamp") < "2026-01-01 00:00:10")
     w0 = got.filter(F.col("win_start") == "2026-01-01 00:00:00")
     assert w0.agg(F.sum("n_points")).first()[0] == batch.count()
+
+
+def test_stream_session_windows_match_batch(spark, tmp_path):
+    """stream_session_stats: sealed streaming sessions == the same
+    session_window computed in one batch pass (one code path for the gap
+    semantics), and only watermark-sealed sessions emit in append mode."""
+    from versatiles_rs_spark.streaming.ingest import stream_session_stats
+
+    src = str(tmp_path / "ssrc")
+    # 3 users; user 0: two bursts separated by > gap (2 sessions);
+    # users 1-2: one burst each; a late straggler at the very end keeps
+    # the final sessions unsealed
+    rows = spark.createDataFrame(
+        [
+            (0, "2026-01-01 00:00:00"), (0, "2026-01-01 00:00:30"),
+            (0, "2026-01-01 01:00:00"), (0, "2026-01-01 01:00:10"),
+            (1, "2026-01-01 00:05:00"),
+            (2, "2026-01-01 00:10:00"), (2, "2026-01-01 00:10:05"),
+            (9, "2026-01-01 09:00:00"),  # advances the watermark far out
+        ],
+        "user_id long, ts string",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    rows.write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        stream_session_stats(stream, gap="10 minutes", watermark="30 minutes")
+        .writeStream.format("memory").queryName("sess")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user, str(r.session_start)): r.n_fixes
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    # watermark = 09:00 - 30min = 08:30 -> every earlier session sealed
+    want = {
+        (0, "2026-01-01 00:00:00"): 2,
+        (0, "2026-01-01 01:00:00"): 2,
+        (1, "2026-01-01 00:05:00"): 1,
+        (2, "2026-01-01 00:10:00"): 2,
+    }
+    assert got == want
+    # batch parity: the identical session_window expression over the file
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("user_id", F.session_window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+    )
+    b = {
+        (r.user_id, str(r["session_window"].start)): r.n
+        for r in batch.collect()
+        if r.user_id != 9
+    }
+    assert b == {k: v for k, v in want.items()}

@@ -79,3 +79,41 @@ def stream_to_tile_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_session_stats(
+    stream: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization via Spark's native session_window —
+    the streaming twin of functions/sessions.py's batch sessionize (same
+    gap semantics: fixes closer than `gap` merge into one session, the
+    window seals when the watermark passes its end).
+
+    Per sealed session: (user, session_start, session_end, n_fixes).
+    State is Spark's built-in session-window store keyed by the entity —
+    slim (entity, window bounds, count) per open session, merged
+    incrementally; this is the one stateful streaming shape the family
+    didn't yet cover (windowed counts: analytics.py; dedup + running
+    totals: stateful.py; exactly-once commits: snapshot_sink.py).
+
+    TIMESTAMP_NTZ event time casts to TIMESTAMP like
+    stream_window_cell_counts (session tz pinned UTC)."""
+    s = stream.withColumn("_evt", F.col(ts_col).cast("timestamp"))
+    return (
+        s.withWatermark("_evt", watermark)
+        .groupBy(
+            F.col(entity_col).alias("user"),
+            F.session_window(F.col("_evt"), gap).alias("win"),
+        )
+        .agg(F.count("*").cast("long").alias("n_fixes"))
+        .select(
+            "user",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_fixes",
+        )
+    )
