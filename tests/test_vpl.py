@@ -583,3 +583,45 @@ def test_vpl_raster_colorrelief(spark, tmp_path):
     assert k[0, 2].tolist() == [0, 128, 128]    # midpoint blend (rint half-up)
     assert k[0, 3].tolist() == [0, 255, 0]      # exact middle stop
     assert k[0, 4].tolist() == [255, 255, 255]  # clamp above
+
+
+def test_vpl_raster_warp_identity_and_scale(spark):
+    """raster_warp in the pipeline language: identity transform
+    reproduces the source pixels; a 2/1 upscale halves the world per
+    output tile (pixel value at output (o) == source at o//2 for exact
+    halves with offset 0: bilinear at f=0 or 128)."""
+    import numpy as np
+
+    from versatiles_rs_spark.codecs import decode_image
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.operators.warp import raster_warp
+    from versatiles_rs_spark.plans.vpl import SOURCE_FACTORIES, run_vpl
+
+    # register a tiny in-test source feeding the zonal fixture so the
+    # pipeline text stays self-contained
+    from versatiles_rs_spark.plans import vpl as _vpl
+
+    @_vpl.source("from_zonal_test")
+    def _from_zonal_test(sp, children=(), zoom: int = 1, **kw):
+        from pyspark.sql import functions as F
+
+        t = fixtures.zonal_raster_df(sp, zoom=int(zoom), partitions=2)
+        return t.select(
+            F.lit(int(zoom)).cast("long").alias("z"), "x", "y", "bytes",
+            F.lit("png").alias("fmt"),
+        )
+
+    try:
+        ident = run_vpl(
+            spark,
+            'from_zonal_test zoom=1 | raster_warp scale="1/1" out_tiles=2 in_tiles=2',
+        ).collect()
+        assert len(ident) == 4
+        for r in ident:
+            img = decode_image(bytes(r.bytes))[..., 0].astype(np.int64)
+            gy, gx = np.mgrid[
+                r.y * 256 : (r.y + 1) * 256, r.x * 256 : (r.x + 1) * 256
+            ]
+            assert np.array_equal(img, fixtures.zonal_value(gx, gy)), (r.x, r.y)
+    finally:
+        SOURCE_FACTORIES.pop("from_zonal_test", None)

@@ -743,3 +743,31 @@ def tilejson_of(df) -> dict:
     tj = tilejson_for(df)
     tj.update(getattr(df, "_vt_meta", {}))
     return tj
+
+
+@transform("raster_warp")
+def _raster_warp(df, scale="3/2", offset_fp="0", out_tiles="2",
+                 in_tiles="4", tile_size="256", **kw):
+    """Engine extension: affine re-grid in the pipeline language (the
+    gdalwarp stage of an ingest pipeline) — `scale` is a rational
+    num/den applied to both axes, `offset_fp` a 1/256-px offset; the
+    level's z is preserved.  Delegates to operators/warp.raster_warp
+    (exact fixed-point bilinear, bounded tile gather)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.warp import raster_warp
+
+    num, den = (int(t) for t in str(scale).split("/"))
+    it, ot, ts = int(in_tiles), int(out_tiles), int(tile_size)
+    off = int(offset_fp)
+    z = df.select(F.min("z")).first()[0]
+    out = raster_warp(
+        df.select("x", "y", "bytes"),
+        in_tiles_x=it, in_tiles_y=it, out_tiles_x=ot, out_tiles_y=ot,
+        num_x=num, den_x=den, off_x_fp=off,
+        num_y=num, den_y=den, off_y_fp=off,
+        tile_size=ts, emit="tiles",
+    )
+    return out.select(
+        F.lit(z).cast("long").alias("z"), "x", "y", "bytes", "fmt"
+    )
