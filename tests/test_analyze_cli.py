@@ -395,3 +395,9 @@ def test_analyze_variogram_and_mapmatch(spark, sf_dir, tmp_path_factory):
     out2 = run_analyze("mapmatch", fixes, "--segments", segs, "--steps", "4")
     assert out2["mapmatch"]["users"] > 0
     assert out2["mapmatch"]["matched_rows"] == 4 * out2["mapmatch"]["users"]
+
+
+def test_analyze_kmeans(pts_parquet):
+    out = run_analyze("kmeans", pts_parquet, "--k", "6", "--rounds", "3")
+    assert 1 <= out["kmeans"]["clusters"] <= 6
+    assert sum(r["n_points"] for r in out["kmeans"]["top"]) > 0

@@ -24,6 +24,7 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py center    pts.parquet [--by user_id]   # mean + median centers
     python tools/analyze.py variogram pts.parquet [--value value] [--radius-deg 1.0]
     python tools/analyze.py mapmatch  pts.parquet --segments seg.parquet [--steps 6]
+    python tools/analyze.py kmeans    pts.parquet [--k 8] [--rounds 4]
     python tools/analyze.py all       pts.parquet
     python tools/analyze.py hydro     dem.{mbtiles,pmtiles,versatiles,tar,parquet}
                                       [--zoom Z] [--min-accum 64] [--super-tiles 1]
@@ -356,7 +357,7 @@ def main(argv=None):
                  "moran", "geary", "ripley", "idw", "shortest",
                  "stdbscan", "similar", "coloc", "kde", "clusters",
                  "regions", "distance", "contacts", "center", "variogram",
-                 "mapmatch",
+                 "mapmatch", "kmeans",
                  "hydro", "viewshed", "polygonize", "cost", "all"],
     )
     ap.add_argument("table")
@@ -418,6 +419,10 @@ def main(argv=None):
                     help="fixes per trajectory window (mapmatch)")
     ap.add_argument("--match-dist", type=int, default=8000,
                     help="candidate search radius in coordinate units (mapmatch)")
+    ap.add_argument("--k", type=int, default=8,
+                    help="cluster count for the kmeans command")
+    ap.add_argument("--rounds", type=int, default=4,
+                    help="Lloyd rounds for the kmeans command")
     ap.add_argument("--lon", default="lon")
     ap.add_argument("--lat", default="lat")
     ap.add_argument("--ts", dest="ts_col", default="ts")
@@ -450,7 +455,8 @@ def main(argv=None):
     cmds = (
         ["hotspots", "trends", "emerging", "dbscan", "od", "moran", "geary",
          "ripley", "idw", "shortest", "stdbscan", "similar", "coloc", "kde",
-         "clusters", "regions", "distance", "contacts", "center", "variogram"]
+         "clusters", "regions", "distance", "contacts", "center", "variogram",
+         "kmeans"]
         if args.command == "all"
         else [args.command]
     )
@@ -689,6 +695,34 @@ def main(argv=None):
             out["variogram"] = {
                 "max_lag_deg": args.radius_deg,
                 "bins": [r.asDict() for r in df.orderBy("lag_bin").collect()],
+            }
+        elif cmd == "kmeans":
+            from versatiles_rs_spark.functions.kmeans import lloyd_kmeans
+
+            id_col = args.id_col or pts.columns[0]
+            milli = pts.select(
+                F.col(id_col).alias("id"),
+                (F.floor(F.col(args.lon) * 1000).cast("long") + 200000).alias("x"),
+                (F.floor(F.col(args.lat) * 1000).cast("long") + 200000).alias("y"),
+            )
+            bb = milli.agg(
+                F.min("x"), F.max("x"), F.min("y"), F.max("y")
+            ).first()
+            kx = max(1, int(args.k ** 0.5))
+            ky = (args.k + kx - 1) // kx
+            sx = max(1, (bb[1] - bb[0]) // (kx + 1))
+            sy = max(1, (bb[3] - bb[2]) // (ky + 1))
+            seeds = spark.range(args.k).select(
+                F.col("id").cast("long").alias("cid"),
+                (F.lit(bb[0]) + (F.col("id") % kx + 1) * sx).alias("cx"),
+                (F.lit(bb[2]) + (F.expr(f"id div {kx}") + 1) * sy).alias("cy"),
+            )
+            df = lloyd_kmeans(milli, seeds, rounds=args.rounds).cache()
+            out["kmeans"] = {
+                "k": args.k,
+                "rounds": args.rounds,
+                "clusters": df.count(),
+                "top": _top_rows(df, "n_points", args.top),
             }
         elif cmd == "mapmatch":
             from versatiles_rs_spark.joins.map_match import (
