@@ -53,6 +53,7 @@ HEADLINE = [
     "token_count",
     "profile_docs",
     "source_drift",
+    "zipf_fit",
     "heavy_hitters",
     "lm_score",
     "snapshot_changes",

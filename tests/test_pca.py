@@ -160,3 +160,26 @@ def test_kl_drift_matches_float_and_zero_on_identical(spark):
     df2 = spark.createDataFrame(pd.DataFrame(sym, columns=["source", "doc_id"]))
     got2 = kl_drift(df2, "source", F.col("doc_id") % 2 == 0).collect()[0]
     assert abs(got2["kl_fp"]) <= 2  # pure fixed-point rounding residue
+
+
+def test_zipf_fit_slope_on_planted_power_law(spark):
+    """drift.py::zipf_fit recovers a planted exact power law: corpus
+    where term t_r appears floor(1000 / r) times gives slope ~ -1
+    (within fixed-point + floor tolerance); a uniform corpus (all terms
+    equally frequent) gives slope 0 exactly."""
+    from versatiles_rs_spark.functions.drift import zipf_fit
+
+    words = []
+    for r in range(1, 65):
+        words += ["w" + "abcdefgh"[r % 8] * (r // 8 + 1)] * (1000 // r)
+    docs = pd.DataFrame({"doc_id": [0], "text": [" ".join(words)]})
+    got = zipf_fit(spark.createDataFrame(docs), top_v=64).collect()[0]
+    assert got["n_terms"] == 64
+    assert -1050 <= got["slope_milli"] <= -950, got["slope_milli"]
+
+    uni = pd.DataFrame(
+        {"doc_id": [0], "text": [(" ".join("u" + "abcde"[r % 5] * (r // 5 + 1) for r in range(50)) + " ") * 7]}
+    )
+    got2 = zipf_fit(spark.createDataFrame(uni), top_v=50).collect()[0]
+    assert got2["slope_milli"] == 0
+    assert got2["num"] == 0

@@ -85,12 +85,12 @@ def kl_drift(
     )
 
 
-def kl_ctes_sql(src: str, prefix: str, x_col: str, out: str) -> tuple[str, str]:
+def kl_ctes_sql(src: str, prefix: str, x_col: str, out: str, k: int = K) -> tuple[str, str]:
     """Oracle chain: staged log2 columns over CTE `src`, final CTE
     renames lg -> `out` and drops the stage columns (mirror of
     _with_lg)."""
     ctes, prev = [], src
-    stages = log2_fp_stages(K, x_col=x_col, div="//")
+    stages = log2_fp_stages(k, x_col=x_col, div="//")
     for i, (name, expr) in enumerate(stages):
         nm = f"{prefix}{i}"
         ctes.append(f"{nm} AS (SELECT *, {expr} AS {name} FROM {prev})")
@@ -99,10 +99,79 @@ def kl_ctes_sql(src: str, prefix: str, x_col: str, out: str) -> tuple[str, str]:
     ctes.append(
         f"{nm} AS (SELECT * EXCLUDE (e2, p2, "
         + ", ".join(
-            [f"m{j}" for j in range(0, K + 1)]
-            + [f"f{j}" for j in range(0, K + 1)]
-            + [f"s{j}" for j in range(1, K + 1)]
+            [f"m{j}" for j in range(0, k + 1)]
+            + [f"f{j}" for j in range(0, k + 1)]
+            + [f"s{j}" for j in range(1, k + 1)]
         )
         + f", lg), lg AS {out} FROM {prev})"
     )
     return ",\n    ".join(ctes), nm
+
+
+ZIPF_K = 12  # fewer fractional bits than drift: the OLS cross-products
+             # must survive * n * 1000 inside int64 (bound in zipf_fit)
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_v: int = 256,
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary head — the
+    classic corpus health check (Zipf 1949; a natural-language corpus
+    fits log f ~ -s * log r with s near 1; heavily duplicated or
+    templated corpora bend the curve): OLS slope of (log2 rank,
+    log2 freq) over the top `top_v` terms, EXACT in 2^-12 fixed-point
+    log2.
+
+    Tokenization matches tfidf_topk (lower + split on [^a-z]+) so the
+    frequency table is the same relation cross-engine.  The head is
+    TakeOrderedAndProject (orderBy.limit — no full-vocab sort shuffle);
+    the rank window runs over `top_v` rows, a bounded constant.  The
+    OLS numerator is signed (slopes are negative) — the division
+    decomposes into sign * (abs * 1000 div den), den > 0 by
+    construction.  int64 bound: (40 * 2^12)^2 * top_v * 1000 < 2^63
+    up to top_v ~ 340.
+
+    One row: (n_terms, num, den, slope_milli)."""
+    from pyspark.sql import Window
+
+    from ..udfs import log2_fp_stages
+
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count("*").cast("long").alias("f"))
+    head = freq.orderBy(F.col("f").desc(), F.col("term")).limit(int(top_v))
+    ranked = head.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("f").desc(), F.col("term"))).cast("long"),
+    )
+    st = ranked.withColumn("x", F.col("r"))
+    for name, expr in log2_fp_stages(ZIPF_K):
+        st = st.withColumn(name, F.expr(expr))
+    st = st.select("term", "f", "r", F.col("lg").alias("lr"))
+    st = st.withColumn("x", F.col("f"))
+    for name, expr in log2_fp_stages(ZIPF_K):
+        st = st.withColumn(name, F.expr(expr))
+    st = st.select("lr", F.col("lg").alias("lf"))
+    agg = st.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("lr").alias("slr"),
+        F.sum("lf").alias("slf"),
+        F.sum(F.col("lr") * F.col("lf")).alias("slrlf"),
+        F.sum(F.col("lr") * F.col("lr")).alias("slr2"),
+    )
+    return agg.select(
+        "n_terms",
+        F.expr("n_terms * slrlf - slr * slf").alias("num"),
+        F.expr("n_terms * slr2 - slr * slr").alias("den"),
+        # den = 0 only for a degenerate (<2 distinct-rank) head: NULL
+        # slope, identically in the oracle
+        F.expr(
+            "CASE WHEN n_terms * slr2 - slr * slr > 0 THEN "
+            "(CASE WHEN n_terms * slrlf - slr * slf >= 0 THEN 1 ELSE -1 END)"
+            " * ((abs(n_terms * slrlf - slr * slf) * 1000)"
+            "    div (n_terms * slr2 - slr * slr)) ELSE NULL END"
+        ).alias("slope_milli"),
+    )

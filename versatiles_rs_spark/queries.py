@@ -10396,6 +10396,62 @@ def q_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kl_drift(docs, "source", F.col("doc_id") % 10 < 3)
 
 
+def _zipf_oracle_sql(top_v: int = 256) -> str:
+    """Oracle for zipf_fit: the tfidf tokenization, ORDER BY head +
+    rank, two shared staged-log2 chains at k=12, and the
+    sign-decomposed OLS quotient."""
+    from .functions.drift import ZIPF_K, kl_ctes_sql
+
+    ca, la = kl_ctes_sql("ranked", "za", "r", "lr", k=ZIPF_K)
+    cb, lb = kl_ctes_sql(la, "zb", "f", "lf", k=ZIPF_K)
+    return f"""
+    WITH freq AS MATERIALIZED (
+      SELECT term, CAST(count(*) AS BIGINT) AS f
+      FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+              AS term FROM documents)
+      WHERE term <> '' GROUP BY term
+    ), head AS MATERIALIZED (
+      SELECT * FROM freq ORDER BY f DESC, term LIMIT {top_v}
+    ), ranked AS MATERIALIZED (
+      SELECT term, f,
+             CAST(row_number() OVER (ORDER BY f DESC, term) AS BIGINT) AS r
+      FROM head
+    ),
+    {ca},
+    {cb},
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(lr) AS BIGINT) AS slr,
+             CAST(sum(lf) AS BIGINT) AS slf,
+             CAST(sum(lr * lf) AS BIGINT) AS slrlf,
+             CAST(sum(lr * lr) AS BIGINT) AS slr2
+      FROM {lb}
+    )
+    SELECT n_terms,
+           n_terms * slrlf - slr * slf AS num,
+           n_terms * slr2 - slr * slr AS den,
+           CASE WHEN n_terms * slr2 - slr * slr > 0 THEN
+             (CASE WHEN n_terms * slrlf - slr * slf >= 0 THEN 1 ELSE -1 END)
+               * ((abs(n_terms * slrlf - slr * slf) * 1000)
+                  // (n_terms * slr2 - slr * slr)) ELSE NULL END AS slope_milli
+    FROM agg
+    """
+
+
+@register("zipf_fit", _zipf_oracle_sql())
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary head
+    (functions/drift.py::zipf_fit — the corpus health check: natural
+    text fits slope near -1, templated/duplicated corpora bend it):
+    tfidf tokenization, TakeOrderedAndProject head (no full-vocab
+    sort), exact fixed-point log2 OLS with a sign-decomposed
+    quotient."""
+    from .functions.drift import zipf_fit
+
+    docs = load(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_v=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: q.fn for name, q in REGISTRY.items()}
 
