@@ -161,6 +161,7 @@ HEADLINE = [
     "terrain_openness",
     "twi_surface",
     "slope_aspect",
+    "hillshade",
     "curvature",
     "majority_filter",
     "zonal_percentiles",

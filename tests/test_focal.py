@@ -637,3 +637,90 @@ def test_majority_kernel_tie_rule():
     pad[1:-1, 1:-1] = patch
     f = kern(pad)
     assert f["mode"][1, 1] == 1 and f["changed"][1, 1]
+
+
+# ---------------------------------------------------------------------------
+# Horn hillshade
+# ---------------------------------------------------------------------------
+
+_HILL_KEYS = ["n_px", "sum_shade", "n_shadow", "max_shade"]
+
+
+def _shade_v(p, q):
+    """Documented per-pixel epilogue, straight from the formula block in
+    operators/focal.py (independent of _hillshade_partial_row)."""
+    num = (p + q).astype(np.float64) + 8.0 * np.sqrt(2.0)
+    r = num / (2.0 * np.sqrt((p * p + q * q + 64).astype(np.float64)))
+    v = np.where(r <= 0.0, 0, np.minimum(np.floor(254.0 * r) + 1, 255)).astype(np.int64)
+    return r, v
+
+
+def _global_hillshade(n_px_side: int, tile_size: int = 256):
+    """Independent ground truth: Horn p/q by explicit slicing (NOT via
+    terrain_fields), shade by the documented epilogue, grouped by tile."""
+    gx = np.arange(n_px_side, dtype=np.int64)
+    v = dem_value(gx[None, :], gx[:, None])
+    c = lambda dr, dc: v[1 + dr : n_px_side - 1 + dr, 1 + dc : n_px_side - 1 + dc]
+    nw, n_, ne = c(-1, -1), c(-1, 0), c(-1, 1)
+    w_, e_ = c(0, -1), c(0, 1)
+    sw, s_, se = c(1, -1), c(1, 0), c(1, 1)
+    p = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+    q = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+    r, shade = _shade_v(p, q)
+    n_tiles = n_px_side // tile_size
+    out = {}
+    for ty in range(n_tiles):
+        for tx in range(n_tiles):
+            r0 = max(ty * tile_size, 1)
+            r1 = min((ty + 1) * tile_size, n_px_side - 1)
+            c0 = max(tx * tile_size, 1)
+            c1 = min((tx + 1) * tile_size, n_px_side - 1)
+            sub = lambda a: a[r0 - 1 : r1 - 1, c0 - 1 : c1 - 1]
+            sv, sr = sub(shade), sub(r)
+            out[(tx, ty)] = [
+                sv.size, int(sv.sum()), int((sr <= 0.0).sum()),
+                int(sv.max()) if sv.size else -1,
+            ]
+    return out
+
+
+def test_hillshade_distributed_matches_global(spark):
+    from versatiles_rs_spark.operators.focal import hillshade_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=8)
+    got = {
+        (r["x"], r["y"]): [r[k] for k in _HILL_KEYS]
+        for r in hillshade_stats(tiles).collect()
+    }
+    assert got == _global_hillshade(1024)
+
+
+def test_hillshade_illumination_laws():
+    """Flat ground shades to floor(254/sqrt(2))+1 = 180; NW-facing slopes
+    outshine their SE-facing mirrors; a steep SE-facing slope
+    self-shadows (v = 0); everything stays in [0, 255]."""
+    _, flat = _shade_v(np.array([0]), np.array([0]))
+    assert flat[0] == int(np.floor(254.0 / np.sqrt(2.0))) + 1 == 180
+    # p > 0 = east side higher = faces west(-ish toward the 315-deg sun)
+    p = np.array([40, -40, 6, -300])
+    q = np.array([40, -40, 6, -300])
+    r, v = _shade_v(p, q)
+    assert v[0] > flat[0] > v[1]          # toward sun > flat > away
+    assert v[3] == 0 and r[3] <= 0.0      # steep away-facing: shadowed
+    # normal incidence peaks at p = q = 4*sqrt(2) ~ 5.66 (45-deg sun):
+    # the near-optimal slope outshines both flat ground and steep slopes
+    assert v[2] > v[0] and v[2] >= 254
+    pr = np.arange(-1020, 1021, dtype=np.int64)
+    pp, qq = np.meshgrid(pr[::7], pr[::7])
+    _, vv = _shade_v(pp.ravel(), qq.ravel())
+    assert vv.min() >= 0 and vv.max() <= 255
+
+
+def test_hillshade_payload_never_shuffles(spark):
+    from versatiles_rs_spark.operators.focal import hillshade_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=2)
+    plan = hillshade_stats(tiles)._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"

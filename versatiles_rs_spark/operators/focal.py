@@ -700,6 +700,70 @@ def slope_aspect_stats(
 
 
 # ---------------------------------------------------------------------------
+# Horn hillshade statistics (gdaldem hillshade parity)
+# ---------------------------------------------------------------------------
+# Fixed sun: azimuth 315 deg (NW), altitude 45 deg — gdaldem's defaults.
+# With this module's integer Horn numerators (p east+, q SOUTH+ because gy
+# grows south) and s = 8*cell = 8, the unnormalized east-north-up surface
+# normal is (-p, q, s) and the unit light vector is (-1/2, 1/2, sqrt(2)/2),
+# so the illumination cosine collapses to ONE exact-integer core per pixel:
+#
+#   r = (p + q + 8*sqrt(2)) / (2 * sqrt(p^2 + q^2 + 64))
+#   v = 0               if r <= 0        (self-shadowed, GDAL's 0 floor)
+#     = min(255, floor(254*r) + 1)       otherwise (GDAL's 1..255 ramp)
+#
+# Every float step is a single IEEE-754 double op on exactly-representable
+# integer inputs (|p|,|q| <= 1020; p^2+q^2+64 < 2^21): the add of the one
+# precomputed constant 8*sqrt(2), a correctly-rounded sqrt, one multiply,
+# one divide, one floor.  Spark, numpy and DuckDB therefore produce
+# bit-identical doubles and the SQL oracle can replay v closed-form —
+# the same guarded-float-epilogue contract as zonal_correlation.  (r = 1
+# exactly is impossible: the normal would need p = q = 4*sqrt(2), not an
+# integer, so floor(254*r) <= 253 and the 255 clamp is documentation.)
+
+_HILL_C = 8.0 * float(np.sqrt(np.float64(2.0)))  # 8*sqrt(2), one double
+_HILL_COLS = ["n_px", "sum_shade", "n_shadow", "max_shade"]
+
+
+def _hillshade_partial_row(
+    x: int, y: int, f: dict[str, np.ndarray], mask: np.ndarray
+) -> list:
+    p, q = f["p"][mask], f["q"][mask]
+    num = (p + q).astype(np.float64) + _HILL_C
+    den = 2.0 * np.sqrt((p * p + q * q + 64).astype(np.float64))
+    r = num / den
+    pos = r > 0.0
+    v = np.zeros(r.shape, dtype=np.int64)
+    v[pos] = np.minimum(np.floor(254.0 * r[pos]).astype(np.int64) + 1, 255)
+    return [
+        int(x), int(y), int(mask.sum()), int(v.sum()),
+        int((~pos).sum()), int(v.max()) if v.size else -1,
+    ]
+
+
+def hillshade_stats(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """Per-tile Horn hillshade statistics — gdaldem hillshade
+    (gdal apps/gdaldem_lib.cpp, azimuth 315 / altitude 45 defaults) as
+    border-exact aggregates over a tiled DEM: pixel count, sum of the
+    0..255 shade value, self-shadowed count, max shade.
+
+    Same two-pass halo-exchange shape (and 100 TB story) as
+    focal_terrain_stats: payload decodes once, ~3 KB of border strips
+    per tile in the only shuffle, <= 9 rows per key.  The per-pixel
+    float epilogue is cross-engine exact (see the formula block above),
+    so the integer per-tile sums hash-match the SQL replay."""
+    return _two_pass_stats(
+        tiles, tile_size, payload, band, _HILL_COLS, _hillshade_partial_row,
+        max_cols=("max_shade",),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Zevenbergen & Thorne (1987) curvature statistics (ArcGIS Curvature /
 # GRASS r.slope.aspect pcurvature+tcurvature parity)
 # ---------------------------------------------------------------------------

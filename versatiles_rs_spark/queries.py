@@ -6174,6 +6174,69 @@ def q_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return slope_aspect_stats(tiles, tile_size=256)
 
 
+def _hillshade_oracle_sql(zoom: int) -> str:
+    """Closed-form replay of hillshade_stats: Horn p/q numerators from the
+    9-neighbor DEM values, then the documented single-IEEE-op-per-step
+    float epilogue (operators/focal.py hillshade block) — the constant
+    8*sqrt(2) is inlined in exponent form so DuckDB types it DOUBLE and
+    round-trips the exact float64 bits (oracle-literal lesson)."""
+    from .fixtures import dem_sql
+    from .operators.focal import _HILL_C
+
+    n = (1 << zoom) * 256
+    offs = {
+        "nw": (-1, -1), "n": (0, -1), "ne": (1, -1),
+        "w": (-1, 0), "e": (1, 0),
+        "sw": (-1, 1), "s": (0, 1), "se": (1, 1),
+    }
+    vcols = ",\n      ".join(
+        f"{dem_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
+    )
+    return f"""
+    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
+    v9 AS (SELECT gx, gy,
+      {vcols}
+    FROM px),
+    pq AS (SELECT gx, gy,
+      (v_ne + 2 * v_e + v_se) - (v_nw + 2 * v_w + v_sw) AS p,
+      (v_sw + 2 * v_s + v_se) - (v_nw + 2 * v_n + v_ne) AS q
+    FROM v9),
+    sh AS (SELECT gx // 256 AS x, gy // 256 AS y,
+      (CAST(p + q AS DOUBLE) + {_HILL_C:.17e})
+        / (2.0 * sqrt(CAST(p * p + q * q + 64 AS DOUBLE))) AS r
+    FROM pq),
+    v AS (SELECT x, y, r,
+      CASE WHEN r <= 0.0 THEN 0
+           ELSE least(CAST(floor(254.0 * r) AS BIGINT) + 1, 255) END AS v
+    FROM sh)
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n_px,
+      CAST(sum(v) AS BIGINT) AS sum_shade,
+      CAST(sum(CASE WHEN r <= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_shadow,
+      CAST(max(v) AS BIGINT) AS max_shade
+    FROM v GROUP BY 1, 2
+    """
+
+
+@register("hillshade", _hillshade_oracle_sql(zoom=2))
+def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade (gdal apps/gdaldem_lib.cpp, Horn derivatives,
+    azimuth 315 / altitude 45 defaults) as border-exact per-tile
+    statistics over the synthetic REAL-PNG DEM pyramid: sum/max of the
+    0..255 shade ramp plus the self-shadowed pixel count.  Same two-pass
+    halo-exchange shape as terrain_focal/slope_aspect (decode once,
+    ~3 KB strips in the one slim shuffle, <= 9 rows per key); the float
+    epilogue is one IEEE op per step on exactly-representable integers,
+    so the hash additionally pins cross-engine double determinism of the
+    illumination cosine."""
+    from . import fixtures
+    from .operators.focal import hillshade_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=16)
+    return hillshade_stats(tiles, tile_size=256)
+
+
 def _euclidean_distance_oracle_sql(
     n: int = 256, block: int = 32, md: int = 48, mod: int = 149, K: int = 1 << 20
 ) -> str:
