@@ -152,6 +152,12 @@ def test_cc_matches_union_find_random(spark, seed):
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
     got = {r.id: r.component for r in connected_components(df).collect()}
     assert got == _union_find(edges)
+    # distributed star rounds must agree with the guarded driver solve
+    star = {
+        r.id: r.component
+        for r in connected_components(df, driver_max_edges=0).collect()
+    }
+    assert star == got
 
 
 def test_cc_chain_converges_logarithmically(spark):
@@ -160,10 +166,16 @@ def test_cc_chain_converges_logarithmically(spark):
     edges = [(i, i + 1) for i in range(1022)]
     df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
     metrics = {}
-    got = connected_components(df, metrics=metrics)
+    got = connected_components(df, metrics=metrics, driver_max_edges=0)
     assert got.filter(F.col("component") != 0).count() == 0
     assert got.count() == 1023
-    assert metrics["cc_rounds"] <= 12, metrics
+    assert 0 < metrics["cc_rounds"] <= 12, metrics
+    # the guard's fast path: same chain through the driver union-find
+    dmetrics = {}
+    drv = connected_components(df, metrics=dmetrics)
+    assert dmetrics["cc_rounds"] == 0 and dmetrics["cc_driver_edges"] == 1022
+    assert drv.filter(F.col("component") != 0).count() == 0
+    assert drv.count() == 1023
 
 
 def test_dedup_clusters_star(spark):

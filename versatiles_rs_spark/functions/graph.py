@@ -74,18 +74,62 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(pdf) -> "pd.DataFrame":
+    """Sequential union-find over a collected (u, v) edge list; the root
+    of every component is its minimum id (ids are sorted by np.unique, so
+    'smaller root wins' keeps the minimum index — and thus the minimum
+    id — as the representative), matching the star rounds bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    u = pdf["u"].to_numpy(np.int64)
+    v = pdf["v"].to_numpy(np.int64)
+    ids, idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:
+            parent[i], i = root, parent[i]
+        return root
+
+    for a, b in zip(idx[: len(u)].tolist(), idx[len(u):].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    roots = np.array([find(i) for i in range(len(ids))], dtype=np.int64)
+    return pd.DataFrame({"id": ids, "component": ids[roots]})
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 40,
     metrics: dict | None = None,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """(id, component) for every id appearing in `pairs`; component is the
     minimum id reachable in the undirected pair graph. Isolated ids (no
     pairs) are the caller's to union in — they are their own components.
     When `metrics` is a dict, records the number of star rounds executed
     under "cc_rounds" (no silent unbounded iteration).
+
+    Small contracted graphs take a guarded driver solve: each star round
+    costs ~4 fixed Spark jobs REGARDLESS of edge count (the
+    iterative-relational-overhead lesson), so when the deduplicated edge
+    list is at most `driver_max_edges` (2M default ~ 32 MB of longs — the
+    same bounded-collect pattern as fill_depressions' max_coarse_edges),
+    a sequential union-find replaces ~5 rounds x 4 jobs with one count +
+    one collect, producing the identical (id, min-id component) relation.
+    The distributed large/small-star rounds remain the path that engages
+    at corpus scale, where contracted similarity graphs exceed any
+    driver; pass driver_max_edges=0 to force them.
     """
     edges = (
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
@@ -93,6 +137,14 @@ def connected_components(
         .dropDuplicates(["u", "v"])
         .localCheckpoint()
     )
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        pdf = edges.toPandas()
+        if metrics is not None:
+            metrics["cc_rounds"] = 0
+            metrics["cc_driver_edges"] = len(pdf)
+        return pairs.sparkSession.createDataFrame(
+            _driver_union_find(pdf), schema="id long, component long"
+        )
     prev_sig = None
     for rounds in range(1, max_iter + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint()
