@@ -136,6 +136,7 @@ HEADLINE = [
     "cross_k",
     "cluster_markers",
     "kmeans_cells",
+    "silhouette_cells",
     "d8_basins",
     "flow_accum",
     "flow_length",

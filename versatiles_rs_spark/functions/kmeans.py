@@ -101,3 +101,80 @@ def kmeans_round_sql(prev_cent: str, k_pad: int = 16) -> str:
         GROUP BY 1, 2, 3
       ) GROUP BY cid
     """
+
+
+def simplified_silhouette(
+    points: DataFrame,
+    centroids: DataFrame,
+    k_pad: int = 16,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Per-cluster simplified silhouette (Hruschka et al. 2004) of a
+    centroid table over integer points — the O(n*k) scale-safe variant
+    of Rousseeuw's silhouette: a(i) = distance to the OWN (nearest)
+    centroid, b(i) = distance to the second-nearest centroid, s(i) =
+    (b - a) / max(a, b).  Exact silhouette is O(n^2) pairwise and dead
+    at corpus scale; the centroid form needs one broadcast join.
+
+    Cross-engine determinism: per point the k packed candidates
+    (d2 * k_pad + cid — the lloyd_kmeans rank encoding) have distinct
+    cids, so the TWO smallest of the sorted candidate list are exactly
+    (own a2, best-other b2), integers.  The float epilogue is then one
+    IEEE op per step on exactly-representable ints (sqrt, sqrt, sub,
+    greatest, div, mul, floor) — bit-identical in Spark, numpy and
+    DuckDB.  Because own = argmin, a <= b and s is in [0, 1); the
+    quantized sq = floor(s * scale) is a non-negative int64, so the
+    per-cluster sums are order-free and the mean is ONE division.
+
+    Plan shape: points x broadcast(k centroids) -> slim (id, packed)
+    longs; one groupBy(id) (exactly k rows per key — unskewable) via
+    sort_array(collect_list); one groupBy(cid) over (cid, sq).  Nothing
+    wider than two longs in any Exchange.
+
+    Output: (cid, n_points, sum_silq, mean_sil) with mean_sil =
+    (sum_silq / n_points) / scale replayed literally by the oracle."""
+    pts = points.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+    )
+    # cache: the guard count and the broadcast both consume the (tiny)
+    # centroid relation — without it a lloyd_kmeans input DAG re-runs twice
+    cent = centroids.select("cid", "cx", "cy").cache()
+    if cent.count() < 2:
+        raise ValueError("simplified_silhouette needs >= 2 centroids")
+    cand = pts.join(F.broadcast(cent)).select(
+        "id",
+        (
+            (
+                (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx"))
+                + (F.col("y") - F.col("cy")) * (F.col("y") - F.col("cy"))
+            ) * F.lit(int(k_pad))
+            + F.col("cid")
+        ).alias("packed"),
+    )
+    two = (
+        cand.groupBy("id")
+        .agg(F.sort_array(F.collect_list("packed")).alias("arr"))
+        .select(
+            "id",
+            F.col("arr")[0].alias("m1"),
+            F.col("arr")[1].alias("m2"),
+        )
+    )
+    a = F.sqrt(F.expr(f"CAST(m1 div {int(k_pad)} AS DOUBLE)"))
+    b = F.sqrt(F.expr(f"CAST(m2 div {int(k_pad)} AS DOUBLE)"))
+    sil = F.when(F.greatest(a, b) == F.lit(0.0), F.lit(0.0)).otherwise(
+        (b - a) / F.greatest(a, b)
+    )
+    per_point = two.select(
+        F.pmod("m1", F.lit(int(k_pad))).alias("cid"),
+        F.floor(sil * F.lit(float(scale))).cast("long").alias("sq"),
+    )
+    return per_point.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.sum("sq").alias("sum_silq"),
+        F.expr(f"CAST(sum(sq) AS DOUBLE) / count(*) / {float(scale):.17e}").alias(
+            "mean_sil"
+        ),
+    )

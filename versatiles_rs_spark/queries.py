@@ -10014,6 +10014,93 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lloyd_kmeans(ev, seeds, rounds=4)
 
 
+def _silhouette_oracle_sql(rounds: int = 4, k: int = 8, k_pad: int = 16) -> str:
+    """Oracle for silhouette_cells: the full kmeans chain (pts, c0..cN
+    MATERIALIZED) re-used verbatim, then the simplified-silhouette
+    epilogue — the two smallest packed candidates per point are (own,
+    best-other) because each cid appears once, and every float step is
+    a single IEEE op (staged as named columns, staged-macro lesson)."""
+    from .functions.kmeans import kmeans_round_sql
+
+    slon, slat = scatter_lonlat_sql("event_id")
+    chain = ",\n    ".join(
+        f"c{r} AS MATERIALIZED ({kmeans_round_sql(f'c{r - 1}')})"
+        for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT event_id AS id,
+        CAST(floor(({slon}) * 1.0e3) AS BIGINT) + 200000 AS x,
+        CAST(floor(({slat}) * 1.0e3) AS BIGINT) + 200000 AS y
+      FROM events
+    ), c0 AS MATERIALIZED (
+      SELECT j AS cid,
+        CAST(50000 + (j % 4) * 100000 AS BIGINT) AS cx,
+        CAST(140000 + (j // 4) * 120000 AS BIGINT) AS cy
+      FROM (SELECT unnest(range({k})) AS j)
+    ),
+    {chain},
+    cand AS (
+      SELECT p.id,
+        ((p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy))
+          * {k_pad} + c.cid AS packed
+      FROM pts p CROSS JOIN c{rounds} c
+    ),
+    two AS MATERIALIZED (
+      SELECT id, list_sort(list(packed))[1] AS m1,
+                 list_sort(list(packed))[2] AS m2
+      FROM cand GROUP BY id
+    ),
+    ab AS (
+      SELECT id, m1 % {k_pad} AS cid,
+        sqrt(CAST(m1 // {k_pad} AS DOUBLE)) AS a,
+        sqrt(CAST(m2 // {k_pad} AS DOUBLE)) AS b
+      FROM two
+    ),
+    s AS (
+      SELECT cid,
+        CAST(floor(
+          (CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                ELSE (b - a) / greatest(a, b) END) * 1.00000000000000000e+09
+        ) AS BIGINT) AS sq
+      FROM ab
+    )
+    SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+      CAST(sum(sq) AS BIGINT) AS sum_silq,
+      CAST(sum(sq) AS DOUBLE) / count(*) / 1.00000000000000000e+09 AS mean_sil
+    FROM s GROUP BY 1
+    """
+
+
+@register("silhouette_cells", _silhouette_oracle_sql())
+def q_silhouette_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality evaluation: per-cluster simplified silhouette
+    (functions/kmeans.py::simplified_silhouette — Hruschka et al. 2004,
+    the O(n*k) centroid form of Rousseeuw 1987) of the kmeans_cells
+    solution.  a(i)/b(i) come off the two smallest rank-encoded packed
+    candidates (distinct cids by construction); the float epilogue is
+    one IEEE op per step so the per-cluster quantized sums hash-match
+    DuckDB.  Completes the ML-eval family next to ann_recall and
+    centroid_confusion."""
+    from .functions.kmeans import lloyd_kmeans, simplified_silhouette
+    from .udfs import scatter_lat_expr, scatter_lon_expr
+
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("id"),
+        (F.floor(scatter_lon_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("x"),
+        (F.floor(scatter_lat_expr(F.col("event_id")) * 1000).cast("long")
+         + 200000).alias("y"),
+    )
+    seeds = spark.range(8).select(
+        F.col("id").cast("long").alias("cid"),
+        (50000 + (F.col("id") % 4) * 100000).alias("cx"),
+        (140000 + F.expr("id div 4") * 120000).alias("cy"),
+    )
+    cent = lloyd_kmeans(ev, seeds, rounds=4).select("cid", "cx", "cy")
+    return simplified_silhouette(ev, cent)
+
+
 @register(
     "tpch_q5",
     """
