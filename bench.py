@@ -39,6 +39,8 @@ HEADLINE = [
     "dedup_exact",
     "duplicate_spans",
     "minhash_lsh",
+    "ngram_jaccard",
+    "dedup_recall",
     "simhash_dup",
     "ann_cosine",
     "ann_ivf",

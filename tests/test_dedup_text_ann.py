@@ -528,3 +528,40 @@ def test_crossmodal_align_matches_numpy_and_stays_jvm(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # map-side only: scoring adds no shuffle
+
+
+def test_exact_jaccard_pairs_matches_scalar_bruteforce(spark):
+    """Prefix-filtered set-similarity join == all-pairs scalar Jaccard,
+    including exact-dup expansion and the 1.0 identical score."""
+    from versatiles_rs_spark.functions.dedup import (
+        exact_jaccard_pairs,
+        ngram_jaccard,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy dog again and again!",
+        3: "the quick brown fox jumps over the lazy dog again and again",  # = 1
+        4: "a completely different document about spark physical plans",
+        5: "a completely different document about spark logical plans",
+        6: "short",
+        7: "the quick brown fox leaps over the lazy dog again and again",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in exact_jaccard_pairs(df).collect()
+    }
+    want = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = ngram_jaccard(texts[a], texts[b])
+            if j >= 0.5:
+                want[(a, b)] = j
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-12, (k, got[k], j)
+    assert got[(1, 3)] == 1.0  # byte-identical pair via member expansion

@@ -474,3 +474,103 @@ def simhash_pairs(
     if not pre_collapse:
         return rep_pairs
     return _expand_pairs(rep_pairs, members, id_col, "hamming", 0, max_broadcast_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard set-similarity join (PPJoin prefix filtering)
+# ---------------------------------------------------------------------------
+
+@pandas_udf(ArrayType(LongType()))
+def shingle_set_udf(texts: pd.Series) -> pd.Series:
+    """Distinct character-5-gram splitmix hashes per doc (the verification
+    kernel's sets, as a column) — sorted ascending by _shingle_hashes."""
+    return texts.map(lambda t: _shingle_hashes(t).astype(np.int64).tolist())
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_broadcast_pairs: int = 2_000_000,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (id_a, id_b, jaccard >= num/den)
+    — the ground-truth dedup family next to the probabilistic MinHash/
+    SimHash detectors, as a prefix-filtered set-similarity join (PPJoin,
+    Xiao et al. WWW'08/TODS'11) instead of the quadratic gram self-join:
+
+    1. shingle sets + content hash map-side (text never shuffles);
+       exact duplicates collapse to one representative (_collapse_exact);
+    2. PREFIX FILTER: J(A,B) >= t forces an overlap >= ceil(t*|A|), so a
+       qualifying pair must share a gram among each side's first
+       |A| - ceil(t*|A|) + 1 grams in ANY global total order (pigeonhole).
+       Ordering by (document frequency, gram) makes those prefix grams the
+       RAREST ones — the equi-join keys are anti-hot by construction,
+       which is what bounds the viral-boilerplate gram explosion that
+       makes the naive join quadratic;
+    3. candidates verify with one JVM array_intersect over the collapsed
+       representatives' sets; the threshold test is integer
+       ((den+num)*inter >= num*(na+nb)) and the reported jaccard is one
+       IEEE division on exact ints — cross-engine deterministic;
+    4. member pairs re-expand through the content-hash map
+       (_expand_pairs), identical docs scoring exactly 1.0.
+
+    The DuckDB oracle for the registered query computes truth with the
+    NAIVE gram join — a hash match therefore proves the prefix filter
+    lossless, not just the arithmetic.  100 TB shape: one slim
+    (id, gram, df) shuffle for the prefix ranking, prefix-gram equi-join
+    on rare keys, sets move only for verified candidates."""
+    p, q = int(threshold_num), int(threshold_den)
+    if not (0 < p <= q):
+        raise ValueError(f"threshold {p}/{q} must be in (0, 1]")
+    sh_all = df.select(
+        F.col(id_col),
+        F.xxhash64(F.col(text_col)).alias("_h"),
+        shingle_set_udf(F.col(text_col)).alias("sh"),
+    )
+    reps, members = _collapse_exact(sh_all, id_col, "sh")
+    reps = reps.cache()
+    grams = reps.select(
+        F.col(id_col).alias("id"), F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    freq = grams.groupBy("s").agg(F.count("*").alias("df_"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("df_", "s")
+    # cached: the self-join consumes the prefix relation twice, and without
+    # the materialization each branch re-runs the shingle UDF + the window
+    # (the minhash signature-table lesson — measured 27.7 s -> ~3 s at sf0.01)
+    prefix = (
+        grams.join(freq, on="s")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.col("n") - F.expr(f"({p} * n + {q - 1}) div {q}") + 1)
+        .select("id", "s")
+        .cache()
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = reps.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
+    sb = reps.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    rep_pairs = (
+        cand.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .withColumn("inter", inter)
+        .filter(F.lit(q + p) * F.col("inter") >= F.lit(p) * (na + nb))
+        .select(
+            "id_a", "id_b",
+            (F.col("inter").cast("double") / (na + nb - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    return _expand_pairs(
+        rep_pairs, members, id_col, "jaccard", 1.0, max_broadcast_pairs
+    )

@@ -824,6 +824,98 @@ def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _jaccard_truth_ctes() -> str:
+    """Truth CTEs (appended after _shingles_ctes): NAIVE gram self-join
+    exact Jaccard at threshold 1/2 — 3*inter >= na+nb, integer.  The
+    engine side uses the PPJoin prefix filter, so a hash match proves the
+    filter lossless against this brute-force ground truth."""
+    return """g AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    nn AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    it AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+           FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    truth AS MATERIALIZED (
+      SELECT id_a, id_b,
+        CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+      FROM it
+      JOIN nn na ON na.doc_id = it.id_a
+      JOIN nn nb ON nb.doc_id = it.id_b
+      WHERE 3 * inter >= na.n + nb.n)"""
+
+
+@register(
+    "ngram_jaccard",
+    f"""
+    WITH {_shingles_ctes()}, {_jaccard_truth_ctes()}
+    SELECT id_a, id_b, jaccard FROM truth
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (threshold 1/2) via the PPJoin
+    prefix-filtered set-similarity join (functions/dedup.py::
+    exact_jaccard_pairs): rarest-gram prefixes are the only join keys,
+    candidates verify with one JVM array_intersect, exact dups collapse
+    and re-expand.  The oracle brute-forces the full gram self-join, so
+    the hash match proves the prefix filter LOSSLESS, not just the
+    arithmetic."""
+    from .functions.dedup import exact_jaccard_pairs
+
+    return exact_jaccard_pairs(
+        load(spark, sf_dir, "documents"), text_col="text", id_col="doc_id"
+    )
+
+
+@register(
+    "dedup_recall",
+    f"""
+    WITH found AS MATERIALIZED (
+      SELECT id_a, id_b FROM ({_minhash_oracle_sql()}) mh
+    ), {_shingles_ctes()}, {_jaccard_truth_ctes()},
+    hit AS MATERIALIZED (
+      SELECT t.id_a, t.id_b FROM truth t JOIN found f
+        ON f.id_a = t.id_a AND f.id_b = t.id_b
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_true,
+           (SELECT count(*) FROM found) AS n_found,
+           (SELECT count(*) FROM hit) AS n_hit,
+           CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1.0
+                ELSE CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                     / (SELECT count(*) FROM truth) END AS recall
+    """,
+)
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-detector quality measurement (the MinHash analog of
+    ann_recall): recall of the production MinHash-LSH pipeline (banding +
+    bucket cap + estimate prune + verify) against the EXACT n-gram
+    Jaccard ground truth from the prefix-filtered join.  One row:
+    n_true, n_found, n_hit, recall.  At corpus scale this harness runs
+    over a bounded evaluation slice exactly like ann_recall's brute-force
+    ground truth; the banding/cap losses it measures are the knobs
+    minhash_lsh_pairs documents (est_margin, bucket_cap)."""
+    from .functions.dedup import exact_jaccard_pairs, minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    truth = exact_jaccard_pairs(docs).select("id_a", "id_b").cache()
+    found = minhash_lsh_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.5
+    ).select("id_a", "id_b").cache()
+    hit = truth.join(found, on=["id_a", "id_b"])
+    t = truth.agg(F.count("*").alias("n_true"))
+    f = found.agg(F.count("*").alias("n_found"))
+    h = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        t.crossJoin(f)
+        .crossJoin(h)
+        .select(
+            "n_true", "n_found", "n_hit",
+            F.expr(
+                "CASE WHEN n_true = 0 THEN 1.0 "
+                "ELSE CAST(n_hit AS DOUBLE) / n_true END"
+            ).alias("recall"),
+        )
+    )
+
+
 @register("minhash_lsh", _minhash_oracle_sql())
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs over documents.
