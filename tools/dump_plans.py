@@ -51,6 +51,9 @@ NOTES = {
     "zonal_correlation": "Two-surface zonal moments: zones broadcast via SparkContext, one MapInPandas decode+surface pass emitting slim partials, associative combine, exact cov/var numerators + guarded float epilogue.",
     "contact_pairs": "Space-time contacts: DISTINCT packed-slot projection, inverted-index self-join on one long, slim pair counts; zero Python.",
     "join_counts": "Cliff-Ord join counts: within-run closed form + boundary + overlap joins off the segment relation, class totals joined twice (broadcast), exact ppm expectation quotient; zero Python.",
+    "hillshade": "Horn hillshade stats: the slope_aspect halo-exchange shape — one MapInPandas decode pass, ~3 KB strips in the single slim shuffle (<= 9 rows/key), payload never in an Exchange; IEEE epilogue inside the kernel.",
+    "silhouette_cells": "Simplified silhouette: points x BROADCAST centroid join, groupBy(id) sort_array/collect_list (exactly k rows per key), sqrt/div epilogue in the projection, slim (cid, sq) final agg; zero Python.",
+    "ngram_jaccard": "PPJoin exact-Jaccard: shingles map-side (text never shuffles), doc-frequency prefix ranking (one slim window), prefix-gram equi-join on rare keys, JVM array_intersect verify, member re-expansion broadcast-guarded; prefix relation cached across the self-join.",
 }
 
 
