@@ -401,3 +401,5 @@ def test_analyze_kmeans(pts_parquet):
     out = run_analyze("kmeans", pts_parquet, "--k", "6", "--rounds", "3")
     assert 1 <= out["kmeans"]["clusters"] <= 6
     assert sum(r["n_points"] for r in out["kmeans"]["top"]) > 0
+    if out["kmeans"]["clusters"] >= 2:
+        assert 0.0 <= out["kmeans"]["mean_silhouette"] <= 1.0

@@ -718,12 +718,26 @@ def main(argv=None):
                 (F.lit(bb[2]) + (F.expr(f"id div {kx}") + 1) * sy).alias("cy"),
             )
             df = lloyd_kmeans(milli, seeds, rounds=args.rounds).cache()
+            n_clusters = df.count()
             out["kmeans"] = {
                 "k": args.k,
                 "rounds": args.rounds,
-                "clusters": df.count(),
+                "clusters": n_clusters,
                 "top": _top_rows(df, "n_points", args.top),
             }
+            if n_clusters >= 2:
+                from versatiles_rs_spark.functions.kmeans import (
+                    simplified_silhouette,
+                )
+
+                sil = simplified_silhouette(
+                    milli, df.select("cid", "cx", "cy")
+                ).agg(
+                    F.sum("sum_silq").alias("sq"), F.sum("n_points").alias("n")
+                ).first()
+                out["kmeans"]["mean_silhouette"] = round(
+                    (sil["sq"] / sil["n"]) / 1e9, 4
+                )
         elif cmd == "mapmatch":
             from versatiles_rs_spark.joins.map_match import (
                 candidate_segments, map_match)
