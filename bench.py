@@ -165,6 +165,7 @@ HEADLINE = [
     "twi_surface",
     "slope_aspect",
     "hillshade",
+    "mdow_hillshade",
     "curvature",
     "majority_filter",
     "zonal_percentiles",

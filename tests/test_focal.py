@@ -724,3 +724,80 @@ def test_hillshade_payload_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"
+
+
+# ---------------------------------------------------------------------------
+# Multidirectional (MDOW) hillshade
+# ---------------------------------------------------------------------------
+
+def _global_mdow(n_px_side: int, tile_size: int = 256):
+    """Independent ground truth: Horn p/q by explicit slicing, shade via
+    the documented four-lamp blend (re-derived here, not _mdow_shade)."""
+    gx = np.arange(n_px_side, dtype=np.int64)
+    v = dem_value(gx[None, :], gx[:, None])
+    c = lambda dr, dc: v[1 + dr : n_px_side - 1 + dr, 1 + dc : n_px_side - 1 + dc]
+    nw, n_, ne = c(-1, -1), c(-1, 0), c(-1, 1)
+    w_, e_ = c(0, -1), c(0, 1)
+    sw, s_, se = c(1, -1), c(1, 0), c(1, 1)
+    p = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+    q = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+    C2 = np.sqrt(np.float64(2.0)) / 2.0
+    sq = np.sqrt((p * p + q * q + 64).astype(np.float64))
+    lamp = lambda m: np.maximum(C2 * (m + 8.0) / sq, 0.0)
+    acc = (
+        ((p + q) ** 2).astype(np.float64) * lamp((p - q).astype(np.float64) * C2)
+        + (2 * q * q).astype(np.float64) * lamp(p.astype(np.float64))
+    )
+    acc = acc + ((p - q) ** 2).astype(np.float64) * lamp((p + q).astype(np.float64) * C2)
+    acc = acc + (2 * p * p).astype(np.float64) * lamp(q.astype(np.float64))
+    flat = (p == 0) & (q == 0)
+    shade = np.where(flat, C2, acc / np.where(flat, 1.0, (4 * (p * p + q * q)).astype(np.float64)))
+    sv = np.minimum(np.floor(254.0 * shade) + 1, 255).astype(np.int64)
+    n_tiles = n_px_side // tile_size
+    out = {}
+    for ty in range(n_tiles):
+        for tx in range(n_tiles):
+            r0 = max(ty * tile_size, 1)
+            r1 = min((ty + 1) * tile_size, n_px_side - 1)
+            c0 = max(tx * tile_size, 1)
+            c1 = min((tx + 1) * tile_size, n_px_side - 1)
+            sub = lambda a: a[r0 - 1 : r1 - 1, c0 - 1 : c1 - 1]
+            s, fl = sub(sv), sub(flat)
+            out[(tx, ty)] = [s.size, int(s.sum()), int(fl.sum()),
+                             int(s.max()) if s.size else -1]
+    return out
+
+
+def test_mdow_distributed_matches_global(spark):
+    from versatiles_rs_spark.operators.focal import mdow_hillshade_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=8)
+    got = {
+        (r["x"], r["y"]): [r[k] for k in ["n_px", "sum_shade", "n_flat", "max_shade"]]
+        for r in mdow_hillshade_stats(tiles).collect()
+    }
+    assert got == _global_mdow(1024)
+
+
+def test_mdow_laws():
+    """Flat ground = the 45-deg flat cosine (180, same as single-lamp).
+    The sin^2 weighting ZEROES the aspect-aligned lamp (Mark 1992's
+    cross-lighting design), so only GENTLE toward-sun slopes outshine
+    flat — steep ones are carried by the perpendicular/opposite lamps
+    and dim BELOW flat without ever washing to 0; mirrors stay ordered;
+    weights partition (the sin^2 identity)."""
+    from versatiles_rs_spark.operators.focal import _mdow_shade
+
+    flat = _mdow_shade(np.array([0]), np.array([0]))
+    assert flat[0] == 180
+    pq = np.array([2, -2, 40, -40, 300, -300])
+    v = _mdow_shade(pq, pq)
+    assert v[0] > flat[0] > v[1]          # gentle NW > flat > gentle SE
+    assert v[2] < flat[0] and v[2] > v[3]  # steep: both dim, order holds
+    assert v[4] > v[5] >= 1               # never 0 — residual cross light
+    # weight identity: W225 + W270 + W315 + W360 == 4*(p^2+q^2) exactly
+    rng = np.random.default_rng(3)
+    pp = rng.integers(-1020, 1021, 4096)
+    qq = rng.integers(-1020, 1021, 4096)
+    tot = (pp + qq) ** 2 + 2 * qq * qq + (pp - qq) ** 2 + 2 * pp * pp
+    assert (tot == 4 * (pp * pp + qq * qq)).all()

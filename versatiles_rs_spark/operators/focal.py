@@ -763,6 +763,90 @@ def hillshade_stats(
     )
 
 
+# Multidirectional (MDOW) hillshade — gdaldem hillshade -multidirectional
+# (Mark 1992): four lamps at azimuths 225/270/315/360, altitude 45, each
+# weighted by sin^2(aspect - azimuth).  With the descent-aspect vector
+# a = (-p, q), sin^2 collapses to RATIONAL integer weights:
+#
+#   W_225 = (p+q)^2   W_270 = 2*q^2   W_315 = (p-q)^2   W_360 = 2*p^2
+#   sum(W) = 4*(p^2+q^2)        (the sin^2 pair identity, scaled by 4)
+#
+# and each lamp's raw cosine is r_i = C2*(m_i + 8)/sqrt(D) with
+# C2 = sqrt(2)/2, D = p^2+q^2+64 and
+#
+#   m_225 = (p-q)*C2    m_270 = p    m_315 = (p+q)*C2    m_360 = q
+#
+# (m_315 reproduces the single-direction formula above exactly).  The
+# blended shade is sum(W_i * max(0, r_i)) / (4*(p^2+q^2)), ramped to the
+# same 0..255 scale; flat pixels (p = q = 0, all W zero) take the flat
+# cosine C2 directly — every lamp agrees there, which is also GDAL's
+# limit value.  The accumulation order is PINNED (((225+270)+315)+360),
+# one IEEE op per step, identically sequenced in numpy and the SQL
+# oracle, so the hash contract holds like the single-direction case.
+
+_MDOW_COLS = ["n_px", "sum_shade", "n_flat", "max_shade"]
+_C2 = float(np.sqrt(np.float64(2.0)) / 2.0)  # sqrt(2)/2, one double
+
+
+def _mdow_shade(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Blended MDOW shade value v in [0, 255] per pixel (int64)."""
+    d = (p * p + q * q + 64).astype(np.float64)
+    sq = np.sqrt(d)
+    pf = p.astype(np.float64)
+    qf = q.astype(np.float64)
+
+    def lamp(m: np.ndarray) -> np.ndarray:
+        r = _C2 * (m + 8.0) / sq
+        return np.where(r > 0.0, r, 0.0)
+
+    r225 = lamp((pf - qf) * _C2)
+    r270 = lamp(pf)
+    r315 = lamp((pf + qf) * _C2)
+    r360 = lamp(qf)
+    w225 = ((p + q) * (p + q)).astype(np.float64)
+    w270 = (2 * q * q).astype(np.float64)
+    w315 = ((p - q) * (p - q)).astype(np.float64)
+    w360 = (2 * p * p).astype(np.float64)
+    wsum = (4 * (p * p + q * q)).astype(np.float64)
+    acc = ((w225 * r225 + w270 * r270) + w315 * r315) + w360 * r360
+    flat = (p == 0) & (q == 0)
+    shade = np.where(flat, np.float64(_C2), acc / np.where(flat, 1.0, wsum))
+    v = np.minimum(np.floor(254.0 * shade) + 1, 255).astype(np.int64)
+    # shade >= 0 by construction (clamped lamps, non-negative weights), so
+    # the GDAL 1..255 ramp needs no 0 floor — fully shadowed pixels get 1
+    return v
+
+
+def _mdow_partial_row(
+    x: int, y: int, f: dict[str, np.ndarray], mask: np.ndarray
+) -> list:
+    p, q = f["p"][mask], f["q"][mask]
+    v = _mdow_shade(p, q)
+    return [
+        int(x), int(y), int(mask.sum()), int(v.sum()),
+        int(((p == 0) & (q == 0)).sum()), int(v.max()) if v.size else -1,
+    ]
+
+
+def mdow_hillshade_stats(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """Per-tile multidirectional (MDOW) hillshade statistics — gdaldem
+    hillshade -multidirectional (Mark 1992, the four-lamp blend that
+    keeps slopes aligned with a single light direction from washing
+    out).  Output per tile: n_px, sum_shade (0..255 ramp), n_flat,
+    max_shade.  Same two-pass halo-exchange shape and the same
+    single-IEEE-op-per-step float contract as hillshade_stats — see the
+    weight derivation above."""
+    return _two_pass_stats(
+        tiles, tile_size, payload, band, _MDOW_COLS, _mdow_partial_row,
+        max_cols=("max_shade",),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Zevenbergen & Thorne (1987) curvature statistics (ArcGIS Curvature /
 # GRASS r.slope.aspect pcurvature+tcurvature parity)

@@ -6329,6 +6329,89 @@ def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hillshade_stats(tiles, tile_size=256)
 
 
+def _mdow_hillshade_oracle_sql(zoom: int) -> str:
+    """Closed-form replay of mdow_hillshade_stats: Horn p/q from the
+    9-neighbor DEM, then the four-lamp MDOW blend with every
+    intermediate bound to a NAMED column per stage (staged-macro lesson)
+    and the accumulation order pinned to the engine's
+    (((225+270)+315)+360)."""
+    from .fixtures import dem_sql
+    from .operators.focal import _C2
+
+    n = (1 << zoom) * 256
+    c2 = f"{_C2:.17e}"
+    offs = {
+        "nw": (-1, -1), "n": (0, -1), "ne": (1, -1),
+        "w": (-1, 0), "e": (1, 0),
+        "sw": (-1, 1), "s": (0, 1), "se": (1, 1),
+    }
+    vcols = ",\n      ".join(
+        f"{dem_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
+    )
+    lamps = ",\n      ".join(
+        f"CASE WHEN ({c2} * ({m} + 8.0)) / sq > 0.0 "
+        f"THEN ({c2} * ({m} + 8.0)) / sq ELSE 0.0 END AS r{az}"
+        for az, m in [
+            ("225", f"CAST(p - q AS DOUBLE) * {c2}"),
+            ("270", "CAST(p AS DOUBLE)"),
+            ("315", f"CAST(p + q AS DOUBLE) * {c2}"),
+            ("360", "CAST(q AS DOUBLE)"),
+        ]
+    )
+    return f"""
+    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
+    v9 AS (SELECT gx, gy,
+      {vcols}
+    FROM px),
+    pq AS (SELECT gx, gy,
+      (v_ne + 2 * v_e + v_se) - (v_nw + 2 * v_w + v_sw) AS p,
+      (v_sw + 2 * v_s + v_se) - (v_nw + 2 * v_n + v_ne) AS q
+    FROM v9),
+    st AS (SELECT gx, gy, p, q,
+      sqrt(CAST(p * p + q * q + 64 AS DOUBLE)) AS sq
+    FROM pq),
+    lam AS (SELECT gx, gy, p, q,
+      {lamps}
+    FROM st),
+    bl AS (SELECT gx // 256 AS x, gy // 256 AS y, p, q,
+      ((CAST((p + q) * (p + q) AS DOUBLE) * r225
+        + CAST(2 * q * q AS DOUBLE) * r270)
+       + CAST((p - q) * (p - q) AS DOUBLE) * r315)
+      + CAST(2 * p * p AS DOUBLE) * r360 AS acc
+    FROM lam),
+    sh AS (SELECT x, y, p, q,
+      CASE WHEN p = 0 AND q = 0 THEN {c2}
+           ELSE acc / CAST(4 * (p * p + q * q) AS DOUBLE) END AS shade
+    FROM bl),
+    v AS (SELECT x, y, p, q,
+      least(CAST(floor(254.0 * shade) AS BIGINT) + 1, 255) AS v
+    FROM sh)
+    SELECT x, y, CAST(count(*) AS BIGINT) AS n_px,
+      CAST(sum(v) AS BIGINT) AS sum_shade,
+      CAST(sum(CASE WHEN p = 0 AND q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flat,
+      CAST(max(v) AS BIGINT) AS max_shade
+    FROM v GROUP BY 1, 2
+    """
+
+
+@register("mdow_hillshade", _mdow_hillshade_oracle_sql(zoom=2))
+def q_mdow_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem hillshade -multidirectional (Mark 1992 MDOW: four lamps at
+    225/270/315/360, sin^2(aspect-azimuth) weights) as border-exact
+    per-tile statistics — the weights collapse to rational integers in
+    the Horn numerators ((p+-q)^2, 2p^2, 2q^2 over 4(p^2+q^2)), so the
+    blend stays one IEEE op per pinned-order step and the per-tile sums
+    hash-match the staged SQL replay.  Same halo-exchange shape as
+    hillshade/slope_aspect."""
+    from . import fixtures
+    from .operators.focal import mdow_hillshade_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=16)
+    return mdow_hillshade_stats(tiles, tile_size=256)
+
+
 def _euclidean_distance_oracle_sql(
     n: int = 256, block: int = 32, md: int = 48, mod: int = 149, K: int = 1 << 20
 ) -> str:
