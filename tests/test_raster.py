@@ -592,3 +592,38 @@ def test_tile_ssim_payload_never_in_shuffle(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes#" not in line, f"payload in shuffle: {line.strip()[:140]}"
+
+
+def test_mdow_hillshade_kernel_laws():
+    """MDOW pixel kernel (gdaldem -multidirectional): flat terrain gets
+    the uniform cos(zenith) value (weights always sum to 2 exactly, so
+    no flat special case is needed); a plane is the manual four-lamp
+    blend; output bounded."""
+    import numpy as np
+
+    from versatiles_rs_spark.operators.raster import (
+        hillshade_kernel,
+        mdow_hillshade_kernel,
+    )
+
+    flat = np.full((16, 16), 100.0)
+    sh = mdow_hillshade_kernel(flat, altitude_deg=45)
+    assert sh.shape == (14, 14)
+    assert (sh == int(np.cos(np.deg2rad(45)) * 255)).all()
+
+    y, x = np.mgrid[0:16, 0:16]
+    plane = 0.5 * x.astype(np.float64)
+    # manual blend: aspect of a +x gradient is atan2(0, -0.5) = pi
+    zen = np.deg2rad(45.0)
+    slope = np.arctan(0.5)
+    acc = 0.0
+    for az_deg in (225.0, 270.0, 315.0, 360.0):
+        az = np.deg2rad(360.0 - az_deg + 90.0)
+        s = np.cos(zen) * np.cos(slope) + np.sin(zen) * np.sin(slope) * np.cos(az - np.pi)
+        acc += np.sin(az - np.pi) ** 2 * max(s, 0.0)
+    want = int(np.clip(acc / 2.0 * 255.0, 0, 255))
+    got = mdow_hillshade_kernel(plane, altitude_deg=45)
+    assert (got == want).all()
+    # the blend is not the single-lamp render (plane is lit differently)
+    single = hillshade_kernel(plane, azimuth_deg=315, altitude_deg=45)
+    assert got.max() <= 255 and not (got == single).all()

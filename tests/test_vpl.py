@@ -307,6 +307,17 @@ def test_vpl_raster_hillshade(spark, tmp_path):
     img = decode_image(bytes(rows[0].bytes))
     want = hillshade_kernel(heights)
     assert np.abs(img[:, :, 0].astype(int) - want.astype(int)).max() <= 1
+    # multidirectional=true switches to the MDOW four-lamp blend
+    from versatiles_rs_spark.operators.raster import mdow_hillshade_kernel
+
+    df = run_vpl(
+        spark,
+        f'from_container filename="{tmp_path / "dem"}" | '
+        'raster_hillshade dem_schema="terrarium" multidirectional="true"',
+    )
+    img = decode_image(bytes(df.collect()[0].bytes))
+    want = mdow_hillshade_kernel(heights)
+    assert np.abs(img[:, :, 0].astype(int) - want.astype(int)).max() <= 1
 
 
 def test_vpl_raster_flowaccum(spark, tmp_path):

@@ -347,6 +347,38 @@ def hillshade_kernel(
     return np.clip(shade * 255.0, 0, 255).astype(np.uint8)
 
 
+def mdow_hillshade_kernel(
+    heights: np.ndarray,
+    altitude_deg: float = 45.0,
+    cellsize: float = 1.0,
+    z_factor: float = 1.0,
+) -> np.ndarray:
+    """Multidirectional (MDOW, Mark 1992) hillshade -> uint8 (H-2, W-2):
+    four Horn-kernel lamps at azimuths 225/270/315/360, each clamped then
+    weighted by sin^2(aspect - azimuth).  The four weights always sum to
+    2 exactly (the sin^2 pair identity holds for EVERY aspect, flat
+    included), so the blend never divides by zero — gdaldem hillshade
+    -multidirectional semantics."""
+    h = heights.astype(np.float64) * z_factor
+    dzdx = (
+        (h[:-2, 2:] + 2 * h[1:-1, 2:] + h[2:, 2:])
+        - (h[:-2, :-2] + 2 * h[1:-1, :-2] + h[2:, :-2])
+    ) / (8.0 * cellsize)
+    dzdy = (
+        (h[2:, :-2] + 2 * h[2:, 1:-1] + h[2:, 2:])
+        - (h[:-2, :-2] + 2 * h[:-2, 1:-1] + h[:-2, 2:])
+    ) / (8.0 * cellsize)
+    slope = np.arctan(np.hypot(dzdx, dzdy))
+    aspect = np.arctan2(dzdy, -dzdx)
+    zen = np.deg2rad(90.0 - altitude_deg)
+    acc = np.zeros_like(slope)
+    for az_deg in (225.0, 270.0, 315.0, 360.0):
+        az = np.deg2rad(360.0 - az_deg + 90.0)
+        shade = np.cos(zen) * np.cos(slope) + np.sin(zen) * np.sin(slope) * np.cos(az - aspect)
+        acc += np.sin(az - aspect) ** 2 * np.clip(shade, 0.0, None)
+    return np.clip(acc / 2.0 * 255.0, 0, 255).astype(np.uint8)
+
+
 def slope_kernel(heights: np.ndarray, cellsize: float = 1.0, z_factor: float = 1.0) -> np.ndarray:
     """Slope in degrees (Horn stencil), (H-2, W-2) float64."""
     h = heights.astype(np.float64) * z_factor
@@ -369,6 +401,7 @@ def dem_hillshade(
     cellsize: float = 1.0,
     payload: str = "bytes",
     out_fmt: str = "png",
+    multidirectional: bool = False,
 ) -> DataFrame:
     """DEM tile table -> hillshade tile table in ONE fused Arrow pass:
     decode the RGB-encoded elevations (codecs.decode_dem), shade with the
@@ -384,10 +417,15 @@ def dem_hillshade(
             for blob in pdf[payload]:
                 rgb = decode_image(bytes(blob))[:, :, :3]
                 heights = decode_dem(rgb, schema=schema)
-                sh = hillshade_kernel(
-                    heights, azimuth_deg=azimuth_deg, altitude_deg=altitude_deg,
-                    cellsize=cellsize,
-                )
+                if multidirectional:
+                    sh = mdow_hillshade_kernel(
+                        heights, altitude_deg=altitude_deg, cellsize=cellsize,
+                    )
+                else:
+                    sh = hillshade_kernel(
+                        heights, azimuth_deg=azimuth_deg, altitude_deg=altitude_deg,
+                        cellsize=cellsize,
+                    )
                 out.append(encode_image(np.repeat(sh[:, :, None], 3, axis=2), out_fmt))
             pdf = pdf.copy()
             pdf[payload] = out

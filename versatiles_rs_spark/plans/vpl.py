@@ -392,14 +392,17 @@ def _raster_flatten(df, color="255,255,255", **kw):
 
 @transform("raster_hillshade")
 def _raster_hillshade(df, dem_schema="mapbox", azimuth="315", altitude="45",
-                      cellsize="1.0", **kw):
+                      cellsize="1.0", multidirectional="false", **kw):
     """Engine extension (not in the reference's VPL): DEM tiles -> Horn
-    hillshade tiles in the pipeline language."""
+    hillshade tiles in the pipeline language; multidirectional=true
+    switches to the Mark 1992 four-lamp MDOW blend (gdaldem
+    -multidirectional)."""
     from ..operators.raster import dem_hillshade
 
     return dem_hillshade(
         df, schema=dem_schema, azimuth_deg=float(azimuth),
         altitude_deg=float(altitude), cellsize=float(cellsize),
+        multidirectional=multidirectional.lower() == "true",
     )
 
 
