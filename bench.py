@@ -166,6 +166,7 @@ HEADLINE = [
     "slope_aspect",
     "hillshade",
     "mdow_hillshade",
+    "blur_gate",
     "curvature",
     "majority_filter",
     "zonal_percentiles",

@@ -801,3 +801,70 @@ def test_mdow_laws():
     qq = rng.integers(-1020, 1021, 4096)
     tot = (pp + qq) ** 2 + 2 * qq * qq + (pp - qq) ** 2 + 2 * pp * pp
     assert (tot == 4 * (pp * pp + qq * qq)).all()
+
+
+# ---------------------------------------------------------------------------
+# Variance-of-Laplacian sharpness (blur gate)
+# ---------------------------------------------------------------------------
+
+def _global_sharpness(n_px_side: int, tile_size: int = 256):
+    """Independent ground truth: 5-point Laplacian by explicit slicing,
+    exact per-tile moments."""
+    gx = np.arange(n_px_side, dtype=np.int64)
+    v = dem_value(gx[None, :], gx[:, None])
+    c = lambda dr, dc: v[1 + dr : n_px_side - 1 + dr, 1 + dc : n_px_side - 1 + dc]
+    lap = (c(0, -1) + c(0, 1) + c(-1, 0) + c(1, 0)) - 4 * c(0, 0)
+    n_tiles = n_px_side // tile_size
+    out = {}
+    for ty in range(n_tiles):
+        for tx in range(n_tiles):
+            r0 = max(ty * tile_size, 1)
+            r1 = min((ty + 1) * tile_size, n_px_side - 1)
+            c0 = max(tx * tile_size, 1)
+            c1 = min((tx + 1) * tile_size, n_px_side - 1)
+            s = lap[r0 - 1 : r1 - 1, c0 - 1 : c1 - 1]
+            out[(tx, ty)] = [s.size, int(s.sum()), int((s * s).sum()),
+                             int(np.abs(s).max()) if s.size else -1]
+    return out
+
+
+def test_sharpness_distributed_matches_global(spark):
+    from versatiles_rs_spark.operators.focal import sharpness_stats
+
+    tiles = fixtures.dem_raster_df(spark, zoom=2, partitions=8)
+    got = {
+        (r["x"], r["y"]): [r[k] for k in ["n_px", "sum_lap", "sum_lap2", "max_abs_lap"]]
+        for r in sharpness_stats(tiles).collect()
+    }
+    assert got == _global_sharpness(1024)
+
+
+def test_sharpness_blur_law():
+    """The gate's reason to exist: box-blurring a texture strictly drops
+    its variance-of-Laplacian; a constant image scores exactly 0; the
+    variance numerator is non-negative (Cauchy-Schwarz) everywhere."""
+    from versatiles_rs_spark.operators.focal import _sharpness_partial_row
+
+    def var_num(arr):
+        pad = np.full((arr.shape[0] + 2, arr.shape[1] + 2), -1, dtype=np.int64)
+        pad[1:-1, 1:-1] = arr
+        c = lambda dr, dc: pad[1 + dr : -1 + dr or None, 1 + dc : -1 + dc or None]
+        lap = (c(0, -1) + c(0, 1) + c(-1, 0) + c(1, 0)) - 4 * c(0, 0)
+        lap = lap[1:-1, 1:-1]  # full-support interior
+        n = lap.size
+        return n * int((lap * lap).sum()) - int(lap.sum()) ** 2
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(64, 64)).astype(np.int64)
+    sharp = var_num(img)
+    # 3x3 box blur (integer mean)
+    k = np.zeros_like(img)
+    acc = np.zeros_like(img)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            acc[1:-1, 1:-1] += img[1 + dr : 63 + dr, 1 + dc : 63 + dc]
+    blur = img.copy()
+    blur[1:-1, 1:-1] = acc[1:-1, 1:-1] // 9
+    assert var_num(blur) < sharp // 4
+    assert var_num(np.full((64, 64), 77, dtype=np.int64)) == 0
+    assert sharp >= 0 and var_num(blur) >= 0

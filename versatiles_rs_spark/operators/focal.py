@@ -920,6 +920,54 @@ def curvature_stats(
 
 
 # ---------------------------------------------------------------------------
+# Variance-of-Laplacian sharpness statistics (image-curation blur gate)
+# ---------------------------------------------------------------------------
+# The classic focus measure (Pech-Pacheco et al. 2000, OpenCV's
+# variance-of-Laplacian blur detector, the LAION-style low-information
+# image gate): a sharp image has high-variance second derivatives, a
+# blurred or flat one does not.  Per pixel the 5-point Laplacian
+# NUMERATOR lap = (w + e + n + s) - 4*c = dnum + enum is integer
+# (|lap| <= 1020 on 8-bit input), so the per-tile variance numerator
+#
+#   var_num = n * sum(lap^2) - sum(lap)^2        (>= 0, Cauchy-Schwarz)
+#
+# is EXACT int64 (n*sum_lap2 <= 65536 * 6.8e10 < 2^63), and the gate
+# var >= T is the integer test var_num >= T * n^2 — no floats anywhere,
+# the strongest cross-engine contract in the image-gate family.
+
+_SHARP_COLS = ["n_px", "sum_lap", "sum_lap2", "max_abs_lap"]
+
+
+def _sharpness_partial_row(
+    x: int, y: int, f: dict[str, np.ndarray], mask: np.ndarray
+) -> list:
+    lap = (f["dnum"] + f["enum"])[mask]
+    return [
+        int(x), int(y), int(mask.sum()), int(lap.sum()),
+        int((lap * lap).sum()),
+        int(np.abs(lap).max()) if lap.size else -1,
+    ]
+
+
+def sharpness_stats(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """Per-tile variance-of-Laplacian sharpness statistics, border-exact
+    via the shared halo exchange: n_px, sum_lap, sum_lap2, max_abs_lap.
+    Downstream derive the exact variance numerator
+    n_px*sum_lap2 - sum_lap^2 and gate with integer thresholds — the
+    blur/low-information filter of an image-curation pipeline, computed
+    the decode-once / slim-strip way."""
+    return _two_pass_stats(
+        tiles, tile_size, payload, band, _SHARP_COLS, _sharpness_partial_row,
+        max_cols=("max_abs_lap",),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Focal majority (mode) filter statistics (ArcGIS Majority Filter /
 # GRASS r.neighbors method=mode parity)
 # ---------------------------------------------------------------------------

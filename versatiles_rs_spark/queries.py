@@ -6329,6 +6329,78 @@ def q_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hillshade_stats(tiles, tile_size=256)
 
 
+def _sharpness_oracle_sql(zoom: int, thresh_milli: int) -> str:
+    """Closed-form replay of sharpness_stats + the integer blur gate:
+    5-point Laplacian numerators from the 9-neighbor DEM, per-tile exact
+    variance numerator n*sum(lap^2) - sum(lap)^2, milli-variance by
+    non-negative int64 floor division, gate as an integer compare."""
+    from .fixtures import dem_sql
+
+    n = (1 << zoom) * 256
+    offs = {"n": (0, -1), "w": (-1, 0), "c": (0, 0), "e": (1, 0), "s": (0, 1)}
+    vcols = ",\n      ".join(
+        f"{dem_sql(f'gx + {dx}', f'gy + {dy}')} AS v_{k}" for k, (dx, dy) in offs.items()
+    )
+    return f"""
+    WITH xs AS (SELECT unnest(range(1, {n - 1})) AS gx),
+    ys AS (SELECT unnest(range(1, {n - 1})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
+    v5 AS (SELECT gx, gy,
+      {vcols}
+    FROM px),
+    lp AS (SELECT gx // 256 AS x, gy // 256 AS y,
+      (v_w + v_e + v_n + v_s) - 4 * v_c AS lap
+    FROM v5),
+    agg AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS n_px,
+        CAST(sum(lap) AS BIGINT) AS sum_lap,
+        CAST(sum(lap * lap) AS BIGINT) AS sum_lap2,
+        CAST(max(abs(lap)) AS BIGINT) AS max_abs_lap
+      FROM lp GROUP BY 1, 2
+    )
+    SELECT x, y, n_px, sum_lap, sum_lap2, max_abs_lap,
+      n_px * sum_lap2 - sum_lap * sum_lap AS var_num,
+      (n_px * sum_lap2 - sum_lap * sum_lap) * 1000 // (n_px * n_px)
+        AS var_milli,
+      CASE WHEN (n_px * sum_lap2 - sum_lap * sum_lap) * 1000
+                >= {int(thresh_milli)} * n_px * n_px
+           THEN 1 ELSE 0 END AS sharp
+    FROM agg
+    """
+
+
+@register("blur_gate", _sharpness_oracle_sql(zoom=2, thresh_milli=1317))
+def q_blur_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-curation sharpness gate: per-tile variance-of-Laplacian
+    (Pech-Pacheco et al. 2000 — OpenCV's blur detector, the LAION-style
+    low-information filter) as EXACT integer statistics over the
+    real-PNG DEM pyramid.  The variance numerator n*sum(lap^2) -
+    sum(lap)^2 never leaves int64, milli-variance is a non-negative
+    floor division, and the gate is an integer compare — zero floats in
+    the whole query, the strongest cross-engine contract in the image-
+    gate family.  The 1317-milli threshold sits inside the fixture's
+    1315..1320 per-tile band so BOTH gate branches are exercised and
+    pinned by the hash.  Same halo-exchange shape as the terrain
+    statistics (decode once, ~3 KB strips, <= 9 rows/key)."""
+    from . import fixtures
+    from .operators.focal import sharpness_stats
+
+    t = 1317
+    s = sharpness_stats(fixtures.dem_raster_df(spark, zoom=2, partitions=16))
+    var_num = (
+        F.col("n_px") * F.col("sum_lap2") - F.col("sum_lap") * F.col("sum_lap")
+    )
+    n2 = F.col("n_px") * F.col("n_px")
+    return s.select(
+        "x", "y", "n_px", "sum_lap", "sum_lap2", "max_abs_lap",
+        var_num.alias("var_num"),
+        F.expr(
+            "(n_px * sum_lap2 - sum_lap * sum_lap) * 1000 div (n_px * n_px)"
+        ).alias("var_milli"),
+        F.when(var_num * 1000 >= F.lit(t) * n2, 1).otherwise(0).alias("sharp"),
+    )
+
+
 def _mdow_hillshade_oracle_sql(zoom: int) -> str:
     """Closed-form replay of mdow_hillshade_stats: Horn p/q from the
     9-neighbor DEM, then the four-lamp MDOW blend with every
