@@ -167,6 +167,7 @@ HEADLINE = [
     "hillshade",
     "mdow_hillshade",
     "blur_gate",
+    "tile_entropy",
     "curvature",
     "majority_filter",
     "zonal_percentiles",

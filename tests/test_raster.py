@@ -627,3 +627,51 @@ def test_mdow_hillshade_kernel_laws():
     # the blend is not the single-lamp render (plane is lit differently)
     single = hillshade_kernel(plane, azimuth_deg=315, altitude_deg=45)
     assert got.max() <= 255 and not (got == single).all()
+
+
+def test_tile_value_hist_and_entropy_laws(spark):
+    """Histogram op parity + exact-entropy laws: the fixture histogram
+    matches numpy bincount per tile; a constant tile scores entropy 0 and
+    a perfectly uniform 256-value tile scores EXACTLY 8 * 2^20 (both logs
+    hit exact powers of two, so the fixed-point floor is lossless)."""
+    import numpy as np
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.codecs import encode_png
+    from versatiles_rs_spark.fixtures import dem_value
+    from versatiles_rs_spark.operators.raster import tile_value_hist
+    from versatiles_rs_spark.udfs import log2_fp_stages
+    from pyspark.sql import functions as F
+
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=2)
+    got = {
+        (r["x"], r["y"], r["v"]): r["c"] for r in tile_value_hist(tiles).collect()
+    }
+    for tx in range(2):
+        for ty in range(2):
+            gx = np.arange(tx * 256, (tx + 1) * 256, dtype=np.int64)
+            gy = np.arange(ty * 256, (ty + 1) * 256, dtype=np.int64)
+            counts = np.bincount(dem_value(gx[None, :], gy[:, None]).ravel())
+            for v in np.nonzero(counts)[0]:
+                assert got[(tx, ty, int(v))] == int(counts[v])
+
+    def entropy_fp(img):
+        arr = np.repeat(img[:, :, None], 3, axis=2).astype(np.uint8)
+        df = spark.createDataFrame(
+            [(0, 0, bytes(encode_png(arr)))], "x long, y long, bytes binary"
+        )
+        cur = tile_value_hist(df)
+        for name, expr in log2_fp_stages(20, x_col="c"):
+            cur = cur.withColumn(name, F.expr(expr))
+        agg = cur.groupBy("x", "y").agg(
+            F.sum("c").alias("n_px"), F.sum(F.col("c") * F.col("lg")).alias("term")
+        )
+        for name, expr in log2_fp_stages(20, x_col="n_px"):
+            agg = agg.withColumn(name, F.expr(expr))
+        return agg.select(
+            (F.col("lg") - F.expr("term div n_px")).alias("e")
+        ).collect()[0]["e"]
+
+    assert entropy_fp(np.full((256, 256), 7, dtype=np.int64)) == 0
+    uniform = np.arange(65536, dtype=np.int64).reshape(256, 256) % 256
+    assert entropy_fp(uniform) == 8 * (1 << 20)

@@ -1063,3 +1063,35 @@ def zonal_percentiles(
     return cum.groupBy("zone_id").agg(
         F.max("n_px").alias("n_px"), mode, *sel
     )
+
+
+def tile_value_hist(
+    tiles: DataFrame,
+    tile_size: int = 256,
+    payload: str = "bytes",
+    band: int = 0,
+) -> DataFrame:
+    """(x, y, v, c): per-tile pixel-value histogram in ONE fused Arrow
+    pass — each tile emits its <= 256 occupied bins map-side (np.bincount
+    over the decoded band), so the payload never enters an Exchange and
+    the downstream relation is <= 256 rows per tile regardless of tile
+    size.  The groupBy collapses partials if a source ever splits a tile
+    across rows; for the one-row-per-tile containers it is a no-op
+    aggregation over already-final bins.  Feeds exact-entropy /
+    low-information gates (the blur_gate companion)."""
+    import pandas as pd
+
+    from ..codecs import decode_image
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for x, y, blob in zip(pdf["x"], pdf["y"], pdf[payload]):
+                v = decode_image(bytes(blob))[..., band].ravel()
+                counts = np.bincount(v)
+                for val in np.nonzero(counts)[0]:
+                    rows.append([int(x), int(y), int(val), int(counts[val])])
+            yield pd.DataFrame(rows, columns=["x", "y", "v", "c"])
+
+    h = tiles.mapInPandas(run, schema="x long, y long, v long, c long")
+    return h.groupBy("x", "y", "v").agg(F.sum("c").alias("c"))

@@ -6401,6 +6401,85 @@ def q_blur_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tile_entropy_oracle_sql(zoom: int, k: int = 20, thresh_fp: int = 7_655_000) -> str:
+    """Oracle for tile_entropy: full-tile pixel histogram from the
+    closed-form DEM, then the IDENTICAL staged fixed-point log2 chains
+    (per-bin, then per-tile n_px) as chained CTEs — every stage a named
+    column (staged-macro lesson), sums CAST to BIGINT (HUGEINT lesson)."""
+    from .fixtures import dem_sql
+    from .udfs import log2_fp_stages
+
+    n = (1 << zoom) * 256
+
+    def chain(prefix: str, src: str, x_col: str) -> tuple[str, str]:
+        ctes, prev = [], src
+        for i, (name, expr) in enumerate(log2_fp_stages(k, x_col=x_col, div="//")):
+            nm = f"{prefix}{i}"
+            ctes.append(f"{nm} AS (SELECT *, {expr} AS {name} FROM {prev})")
+            prev = nm
+        return ",\n    ".join(ctes), prev
+
+    c1, last1 = chain("ea", "hist", "c")
+    c2, last2 = chain("eb", "agg", "n_px")
+    return f"""
+    WITH xs AS (SELECT unnest(range(0, {n})) AS gx),
+    ys AS (SELECT unnest(range(0, {n})) AS gy),
+    px AS (SELECT gx, gy FROM xs CROSS JOIN ys),
+    hist AS (
+      SELECT gx // 256 AS x, gy // 256 AS y, {dem_sql('gx', 'gy')} AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM px GROUP BY 1, 2, 3
+    ),
+    {c1},
+    agg AS (
+      SELECT x, y, CAST(sum(c) AS BIGINT) AS n_px,
+             CAST(count(*) AS BIGINT) AS n_values,
+             CAST(sum(c * lg) AS BIGINT) AS term
+      FROM {last1} GROUP BY 1, 2
+    ),
+    {c2}
+    SELECT x, y, n_px, n_values,
+           lg - term // n_px AS entropy_fp,
+           CASE WHEN lg - term // n_px < {int(thresh_fp)} THEN 1 ELSE 0 END
+             AS low_info
+    FROM {last2}
+    """
+
+
+@register("tile_entropy", _tile_entropy_oracle_sql(zoom=2))
+def q_tile_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-information image gate: per-tile Shannon entropy of the pixel
+    histogram in EXACT 2^-20 log2 fixed point (the blur_gate companion —
+    flat/synthetic/degenerate images score low entropy).  The histogram
+    is computed fully map-side (tile_value_hist: payload never in an
+    Exchange, <= 256 slim bin rows per tile), and both logs use the
+    bit-by-bit mantissa-squaring chain (udfs.log2_fp_stages) so the
+    statistic is bit-deterministic cross-engine with zero libm.  The
+    7,655,000 fp (~7.30-bit) threshold sits inside the fixture's
+    7.285..7.316 band, pinning both gate branches in the hash."""
+    from . import fixtures
+    from .operators.raster import tile_value_hist
+    from .udfs import log2_fp_stages
+
+    t = 7_655_000
+    cur = tile_value_hist(fixtures.dem_raster_df(spark, zoom=2, partitions=16))
+    for name, expr in log2_fp_stages(20, x_col="c"):
+        cur = cur.withColumn(name, F.expr(expr))
+    agg = cur.groupBy("x", "y").agg(
+        F.sum("c").alias("n_px"),
+        F.count("*").alias("n_values"),
+        F.sum(F.col("c") * F.col("lg")).alias("term"),
+    )
+    for name, expr in log2_fp_stages(20, x_col="n_px"):
+        agg = agg.withColumn(name, F.expr(expr))
+    efp = F.col("lg") - F.expr("term div n_px")
+    return agg.select(
+        "x", "y", "n_px", "n_values",
+        efp.alias("entropy_fp"),
+        F.when(efp < F.lit(t), 1).otherwise(0).alias("low_info"),
+    )
+
+
 def _mdow_hillshade_oracle_sql(zoom: int) -> str:
     """Closed-form replay of mdow_hillshade_stats: Horn p/q from the
     9-neighbor DEM, then the four-lamp MDOW blend with every
