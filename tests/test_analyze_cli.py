@@ -403,3 +403,35 @@ def test_analyze_kmeans(pts_parquet):
     assert sum(r["n_points"] for r in out["kmeans"]["top"]) > 0
     if out["kmeans"]["clusters"] >= 2:
         assert 0.0 <= out["kmeans"]["mean_silhouette"] <= 1.0
+
+
+def test_analyze_imgqc_over_mbtiles(spark, tmp_path):
+    """The imgqc command reads raster tiles out of a container and
+    reports the two image-quality gate distributions; the DEM fixture's
+    numbers are pinned against the blur_gate / tile_entropy registry
+    values (var_milli band 1315..1320 at zoom 2 -> here zoom 1; entropy
+    ~7.3 bits; a low threshold gates nothing, a high one gates all)."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark import fixtures
+    from versatiles_rs_spark.sources.mbtiles import write_mbtiles
+
+    path = str(tmp_path / "dem.mbtiles")
+    tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=2).select(
+        F.lit(1).alias("z"), "x", "y", "bytes"
+    )
+    assert write_mbtiles(tiles, path, {"format": "png"}) == 4
+
+    out = run_analyze("imgqc", path, "--zoom", "1")
+    q = out["imgqc"]
+    assert q["tiles"] == 4
+    assert 1200 <= q["var_milli"]["min"] <= q["var_milli"]["max"] <= 1400
+    assert q["blurry"] == 0  # default 100-milli floor is far below the band
+    assert 7.0 <= q["entropy_bits"]["min"] <= q["entropy_bits"]["max"] <= 7.5
+    assert q["low_info"] == 0  # default 2-bit floor
+
+    strict = run_analyze("imgqc", path, "--zoom", "1",
+                         "--min-var-milli", "5000",
+                         "--min-entropy-fp", str(15 << 20))
+    assert strict["imgqc"]["blurry"] == 4
+    assert strict["imgqc"]["low_info"] == 4

@@ -33,6 +33,8 @@ command exposes the engine-side analyses the reference has no analog for).
     python tools/analyze.py polygonize dem.<container> [--band-step 32]
     python tools/analyze.py cost      cost.<container> [--sources gx,gy;...]
                                       [--targets gx,gy;...] [--blocked V]
+    python tools/analyze.py imgqc     tiles.<container> [--zoom Z]
+                                      [--min-var-milli 100] [--min-entropy-fp 2097152]
 
 `hydro` is the raster command: it takes a TILE source (any container the
 engine reads, or a parquet tile table) holding single-band DEM tiles at
@@ -349,6 +351,60 @@ def _run_cost(spark, args) -> dict:
     return out
 
 
+def _run_imgqc(spark, args) -> dict:
+    """Image-quality gates over a tile source: per-tile variance-of-
+    Laplacian sharpness + exact fixed-point pixel-histogram entropy,
+    summarized as distribution stats + gate counts."""
+    from pyspark.sql import functions as F
+
+    from versatiles_rs_spark.operators.focal import sharpness_stats
+    from versatiles_rs_spark.operators.raster import tile_value_hist
+    from versatiles_rs_spark.udfs import log2_fp_stages
+
+    tiles = _load_tiles(spark, args.table, args.zoom).cache()
+    if tiles.limit(1).count() == 0:
+        raise SystemExit(f"imgqc: no tiles at zoom {args.zoom} in {args.table}")
+    sh = sharpness_stats(tiles, tile_size=args.tile_size)
+    var_milli = F.expr(
+        "(n_px * sum_lap2 - sum_lap * sum_lap) * 1000 div (n_px * n_px)"
+    )
+    sagg = sh.select(var_milli.alias("vm")).agg(
+        F.count("*").alias("n"),
+        F.min("vm").alias("lo"), F.max("vm").alias("hi"),
+        F.sum((F.col("vm") < args.min_var_milli).cast("long")).alias("blurry"),
+    ).collect()[0]
+    cur = tile_value_hist(tiles, tile_size=args.tile_size)
+    for name, expr in log2_fp_stages(20, x_col="c"):
+        cur = cur.withColumn(name, F.expr(expr))
+    agg = cur.groupBy("x", "y").agg(
+        F.sum("c").alias("n_px"),
+        F.sum(F.col("c") * F.col("lg")).alias("term"),
+    )
+    for name, expr in log2_fp_stages(20, x_col="n_px"):
+        agg = agg.withColumn(name, F.expr(expr))
+    efp = F.col("lg") - F.expr("term div n_px")
+    eagg = agg.select(efp.alias("e")).agg(
+        F.min("e").alias("lo"), F.max("e").alias("hi"),
+        F.sum((F.col("e") < args.min_entropy_fp).cast("long")).alias("low_info"),
+    ).collect()[0]
+    scale = 1 << 20
+    return {
+        "table": args.table,
+        "imgqc": {
+            "tiles": sagg["n"],
+            "var_milli": {"min": int(sagg["lo"]), "max": int(sagg["hi"])},
+            "blurry": int(sagg["blurry"]),
+            "min_var_milli": args.min_var_milli,
+            "entropy_bits": {
+                "min": round(eagg["lo"] / scale, 4),
+                "max": round(eagg["hi"] / scale, 4),
+            },
+            "low_info": int(eagg["low_info"]),
+            "min_entropy_fp": args.min_entropy_fp,
+        },
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="analyze")
     ap.add_argument(
@@ -358,7 +414,8 @@ def main(argv=None):
                  "stdbscan", "similar", "coloc", "kde", "clusters",
                  "regions", "distance", "contacts", "center", "variogram",
                  "mapmatch", "kmeans",
-                 "hydro", "viewshed", "polygonize", "cost", "all"],
+                 "hydro", "viewshed", "polygonize", "cost", "imgqc",
+                 "all"],
     )
     ap.add_argument("table")
     ap.add_argument("--zoom", type=int, default=6)
@@ -395,6 +452,12 @@ def main(argv=None):
                     help="semicolon-separated gx,gy observer cells (viewshed)")
     ap.add_argument("--height", type=int, default=2,
                     help="observer eye height above terrain (viewshed)")
+    ap.add_argument("--min-var-milli", type=int, default=100,
+                    help="sharpness gate: min variance-of-Laplacian in "
+                         "milli-units per pixel (imgqc)")
+    ap.add_argument("--min-entropy-fp", type=int, default=2 << 20,
+                    help="entropy gate: min Shannon entropy in 2^-20 "
+                         "fixed point (imgqc; default 2.0 bits)")
     ap.add_argument("--band-step", type=int, default=32,
                     help="elevation band width for zone derivation (polygonize)")
     ap.add_argument("--sources", default="256,256",
@@ -436,13 +499,15 @@ def main(argv=None):
 
     spark = get_spark(app_name="analyze", master=args.master, shuffle_partitions=8)
 
-    if args.command in ("hydro", "viewshed", "polygonize", "cost"):
+    if args.command in ("hydro", "viewshed", "polygonize", "cost", "imgqc"):
         if args.command == "hydro":
             out = _run_hydro(spark, args, F)
         elif args.command == "viewshed":
             out = _run_viewshed(spark, args)
         elif args.command == "cost":
             out = _run_cost(spark, args)
+        elif args.command == "imgqc":
+            out = _run_imgqc(spark, args)
         else:
             out = _run_polygonize(spark, args)
         print(json.dumps(out))
