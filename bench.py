@@ -184,6 +184,11 @@ HEADLINE = [
     "dissolve_area",
     "sieve_regions",
     "accessibility_2sfca",
+    "stacked_blend",
+    "raster_flatten_gate",
+    "raster_overscale_gate",
+    "merged_vector_gate",
+    "recompress_roundtrip",
 ]
 
 

@@ -782,7 +782,11 @@ def main(argv=None):
                 (F.lit(bb[0]) + (F.col("id") % kx + 1) * sx).alias("cx"),
                 (F.lit(bb[2]) + (F.expr(f"id div {kx}") + 1) * sy).alias("cy"),
             )
-            df = lloyd_kmeans(milli, seeds, rounds=args.rounds).cache()
+            # k_pad must exceed every cid for the packed % k_pad decode
+            k_pad = 1 << max(4, int(args.k - 1).bit_length())
+            df = lloyd_kmeans(
+                milli, seeds, rounds=args.rounds, k_pad=k_pad
+            ).cache()
             n_clusters = df.count()
             out["kmeans"] = {
                 "k": args.k,
@@ -796,7 +800,7 @@ def main(argv=None):
                 )
 
                 sil = simplified_silhouette(
-                    milli, df.select("cid", "cx", "cy")
+                    milli, df.select("cid", "cx", "cy"), k_pad=k_pad
                 ).agg(
                     F.sum("sum_silq").alias("sq"), F.sum("n_points").alias("n")
                 ).first()

@@ -122,7 +122,7 @@ def main():
             )
             + " meet the >=0.8 criterion"
             if passing
-            else "No pair met the criterion in this run"
+            else "No pair met the criterion"
         )
         block = (
             "## Scaling efficiency (north rule: N -> 4N executors, target >= 0.8)\n\n"

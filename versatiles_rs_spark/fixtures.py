@@ -612,3 +612,181 @@ def _dem_tiles(spark: SparkSession, zoom: int, partitions: int, fn) -> DataFrame
         .repartition(partitions)
         .mapInPandas(gen, schema="x long, y long, bytes binary")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-5 arithmetic-replay fixtures: closed-form pixel/payload tables whose
+# exact content a DuckDB oracle can regenerate — the zonal_stats trick applied
+# to the remaining pixel ops (stacked blend, flatten, overscale, recompress).
+# ---------------------------------------------------------------------------
+
+
+def rgb3_values(gx: np.ndarray, gy: np.ndarray):
+    """Shared closed-form RGB triple at global pixel (gx, gy): three
+    coprime-modulus ramps so no channel aliases another and tile borders
+    can't mask indexing bugs. Replayed in SQL by rgb3_sql."""
+    r = (3 * gx + 5 * gy) % 251
+    g = (7 * gx + 11 * gy) % 241
+    b = (13 * gx + 17 * gy) % 239
+    return r, g, b
+
+
+def rgb3_sql(gx_expr: str, gy_expr: str) -> tuple[str, str, str]:
+    gx, gy = f"({gx_expr})", f"({gy_expr})"
+    return (
+        f"((3 * {gx} + 5 * {gy}) % 251)",
+        f"((7 * {gx} + 11 * {gy}) % 241)",
+        f"((13 * {gx} + 17 * {gy}) % 239)",
+    )
+
+
+def rgba_raster_df(
+    spark: SparkSession, zoom: int = 2, size: int = 64, partitions: int = 4
+) -> DataFrame:
+    """RGBA tile table (z, x, y, bytes, fmt): REAL RGBA PNGs with rgb3
+    color ramps and a full-range alpha ramp alpha = (29*gx + 31*gy) % 256
+    (hits 0, 255 and everything between — the flatten kernel's whole
+    domain)."""
+    n = 1 << zoom
+
+    def gen(batches):
+        from .codecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                x, y = int(i) % n, int(i) // n
+                gx = np.arange(x * size, (x + 1) * size, dtype=np.int64)[None, :]
+                gy = np.arange(y * size, (y + 1) * size, dtype=np.int64)[:, None]
+                r, g, b = rgb3_values(gx, gy)
+                a = (29 * gx + 31 * gy) % 256
+                img = np.stack(
+                    [c.astype(np.uint8) for c in np.broadcast_arrays(r, g, b, a)], axis=-1
+                )
+                rows.append((zoom, x, y, encode_png(img), "png"))
+            yield pd.DataFrame(rows, columns=["z", "x", "y", "bytes", "fmt"])
+
+    return (
+        spark.range(n * n)
+        .repartition(partitions)
+        .mapInPandas(gen, schema="z long, x long, y long, bytes binary, fmt string")
+    )
+
+
+def stacked_sources_df(
+    spark: SparkSession, zoom: int = 2, size: int = 64, partitions: int = 4
+) -> list[DataFrame]:
+    """Three blendable raster sources (z, x, y, bytes) for the
+    stacked_raster_blend oracle. Alphas are BINARY (0/255) so source-over
+    in premultiplied float space is bit-exact integer selection
+    (fl(fl(v/255)*255) == v for all uint8 v — verified) and the oracle is
+    a CASE expression. Tile class t = (x+y)%3 steers the short-circuit:
+
+      t=0: src1 opaque everywhere           -> n_blended=1, out=v1
+      t=1: src1 checker, src2 opaque        -> n_blended=2, out=v1/v2
+      t=2: src1 checker, src2 transparent,
+           src3 opaque RGB                  -> n_blended=3, out=v1/v3
+
+    Per-source value ramps v1=(3gx+5gy)%251, v2=(7gx+11gy)%241,
+    v3=(13gx+17gy)%239; channels r=v, g=(v+85)%256, b=(v+170)%256."""
+    n = 1 << zoom
+
+    def make(src: int):
+        def gen(batches):
+            from .codecs import encode_png
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    x, y = int(i) % n, int(i) // n
+                    t = (x + y) % 3
+                    gx = np.arange(x * size, (x + 1) * size, dtype=np.int64)[None, :]
+                    gy = np.arange(y * size, (y + 1) * size, dtype=np.int64)[:, None]
+                    if src == 1:
+                        v = (3 * gx + 5 * gy) % 251
+                        if t == 0:
+                            a = np.full((size, size), 255, np.int64)
+                        else:
+                            a = np.where((gx + gy) % 2 == 0, 255, 0)
+                    elif src == 2:
+                        v = (7 * gx + 11 * gy) % 241
+                        a = np.full((size, size), 255 if t == 1 else 0, np.int64)
+                    else:
+                        v = (13 * gx + 17 * gy) % 239
+                        a = None  # RGB: implicitly opaque
+                    chans = [v, (v + 85) % 256, (v + 170) % 256]
+                    if a is not None:
+                        chans.append(a)
+                    img = np.stack(
+                        [c.astype(np.uint8) for c in np.broadcast_arrays(*chans)], axis=-1
+                    )
+                    rows.append((zoom, x, y, encode_png(img)))
+                yield pd.DataFrame(rows, columns=["z", "x", "y", "bytes"])
+
+        return (
+            spark.range(n * n)
+            .repartition(partitions)
+            .mapInPandas(gen, schema="z long, x long, y long, bytes binary")
+        )
+
+    return [make(1), make(2), make(3)]
+
+
+def parent_rgb_raster_df(
+    spark: SparkSession, zoom: int = 1, size: int = 64, partitions: int = 4
+) -> DataFrame:
+    """Parent tile table (z, x, y, bytes, fmt) for the raster_overscale
+    oracle: rgb3 ramps on the global pixel grid of `zoom`."""
+    n = 1 << zoom
+
+    def gen(batches):
+        from .codecs import encode_png
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                x, y = int(i) % n, int(i) // n
+                gx = np.arange(x * size, (x + 1) * size, dtype=np.int64)[None, :]
+                gy = np.arange(y * size, (y + 1) * size, dtype=np.int64)[:, None]
+                r, g, b = rgb3_values(gx, gy)
+                img = np.stack(
+                    [c.astype(np.uint8) for c in np.broadcast_arrays(r, g, b)], axis=-1
+                )
+                rows.append((zoom, x, y, encode_png(img), "png"))
+            yield pd.DataFrame(rows, columns=["z", "x", "y", "bytes", "fmt"])
+
+    return (
+        spark.range(n * n)
+        .repartition(partitions)
+        .mapInPandas(gen, schema="z int, x long, y long, bytes binary, fmt string")
+    )
+
+
+def blob_pattern_sql(id_expr: str) -> str:
+    """DuckDB replay of the recompress fixture payload text."""
+    i = f"({id_expr})"
+    return f"repeat('payload-' || {i} || '-seg;', 30 + {i} % 17)"
+
+
+def blob_codec_df(spark: SparkSession, n: int = 240, partitions: int = 4) -> DataFrame:
+    """Mixed-codec blob table (id, bytes, codec) for the recompress
+    round-trip oracle: deterministic repetitive ASCII payloads (so every
+    codec actually compresses), stored none / gzip / brotli by id % 3."""
+
+    def gen(batches):
+        from .codecs import compress_blob
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                raw = (f"payload-{i}-seg;" * (30 + i % 17)).encode()
+                codec = ("none", "gzip", "brotli")[i % 3]
+                rows.append((i, compress_blob(raw, codec), codec))
+            yield pd.DataFrame(rows, columns=["id", "bytes", "codec"])
+
+    return (
+        spark.range(n)
+        .repartition(partitions)
+        .mapInPandas(gen, schema="id long, bytes binary, codec string")
+    )

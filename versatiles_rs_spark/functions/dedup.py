@@ -483,7 +483,10 @@ def simhash_pairs(
 @pandas_udf(ArrayType(LongType()))
 def shingle_set_udf(texts: pd.Series) -> pd.Series:
     """Distinct character-5-gram splitmix hashes per doc (the verification
-    kernel's sets, as a column) — sorted ascending by _shingle_hashes."""
+    kernel's sets, as a column) — distinct, sorted in uint64 order BEFORE
+    the int64 reinterpret, so hashes >= 2^63 wrap negative and the emitted
+    int64 list is NOT ascending.  Consumers (array_intersect / explode)
+    are order-free; do not assume sortedness for a merge optimization."""
     return texts.map(lambda t: _shingle_hashes(t).astype(np.int64).tolist())
 
 

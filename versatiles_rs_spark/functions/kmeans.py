@@ -49,6 +49,14 @@ def lloyd_kmeans(
         F.col("y").cast("long").alias("y"),
     ).cache()
     cent = seeds.select("cid", "cx", "cy")
+    # Overflow/decoding contract: cid is decoded as packed % k_pad, so any
+    # cid >= k_pad would silently alias onto cluster cid - k_pad.
+    max_cid = cent.agg(F.max("cid")).first()[0]
+    if max_cid is not None and int(max_cid) >= int(k_pad):
+        raise ValueError(
+            f"lloyd_kmeans: max seed cid {max_cid} >= k_pad {k_pad}; "
+            "raise k_pad to the next power of two above the cluster count"
+        )
     for _ in range(int(rounds)):
         j = pts.join(F.broadcast(cent)).select(
             "id", "x", "y",
@@ -143,6 +151,13 @@ def simplified_silhouette(
     cent = centroids.select("cid", "cx", "cy").cache()
     if cent.count() < 2:
         raise ValueError("simplified_silhouette needs >= 2 centroids")
+    # packed % k_pad decoding only holds when every cid < k_pad
+    max_cid = int(cent.agg(F.max("cid")).first()[0])
+    if max_cid >= int(k_pad):
+        raise ValueError(
+            f"simplified_silhouette: max centroid cid {max_cid} >= k_pad "
+            f"{k_pad}; raise k_pad (power of two) above the cluster count"
+        )
     cand = pts.join(F.broadcast(cent)).select(
         "id",
         (
