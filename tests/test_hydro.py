@@ -104,11 +104,17 @@ def test_flow_accumulation_multihop_ramp(spark):
     n, ts = 64, 16
     m: dict = {}
     pdf = flow_accumulation(
-        ramp_tiles_df(spark, n, ts), tile_size=ts, super_tiles=1, metrics=m
+        ramp_tiles_df(spark, n, ts), tile_size=ts, super_tiles=1, metrics=m,
+        driver_max_coarse=0,  # force the relational rounds this test pins
     ).toPandas()
     assert len(pdf) == (n - 2) * (n - 2)
     assert (pdf["acc"].to_numpy() == pdf["gx"].to_numpy()).all()
     assert m["coarse_rounds"] >= 2
+    # default guarded-driver path: identical values, zero coarse rounds
+    drv = flow_accumulation(
+        ramp_tiles_df(spark, n, ts), tile_size=ts, super_tiles=1
+    ).toPandas()
+    assert (drv["acc"].to_numpy() == drv["gx"].to_numpy()).all()
 
 
 @pytest.mark.parametrize("s", [1, 2])
@@ -144,10 +150,17 @@ def test_flow_accumulation_max_multihop_ramp(spark):
         metrics=m,
         weight_fn=lambda e: e,
         combine="max",
+        driver_max_coarse=0,  # force the relational rounds this test pins
     ).toPandas()
     assert len(pdf) == (n - 2) * (n - 2)
     assert (pdf["acc"].to_numpy() == n - 2).all()
     assert m["coarse_rounds"] >= 2
+    # default guarded-driver Kahn path: identical max-semiring values
+    drv = flow_accumulation(
+        ramp_tiles_df(spark, n, ts), tile_size=ts, super_tiles=1,
+        weight_fn=lambda e: e, combine="max",
+    ).toPandas()
+    assert (drv["acc"].to_numpy() == n - 2).all()
 
 
 def test_flow_accumulation_min_accum_threshold(spark):
@@ -773,3 +786,21 @@ def test_wetness_index_matches_global(spark):
     # the fixture DEM must exercise both log branches and the flat sentinel
     assert (exp_twi == 9999).any() or (score == 0).sum() == 0
     assert (got["twi_q"].to_numpy() != 9999).any()
+
+
+def test_flow_accumulation_driver_coarse_matches_relational(spark):
+    """The guarded driver Kahn accumulation over the coarse border graph
+    (default) equals the forced relational relaxation rounds
+    (driver_max_coarse=0) — multi-hop ramp so the coarse solve is real."""
+    n, ts = 512, 128
+    tiles = ramp_tiles_df(spark, n, ts).cache()
+    try:
+        drv = flow_accumulation(tiles, tile_size=ts, super_tiles=1).toPandas()
+        rel = flow_accumulation(
+            tiles, tile_size=ts, super_tiles=1, driver_max_coarse=0
+        ).toPandas()
+        a = drv.sort_values(["gx", "gy"]).reset_index(drop=True)
+        b = rel.sort_values(["gx", "gy"]).reset_index(drop=True)
+        assert a.equals(b)
+    finally:
+        tiles.unpersist()

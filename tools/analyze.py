@@ -309,7 +309,7 @@ def _run_cost(spark, args) -> dict:
     m: dict = {}
     cd = cost_distance(
         tiles, sources, tile_size=args.tile_size, blocked=args.blocked,
-        allocate=True, metrics=m,
+        allocate=True, metrics=m, super_tiles="auto",
     ).localCheckpoint()
     agg = cd.agg(
         F.count("*").alias("cells"),
@@ -336,7 +336,7 @@ def _run_cost(spark, args) -> dict:
         pm: dict = {}
         paths = least_cost_path(
             tiles, sources, targets, tile_size=args.tile_size,
-            blocked=args.blocked, metrics=pm,
+            blocked=args.blocked, metrics=pm, super_tiles="auto",
         )
         rows = (
             paths.groupBy("tid")

@@ -130,11 +130,48 @@ def dijkstra_grid(
         push(nd[won], nidx[won])
 
 
+def resolve_super_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    super_tiles: int | str,
+    max_grid_side: int = 2048,
+) -> tuple[int, bool]:
+    """Resolve super_tiles="auto" -> (S, covered).
+
+    Picks the largest S whose grid side S*tile_size stays within the
+    per-group memory guard max_grid_side (2048 px => three int64 G x G
+    work arrays ~ 100 MB — the fill/Strahler guarded-solve budget), then
+    checks whether ONE aligned S-block covers the whole raster extent
+    (one cheap agg over the slim key columns).  covered=True means the
+    wavefront never crosses a super-tile boundary: the solver can skip
+    the border-Jacobi loop entirely (0 rounds, 1 solve job) — the
+    toy-scale fast path the iterative-relational-overhead lesson calls
+    for, while huge rasters keep the border iteration unchanged."""
+    if super_tiles != "auto":
+        return int(super_tiles), False
+    s_max = max(1, int(max_grid_side) // int(tile_size))
+    ext = tiles.agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).first()
+    if ext["x0"] is None:
+        return s_max, False
+    # smallest covering S wins: per-group work arrays are G x G whether or
+    # not tiles occupy them, so a 2048px block over a 512px raster pays
+    # 16x the vector work for nothing
+    s = 1
+    while s <= s_max:
+        if ext["x0"] // s == ext["x1"] // s and ext["y0"] // s == ext["y1"] // s:
+            return s, True
+        s *= 2
+    return s_max, False
+
+
 def cost_distance(
     tiles: DataFrame,
     sources: list[tuple[int, int]],
     tile_size: int = 256,
-    super_tiles: int = 1,
+    super_tiles: int | str = 1,
     payload: str = "bytes",
     band: int = 0,
     blocked: int | None = None,
@@ -142,6 +179,7 @@ def cost_distance(
     allocate: bool = False,
     emit_cost: bool = False,
     metrics: dict | None = None,
+    _resolved: tuple[int, bool] | None = None,
 ) -> DataFrame:
     """(x, y, bytes) cost-raster tile table -> (gx, gy, dist): minimum
     accumulated cost from the nearest source cell (dist -1 where no
@@ -150,8 +188,17 @@ def cost_distance(
     allocate=True additionally returns `src` — the 1-based index of the
     nearest source (ArcGIS Cost Allocation / GRASS r.cost nearest-site),
     ties to the LOWEST index, made exact by running the same Dijkstra on
-    lexicographically packed labels dist * K + src_id."""
-    ts, S = int(tile_size), int(super_tiles)
+    lexicographically packed labels dist * K + src_id.
+
+    super_tiles="auto" sizes the block to the memory guard and, when one
+    aligned block covers the raster, emits in a single solve job with no
+    border rounds (resolve_super_tiles).  _resolved lets a caller that
+    already resolved (S, covered) skip the duplicate extent job."""
+    ts = int(tile_size)
+    S, covered = (
+        _resolved if _resolved is not None
+        else resolve_super_tiles(tiles, ts, super_tiles)
+    )
     G = S * ts
     K = 1
     if allocate:
@@ -305,6 +352,14 @@ def cost_distance(
             .localCheckpoint()
         )
 
+    if covered:
+        # one aligned super-tile holds the whole raster: interior labels
+        # are already exact after a single group solve — no border can
+        # improve anything, so skip the Jacobi loop and both probes
+        if metrics is not None:
+            metrics["dijkstra_rounds"] = 0
+        return run_round(None, emit_all=True)
+
     border = run_round(None)
 
     def probe(b: DataFrame) -> int:
@@ -343,7 +398,7 @@ def least_cost_path(
     sources: list[tuple[int, int]],
     targets: list[tuple[int, int]],
     tile_size: int = 256,
-    super_tiles: int = 1,
+    super_tiles: int | str = 1,
     payload: str = "bytes",
     band: int = 0,
     blocked: int | None = None,
@@ -386,13 +441,14 @@ def least_cost_path(
     fixpoint by marked-count probe.  Doubling is sound because pred is
     FUNCTIONAL (out-degree 1 — the one graph class the CLAUDE.md minimax
     lesson's pointer doubling rescues)."""
-    ts, S = int(tile_size), int(super_tiles)
+    ts = int(tile_size)
+    S, covered = resolve_super_tiles(tiles, ts, super_tiles)
     G = S * ts
     src_set = {(int(x), int(y)) for x, y in sources}
     cd = cost_distance(
         tiles, sources, tile_size=ts, super_tiles=S, payload=payload,
         band=band, blocked=blocked, max_rounds=max_rounds,
-        emit_cost=True, metrics=metrics,
+        emit_cost=True, metrics=metrics, _resolved=(S, covered),
     )
     cdk = (
         cd.filter(F.col("dist") >= 0)
@@ -497,36 +553,52 @@ def least_cost_path(
              "pgx": pgx[fr, fc], "pgy": pgy[fr, fc]}
         )
 
-    # mark-propagation pointer doubling
+    # ONE tiny driver action answers reachability, the prune bound AND the
+    # walk's target-distance map (previously three separate jobs: marked
+    # checkpoint, max-dist agg, tdist collect — pure per-job overhead at
+    # len(targets) rows, the iterative-relational-overhead lesson)
     tgt_rows = [(i + 1, int(x), int(y)) for i, (x, y) in enumerate(targets)]
     spark = tiles.sparkSession
-    marked = (
+    t_pd = (
         spark.createDataFrame(tgt_rows, "tid long, gx long, gy long")
-        .join(cdk.select("gx", "gy"), ["gx", "gy"], "inner")  # reachable only
-        .localCheckpoint()
+        .join(cdk.select("gx", "gy", "dist"), ["gx", "gy"], "inner")
+        .toPandas()
+    )
+    marked = (
+        spark.createDataFrame(
+            t_pd[["tid", "gx", "gy"]].astype("int64"), "tid long, gx long, gy long"
+        )
+        if len(t_pd)
+        else spark.createDataFrame([], "tid long, gx long, gy long")
     )
     # dist strictly decreases along every path, so no path cell can sit
     # above the deepest reachable target — prune the pred relation (and
     # with it every doubling join) to dist <= max(target dist) BEFORE it
     # is computed
-    row = marked.join(cdk, ["gx", "gy"]).agg(
-        F.max("dist").alias("m")
-    ).collect()[0]
-    max_d = row["m"]
+    max_d = int(t_pd["dist"].max()) if len(t_pd) else None
     if max_d is None:
-        return marked.join(cdk.select("gx", "gy", "dist"), ["gx", "gy"]).select(
-            "tid", "gx", "gy", "dist"
-        )
-    pred = (
-        cdk.filter(F.col("dist") <= max_d)
-        .unionByName(halo.filter(F.col("dist") <= max_d))
-        .groupBy("sx", "sy")
-        .applyInPandas(pred_pass, schema=_PRED)
-        .localCheckpoint()
-    )
-    n_pred = pred.count()
-    if solve == "driver" or (solve == "auto" and n_pred <= max_driver_rows):
-        pp = pred.toPandas()
+        return spark.createDataFrame([], "tid long, gx long, gy long, dist long")
+    # covered (single super-tile): halo is empty by construction — skip its
+    # explode+distinct shuffle entirely
+    pred_in = cdk.filter(F.col("dist") <= max_d)
+    if not covered:
+        pred_in = pred_in.unionByName(halo.filter(F.col("dist") <= max_d))
+    pred_lazy = pred_in.groupBy("sx", "sy").applyInPandas(pred_pass, schema=_PRED)
+    pp = None
+    if solve in ("driver", "auto"):
+        # guard-respecting single-job probe: pull at most guard+1 rows; a
+        # short result IS the pred relation (no checkpoint, no count job),
+        # an overflow falls through to the distributed walk
+        pp = pred_lazy.limit(max_driver_rows + 1).toPandas()
+        if len(pp) > max_driver_rows:
+            # forced driver mode honors the old contract: collect it all
+            pp = pred_lazy.toPandas() if solve == "driver" else None
+    if pp is None:
+        pred = pred_lazy.localCheckpoint()
+        n_pred = pred.count()
+    else:
+        n_pred = len(pp)
+    if pp is not None:
         nxt = {
             (int(x), int(y)): (int(d), int(px), int(py))
             for x, y, d, px, py in zip(
@@ -534,10 +606,8 @@ def least_cost_path(
             )
         }
         tdist = {
-            (int(r["gx"]), int(r["gy"])): int(r["dist"])
-            for r in marked.join(cdk, ["gx", "gy"]).select(
-                "gx", "gy", "dist"
-            ).collect()
+            (int(x), int(y)): int(d)
+            for x, y, d in zip(t_pd["gx"], t_pd["gy"], t_pd["dist"])
         }
         rows = []
         for tid, x, y in tgt_rows:

@@ -425,12 +425,45 @@ def d8_flow_length(
     )
 
 
+def _driver_doubling(pp, rounds: int | None, max_rounds: int):
+    """Replay the exact pointer-doubling schedule on collected (id, succ)
+    rows with vectorized numpy: per round label' = label[label], labels
+    outside the universe (off-raster exits) frozen.  Bit-identical to the
+    relational rounds — same schedule, same freeze rule — so fixed-rounds
+    oracles replay unchanged."""
+    ids = pp["id"].to_numpy(np.int64)
+    lab = pp["succ"].to_numpy(np.int64)
+    if not len(ids):
+        return pd.DataFrame({"id": ids, "label": lab}), 0
+    order = np.argsort(ids)
+    sid = ids[order]
+    cur = lab.copy()
+    n = rounds if rounds is not None else max_rounds
+    r = 0
+    for r in range(1, n + 1):
+        # DOUBLING: label' = label[label] (compose cur with itself, not
+        # with the original one-step succ), off-universe labels frozen
+        pos = np.searchsorted(sid, cur)
+        pos_c = np.clip(pos, 0, len(sid) - 1)
+        hit = sid[pos_c] == cur
+        nxt = np.where(hit, cur[order][pos_c], cur)
+        if rounds is None and np.array_equal(nxt, cur):
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        if rounds is None:
+            raise RuntimeError(f"d8_basins: no fixed point in {max_rounds} rounds")
+    return pd.DataFrame({"id": ids, "label": cur}), r
+
+
 def d8_basins(
     succ_df: DataFrame,
     rounds: int | None = None,
     max_rounds: int = 40,
     metrics: dict | None = None,
     checkpoint_every: int = 2,
+    driver_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Drainage-basin labeling by POINTER DOUBLING over the D8 functional
     graph: after k rounds every pixel knows its 2^k-step successor, so a
@@ -451,7 +484,22 @@ def d8_basins(
     rounds cost 2^k plan references — 2 keeps that at 4 while halving
     the eager actions (fixpoint mode checkpoints every round because the
     change probe needs both sides materialized anyway).  Returns
-    (id, label)."""
+    (id, label).
+
+    Guarded driver solve (the contracted-CC pattern): each relational
+    round costs fixed Spark job overhead regardless of row count, so
+    when the slim (id, succ) relation fits `driver_max_rows` the exact
+    doubling schedule runs vectorized on the driver instead — ONE
+    limit-probe job replaces every round (driver_max_rows=0 forces the
+    relational path; pointer doubling stays the at-scale design)."""
+    if driver_max_rows:
+        pp = succ_df.limit(int(driver_max_rows) + 1).toPandas()
+        if len(pp) <= driver_max_rows:
+            out, r = _driver_doubling(pp, rounds, max_rounds)
+            if metrics is not None:
+                metrics["basin_rounds"] = r
+                metrics["driver_rows"] = len(pp)
+            return succ_df.sparkSession.createDataFrame(out, "id long, label long")
     cur = succ_df.select("id", F.col("succ").alias("label")).localCheckpoint()
     n = rounds if rounds is not None else max_rounds
     for r in range(1, n + 1):

@@ -290,6 +290,7 @@ def flow_accumulation(
     weight_fn=None,
     combine: str = "sum",
     d8_override: DataFrame | None = None,
+    driver_max_coarse: int = 4_000_000,
 ) -> DataFrame:
     """(gx, gy, acc): number of universe pixels whose D8 flow path passes
     through (gx, gy), the pixel itself included (so acc >= 1).  See the
@@ -411,28 +412,76 @@ def flow_accumulation(
     )
     edges = entries_df.filter(F.col("succ") >= 0)
 
-    inflow = w_df.localCheckpoint()
-    total = inflow.agg(F.sum("w")).collect()[0][0]
+    # Guarded driver relaxation (the fill_depressions / contracted-CC
+    # pattern): the coarse graph holds only super-tile border pixels
+    # (~4/(S*ts) of cells), and each relational round costs ~2 fixed
+    # Spark jobs regardless of row count — below the guard, run the
+    # exact fixpoint as a Kahn topological accumulation over the
+    # FUNCTIONAL coarse graph on the driver (same integer comb, same
+    # open-graph error on a cycle).  driver_max_coarse=0 forces the
+    # relational rounds (still the at-scale path).
     rounds = 0
-    if total is not None:  # empty coarse graph: single super-tile world
-        while rounds < max_coarse_rounds:
-            fwd = (
-                inflow.join(edges, "id")
-                .filter(F.col("succ") >= 0)
-                .select(F.col("succ").alias("id"), F.col("w"))
+    total = None
+    inflow = None
+    if driver_max_coarse:
+        g = int(driver_max_coarse)
+        w_pd = w_df.limit(g + 1).toPandas()
+        e_pd = edges.limit(g + 1).toPandas()
+        if len(w_pd) <= g and len(e_pd) <= g:
+            succ_m = dict(zip(e_pd["id"].astype(int), e_pd["succ"].astype(int)))
+            val = dict(zip(w_pd["id"].astype(int), w_pd["w"].astype(int)))
+            indeg: dict[int, int] = {}
+            for v in succ_m.values():
+                indeg[v] = indeg.get(v, 0) + 1
+            ready = [u for u in succ_m if indeg.get(u, 0) == 0]
+            n_done = 0
+            while ready:
+                u = ready.pop()
+                n_done += 1
+                v = succ_m[u]
+                if u in val:
+                    uv = val[u]
+                    val[v] = (
+                        val.get(v, 0) + uv if combine == "sum"
+                        else max(val.get(v, 0), uv)
+                    )
+                indeg[v] -= 1
+                if indeg[v] == 0 and v in succ_m:
+                    ready.append(v)
+            if n_done < len(succ_m):
+                raise RuntimeError(
+                    "flow_accumulation: coarse graph has a cycle "
+                    f"({len(succ_m) - n_done} nodes unresolved)"
+                )
+            total = sum(val.values()) if val else None
+            inflow = spark.createDataFrame(
+                pd.DataFrame(
+                    {"id": list(val), "w": list(val.values())}, dtype="int64"
+                ),
+                "id long, w long",
             )
-            inflow = (
-                w_df.unionByName(fwd).groupBy("id").agg(comb("w").alias("w"))
-            ).localCheckpoint()
-            rounds += 1
-            new_total = inflow.agg(F.sum("w")).collect()[0][0]
-            if new_total == total:  # exact integer fixpoint (monotone)
-                break
-            total = new_total
-        else:
-            raise RuntimeError(
-                f"flow_accumulation: coarse relaxation open after {max_coarse_rounds} rounds"
-            )
+    if inflow is None:
+        inflow = w_df.localCheckpoint()
+        total = inflow.agg(F.sum("w")).collect()[0][0]
+        if total is not None:  # empty coarse graph: single super-tile world
+            while rounds < max_coarse_rounds:
+                fwd = (
+                    inflow.join(edges, "id")
+                    .filter(F.col("succ") >= 0)
+                    .select(F.col("succ").alias("id"), F.col("w"))
+                )
+                inflow = (
+                    w_df.unionByName(fwd).groupBy("id").agg(comb("w").alias("w"))
+                ).localCheckpoint()
+                rounds += 1
+                new_total = inflow.agg(F.sum("w")).collect()[0][0]
+                if new_total == total:  # exact integer fixpoint (monotone)
+                    break
+                total = new_total
+            else:
+                raise RuntimeError(
+                    f"flow_accumulation: coarse relaxation open after {max_coarse_rounds} rounds"
+                )
     if metrics is not None:
         metrics["coarse_rounds"] = rounds
         metrics["coarse_inflow_total"] = int(total or 0)
@@ -1158,9 +1207,7 @@ def fill_depressions(
             F.greatest("elev", "elev2").alias("w"),
         )
     )
-    edges = (
-        intra.unionByName(cross).groupBy("a", "b").agg(F.min("w").alias("w"))
-    ).localCheckpoint()
+    edges = intra.unionByName(cross).groupBy("a", "b").agg(F.min("w").alias("w"))
     # Global minimax-from-ocean, solved SEQUENTIALLY on the driver —
     # this is Barnes' own design (their alg. 2/3 runs the watershed graph
     # on one rank): the graph holds one node per perimeter WATERSHED
@@ -1172,17 +1219,21 @@ def fill_depressions(
     # round relaxation needs thousands of rounds (measured: open after 64
     # rounds at a mere 4x4 tiles).  Guarded: max_coarse_edges caps the
     # collect; past it, raise and point at larger super_tiles.
-    n_edges = edges.count()
+    # guard + collect in ONE job: pull at most guard+1 rows — overflow
+    # means the graph is too big, exactly what count()-then-collect()
+    # checked in two jobs before
+    edge_rows = edges.limit(int(max_coarse_edges) + 1).collect()
+    n_edges = len(edge_rows)
     if n_edges > max_coarse_edges:
         raise ValueError(
-            f"fill_depressions: watershed graph has {n_edges} edges > "
-            f"max_coarse_edges={max_coarse_edges}; raise super_tiles to "
+            f"fill_depressions: watershed graph has > "
+            f"max_coarse_edges={max_coarse_edges} edges; raise super_tiles to "
             "shrink the perimeter fraction (graph size ~ 4/(S*ts))"
         )
     import heapq
 
     adj: dict[int, list[tuple[int, int]]] = {}
-    for r in edges.collect():
+    for r in edge_rows:
         a, b, w = int(r["a"]), int(r["b"]), int(r["w"])
         adj.setdefault(a, []).append((b, w))
         adj.setdefault(b, []).append((a, w))

@@ -7046,7 +7046,7 @@ def q_huff_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     return huff_market_share(demand, supply, radius=8000)
 
 
-def _near_segments_oracle_sql(dist: int = 3000, cell: int = 4000) -> str:
+def _near_segments_oracle_sql(dist: int = 3000, cell: int = 3000) -> str:
     """Replay of points_near_segments: identical expanded-bbox cell
     fan-out, single-cell point bucketing, and the exact rational
     point-segment distance CASE (no division; every operand a bounded
@@ -7132,7 +7132,10 @@ def q_near_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(derived_lat_expr(F.col("event_id")) * 1000).cast("long")
          + 200000).alias("py"),
     )
-    pairs = points_near_segments(pts, segs, dist=3000, cell=4000)
+    # cell == dist measured fastest at sf0.1 (4.8 s vs 5.7 s at cell=4000,
+    # 9.7 s at 2*dist): expanded-bbox area (bbox+cell)^2 grows with cell,
+    # so bigger cells mean MORE candidates, smaller ones more explode rows
+    pairs = points_near_segments(pts, segs, dist=3000, cell=3000)
     return pairs.groupBy("pid").agg(
         F.count("*").alias("n_near"), F.sum("sid").alias("sum_sid")
     )
@@ -7845,7 +7848,7 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = fixtures.cost_wall_raster_df(spark, partitions=4)
     return cost_distance(
-        tiles, _COST_SOURCES, tile_size=256, super_tiles=1, blocked=255
+        tiles, _COST_SOURCES, tile_size=256, super_tiles="auto", blocked=255
     )
 
 
@@ -7893,7 +7896,7 @@ def q_cost_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = fixtures.cost_wall_raster_df(spark, partitions=4)
     return cost_distance(
-        tiles, _COST_SOURCES, tile_size=256, super_tiles=1, blocked=255,
+        tiles, _COST_SOURCES, tile_size=256, super_tiles="auto", blocked=255,
         allocate=True,
     ).select("gx", "gy", "src")
 
@@ -7957,7 +7960,7 @@ def q_isochrone_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = fixtures.cost_wall_raster_df(spark, partitions=4)
     cd = cost_distance(
-        tiles, _COST_SOURCES, tile_size=256, super_tiles=2, blocked=255
+        tiles, _COST_SOURCES, tile_size=256, super_tiles="auto", blocked=255
     ).filter(F.col("dist") >= 0)
     blocks = (
         cd.select(
@@ -8072,7 +8075,7 @@ def q_cost_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = fixtures.cost_wall_raster_df(spark, partitions=4)
     return least_cost_path(
         tiles, _COST_SOURCES, _COST_PATH_TARGETS,
-        tile_size=256, super_tiles=2, blocked=255,
+        tile_size=256, super_tiles="auto", blocked=255,
     )
 
 
@@ -8581,10 +8584,14 @@ def q_watersheds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
     acc = flow_accumulation(tiles, super_tiles=1)
+    # outlets feeds TWO joins inside watershed_membership (mark + filter);
+    # materialize the 4 rows once so the whole accumulation pipeline does
+    # not re-run per consumer (iterated-relation-lineage lesson)
     outlets = (
         acc.orderBy(F.col("acc").desc(), "gx", "gy")
         .limit(4)
         .select((F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("id"))
+        .localCheckpoint()
     )
     pixels = focal_terrain_pixels(tiles, tile_size=256)
     members = watershed_membership(d8_successors(pixels), outlets, rounds=6)
@@ -8788,9 +8795,11 @@ def q_hand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.hydro import flow_accumulation
 
     tiles = fixtures.dem_raster_df(spark, zoom=1, partitions=4)
+    # stream set feeds two joins inside watershed_membership — materialize
+    # once (slim ids) so the accumulation pipeline runs exactly once
     streams = flow_accumulation(tiles, super_tiles=1, min_accum=64).select(
         (F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("id")
-    )
+    ).localCheckpoint()
     pixels = focal_terrain_pixels(tiles, tile_size=256).localCheckpoint()
     elev = pixels.select(
         (F.col("gx") * F.lit(4294967296) + F.col("gy")).alias("eid"),
