@@ -34,7 +34,9 @@ def main(argv=None):
     ap.add_argument("--bbox-zoom", type=int, help="zoom at which to compile the bbox")
     ap.add_argument("--flip-y", action="store_true")
     ap.add_argument("--swap-xy", action="store_true")
-    ap.add_argument("--format", help="re-encode payloads to this format")
+    ap.add_argument("--format", help="re-encode payloads to this format "
+                    "(pass-through tags like svg/topojson are never re-encoded "
+                    "— tile_format.rs:104-121 semantics)")
     ap.add_argument("--quality", default="85")
     ap.add_argument("--layout", choices=["hilbert", "block", "dir"], default="hilbert")
     ap.add_argument(
@@ -106,7 +108,11 @@ def main(argv=None):
         df = flip_y_df(df)
     if args.swap_xy:
         df = swap_xy_df(df)
-    if args.format:
+    # pass-through payload formats (tile_format.rs:77-80,104-121): the tag
+    # travels in the container header, the bytes are untouched — re-encoding
+    # only applies to raster formats the codecs understand
+    _PASS_THROUGH = {"svg", "topojson", "geojson", "json", "bin", "mvt", "pbf"}
+    if args.format and args.format not in _PASS_THROUGH:
         df = raster_format(df, target_fmt=args.format, quality=args.quality)
     if args.dedup:
         from pyspark.sql import functions as F

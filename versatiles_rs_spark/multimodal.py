@@ -213,11 +213,29 @@ def image_quality(df: DataFrame, payload: str = "bytes") -> DataFrame:
 
 
 def decode_audio(blob: bytes, codec: str) -> np.ndarray:
-    """PCM16 payloads decode for real; compressed codecs are a stub — the
-    container has no audio libs (project brief: STUB decode, keep the Spark
-    plumbing real)."""
+    """PCM16 payloads (raw or inside a RIFF/WAVE container) decode for
+    real — stdlib struct + numpy, no audio libs; only compressed codecs
+    (mp3/aac/opus/...) remain stubbed (project brief: STUB decode, keep
+    the Spark plumbing real)."""
     if codec == "pcm16":
         return np.frombuffer(blob, dtype=np.int16).astype(np.float32) / 32768.0
+    if codec == "wav":
+        from .functions.sniff import sniff_wav
+
+        h = sniff_wav(blob)
+        if h is None or h["data_off"] < 0:
+            raise ValueError("wav payload: no RIFF/WAVE data chunk")
+        if h["audio_format"] != 1 or h["bits"] != 16:
+            raise NotImplementedError(
+                f"wav audio_format={h['audio_format']} bits={h['bits']}: only "
+                "uncompressed PCM16 decodes without audio libs"
+            )
+        pcm = blob[h["data_off"] : h["data_off"] + h["data_len"]]
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32768.0
+        if h["channels"] > 1:  # downmix interleaved channels to mono
+            n = len(x) // h["channels"] * h["channels"]
+            x = x[:n].reshape(-1, h["channels"]).mean(axis=1)
+        return x
     raise NotImplementedError(
         f"audio codec {codec!r}: no decoder in this environment — plug "
         "soundfile/ffmpeg here in production"

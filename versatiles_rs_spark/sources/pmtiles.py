@@ -16,9 +16,10 @@ PMTiles v3 spec:
 - tile ids are the Hilbert index the engine already computes
   (tile_math.hilbert_index — golden-tested against the reference).
 
-Single-file edge format: export pulls the (already Hilbert-sorted) tiles
-through the driver like the mbtiles writer; the strict-increasing-id
-invariant of the reference writer (writer.rs:201-206) is asserted here too.
+Single-file edge format: export STREAMS Hilbert-sorted tiles through
+toLocalIterator (one partition of payload on the driver at a time — no
+tile-count cap); the strict-increasing-id invariant of the reference
+writer (writer.rs:201-206) is asserted on the fly.
 """
 
 from __future__ import annotations
@@ -128,88 +129,52 @@ def write_pmtiles(
     payload: str = "bytes",
     tile_type: str = "png",
     dedup: bool = True,
+    max_dedup_blobs: int = 4_000_000,
 ) -> int:
     """Export a tile DataFrame as a PMTiles v3 archive. Returns tiles written.
 
-    Driver-side single-file EDGE format: Hilbert-clustering the directory
-    requires global order, so tiles collect to the driver (the reference is
-    single-process here too). Guarded; for cluster-scale output use the
-    partitioned sinks (sinks/writers.py) and convert per shard.
+    STREAMING single-file export: tiles are Hilbert-keyed in the executors
+    (udfs.with_hilbert), range-partitioned and sorted on the id, and pulled
+    through `toLocalIterator` one partition at a time — driver memory holds
+    one partition of payload plus the slim directory entries, so the old
+    2M-tile collect cap is gone (a 10M-tile archive streams in constant
+    payload memory).  The data section streams straight to `path`: PMTiles
+    fixes metadata at offset 16384, so every leading offset is known up
+    front and the header/root/metadata region is seeked back and patched
+    after the last tile.  Strict-increasing ids asserted on the fly
+    (writer.rs:201-206).
 
     `dedup=True` (default) applies the two PMTiles v3 spec compressions the
     reference writer leaves on the table (writer.rs:140-142 sets all three
     header counts equal — no dedup, EntriesV3::push never merges runs):
-    identical payloads share one data-section blob (content addressing —
-    think ocean/empty tiles), and consecutive Hilbert ids with identical
+    identical payloads share one data-section blob (content addressing,
+    bounded by `max_dedup_blobs` distinct contents so the address map
+    cannot outgrow the driver), and consecutive Hilbert ids with identical
     content collapse into one run-length entry. Our reader (and the spec's
     find_tile) already resolves rl>1 and shared offsets; the header then
     reports addressed_tiles >= tile_entries >= tile_contents honestly."""
-    from .. import tile_math as tm
     import numpy as np
+    from pyspark.sql import functions as F
 
-    rows = df.select("z", "x", "y", payload).collect()
-    if len(rows) > 2_000_000:
-        raise ValueError(
-            f"write_pmtiles collects to the driver; {len(rows)} tiles > 2000000. "
-            "Export partitioned (sinks/writers.py) instead."
-        )
-    tids = tm.hilbert_index(
-        np.array([r.z for r in rows], dtype=np.int64),
-        np.array([r.x for r in rows], dtype=np.int64),
-        np.array([r.y for r in rows], dtype=np.int64),
-    ) if rows else np.array([], dtype=np.int64)
-    keyed = [
-        (int(tid), int(r.z), int(r.x), int(r.y), bytes(r[3]))
-        for tid, r in zip(tids, rows)
-    ]
-    keyed.sort(key=lambda t: t[0])
-    for a, b in zip(keyed, keyed[1:]):  # strict-increasing ids (writer.rs:201-206)
-        if a[0] >= b[0]:
-            raise ValueError(f"duplicate tile id {b[0]} — one payload per (z,x,y) required")
+    from .. import tile_math as tm
+    from .. import udfs
 
-    meta_blob = gzip.compress(
-        json.dumps(metadata or {"name": "spark-tiles"}).encode(), 6, mtime=0
-    )
-    entries = []
-    tile_blob = bytearray()
-    blob_off: dict[bytes, int] = {}
-    for tid, _, _, _, payload_bytes in keyed:
-        if dedup and payload_bytes in blob_off:
-            off = blob_off[payload_bytes]
-        else:
-            off = len(tile_blob)
-            tile_blob.extend(payload_bytes)
-            if dedup:
-                blob_off[payload_bytes] = off
-        ln = len(payload_bytes)
-        if (
-            dedup
-            and entries
-            and entries[-1][0] + entries[-1][3] == tid
-            and entries[-1][1] == off
-            and entries[-1][2] == ln
-        ):
-            last = entries[-1]
-            entries[-1] = (last[0], off, ln, last[3] + 1)
-        else:
-            entries.append((tid, off, ln, 1))
-    n_addressed = sum(e[3] for e in entries)
-    n_contents = len(blob_off) if dedup else len(entries)
-    root_bytes, leaves_bytes = _build_directories(entries)
-
-    metadata_off = 16384
-    tile_data_off = metadata_off + len(meta_blob)
-    leaf_off = tile_data_off + len(tile_blob)
-
-    zs = [k[1] for k in keyed]
-    if keyed:
+    # slim pre-pass: per-zoom extents -> zoom range + e7 bbox (one agg job
+    # over the key columns; the payload column is pruned from the scan)
+    zstats = df.groupBy("z").agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).collect()
+    zs = sorted(int(r["z"]) for r in zstats)
+    if zstats:
         min_lon = max_lon = min_lat = max_lat = None
-        for z in sorted(set(zs)):  # one vectorized bbox call per zoom level
-            xs = np.array([k[2] for k in keyed if k[1] == z])
-            ys = np.array([k[3] for k in keyed if k[1] == z])
-            w, s, e, n = tm.tile_to_geo_bbox(z, xs, ys)
+        for r in zstats:
+            z = int(r["z"])
+            xs = np.array([int(r["x0"]), int(r["x1"])], dtype=np.int64)
+            ys = np.array([int(r["y0"]), int(r["y1"])], dtype=np.int64)
+            w, s_, e, n = tm.tile_to_geo_bbox(z, xs, ys)
             lo_x, hi_x = float(w.min()), float(e.max())
-            lo_y, hi_y = float(s.min()), float(n.max())
+            lo_y, hi_y = float(s_.min()), float(n.max())
             min_lon = lo_x if min_lon is None else min(min_lon, lo_x)
             max_lon = hi_x if max_lon is None else max(max_lon, hi_x)
             min_lat = lo_y if min_lat is None else min(min_lat, lo_y)
@@ -217,46 +182,105 @@ def write_pmtiles(
     else:
         min_lon = max_lon = min_lat = max_lat = 0.0
 
-    header = bytearray()
-    header += b"PMTiles" + bytes([3])
-    for off, ln in (
-        (HEADER_LEN, len(root_bytes)),
-        (metadata_off, len(meta_blob)),
-        (leaf_off, len(leaves_bytes)),
-        (tile_data_off, len(tile_blob)),
-    ):
-        header += struct.pack("<QQ", off, ln)
-    header += struct.pack("<QQQ", n_addressed, len(entries), n_contents)
-    header += bytes(
-        [
-            1,  # clustered (ids written in increasing order, contiguous data)
-            _COMPRESSION["gzip"],  # internal compression
-            _COMPRESSION["none"],  # tile compression (payloads stored raw)
-            _TILE_TYPE.get(tile_type, 0),
-            min(zs) if zs else 0,
-            max(zs) if zs else 0,
-        ]
+    meta_blob = gzip.compress(
+        json.dumps(metadata or {"name": "spark-tiles"}).encode(), 6, mtime=0
     )
-    header += struct.pack(
-        "<iiii",
-        int(min_lon * 1e7),
-        int(min_lat * 1e7),
-        int(max_lon * 1e7),
-        int(max_lat * 1e7),
-    )
-    header += bytes([min(zs) if zs else 0])
-    header += struct.pack(
-        "<ii", int((min_lon + max_lon) * 5e6), int((min_lat + max_lat) * 5e6)
-    )
-    assert len(header) == HEADER_LEN, len(header)
+    metadata_off = 16384
+    tile_data_off = metadata_off + len(meta_blob)
 
+    ordered = (
+        udfs.with_hilbert(
+            df.select(
+                F.col("z").cast("long").alias("z"),
+                F.col("x").cast("long").alias("x"),
+                F.col("y").cast("long").alias("y"),
+                F.col(payload).alias("_payload"),
+            )
+        )
+        .repartitionByRange("hilbert")
+        .sortWithinPartitions("hilbert")
+        .select("hilbert", "_payload")
+    )
+
+    entries: list[list[int]] = []  # [tid, off, ln, rl], mutable for RLE merge
+    blob_off: dict[bytes, int] = {}
+    n_contents = 0
+    data_len = 0
+    last_tid = -1
     with open(path, "wb") as f:
+        f.seek(tile_data_off)
+        for row in ordered.toLocalIterator(prefetchPartitions=True):
+            tid = int(row["hilbert"])
+            if tid <= last_tid:  # strict-increasing ids (writer.rs:201-206)
+                raise ValueError(
+                    f"duplicate tile id {tid} — one payload per (z,x,y) required"
+                )
+            last_tid = tid
+            blob = bytes(row["_payload"])
+            ln = len(blob)
+            off = blob_off.get(blob) if dedup else None
+            if off is None:
+                off = data_len
+                f.write(blob)
+                data_len += ln
+                n_contents += 1
+                if dedup and len(blob_off) < max_dedup_blobs:
+                    blob_off[blob] = off
+            if (
+                dedup
+                and entries
+                and entries[-1][0] + entries[-1][3] == tid
+                and entries[-1][1] == off
+                and entries[-1][2] == ln
+            ):
+                entries[-1][3] += 1
+            else:
+                entries.append([tid, off, ln, 1])
+
+        leaf_off = tile_data_off + data_len
+        ents = [tuple(e) for e in entries]
+        n_addressed = sum(e[3] for e in ents)
+        root_bytes, leaves_bytes = _build_directories(ents)
+        f.write(leaves_bytes)
+
+        header = bytearray()
+        header += b"PMTiles" + bytes([3])
+        for off, ln in (
+            (HEADER_LEN, len(root_bytes)),
+            (metadata_off, len(meta_blob)),
+            (leaf_off, len(leaves_bytes)),
+            (tile_data_off, data_len),
+        ):
+            header += struct.pack("<QQ", off, ln)
+        header += struct.pack("<QQQ", n_addressed, len(ents), n_contents)
+        header += bytes(
+            [
+                1,  # clustered (ids written in increasing order, contiguous data)
+                _COMPRESSION["gzip"],  # internal compression
+                _COMPRESSION["none"],  # tile compression (payloads stored raw)
+                _TILE_TYPE.get(tile_type, 0),
+                zs[0] if zs else 0,
+                zs[-1] if zs else 0,
+            ]
+        )
+        header += struct.pack(
+            "<iiii",
+            int(min_lon * 1e7),
+            int(min_lat * 1e7),
+            int(max_lon * 1e7),
+            int(max_lat * 1e7),
+        )
+        header += bytes([zs[0] if zs else 0])
+        header += struct.pack(
+            "<ii", int((min_lon + max_lon) * 5e6), int((min_lat + max_lat) * 5e6)
+        )
+        assert len(header) == HEADER_LEN, len(header)
+
+        f.seek(0)
         f.write(header)
         f.write(root_bytes)
         f.write(b"\x00" * (16384 - HEADER_LEN - len(root_bytes)))
         f.write(meta_blob)
-        f.write(tile_blob)
-        f.write(leaves_bytes)
     return n_addressed
 
 
@@ -294,57 +318,78 @@ def parse_pmtiles_header(buf: bytes) -> dict:
 
 
 def read_pmtiles(spark: SparkSession, path: str) -> DataFrame:
-    """Scan a PMTiles archive back into an XYZ tile DataFrame (root + leaf
-    directories, Hilbert id decode). `path` may be a local file or an
-    http(s):// URL — remote archives are read with ranged requests
-    (data_reader_http.rs:91-98 parity): header, directories, and the tile
-    data segment each fetch exactly one range."""
-    from .. import tile_math as tm
-    import numpy as np
+    """Scan a PMTiles archive back into an XYZ tile DataFrame — DISTRIBUTED:
+    the driver fetches only the 127-byte header and the (<=16 KB) root
+    directory; leaf-directory parsing and tile-data range reads happen in
+    the executors (one work item per root entry, so a planet archive with
+    thousands of leaves fans out across the cluster).  `path` may be a
+    local file or an http(s):// URL — executors open their own range
+    readers (data_reader_http.rs:91-98 parity).  No tile-count cap: payload
+    bytes never pass through the driver."""
+    import pandas as pd
 
     from ..remote import open_range_reader
 
     rd = open_range_reader(path)
     h = parse_pmtiles_header(rd.read(0, HEADER_LEN))
-    if h["addressed_tiles"] > 2_000_000:
-        raise ValueError(
-            f"read_pmtiles materializes on the driver; {h['addressed_tiles']} "
-            "tiles > 2000000. Serve point lookups via remote ranges instead."
-        )
+    root = deserialize_entries(
+        _decompress_section(rd.read(*h["root_dir"]), h["internal_compression"], "internal")
+    )
+    # work items: leaf pointers (rl == 0) parse + read in the executor;
+    # direct runs read immediately.  Root fits ROOT_SPACE by spec, so this
+    # driver-side list is bounded at a few thousand rows regardless of
+    # archive size.
+    work = pd.DataFrame(root, columns=["tid", "off", "ln", "rl"])
+    if not len(work):
+        return spark.createDataFrame([], "z int, x long, y long, bytes binary")
+    leaf0 = int(h["leaf_dirs"][0])
+    data0 = int(h["tile_data"][0])
+    internal_c = int(h["internal_compression"])
+    n_parts = min(len(work), max(1, spark.sparkContext.defaultParallelism))
 
-    def dir_at(rng):
-        off, ln = rng
-        return deserialize_entries(
-            _decompress_section(rd.read(off, ln), h["internal_compression"], "internal")
-        )
+    def gen(batches):
+        from .. import tile_math as tm
+        import numpy as np
 
-    entries = []
-    for e in dir_at(h["root_dir"]):
-        tid, off, ln, rl = e
-        if rl == 0:  # leaf pointer
-            entries.extend(dir_at((h["leaf_dirs"][0] + off, ln)))
-        else:
-            entries.append(e)
-    t0, tlen = h["tile_data"]
-    tile_data = rd.read(t0, tlen)
-    # run_length > 1: spec-compliant archives address rl consecutive Hilbert
-    # tile ids at the same offset/length (pmtiles spec §directories). Expand
-    # the runs, then decode every id in ONE vectorized kernel call.
-    tids, spans = [], []
-    for tid, off, ln, rl in entries:
-        for t in range(tid, tid + max(int(rl), 1)):
-            tids.append(t)
-            spans.append((off, ln))
-    zs, xs, ys = tm.hilbert_decode(np.array(tids, dtype=np.int64))
-    # tile payloads stay AS STORED (engine convention, mbtiles parity):
-    # the header's tile_compression describes them, and callers thread that
-    # codec (server._load_tile_source) or sniff it (mvt_pbf decode) — only
-    # the engine-internal sections (directories, metadata) are decompressed
-    rows = [
-        (int(z), int(x), int(y), tile_data[off : off + ln])
-        for z, x, y, (off, ln) in zip(zs, xs, ys, spans)
-    ]
-    return spark.createDataFrame(rows, "z int, x long, y long, bytes binary")
+        rdr = open_range_reader(path)
+
+        def emit(entries):
+            tids, blobs = [], []
+            for tid, off, ln, rl in entries:
+                blob = rdr.read(data0 + int(off), int(ln))
+                for t in range(int(tid), int(tid) + max(int(rl), 1)):
+                    tids.append(t)
+                    blobs.append(blob)
+            if not tids:
+                return None
+            zs, xs, ys = tm.hilbert_decode(np.array(tids, dtype=np.int64))
+            return pd.DataFrame(
+                {"z": zs.astype("int32"), "x": xs, "y": ys, "bytes": blobs}
+            )
+
+        for pdf in batches:
+            direct = []
+            for tid, off, ln, rl in zip(pdf["tid"], pdf["off"], pdf["ln"], pdf["rl"]):
+                if int(rl) == 0:  # leaf pointer: parse the leaf here
+                    leaf = deserialize_entries(
+                        _decompress_section(
+                            rdr.read(leaf0 + int(off), int(ln)), internal_c, "internal"
+                        )
+                    )
+                    out = emit(leaf)
+                    if out is not None:
+                        yield out
+                else:
+                    direct.append((tid, off, ln, rl))
+            out = emit(direct)
+            if out is not None:
+                yield out
+
+    return (
+        spark.createDataFrame(work)
+        .repartitionByRange(n_parts, "tid")
+        .mapInPandas(gen, schema="z int, x long, y long, bytes binary")
+    )
 
 
 _COMP_NAME = {v: k for k, v in _COMPRESSION.items()}

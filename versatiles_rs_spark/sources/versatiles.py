@@ -12,10 +12,11 @@ Parity (all in /root/reference/versatiles_container/src/container/versatiles/):
 Brotli is REQUIRED by the format (block + tile indices); provided by
 codecs.compress_blob/decompress_blob (system libbrotli via ctypes).
 
-Like the pmtiles writer, this is a driver-side single-file EDGE format:
-collect() is inherent (the reference is single-process here too). Size
-guard below; for cluster-scale outputs use the partitioned sinks
-(sinks/writers.py) and convert per shard.
+Like the pmtiles writer, this is a single-file EDGE format, but the export
+STREAMS: tiles arrive block-sorted through toLocalIterator and the driver
+holds one 256x256 block of payload at a time, so archive size is bounded by
+disk, not driver memory. For cluster-scale outputs the partitioned sinks
+(sinks/writers.py) remain the parallel path.
 """
 
 from __future__ import annotations
@@ -44,7 +45,6 @@ _COMP_NAME = {0: "none", 1: "gzip", 2: "brotli"}
 
 # writer.rs dedups blobs smaller than this via a content-hash lookup
 _DEDUP_MAX = 1000
-_MAX_DRIVER_TILES = 2_000_000
 
 
 def _header_blob(fmt: str, compression: str, zooms, bbox, meta_range, blocks_range) -> bytes:
@@ -92,74 +92,93 @@ def write_versatiles(
 ) -> int:
     """Export a tile DataFrame as a `.versatiles` archive. Returns tiles
     written. Payload bytes are stored as-is; `compression` declares their
-    codec (header field), matching the reference's pass-through behavior."""
+    codec (header field), matching the reference's pass-through behavior.
+
+    STREAMING single-file export: tiles are range-partitioned and sorted on
+    the (z, x div 256, y div 256) block key and pulled through
+    `toLocalIterator`, buffering exactly ONE 256x256 block of payload at a
+    time (the reference writer's own working set, block_writer.rs:33-55) —
+    the old 2M-tile collect cap is gone.  Blocks stream straight to `path`
+    in sorted order after the fixed [header | meta] prefix; the 33-byte
+    block definitions accumulate driver-side (one per block — slim) and the
+    brotli block index + patched header are written at the end."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
     from .. import tile_math as tm
 
-    rows = df.select("z", "x", "y", payload).collect()
-    if len(rows) > _MAX_DRIVER_TILES:
-        raise ValueError(
-            f"write_versatiles collects to the driver; {len(rows)} tiles > "
-            f"{_MAX_DRIVER_TILES}. Export partitioned (sinks/writers.py) instead."
-        )
-    if not rows:
+    # slim pre-pass: per-zoom extents -> zoom range + geo bbox (one agg job)
+    zstats = df.groupBy("z").agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).collect()
+    if not zstats:
         raise ValueError("no tiles to write")
-
-    zmin = min(r.z for r in rows)
-    zmax = max(r.z for r in rows)
-    # geo bbox: union of per-zoom tile bboxes (bbox_pyramid.get_geo_bbox analog)
-    import numpy as np
-
+    zmin = min(int(r["z"]) for r in zstats)
+    zmax = max(int(r["z"]) for r in zstats)
     lon_min = lat_min = 1e9
     lon_max = lat_max = -1e9
-    for z in {r.z for r in rows}:
-        xs = [r.x for r in rows if r.z == z]
-        ys = [r.y for r in rows if r.z == z]
-        w, s, _, _ = tm.tile_to_geo_bbox(z, min(xs), max(ys))
-        _, _, e, n = tm.tile_to_geo_bbox(z, max(xs), min(ys))
-        lon_min, lat_min = min(lon_min, w), min(lat_min, s)
+    for r in zstats:
+        z = int(r["z"])
+        w, s_, _, _ = tm.tile_to_geo_bbox(z, int(r["x0"]), int(r["y1"]))
+        _, _, e, n = tm.tile_to_geo_bbox(z, int(r["x1"]), int(r["y0"]))
+        lon_min, lat_min = min(lon_min, w), min(lat_min, s_)
         lon_max, lat_max = max(lon_max, e), max(lat_max, n)
-
-    # group into 256x256 blocks per level (writer.rs:165)
-    blocks: dict[tuple, list] = {}
-    for r in rows:
-        blocks.setdefault((int(r.z), int(r.x) // 256, int(r.y) // 256), []).append(r)
 
     meta = json.dumps(metadata or {"tilejson": "3.0.0"}, sort_keys=True).encode()
     meta_blob = compress_blob(meta, compression)
+    meta_range = (HEADER_LEN, len(meta_blob))
 
-    out = bytearray(b"\x00" * HEADER_LEN)
-    meta_range = (len(out), len(meta_blob))
-    out += meta_blob
+    ordered = (
+        df.select(
+            F.col("z").cast("int").alias("z"),
+            F.col("x").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+            F.col(payload).alias("_payload"),
+            F.expr("x div 256").cast("long").alias("_bx"),
+            F.expr("y div 256").cast("long").alias("_by"),
+        )
+        .repartitionByRange("z", "_bx", "_by")
+        .sortWithinPartitions("z", "_bx", "_by")
+    )
 
-    index_entries = []
+    index_entries: list[bytes] = []
     n_written = 0
-    for (z, bx, by) in sorted(blocks):
-        tiles = blocks[(z, bx, by)]
-        gx_min, gx_max = min(t.x for t in tiles), max(t.x for t in tiles)
-        gy_min, gy_max = min(t.y for t in tiles), max(t.y for t in tiles)
+    n_rows = 0
+
+    def flush_block(f, key, tiles) -> None:
+        """Write one 256x256 block (tiles segment + brotli tile index) and
+        record its 33-byte definition — block_writer.rs:33-55."""
+        nonlocal n_written
+        z, bx, by = key
+        gx_min = min(t[0] for t in tiles)
+        gx_max = max(t[0] for t in tiles)
+        gy_min = min(t[1] for t in tiles)
+        gy_max = max(t[1] for t in tiles)
         w = gx_max - gx_min + 1
         h = gy_max - gy_min + 1
-        tiles_off = len(out)
+        tiles_off = f.tell()
         # per-tile relative ranges, row-major over the coverage bbox
         # (block_writer.rs:34 index_of; tile_index.rs TILE_INDEX_LENGTH=12)
         ranges = [(0, 0)] * (w * h)
         dedup: dict[bytes, tuple] = {}
-        for t in tiles:
-            blob = bytes(t[payload])
-            idx = (int(t.y) - gy_min) * w + (int(t.x) - gx_min)
+        pos = 0
+        for tx, ty, blob in tiles:
+            idx = (ty - gy_min) * w + (tx - gx_min)
             if len(blob) < _DEDUP_MAX and blob in dedup:
                 ranges[idx] = dedup[blob]
                 continue
-            rng = (len(out) - tiles_off, len(blob))
-            out += blob
+            rng = (pos, len(blob))
+            f.write(blob)
+            pos += len(blob)
             ranges[idx] = rng
             if len(blob) < _DEDUP_MAX:
                 dedup[blob] = rng
             n_written += 1
-        tiles_len = len(out) - tiles_off
+        tiles_len = pos
         tidx = b"".join(struct.pack(">QI", o, ln) for o, ln in ranges)
         tidx_blob = compress_blob(tidx, "brotli")
-        out += tidx_blob
+        f.write(tidx_blob)
         # 33-byte block definition (block_definition.rs:135-156)
         index_entries.append(
             struct.pack(
@@ -171,17 +190,33 @@ def write_versatiles(
             )
         )
 
-    block_index_blob = compress_blob(b"".join(index_entries), "brotli")
-    blocks_range = (len(out), len(block_index_blob))
-    out += block_index_blob
-
-    out[:HEADER_LEN] = _header_blob(
-        tile_type, compression, (zmin, zmax),
-        (lon_min, lat_min, lon_max, lat_max), meta_range, blocks_range,
-    )
     with open(path, "wb") as f:
-        f.write(out)
-    return len(rows)
+        f.write(b"\x00" * HEADER_LEN)
+        f.write(meta_blob)
+        cur_key = None
+        buf: list[tuple[int, int, bytes]] = []
+        for row in ordered.toLocalIterator(prefetchPartitions=True):
+            key = (int(row["z"]), int(row["_bx"]), int(row["_by"]))
+            if key != cur_key:
+                if buf:
+                    flush_block(f, cur_key, buf)
+                cur_key, buf = key, []
+            buf.append((int(row["x"]), int(row["y"]), bytes(row["_payload"])))
+            n_rows += 1
+        if buf:
+            flush_block(f, cur_key, buf)
+
+        block_index_blob = compress_blob(b"".join(index_entries), "brotli")
+        blocks_range = (f.tell(), len(block_index_blob))
+        f.write(block_index_blob)
+        f.seek(0)
+        f.write(
+            _header_blob(
+                tile_type, compression, (zmin, zmax),
+                (lon_min, lat_min, lon_max, lat_max), meta_range, blocks_range,
+            )
+        )
+    return n_rows
 
 
 def _iter_block_tiles(rd, entry: bytes):
