@@ -47,3 +47,53 @@ def test_final_line_fits_driver_tail_capture():
 
 def test_key_queries_are_registered_headliners():
     assert set(bench.KEY_QUERIES) <= set(bench.HEADLINE)
+
+
+def test_slow_tail_queries_within_driver_budget():
+    """r5 judge item 8: the driver samples ~50 registry queries per round at
+    sf0.01 on local[8]; no query may creep past ~8 s there or the sample
+    cost explodes.  This pins the historically slowest tail (the iterative
+    class — r4 max: st_dbscan_events at 11.3 s, since rebuilt) in ONE warm
+    local[8] subprocess session, the same shape the driver gate uses.
+    Budget 8.5 s leaves ~30% headroom over the measured 5.6-6.4 s warm
+    numbers on this +-15%-variance box."""
+    import subprocess
+    import sys
+
+    tail = [
+        "tile_stats",  # warm-up: pays session/parquet costs, not budgeted
+        "st_dbscan_events",
+        "basin_polygons",
+        "dbscan_events",
+        "cost_path",
+        "fill_streams",
+        "hand_drainage",
+        "watersheds",
+        "cost_allocation",
+        "near_segments",
+    ]
+    code = (
+        "import sys, time\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "from versatiles_rs_spark import queries as q\n"
+        "from versatiles_rs_spark.session import get_spark\n"
+        "spark = get_spark(master='local[8]', shuffle_partitions=16)\n"
+        "spark.range(1000).selectExpr('sum(id)').collect()\n"
+        f"for name in {tail!r}:\n"
+        "    t0 = time.time()\n"
+        "    q.REGISTRY[name].fn(spark, '/root/testdata/sf0.01').count()\n"
+        "    print(f'TIMING {name} {time.time()-t0:.2f}', flush=True)\n"
+        "spark.stop()\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=560
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    times = {}
+    for line in res.stdout.replace("\r", "\n").splitlines():
+        if line.startswith("TIMING "):
+            _, name, sec = line.split()
+            times[name] = float(sec)
+    assert set(times) == set(tail), times
+    over = {n: s for n, s in times.items() if n != "tile_stats" and s > 8.5}
+    assert not over, f"queries past the sf0.01 local[8] budget: {over}"

@@ -131,20 +131,23 @@ def connected_components(
     at corpus scale, where contracted similarity graphs exceed any
     driver; pass driver_max_edges=0 to force them.
     """
-    edges = (
+    edges_lazy = (
         pairs.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .dropDuplicates(["u", "v"])
-        .localCheckpoint()
     )
-    if driver_max_edges and edges.count() <= driver_max_edges:
-        pdf = edges.toPandas()
-        if metrics is not None:
-            metrics["cc_rounds"] = 0
-            metrics["cc_driver_edges"] = len(pdf)
-        return pairs.sparkSession.createDataFrame(
-            _driver_union_find(pdf), schema="id long, component long"
-        )
+    if driver_max_edges:
+        # guard + collect in ONE job (the limit-probe pattern): a short
+        # result IS the edge list; overflow falls through to star rounds
+        pdf = edges_lazy.limit(int(driver_max_edges) + 1).toPandas()
+        if len(pdf) <= driver_max_edges:
+            if metrics is not None:
+                metrics["cc_rounds"] = 0
+                metrics["cc_driver_edges"] = len(pdf)
+            return pairs.sparkSession.createDataFrame(
+                _driver_union_find(pdf), schema="id long, component long"
+            )
+    edges = edges_lazy.localCheckpoint()
     prev_sig = None
     for rounds in range(1, max_iter + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint()

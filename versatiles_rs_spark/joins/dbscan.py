@@ -94,19 +94,21 @@ def eps_neighbor_pairs(
         F.col(lat_col).cast("double").alias("lat"),
     )
     cx, cy = _cell_cols(F.col("lon"), F.col("lat"), side)
+    # explode a 25-element INDEX and derive the neighbor cell key with one
+    # arithmetic expression — a 25-entry array of _pack expressions bloats
+    # whole-stage codegen and recompiles on every action (see st_dbscan.py)
     probe = slim.select(
         F.col("id").alias("ia"),
         F.col("lon").alias("alon"),
         F.col("lat").alias("alat"),
         _pack(cx, cy).alias("ca"),
-        F.explode(
-            F.array(
-                *[
-                    _pack(cx + F.lit(dx), cy + F.lit(dy))
-                    for dx in (-2, -1, 0, 1, 2)
-                    for dy in (-2, -1, 0, 1, 2)
-                ]
-            )
+        F.explode(F.sequence(F.lit(0), F.lit(24))).alias("ni"),
+    ).select(
+        "ia", "alon", "alat", "ca",
+        (
+            F.col("ca")
+            + (F.col("ni") % 5 - 2) * F.lit(1 << 21)
+            + (F.expr("ni div 5") - 2)
         ).alias("cell"),
     )
     build = slim.select(
@@ -117,8 +119,11 @@ def eps_neighbor_pairs(
     )
     dx = F.col("alon") - F.col("blon")
     dy = F.col("alat") - F.col("blat")
+    # shuffle_hash on the un-exploded side: Catalyst misestimates the 25x
+    # Generate output and would broadcast the EXPLODED probe (see
+    # st_dbscan.py) — hash-partition on cell, hash table from the slim side
     return (
-        probe.join(build, on="cell")
+        probe.join(build.hint("shuffle_hash"), on="cell")
         .filter(dx * dx + dy * dy <= F.lit(eps) * F.lit(eps))
         .select("ia", "ib", "ca", F.col("cell").alias("cb"))
     )

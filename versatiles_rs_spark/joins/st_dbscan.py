@@ -89,21 +89,24 @@ def st_neighbor_pairs(
     def _pack3(cxe, cye, tbe):
         return (cxe * F.lit(1 << 21) + cye) * F.lit(1 << 21) + tbe
 
+    # explode a 75-element INDEX and derive the neighbor key from it with
+    # one arithmetic expression — a 75-entry array of _pack3 expressions
+    # made the generated code ~75x larger and added ~2 s of whole-stage
+    # codegen compile to EVERY action over the pair relation (measured)
     probe = slim.select(
         F.col("id").alias("ia"),
         F.col("lon").alias("alon"),
         F.col("lat").alias("alat"),
         F.col("us").alias("aus"),
         _pack3(cx, cy, tb).alias("sa"),
-        F.explode(
-            F.array(
-                *[
-                    _pack3(cx + F.lit(dx), cy + F.lit(dy), tb + F.lit(dt))
-                    for dx in (-2, -1, 0, 1, 2)
-                    for dy in (-2, -1, 0, 1, 2)
-                    for dt in (-1, 0, 1)
-                ]
-            )
+        F.explode(F.sequence(F.lit(0), F.lit(74))).alias("ni"),
+    ).select(
+        "ia", "alon", "alat", "aus", "sa",
+        (
+            F.col("sa")
+            + (F.col("ni") % 5 - 2) * F.lit((1 << 21) * (1 << 21))
+            + (F.expr("ni div 5") % 5 - 2) * F.lit(1 << 21)
+            + (F.expr("ni div 25") - 1)
         ).alias("snode"),
     )
     build = slim.select(
@@ -115,13 +118,21 @@ def st_neighbor_pairs(
     )
     dx_ = F.col("alon") - F.col("blon")
     dy_ = F.col("alat") - F.col("blat")
+    # shuffle_hash on the UN-exploded side: Catalyst's size estimate does
+    # not account for the 75x Generate, so left alone it BROADCASTS the
+    # exploded probe (measured at sf0.01; catastrophic at scale).  The
+    # intended plan is a hash join partitioned on snode with the hash
+    # table built from the slim build side — correct at any size, no sort.
     return (
-        probe.join(build, on="snode")
+        probe.join(build.hint("shuffle_hash"), on="snode")
         .filter(
             (dx_ * dx_ + dy_ * dy_ <= F.lit(eps_space) * F.lit(eps_space))
             & (F.abs(F.col("aus") - F.col("bus")) <= F.lit(eps_us))
         )
-        .select("ia", "ib", "sa", F.col("snode").alias("sb"))
+        # aus rides along (anchored micros) so the caller's packing guard
+        # can share the SAME driver action as the min_pts statistics —
+        # every point self-pairs, so min/max over pairs.aus covers all rows
+        .select("ia", "ib", "sa", F.col("snode").alias("sb"), "aus")
     )
 
 
@@ -148,17 +159,22 @@ def st_dbscan(
         points, id_col, lon_col, lat_col, ts_col, eps_space, eps_time_s
     ).cache()
 
-    # packing-capacity guard on the time axis (one scalar agg on the slim
-    # projection; negative us = pre-anchor timestamps, also a corruption)
+    # ONE driver action materializes pairs AND answers both the time-axis
+    # packing guard and the min_pts statistics (every point self-pairs, so
+    # min/max over pairs.aus == bounds over the input; countDistinct(ia)
+    # == the point count) — previously two separate jobs, pure per-job
+    # overhead at gate scale (iterative-relational-overhead lesson)
     eps_us = int(eps_time_s) * 1_000_000
-    bounds = points.agg(
-        F.min(_us_expr(points, ts_col)).alias("lo"),
-        F.max(_us_expr(points, ts_col)).alias("hi"),
+    stats = pairs.agg(
+        F.count("*").alias("tot"),
+        F.countDistinct("ia").alias("cnt"),
+        F.min("aus").alias("lo"),
+        F.max("aus").alias("hi"),
     ).collect()[0]
-    if bounds.lo is not None:
-        if bounds.lo < T_ANCHOR_US:
+    if stats.lo is not None:
+        if stats.lo < 0:
             raise ValueError("st_dbscan: timestamps before 2000-01-01 break tb packing")
-        if (bounds.hi - T_ANCHOR_US) // eps_us >= _TB_CAP - 1:
+        if stats.hi // eps_us >= _TB_CAP - 1:
             raise ValueError(
                 f"st_dbscan: eps_time_s={eps_time_s} yields time bins past "
                 f"2^21; raise eps_time_s or re-anchor T_ANCHOR_US"
@@ -166,8 +182,7 @@ def st_dbscan(
 
     counts = pairs.groupBy("ia").agg(F.count("*").alias("n"))
     if min_pts is None:
-        counts = counts.cache()
-        tot, cnt = counts.agg(F.sum("n"), F.count("*")).collect()[0]
+        tot, cnt = stats.tot, stats.cnt
         min_pts = int(math.floor(float(tot or 0) / cnt)) + 1 if cnt else 1
     if metrics is not None:
         metrics["min_pts"] = min_pts

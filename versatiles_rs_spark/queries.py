@@ -8156,6 +8156,10 @@ def q_basin_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("id") % F.lit(_ID_BASE)).alias("gy"),
             F.col("label").alias("zone"),
         )
+        # materialize once: the four rook arms each consume cells TWICE, so
+        # an un-checkpointed plan re-runs the label agg + join 8x in the
+        # final job (iterated-relation-lineage lesson, relational form)
+        .localCheckpoint()
     )
     return zone_edges_from_relation(cells)
 
