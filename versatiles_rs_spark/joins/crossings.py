@@ -155,6 +155,7 @@ def points_near_segments(
     cell: int,
     point_id: str = "pid",
     seg_id: str = "sid",
+    probe_partitions: int | None = None,
 ) -> DataFrame:
     """ST_DWithin for a point layer against a segment layer (PostGIS
     ST_DWithin / ArcGIS Near's search-radius form): all (point, segment)
@@ -191,18 +192,45 @@ def points_near_segments(
     # NOTE: least(x1,x2) - dist can go negative only if coords < dist at the
     # world edge; require callers to shift by at least `dist` so the floor
     # bucketing stays in div == // territory.
+    # the candidate-predicate work rides the SEGMENT side's partitioning
+    # (the points broadcast at toy scale), and a small dim table read from
+    # one parquet file would run the whole explode+join on ONE task —
+    # spread the slim seg rows across the cluster first (skip with
+    # probe_partitions=0 when the input is already wide)
+    if probe_partitions is None:
+        probe_partitions = 2 * segs.sparkSession.sparkContext.defaultParallelism
+    if probe_partitions:
+        s = s.repartition(int(probe_partitions))
+    # segment-constant terms (L, expanded bbox) computed ONCE per segment
+    # row before the cell explode, not once per candidate pair
     se = s.select(
         seg_id, "sx1", "sy1", "sx2", "sy2",
+        (
+            (F.col("sx2") - F.col("sx1")) * (F.col("sx2") - F.col("sx1"))
+            + (F.col("sy2") - F.col("sy1")) * (F.col("sy2") - F.col("sy1"))
+        ).alias("sL"),
+        (F.least("sx1", "sx2") - F.lit(int(dist))).alias("bx0"),
+        (F.greatest("sx1", "sx2") + F.lit(int(dist))).alias("bx1"),
+        (F.least("sy1", "sy2") - F.lit(int(dist))).alias("by0"),
+        (F.greatest("sy1", "sy2") + F.lit(int(dist))).alias("by1"),
         F.explode(F.sequence("cx0", "cx1")).alias("cx"), "cy0", "cy1",
     ).select(
-        seg_id, "sx1", "sy1", "sx2", "sy2", "cx",
+        seg_id, "sx1", "sy1", "sx2", "sy2", "sL", "bx0", "bx1", "by0", "by1",
+        "cx",
         F.explode(F.sequence("cy0", "cy1")).alias("cy"),
     )
-    pairs = p.join(se, ["cx", "cy"])
+    # cheap 4-comparison bbox gate FIRST: a cell only partially overlaps the
+    # expanded bbox, so this drops a large fraction of candidates before the
+    # ~15-multiply exact rational predicate runs
+    bbox_hit = (
+        (F.col("px") >= F.col("bx0")) & (F.col("px") <= F.col("bx1"))
+        & (F.col("py") >= F.col("by0")) & (F.col("py") <= F.col("by1"))
+    )
+    pairs = p.join(se, ["cx", "cy"]).filter(bbox_hit)
     dx, dy = F.col("sx2") - F.col("sx1"), F.col("sy2") - F.col("sy1")
     pax, pay = F.col("px") - F.col("sx1"), F.col("py") - F.col("sy1")
     pbx, pby = F.col("px") - F.col("sx2"), F.col("py") - F.col("sy2")
-    L = dx * dx + dy * dy
+    L = F.col("sL")
     t = pax * dx + pay * dy
     cross = dx * pay - dy * pax
     d2 = F.lit(int(dist) * int(dist))

@@ -239,20 +239,45 @@ def _iter_block_tiles(rd, entry: bytes):
 
 
 def read_versatiles(spark: SparkSession, path: str) -> DataFrame:
-    """Scan a .versatiles archive into an XYZ tile DataFrame (reader.rs flow:
-    header -> brotli block index -> per-block brotli tile index -> ranges).
-    `path` may be a local file or an http(s):// URL — remote archives read
-    with ranged requests (data_reader_http.rs:91-98 parity)."""
+    """Scan a .versatiles archive into an XYZ tile DataFrame — DISTRIBUTED
+    (reader.rs flow: header -> brotli block index -> per-block brotli tile
+    index -> ranges): the driver fetches only the 66-byte header and the
+    slim block index (33 bytes per 256x256 block); each executor task
+    range-reads and unpacks its own blocks, so payload bytes never pass
+    through the driver and archive size is unbounded.  `path` may be a
+    local file or an http(s):// URL — executors open their own range
+    readers (data_reader_http.rs:91-98 parity)."""
+    import pandas as pd
+
     from ..remote import open_range_reader
 
     rd = open_range_reader(path)
     h = parse_versatiles_header(rd.read(0, HEADER_LEN))
     b0, bl = h["blocks_range"]
     bindex = decompress_blob(rd.read(b0, bl), "brotli")
-    rows = []
-    for i in range(len(bindex) // 33):
-        rows.extend(_iter_block_tiles(rd, bindex[i * 33 : i * 33 + 33]))
-    return spark.createDataFrame(rows, "z int, x long, y long, bytes binary")
+    n_blocks = len(bindex) // 33
+    if not n_blocks:
+        return spark.createDataFrame([], "z int, x long, y long, bytes binary")
+    work = pd.DataFrame(
+        {"i": range(n_blocks),
+         "entry": [bytes(bindex[i * 33 : i * 33 + 33]) for i in range(n_blocks)]}
+    )
+    n_parts = min(n_blocks, max(1, spark.sparkContext.defaultParallelism))
+
+    def gen(batches):
+        rdr = open_range_reader(path)
+        for pdf in batches:
+            rows = []
+            for entry in pdf["entry"]:
+                rows.extend(_iter_block_tiles(rdr, bytes(entry)))
+            if rows:
+                yield pd.DataFrame(rows, columns=["z", "x", "y", "bytes"])
+
+    return (
+        spark.createDataFrame(work)
+        .repartitionByRange(n_parts, "i")
+        .mapInPandas(gen, schema="z int, x long, y long, bytes binary")
+    )
 
 
 def read_versatiles_metadata(path: str) -> dict:
