@@ -185,6 +185,7 @@ HEADLINE = [
     "sieve_regions",
     "accessibility_2sfca",
     "stacked_blend",
+    "media_sniff",
     "raster_flatten_gate",
     "raster_overscale_gate",
     "merged_vector_gate",
